@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Dedup, Multimodal, Relational, Similarity, Streamed, Text}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator surface (relational + text + dedup +
+  * similarity + multimodal + streaming); `oracleSql` carries the
+  * DuckDB-equivalent ANSI SQL for every oracle-checkable entry.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q04(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Text.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries ++ Streamed.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-sketch ops (d04, d05)
+    * whose hashing is engine-specific → driver records rows-only checks.
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Text.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ Multimodal.oracle ++ Streamed.oracle
 }

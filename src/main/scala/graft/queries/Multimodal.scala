@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: media treated as opaque `binary` payloads
+  * plus typed metadata, with decode / resize / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[graft.multimodal.FakeCodec]]) —
+  * but the Spark-side shape is real: binary columns, a typed
+  * `Dataset.mapPartitions` decode stage (the Scala analog of a
+  * batch-shaped Pandas UDF: per-partition iterator in, iterator out, no
+  * per-row driver involvement), and downstream frame explosion that
+  * stays narrow (no shuffle) until an aggregate asks for one.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- m01
+  // Binary payload + metadata projection: documents.text as the stand-in
+  // media bytes; length and sha256 are the typed metadata columns.
+  val m01: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        sha2(col("payload"), 256).as("content_sha"),
+        col("source"))
+
+  val m01Sql: String = """
+    SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+           sha256(text) AS content_sha, source
+    FROM documents"""
+
+  // ---------------------------------------------------------------- m02
+  // Stubbed decode via typed mapPartitions: deterministic fake
+  // dimensions derived from payload length (see FakeCodec).
+  val m02: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        graft.multimodal.FakeCodec.decode(id, bytes)
+      })
+      .toDF()
+  }
+
+  val m02Sql: String = """
+    SELECT doc_id,
+           CAST(64 + octet_length(CAST(text AS BLOB)) % 577 AS INTEGER) AS width,
+           CAST(64 + (octet_length(CAST(text AS BLOB)) * 31) % 457 AS INTEGER) AS height,
+           CAST(1 + octet_length(CAST(text AS BLOB)) % 7 AS INTEGER) AS n_frames,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+    FROM documents"""
+
+  // ---------------------------------------------------------------- m03
+  // Frame sampling: explode every 2nd frame index of the decoded fake
+  // media — the narrow (no-shuffle) fan-out stage of a video pipeline.
+  val m03: Q = (s, d) =>
+    m02(s, d)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(1), col("n_frames"), lit(2))).as("frame_idx"))
+
+  val m03Sql: String = """
+    WITH meta AS (
+      SELECT doc_id, CAST(1 + octet_length(CAST(text AS BLOB)) % 7 AS INTEGER)
+               AS n_frames
+      FROM documents)
+    SELECT doc_id, n_frames, CAST(i AS INTEGER) AS frame_idx
+    FROM meta CROSS JOIN range(1, 8) r(i)
+    WHERE i <= n_frames AND (i % 2) = 1"""
+
+  val queries: Map[String, Q] = Map(
+    "m01_binary_meta" -> m01,
+    "m02_decode_stub" -> m02,
+    "m03_frame_sample" -> m03)
+
+  val oracle: Map[String, String] = Map(
+    "m01_binary_meta" -> m01Sql,
+    "m02_decode_stub" -> m02Sql,
+    "m03_frame_sample" -> m03Sql)
+}

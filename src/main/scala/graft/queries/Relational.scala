@@ -1,0 +1,506 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.{Events, Tables}
+import Num._
+
+/** Core relational operator surface (SURVEY.md §2.3–§2.7).
+  *
+  * Every query here is a declarative DataFrame plan — no collect, no
+  * driver-side loops — so Catalyst gets full freedom: filters and
+  * projections push into the parquet scans, small dimension tables are
+  * explicitly `broadcast`, and wide aggregations run as partial+final
+  * hash aggregates. Each query carries its DuckDB oracle SQL right next
+  * to it; column names and types are aligned on both sides because the
+  * driver's compare hashes (column-name-sorted) values.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q01
+  // TPC-H Q1-shaped pricing summary: scan → filter → hash agg.
+  // At scale: single shuffle on the (tiny-cardinality) grouping keys,
+  // map-side partial aggregation does almost all the work.
+  val q01: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q01Sql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+           ${sqlDsum("l_quantity")} AS sum_qty,
+           ${sqlDsum("l_extendedprice")} AS sum_base_price,
+           ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+           ${sqlDavg("l_quantity")} AS avg_qty,
+           ${sqlDavg("l_discount")} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus"""
+
+  // ---------------------------------------------------------------- q02
+  // Filter + projection; predicates and the 4-column ReadSchema push
+  // down into the parquet scan (verified via .explain in the spec).
+  val q02: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+              col("l_discount").between(0.02, 0.06) &&
+              col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+
+  val q02Sql: String = """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24"""
+
+  // ---------------------------------------------------------------- q03
+  // Fact ⋈ dimension with an explicit broadcast of the small side:
+  // no shuffle of `orders` at any scale as long as `customer` fits the
+  // broadcast threshold per executor; grouping shuffle is on 5 keys.
+  val q03: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+           count(lit(1)).as("n_orders"))
+  }
+
+  val q03Sql: String = s"""
+    SELECT c_mktsegment, ${sqlDsum("o_totalprice")} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment"""
+
+  // ---------------------------------------------------------------- q04
+  // TPC-H Q5-shaped star join: one big fact (lineitem) against a chain
+  // of dimensions, all broadcast — the only shuffle is the final group.
+  val q04: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA" &&
+              o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              o("o_orderdate") <  lit("1999-01-01").cast("timestamp"))
+      .groupBy(n("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val q04Sql: String = s"""
+    SELECT n_name, ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name"""
+
+  // ---------------------------------------------------------------- q05
+  // Semi join (EXISTS): customers having at least one big order.
+  val q05: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val q05Sql: String = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"""
+
+  // ---------------------------------------------------------------- q06
+  // Anti join (NOT EXISTS): customers with no January-1995 orders.
+  val q06: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1995-02-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val q06Sql: String = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                        AND o.o_orderdate <  TIMESTAMP '1995-02-01 00:00:00')
+    GROUP BY c_mktsegment"""
+
+  // ---------------------------------------------------------------- q07
+  // Distinct aggregates. countDistinct plans as a two-phase expand +
+  // agg — fine at scale because the distinct keys shuffle partially
+  // aggregated.
+  val q07: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n_rows"))
+
+  val q07Sql: String = """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag"""
+
+  // ---------------------------------------------------------------- q08
+  // ROLLUP grouping sets.
+  val q08: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+           count(lit(1)).as("n"))
+
+  val q08Sql: String = s"""
+    SELECT l_returnflag, l_linestatus, ${sqlDsum("l_quantity")} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+  // ---------------------------------------------------------------- q09
+  // CUBE grouping sets.
+  val q09: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"),
+           count(lit(1)).as("n"))
+
+  val q09Sql: String = s"""
+    SELECT o_orderstatus, o_orderpriority,
+           ${sqlDsum("o_totalprice")} AS sum_price, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+  // ---------------------------------------------------------------- q10
+  // Ranking window: top-3 orders per market segment. The tie-break on
+  // o_orderkey makes row_number deterministic across engines.
+  val q10: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val q10Sql: String = """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey) t
+    WHERE rn <= 3"""
+
+  // ---------------------------------------------------------------- q11
+  // Analytic window: per-customer running total + lag. Explicit ROWS
+  // frame and decimal quantization keep both engines bit-identical.
+  val q11: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("running_spend",
+        dsumExpr(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              col("running_spend"), col("prev_price"))
+  }
+
+  val q11Sql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           LAG(o_totalprice, 1) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+             AS prev_price
+    FROM orders"""
+
+  // ---------------------------------------------------------------- q12
+  // Global top-k: Spark plans TakeOrderedAndProject (no full sort at
+  // scale — per-partition heaps, then a k-row merge on the driver).
+  val q12: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val q12Sql: String = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""
+
+  // ---------------------------------------------------------------- q13
+  // Set op INTERSECT: customers active in both 1995 and 1998.
+  val q13: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def active(y: Int) = o
+      .filter(col("o_orderdate") >= lit(f"$y-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit(f"${y + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    active(1995).intersect(active(1998))
+  }
+
+  val q13Sql: String = """
+    SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'"""
+
+  // ---------------------------------------------------------------- q14
+  // Set op EXCEPT: parts not shipped during the first half of 1995.
+  val q14: Q = (s, d) =>
+    Tables.part(s, d).select(col("p_partkey"))
+      .except(Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1995-07-01").cast("timestamp"))
+        .select(col("l_partkey").as("p_partkey")))
+
+  val q14Sql: String = """
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-07-01 00:00:00'"""
+
+  // ---------------------------------------------------------------- q15
+  // String function family over part names.
+  val q15: Q = (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_name").like("%widget%") || col("p_name").like("%anvil%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+        regexp_replace(col("p_name"), lit("widget"), lit("gadget")).as("renamed"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 3).as("prefix3"))
+
+  val q15Sql: String = """
+    SELECT p_partkey, UPPER(p_name) AS name_upper, LENGTH(p_name) AS name_len,
+           SPLIT_PART(p_name, ' ', 1) AS first_word,
+           REGEXP_REPLACE(p_name, 'widget', 'gadget') AS renamed,
+           CONCAT_WS('/', p_brand, p_type) AS brand_type,
+           SUBSTRING(p_name, 1, 3) AS prefix3
+    FROM part
+    WHERE p_name LIKE '%widget%' OR p_name LIKE '%anvil%'"""
+
+  // ---------------------------------------------------------------- q16
+  // Date/time function family: calendar rollup of order volume.
+  val q16: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+               month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("revenue"))
+
+  val q16Sql: String = s"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS revenue
+    FROM orders GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------- q17
+  // Conditional expressions: CASE bucketing of order value.
+  val q17: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 10000, "small")
+          .when(col("o_totalprice") < 100000, "mid")
+          .otherwise("large"))
+      .groupBy(col("bucket"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("o_totalprice")).as("total"))
+
+  val q17Sql: String = s"""
+    SELECT CASE WHEN o_totalprice < 10000 THEN 'small'
+                WHEN o_totalprice < 100000 THEN 'mid'
+                ELSE 'large' END AS bucket,
+           o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+    FROM orders GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------- q18
+  // Semi-structured extraction: events.props is a JSON string; parse it
+  // with from_json (schema'd, codegen-friendly) and aggregate.
+  val q18: Q = (s, d) =>
+    Events.read(s, d)
+      .withColumn("k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).cast("long").as("sum_k"),
+           (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"),
+           count(when(col("k") > 50, 1)).as("n_high"))
+
+  val q18Sql: String = """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+           COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
+    FROM (SELECT event_type,
+                 TRY_CAST(NULLIF(regexp_extract(props, '(\d+)', 1), '') AS INTEGER) AS k
+          FROM events) t
+    GROUP BY event_type"""
+
+  // ---------------------------------------------------------------- q19
+  // Event-time tumbling window (batch-expressible as date_trunc so the
+  // oracle can check it; the streaming twin lives in queries.Streamed).
+  val q19: Q = (s, d) =>
+    Events.read(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+
+  val q19Sql: String = s"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+           COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+    FROM events GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------- q20
+  // Sessionization: 30-minute inactivity gap, assigned with a
+  // lag → flag → running-count window cascade (pure window functions,
+  // one shuffle on user_id; scales linearly with events per user).
+  val q20: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Events.read(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_sec"),
+           dsum(col("value")).as("session_value"))
+  }
+
+  val q20Sql: String = s"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_es
+      FROM events),
+    sessions AS (
+      SELECT user_id, value, es,
+             SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 1800
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MAX(es) - MIN(es) AS duration_sec,
+           ${sqlDsum("value")} AS session_value
+    FROM sessions GROUP BY user_id, session_idx"""
+
+  // ---------------------------------------------------------------- q21
+  // Join against a derived aggregate (decorrelated "above own average"):
+  // the per-customer average is an exact decimal, so the > comparison is
+  // engine-stable.
+  val q21: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val avgs = o.groupBy(col("o_custkey").as("k"))
+      .agg(davg(col("o_totalprice")).as("avg_price"))
+    o.join(avgs, o("o_custkey") === avgs("k"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_above_avg"))
+  }
+
+  val q21Sql: String = s"""
+    WITH avgs AS (
+      SELECT o_custkey AS k, ${sqlDavg("o_totalprice")} AS avg_price
+      FROM orders GROUP BY o_custkey)
+    SELECT o_orderstatus, COUNT(*) AS n_above_avg
+    FROM orders JOIN avgs ON o_custkey = k
+    WHERE o_totalprice > avg_price
+    GROUP BY o_orderstatus"""
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_filter_project" -> q02,
+    "q03_join_broadcast" -> q03,
+    "q04_star_join" -> q04,
+    "q05_semi_join" -> q05,
+    "q06_anti_join" -> q06,
+    "q07_count_distinct" -> q07,
+    "q08_rollup" -> q08,
+    "q09_cube" -> q09,
+    "q10_window_rank" -> q10,
+    "q11_window_running" -> q11,
+    "q12_topk" -> q12,
+    "q13_intersect" -> q13,
+    "q14_except" -> q14,
+    "q15_string_funcs" -> q15,
+    "q16_date_funcs" -> q16,
+    "q17_case_buckets" -> q17,
+    "q18_json_extract" -> q18,
+    "q19_time_window" -> q19,
+    "q20_sessionize" -> q20,
+    "q21_above_avg" -> q21)
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_join_broadcast" -> q03Sql,
+    "q04_star_join" -> q04Sql,
+    "q05_semi_join" -> q05Sql,
+    "q06_anti_join" -> q06Sql,
+    "q07_count_distinct" -> q07Sql,
+    "q08_rollup" -> q08Sql,
+    "q09_cube" -> q09Sql,
+    "q10_window_rank" -> q10Sql,
+    "q11_window_running" -> q11Sql,
+    "q12_topk" -> q12Sql,
+    "q13_intersect" -> q13Sql,
+    "q14_except" -> q14Sql,
+    "q15_string_funcs" -> q15Sql,
+    "q16_date_funcs" -> q16Sql,
+    "q17_case_buckets" -> q17Sql,
+    "q18_json_extract" -> q18Sql,
+    "q19_time_window" -> q19Sql,
+    "q20_sessionize" -> q20Sql,
+    "q21_above_avg" -> q21Sql)
+}

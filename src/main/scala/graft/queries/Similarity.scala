@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import Num._
+
+/** Similarity search over `embeddings.embedding` (Array[Float], dim 64).
+  *
+  * All dot products / norms run through Catalyst higher-order functions
+  * (`zip_with` + `aggregate`) — no UDF, fully codegen-compatible — with
+  * each elementwise product quantized to DECIMAL(20,6) before summation.
+  * float×float is exact in double, and decimal addition is associative,
+  * so Spark and the oracle agree bit-for-bit regardless of partitioning.
+  *
+  * Scale path: s01 is the brute-force baseline (fine when the query set
+  * is small — it broadcasts the queries and makes one pass over the
+  * corpus). s02 is bit-sampling LSH (Indyk–Motwani family): a 16-bit
+  * sign-pattern bucket key computed per vector; at 100 TB the corpus is
+  * partitioned/pruned by bucket so a query touches ~1/65536 of the data.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact decimal-quantized dot product of two Array[Float] columns. */
+  private def qdot(a: String, b: String): Column = expr(
+    s"""cast(aggregate(
+       |  zip_with($a, $b, (x, y) ->
+       |    cast(round(cast(x as double) * cast(y as double), 6) as decimal(20,6))),
+       |  cast(0 as decimal(30,6)),
+       |  (acc, v) -> cast(acc + v as decimal(30,6))) as double)""".stripMargin)
+
+  /** Exact decimal-quantized squared norm of an Array[Float] column. */
+  private def qnormsq(a: String): Column = qdot(a, a)
+
+  /** Oracle fragment: dot of `embedding` vs query over a 1..64 index join;
+    * mirrors [[qdot]] (same per-element rounding, same decimal sum). */
+  private def sqlDot(a: String, b: String): String =
+    s"""CAST(SUM(CAST(round(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE), 6)
+       |  AS DECIMAL(20,6))) AS DOUBLE)""".stripMargin
+
+  // ---------------------------------------------------------------- s01
+  // Brute-force cosine top-10 against the vec_id=0 query vector.
+  val s01: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"),
+              qnormsq("embedding").as("qnsq"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", qdot("embedding", "qe"))
+      .withColumn("nsq", qnormsq("embedding"))
+      .withColumn("cosine", col("dot") / (sqrt(col("nsq")) * sqrt(col("qnsq"))))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("label"), col("cosine"))
+  }
+
+  val s01Sql: String = s"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qn AS (SELECT ${sqlDot("qe", "qe")} AS qnsq
+           FROM q CROSS JOIN range(1, 65) r(i)),
+    dots AS (SELECT vec_id, label,
+                    ${sqlDot("e.embedding", "q.qe")} AS dot,
+                    ${sqlDot("e.embedding", "e.embedding")} AS nsq
+             FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+             WHERE vec_id <> 0
+             GROUP BY vec_id, label)
+    SELECT vec_id, label, dot / (sqrt(nsq) * sqrt(qnsq)) AS cosine
+    FROM dots CROSS JOIN qn
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+
+  // ---------------------------------------------------------------- s02
+  // Bit-sampling LSH: bucket = 6 sign bits of dims 1..6; search only the
+  // query's bucket, exact cosine within it, top-5. (6 bits ≈ 64 buckets
+  // fits the test corpus; a 100 TB corpus raises the bit count so bucket
+  // population stays roughly constant, and the table is partitioned by
+  // bucket so the probe prunes to one partition.)
+  private def bucketExpr(a: String): Column = expr(
+    s"""aggregate(sequence(1, 6),
+       |  0,
+       |  (acc, i) -> acc + if(cast(element_at($a, i) as double) > 0,
+       |                       shiftleft(1, i - 1), 0))""".stripMargin)
+
+  val s02: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).withColumn("bucket", bucketExpr("embedding"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("bucket").as("qbucket"),
+              qnormsq("embedding").as("qnsq"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .withColumn("dot", qdot("embedding", "qe"))
+      .withColumn("nsq", qnormsq("embedding"))
+      .withColumn("cosine", col("dot") / (sqrt(col("nsq")) * sqrt(col("qnsq"))))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), col("bucket"), col("cosine"))
+  }
+
+  val s02Sql: String = s"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (SELECT CAST(SUM(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                                   THEN (1 << (i - 1))
+                                   ELSE 0 END) AS INTEGER)
+              FROM range(1, 7) r(i)) AS bucket
+      FROM embeddings),
+    q AS (SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0),
+    qn AS (SELECT ${sqlDot("qe", "qe")} AS qnsq
+           FROM q CROSS JOIN range(1, 65) r(i)),
+    dots AS (SELECT b.vec_id, b.bucket,
+                    ${sqlDot("b.embedding", "q.qe")} AS dot,
+                    ${sqlDot("b.embedding", "b.embedding")} AS nsq
+             FROM b JOIN q ON b.bucket = q.qbucket
+             CROSS JOIN range(1, 65) r(i)
+             WHERE b.vec_id <> 0
+             GROUP BY b.vec_id, b.bucket)
+    SELECT vec_id, bucket, dot / (sqrt(nsq) * sqrt(qnsq)) AS cosine
+    FROM dots CROSS JOIN qn
+    ORDER BY cosine DESC, vec_id ASC LIMIT 5"""
+
+  // ---------------------------------------------------------------- s03
+  // k-NN join: top-3 cosine neighbors for each of the 10 query vectors
+  // (vec_id < 10), ranked with a window over the broadcasted cross join.
+  val s03: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              qnormsq("embedding").as("qnsq"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", qdot("embedding", "qe"))
+      .withColumn("nsq", qnormsq("embedding"))
+      .withColumn("cosine", col("dot") / (sqrt(col("nsq")) * sqrt(col("qnsq"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  val s03Sql: String = s"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 10),
+    qn AS (SELECT qid, ${sqlDot("qe", "qe")} AS qnsq
+           FROM q CROSS JOIN range(1, 65) r(i) GROUP BY qid),
+    dots AS (SELECT q.qid, e.vec_id,
+                    ${sqlDot("e.embedding", "q.qe")} AS dot,
+                    ${sqlDot("e.embedding", "e.embedding")} AS nsq
+             FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+             WHERE e.vec_id <> q.qid
+             GROUP BY q.qid, e.vec_id),
+    ranked AS (SELECT dots.qid, vec_id,
+                      dot / (sqrt(nsq) * sqrt(qnsq)) AS cosine
+               FROM dots JOIN qn ON dots.qid = qn.qid)
+    SELECT qid, vec_id, cosine,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM ranked) t
+    WHERE rn <= 3"""
+
+  // ---------------------------------------------------------------- s04
+  // Per-label embedding statistics (count, mean L2 norm).
+  val s04: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(qnormsq("embedding")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), davg(col("norm")).as("avg_norm"))
+
+  val s04Sql: String = s"""
+    WITH norms AS (
+      SELECT label, vec_id, sqrt(${sqlDot("embedding", "embedding")}) AS norm
+      FROM embeddings CROSS JOIN range(1, 65) r(i)
+      GROUP BY label, vec_id)
+    SELECT label, COUNT(*) AS n, ${sqlDavg("norm")} AS avg_norm
+    FROM norms GROUP BY label"""
+
+  val queries: Map[String, Q] = Map(
+    "s01_cosine_topk" -> s01,
+    "s02_ann_bitlsh" -> s02,
+    "s03_knn_join" -> s03,
+    "s04_embedding_stats" -> s04)
+
+  val oracle: Map[String, String] = Map(
+    "s01_cosine_topk" -> s01Sql,
+    "s02_ann_bitlsh" -> s02Sql,
+    "s03_knn_join" -> s03Sql,
+    "s04_embedding_stats" -> s04Sql)
+}

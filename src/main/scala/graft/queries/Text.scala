@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Num._
+
+/** Text-analysis operators over the `documents` table — the pieces a
+  * large-scale training-data pipeline needs (token statistics, quality
+  * scoring, language-ID heuristics, content fingerprinting, token
+  * frequency). Everything is built from codegen'd built-ins
+  * (`split`/`array_distinct`/`explode`/`sha2`/higher-order functions),
+  * no UDFs, so plans stay inside WholeStageCodegen and shuffle only on
+  * the final aggregation keys.
+  *
+  * Determinism notes for the oracle: all ratios are divisions of exact
+  * integers (deterministic IEEE doubles in every engine), and the
+  * fingerprint is sha256 over a canonically sorted token set.
+  */
+object Text {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  // ---------------------------------------------------------------- t01
+  // Corpus token statistics per language.
+  val t01: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).cast("long").as("total_tokens"),
+        (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avg_tokens"),
+        sum(size(array_distinct(col("toks")))).cast("long").as("total_distinct"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+
+  val t01Sql: String = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS total_distinct,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang"""
+
+  // ---------------------------------------------------------------- t02
+  // Per-document quality signals: token count, distinct ratio, stopword
+  // ratio, mean token length — integer-exact numerators/denominators.
+  val t02: Q = (s, d) => {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        size(filter(col("toks"), t => array_contains(stopArr, t))).as("n_stop"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("distinct_ratio"),
+        (size(filter(col("toks"), t => array_contains(stopArr, t))).cast("double") /
+          size(col("toks"))).as("stopword_ratio"),
+        (col("n_chars").cast("double") / size(col("toks"))).as("mean_token_len"))
+  }
+
+  val t02Sql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""
+    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS INTEGER) AS n_stop,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+           CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / len(toks) AS mean_token_len
+    FROM t"""
+  }
+
+  // ---------------------------------------------------------------- t03
+  // Language-ID heuristic: stopword density + marker tokens → label;
+  // reported as a confusion summary against the `lang` column.
+  val t03: Q = (s, d) => {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("double") /
+          size(col("toks")))
+      .withColumn("predicted",
+        when(col("stop_ratio") >= 0.08, "en").otherwise("other"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val t03Sql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> list_contains($stopList, x))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents)
+    SELECT lang,
+           CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS predicted,
+           COUNT(*) AS n
+    FROM t GROUP BY 1, 2"""
+  }
+
+  // ---------------------------------------------------------------- t04
+  // Content fingerprint: sha256 over the sorted distinct token set —
+  // an order-insensitive document signature used for near-dup grouping.
+  val t04: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("fingerprint",
+        sha2(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))), 256))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_docs"))
+
+  val t04Sql: String = """
+    SELECT sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint,
+           MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1"""
+
+  // ---------------------------------------------------------------- t05
+  // Global token frequency top-20 (explode → hash agg → top-k; the
+  // explode stays map-side, the agg shuffles only distinct tokens).
+  val t05: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(20)
+
+  val t05Sql: String = """
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20"""
+
+  // ---------------------------------------------------------------- t06
+  // Regex ("BPE-ish") token counting: words, numbers, or single symbols.
+  val t06: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .as("n_bpe_tokens"),
+        size(split(col("text"), " ")).as("n_ws_tokens"))
+
+  val t06Sql: String = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+    FROM documents"""
+
+  val queries: Map[String, Q] = Map(
+    "t01_token_stats" -> t01,
+    "t02_quality_score" -> t02,
+    "t03_langid" -> t03,
+    "t04_fingerprint" -> t04,
+    "t05_token_freq" -> t05,
+    "t06_token_count_regex" -> t06)
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_stats" -> t01Sql,
+    "t02_quality_score" -> t02Sql,
+    "t03_langid" -> t03Sql,
+    "t04_fingerprint" -> t04Sql,
+    "t05_token_freq" -> t05Sql,
+    "t06_token_count_regex" -> t06Sql)
+}
