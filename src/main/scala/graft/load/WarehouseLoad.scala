@@ -1,0 +1,69 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.schema.SchemaAlign
+
+/** Typed warehouse load — the Snowpipe leg of the reference
+  * (/root/reference/modules/snowflake.py:145-178): each new JSON file in
+  * the staging dir is parsed, schema-aligned case-insensitively against
+  * the declared DDL, coerced, and appended exactly once to the warehouse
+  * table.
+  *
+  *  - [[batch]]: one-shot COPY of everything currently staged.
+  *  - [[continuous]]: Structured Streaming file source with a checkpoint
+  *    — the checkpoint's seen-files log IS Snowpipe's load history, so
+  *    re-runs (Trigger.AvailableNow) load only unseen files, giving the
+  *    per-file exactly-once semantics of `auto_ingest` pipes. Restart
+  *    with the same checkpoint after a crash and no row is doubled.
+  *
+  * Failure policy: `strict = true` mirrors COPY's default
+  * `ON_ERROR` (refuse the batch when any value fails coercion);
+  * `strict = false` mirrors `ON_ERROR = CONTINUE` (nulls through).
+  */
+object WarehouseLoad {
+  final class CoercionException(msg: String) extends RuntimeException(msg)
+
+  private def align(raw: DataFrame, target: StructType,
+                    strict: Boolean): DataFrame = {
+    if (strict) {
+      val nBad = raw.where(SchemaAlign.castFailure(raw, target)).count()
+      if (nBad > 0)
+        throw new CoercionException(
+          s"$nBad row(s) failed coercion to the declared schema")
+    }
+    SchemaAlign(raw, target)
+  }
+
+  /** One-shot load of the staged JSON into the parquet warehouse table. */
+  def batch(spark: SparkSession, stagingDir: String, target: StructType,
+            warehouseDir: String, strict: Boolean = false): Unit = {
+    // Read as all-string first so alignment (not the JSON sampler) owns
+    // type coercion — exactly how COPY treats JSON text values.
+    val stringly = StructType(target.fields.map(
+      _.copy(dataType = org.apache.spark.sql.types.StringType)))
+    val raw = spark.read.schema(stringly).json(stagingDir)
+    align(raw, target, strict)
+      .write.mode("append").parquet(warehouseDir)
+  }
+
+  /** Continuous auto-ingest: checkpointed streaming file source over the
+    * staging dir. `Trigger.AvailableNow` drains everything currently
+    * staged then stops — call again later and only new files load. */
+  def continuous(spark: SparkSession, stagingDir: String,
+                 target: StructType, warehouseDir: String,
+                 checkpointDir: String): StreamingQuery = {
+    val stringly = StructType(target.fields.map(
+      _.copy(dataType = org.apache.spark.sql.types.StringType)))
+    val raw = spark.readStream.schema(stringly).json(stagingDir)
+    val aligned = SchemaAlign(raw, target)
+    aligned.writeStream
+      .format("parquet")
+      .option("path", warehouseDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.pipeline.Pipeline
+import graft.schema.Schemas
+
+/** Reference-parity end-to-end test (SURVEY.md §5 #2): drop the
+  * reference's customers.csv into a landing dir, run the pipeline,
+  * assert the observable contract of glue_job.py + the Snowpipe COPY —
+  * 846 typed rows, lower-case columns, 343 null middlenames, timestamp
+  * ModifiedDate. Plus §5 #4: a continuous re-run ingests nothing new.
+  */
+class PipelineSpec extends SparkSpec {
+  private val refCsv = Paths.get("/root/reference/data/customers.csv")
+
+  private def mkCfg(): Pipeline.Config = {
+    val landing = tmpDir("graft-landing-")
+    Files.createSymbolicLink(
+      Paths.get(landing, "customers.csv"), refCsv)
+    Pipeline.Config(
+      landingDir = landing,
+      stagingDir = tmpDir("graft-staging-") + "/json",
+      warehouseDir = tmpDir("graft-wh-") + "/customers",
+      checkpointDir = tmpDir("graft-ckpt-") + "/cp",
+      target = Schemas.customers,
+      catalogTable = "customers_landing")
+  }
+
+  test("batch pipeline: CSV → JSON → typed warehouse parity") {
+    assume(Files.exists(refCsv))
+    val wh = Pipeline.run(spark, mkCfg())
+    assert(wh.count() == 846)
+    assert(wh.columns.toSeq == Schemas.customers.fieldNames.toSeq)
+    assert(wh.schema("modifieddate").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(wh.schema("customerid").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(wh.where(wh("middlename").isNull).count() == 343)
+    assert(wh.where(wh("namestyle") === false).count() == 846)
+    // catalog registration (the "crawler" leg)
+    assert(spark.catalog.tableExists("customers_landing"))
+  }
+
+  test("continuous load is exactly-once across re-runs (load history)") {
+    assume(Files.exists(refCsv))
+    val cfg = mkCfg()
+    val first = Pipeline.runContinuous(spark, cfg)
+    assert(first.count() == 846)
+    // Re-running the streaming leg over the same staging dir with the
+    // same checkpoint must add nothing (Snowpipe load-history analog).
+    val again = Pipeline.runContinuous(spark, cfg)
+    assert(again.count() == 846)
+  }
+
+  test("strict load refuses files with coercion failures") {
+    val staging = tmpDir("graft-badstage-")
+    Files.writeString(Paths.get(staging, "bad.json"),
+      """{"customerid": "oops", "namestyle": "FALSE"}""" + "\n")
+    val wh = tmpDir("graft-badwh-") + "/t"
+    intercept[graft.load.WarehouseLoad.CoercionException] {
+      graft.load.WarehouseLoad.batch(spark, staging, Schemas.customers,
+        wh, strict = true)
+    }
+  }
+}

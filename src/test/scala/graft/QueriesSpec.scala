@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantics spot-checks of the query surface at sf0.001.
+  * (Exhaustive value checking is the oracle harness's job —
+  * scripts/oracle_check.py — run per-round by the driver at sf0.01.)
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every query runs at sf0.001 and yields its declared schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("q01 aggregates are exact: sum_qty equals integer-summed quantity") {
+    val q1 = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
+    val got = q1.agg(sum("sum_qty")).collect().head.getDouble(0)
+    val want = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double"))
+      .collect().head.getDouble(0)
+    assert(got == want)
+  }
+
+  test("q12 topk is ordered and bounded") {
+    val rows = SparkEntry.queries("q12_topk")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("dedup: minhash-LSH recovers exact-jaccard ground truth pairs") {
+    val truth = graft.queries.Dedup.nearDupJaccard(spark, sf0001, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("d04_dedup_minhash_lsh")(spark, sf0001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert((truth -- lsh).isEmpty,
+      s"LSH missed ground-truth pairs: ${truth -- lsh}")
+  }
+
+  test("simhash: identical docs hash identically, near-dups are close") {
+    import graft.functions.SimHash
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words in this entirely unrelated sentence"))
+      .toDF("doc_id", "text")
+    val sims = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy("doc_id").agg(SimHash.simhash(col("h")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 8)
+  }
+
+  test("multimodal: decode stub is deterministic and resize preserves aspect") {
+    import graft.multimodal.{FakeCodec, MediaMeta}
+    val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
+    assert(m == FakeCodec.decode(7L, Array.fill[Byte](1000)(1)))
+    val big = MediaMeta(1L, 640, 480, 5, 99L)
+    val r = FakeCodec.resize(big, 320)
+    assert(r.width == 320 && r.height == 240)
+  }
+}

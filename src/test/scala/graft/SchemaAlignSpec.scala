@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.schema.SchemaAlign
+
+class SchemaAlignSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val target = StructType(Seq(
+    StructField("id", LongType),
+    StructField("flag", BooleanType),
+    StructField("name", StringType),
+    StructField("ts", TimestampType)))
+
+  private def df(rows: Seq[Row], schema: StructType) =
+    spark.createDataFrame(rows.asJava, schema)
+
+  test("case-insensitive resolution, cast, and column reorder") {
+    val src = df(Seq(Row("x", "7", "FALSE", "2005-08-01 00:00:00")),
+      StructType(Seq(
+        StructField("Name", StringType),
+        StructField("ID", StringType),
+        StructField("Flag", StringType),
+        StructField("TS", StringType))))
+    val out = SchemaAlign(src, target).collect().head
+    assert(out.getLong(0) == 7L)
+    assert(!out.getBoolean(1))
+    assert(out.getString(2) == "x")
+    assert(out.getTimestamp(3).toString == "2005-08-01 00:00:00.0")
+  }
+
+  test("missing target column becomes typed null; extras dropped") {
+    val src = df(Seq(Row("9", "junk")), StructType(Seq(
+      StructField("id", StringType), StructField("extra", StringType))))
+    val out = SchemaAlign(src, target)
+    assert(out.columns.toSeq == Seq("id", "flag", "name", "ts"))
+    val r = out.collect().head
+    assert(r.getLong(0) == 9L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("uncastable value nulls (permissive) and castFailure flags it") {
+    val src = df(Seq(Row("notanumber"), Row("5")),
+      StructType(Seq(StructField("id", StringType))))
+    val out = SchemaAlign(src, target).collect().sortBy(r => r.isNullAt(0))
+    assert(out.last.isNullAt(0))
+    val nBad = src.where(SchemaAlign.castFailure(src, target)).count()
+    assert(nBad == 1)
+  }
+
+  test("ambiguous case-insensitive match throws") {
+    val src = df(Seq(Row("1", "2")), StructType(Seq(
+      StructField("ID", StringType), StructField("id", StringType))))
+    intercept[SchemaAlign.AmbiguousColumnException] {
+      SchemaAlign(src, target)
+    }
+  }
+
+  test("case-sensitive mode only matches exact names") {
+    val src = df(Seq(Row("3")), StructType(Seq(
+      StructField("ID", StringType))))
+    val out = SchemaAlign(src, target, caseInsensitive = false)
+    assert(out.collect().head.isNullAt(0)) // 'ID' != 'id' when CS
+  }
+}
