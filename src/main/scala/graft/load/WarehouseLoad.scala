@@ -36,14 +36,27 @@ object WarehouseLoad {
     SchemaAlign(raw, target)
   }
 
+  /** Schema of the staged JSON *as the files spell it* (original key
+    * casing), all primitives as strings so alignment — not the JSON
+    * sampler — owns type coercion, exactly how COPY treats JSON text
+    * values. A schema'd Spark JSON read matches keys case-sensitively,
+    * so reading with lower-cased target names would null out every
+    * CamelCase key; inferring the real keys and letting [[SchemaAlign]]
+    * resolve them case-insensitively is the COPY semantic. At scale,
+    * staged batches are homogeneous — set `samplingRatio` < 1 to pin the
+    * key set from a sample instead of a full inference scan. */
+  private def stagedSchema(spark: SparkSession, stagingDir: String,
+                           samplingRatio: Double = 1.0): StructType =
+    spark.read
+      .option("primitivesAsString", "true")
+      .option("samplingRatio", samplingRatio.toString)
+      .json(stagingDir).schema
+
   /** One-shot load of the staged JSON into the parquet warehouse table. */
   def batch(spark: SparkSession, stagingDir: String, target: StructType,
             warehouseDir: String, strict: Boolean = false): Unit = {
-    // Read as all-string first so alignment (not the JSON sampler) owns
-    // type coercion — exactly how COPY treats JSON text values.
-    val stringly = StructType(target.fields.map(
-      _.copy(dataType = org.apache.spark.sql.types.StringType)))
-    val raw = spark.read.schema(stringly).json(stagingDir)
+    val raw = spark.read.schema(stagedSchema(spark, stagingDir))
+      .json(stagingDir)
     align(raw, target, strict)
       .write.mode("append").parquet(warehouseDir)
   }
@@ -54,9 +67,8 @@ object WarehouseLoad {
   def continuous(spark: SparkSession, stagingDir: String,
                  target: StructType, warehouseDir: String,
                  checkpointDir: String): StreamingQuery = {
-    val stringly = StructType(target.fields.map(
-      _.copy(dataType = org.apache.spark.sql.types.StringType)))
-    val raw = spark.readStream.schema(stringly).json(stagingDir)
+    val raw = spark.readStream.schema(stagedSchema(spark, stagingDir))
+      .json(stagingDir)
     val aligned = SchemaAlign(raw, target)
     aligned.writeStream
       .format("parquet")

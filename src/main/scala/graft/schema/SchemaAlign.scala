@@ -15,9 +15,10 @@ import org.apache.spark.sql.types.StructType
   *
   * Implemented as a pure projection (`select` of `cast` columns): a
   * narrow, codegen'd, shuffle-free plan — alignment costs nothing extra
-  * at any scale. Cast failures follow Spark non-ANSI semantics
-  * (null-on-failure), matching Snowflake COPY's permissive coercion;
-  * pair with [[failFast]] for COPY's `ON_ERROR` abort behavior.
+  * at any scale. Coercion uses `try_cast` (null-on-failure even with
+  * `spark.sql.ansi.enabled=true`, Spark 4's default), matching Snowflake
+  * COPY's permissive coercion; pair with [[castFailure]] for COPY's
+  * `ON_ERROR` abort behavior.
   */
 object SchemaAlign {
   /** Thrown when two source columns collide on the same target column
@@ -33,7 +34,7 @@ object SchemaAlign {
       df.columns.toSeq.groupBy(norm)
     val cols: Seq[Column] = target.fields.toSeq.map { f =>
       bySource.get(norm(f.name)) match {
-        case Some(Seq(one)) => col(one).cast(f.dataType).as(f.name)
+        case Some(Seq(one)) => col(one).try_cast(f.dataType).as(f.name)
         case Some(many) =>
           throw new AmbiguousColumnException(
             s"columns ${many.mkString(", ")} all match target '${f.name}'")
@@ -56,7 +57,7 @@ object SchemaAlign {
     val checks = target.fields.toSeq.flatMap { f =>
       bySource.get(norm(f.name)) match {
         case Some(Seq(one)) =>
-          Some(col(one).isNotNull && col(one).cast(f.dataType).isNull)
+          Some(col(one).isNotNull && col(one).try_cast(f.dataType).isNull)
         case _ => None
       }
     }
