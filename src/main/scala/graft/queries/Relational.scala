@@ -458,6 +458,196 @@ object Relational {
     WHERE o_totalprice > avg_price
     GROUP BY o_orderstatus"""
 
+  // ---------------------------------------------------------------- q22
+  // LEFT OUTER join: every customer, order count/spend including the
+  // order-less (count of the right key is 0 for unmatched rows). The big
+  // side (orders) stays shuffled on the join key — at scale this is a
+  // sort-merge join; nothing here is broadcastable by design.
+  val q22: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"), c("c_mktsegment"))
+      .agg(count(o("o_orderkey")).as("n_orders"),
+           coalesce(dsum(o("o_totalprice")), lit(0.0)).as("spend"))
+  }
+
+  val q22Sql: String = s"""
+    SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+           COALESCE(${sqlDsum("o_totalprice")}, 0.0) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------- q23
+  // FULL OUTER join of two daily aggregates: days with orders but no
+  // heavy shipments (and vice versa) survive with nulls on the missing
+  // side. The using-column join coalesces the key automatically.
+  val q23: Q = (s, d) => {
+    val od = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ld = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 48)
+      .groupBy(to_date(col("l_shipdate")).as("dt"))
+      .agg(count(lit(1)).as("n_heavy_ships"))
+    od.join(ld, Seq("dt"), "full")
+  }
+
+  val q23Sql: String = """
+    WITH od AS (SELECT CAST(o_orderdate AS DATE) AS dt, COUNT(*) AS n_orders
+                FROM orders GROUP BY 1),
+    ld AS (SELECT CAST(l_shipdate AS DATE) AS dt, COUNT(*) AS n_heavy_ships
+           FROM lineitem WHERE l_quantity >= 48 GROUP BY 1)
+    SELECT COALESCE(od.dt, ld.dt) AS dt, n_orders, n_heavy_ships
+    FROM od FULL JOIN ld ON od.dt = ld.dt"""
+
+  // ---------------------------------------------------------------- q24
+  // Range (theta) join: orders against literal price bands — a non-equi
+  // condition, planned as BroadcastNestedLoopJoin with the 3-row band
+  // table broadcast (the only sane side to broadcast; the fact table
+  // streams through untouched).
+  val q24: Q = (s, d) => {
+    import s.implicits._
+    val bands = Seq(
+      ("small", 0d, 10000d),
+      ("mid", 10000d, 100000d),
+      ("large", 100000d, 1e12)).toDF("band", "lo", "hi")
+    Tables.orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+  }
+
+  val q24Sql: String = s"""
+    SELECT band, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+    FROM orders
+    JOIN (VALUES ('small', 0.0, 10000.0), ('mid', 10000.0, 100000.0),
+                 ('large', 100000.0, 1e12)) b(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band"""
+
+  // ---------------------------------------------------------------- q25
+  // AS-OF join (event enrichment): each purchase picks up the most
+  // recent click at-or-before it, per user. Spark has no asof primitive;
+  // the scalable shape is the union + last(ignoreNulls) window trick
+  // (SURVEY §2.4): one shuffle on user_id, linear in events per user —
+  // never a per-row range probe. Markers sort before targets at equal ts
+  // (src 0 < 1) so "at or before" includes same-instant clicks; event_id
+  // breaks residual ties deterministically.
+  val q25: Q = (s, d) => {
+    val e = Events.read(s, d)
+    val markers = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("eid"),
+              lit(0).as("src"), col("ts").as("mk_ts"),
+              col("value").as("mk_value"))
+    val targets = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("eid"),
+              lit(1).as("src"), lit(null).cast("timestamp").as("mk_ts"),
+              lit(null).cast("double").as("mk_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("src").asc, col("eid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    markers.union(targets)
+      .withColumn("asof_ts", last(col("mk_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_value",
+        last(col("mk_value"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("user_id"), col("eid").as("event_id"), col("ts"),
+              col("asof_ts"), col("asof_value"))
+  }
+
+  val q25Sql: String = """
+    SELECT t.user_id, t.event_id, t.ts, m.ts AS asof_ts, m.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+    LEFT JOIN LATERAL (
+      SELECT ts, value FROM events m
+      WHERE m.user_id = t.user_id AND m.event_type = 'click'
+        AND m.ts <= t.ts
+      ORDER BY m.ts DESC, m.event_id DESC LIMIT 1) m ON TRUE"""
+
+  // ---------------------------------------------------------------- q26
+  // UNION ALL (Spark `union`) of two branch selections, then aggregate:
+  // customers active in either year, counted with multiplicity.
+  val q26: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def yr(y: Int) = o
+      .filter(col("o_orderdate") >= lit(f"$y-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit(f"${y + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    yr(1995).union(yr(1998))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders_both_years"))
+  }
+
+  val q26Sql: String = """
+    SELECT o_custkey, COUNT(*) AS n_orders_both_years
+    FROM (SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+          UNION ALL
+          SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00') u
+    GROUP BY o_custkey"""
+
+  // ---------------------------------------------------------------- q27
+  // approx_count_distinct (HyperLogLog++). The sketch value itself is
+  // engine-specific, so the oracle-checkable output is the *contract*:
+  // the estimate lands within the configured 5% rsd of the exact count
+  // (deterministic for fixed data — Spark's HLL is seedless). At 100 TB
+  // the sketch replaces the exact distinct's full shuffle with a
+  // constant-size partial aggregate.
+  val q27: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+           (abs(approx_count_distinct(col("l_partkey"), 0.05) -
+                countDistinct(col("l_partkey"))).cast("double") /
+             countDistinct(col("l_partkey")) <= 0.05).as("hll_within_5pct"))
+
+  val q27Sql: String = """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_within_5pct
+    FROM lineitem GROUP BY l_returnflag"""
+
+  // ---------------------------------------------------------------- q28
+  // Ranking-family completeness: rank, dense_rank, ntile, lead and
+  // first_value over one window (unique tie-break ⇒ engine-stable).
+  val q28: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    joined
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("top_price"))
+      .filter(col("rnk") <= 20)
+  }
+
+  val q28Sql: String = """
+    SELECT * FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4) OVER w AS quartile,
+             LEAD(o_totalprice, 1) OVER w AS next_price,
+             FIRST_VALUE(o_totalprice) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey ASC)) t
+    WHERE rnk <= 20"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -479,7 +669,14 @@ object Relational {
     "q18_json_extract" -> q18,
     "q19_time_window" -> q19,
     "q20_sessionize" -> q20,
-    "q21_above_avg" -> q21)
+    "q21_above_avg" -> q21,
+    "q22_left_outer" -> q22,
+    "q23_full_outer" -> q23,
+    "q24_range_join" -> q24,
+    "q25_asof_join" -> q25,
+    "q26_union_all" -> q26,
+    "q27_approx_distinct" -> q27,
+    "q28_ranking_family" -> q28)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -502,5 +699,12 @@ object Relational {
     "q18_json_extract" -> q18Sql,
     "q19_time_window" -> q19Sql,
     "q20_sessionize" -> q20Sql,
-    "q21_above_avg" -> q21Sql)
+    "q21_above_avg" -> q21Sql,
+    "q22_left_outer" -> q22Sql,
+    "q23_full_outer" -> q23Sql,
+    "q24_range_join" -> q24Sql,
+    "q25_asof_join" -> q25Sql,
+    "q26_union_all" -> q26Sql,
+    "q27_approx_distinct" -> q27Sql,
+    "q28_ranking_family" -> q28Sql)
 }
