@@ -25,16 +25,35 @@ import graft.schema.SchemaAlign
 object WarehouseLoad {
   final class CoercionException(msg: String) extends RuntimeException(msg)
 
+  private val StrictMarker = "GRAFT_COERCION_FAILURE"
+
+  /** Strict mode folds the failure check into the load's own scan as an
+    * `assert_true` filter guard (throws from the executor on the first
+    * bad row) instead of a separate counting pass — one read of the
+    * batch, not two; at warehouse scale the second full scan is real
+    * money. The guard is a filter, so column pruning cannot drop it. */
   private def align(raw: DataFrame, target: StructType,
                     strict: Boolean): DataFrame = {
-    if (strict) {
-      val nBad = raw.where(SchemaAlign.castFailure(raw, target)).count()
-      if (nBad > 0)
-        throw new CoercionException(
-          s"$nBad row(s) failed coercion to the declared schema")
-    }
-    SchemaAlign(raw, target)
+    import org.apache.spark.sql.functions.{assert_true, coalesce, lit, not}
+    val guarded =
+      if (strict)
+        raw.filter(coalesce(
+          assert_true(not(SchemaAlign.castFailure(raw, target)),
+            lit(s"$StrictMarker: row failed coercion to the declared schema")),
+          lit(true)))
+      else raw
+    SchemaAlign(guarded, target)
   }
+
+  private def rethrowStrict[T](f: => T): T =
+    try f catch {
+      case e: Throwable
+          if Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+            .exists(c => c.getMessage != null &&
+              c.getMessage.contains(StrictMarker)) =>
+        throw new CoercionException(
+          "batch refused: at least one row failed coercion to the declared schema")
+    }
 
   /** Schema of the staged JSON *as the files spell it* (original key
     * casing), all primitives as strings so alignment — not the JSON
@@ -57,8 +76,10 @@ object WarehouseLoad {
             warehouseDir: String, strict: Boolean = false): Unit = {
     val raw = spark.read.schema(stagedSchema(spark, stagingDir))
       .json(stagingDir)
-    align(raw, target, strict)
-      .write.mode("append").parquet(warehouseDir)
+    rethrowStrict {
+      align(raw, target, strict)
+        .write.mode("append").parquet(warehouseDir)
+    }
   }
 
   /** Continuous auto-ingest: checkpointed streaming file source over the

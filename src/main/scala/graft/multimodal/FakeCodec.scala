@@ -14,10 +14,12 @@ case class MediaMeta(doc_id: Long, width: Int, height: Int,
 object FakeCodec {
   def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length
+    // 64-bit intermediate: n * 31 overflows Int for payloads > ~69 MB,
+    // which would diverge from the oracle's 64-bit arithmetic.
     MediaMeta(
       doc_id = id,
       width = 64 + n % 577,
-      height = 64 + (n * 31) % 457,
+      height = 64 + (n.toLong * 31 % 457).toInt,
       n_frames = 1 + n % 7,
       n_bytes = n.toLong)
   }

@@ -376,7 +376,7 @@ object Relational {
            CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
            COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
     FROM (SELECT event_type,
-                 TRY_CAST(NULLIF(regexp_extract(props, '(\d+)', 1), '') AS INTEGER) AS k
+                 TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
           FROM events) t
     GROUP BY event_type"""
 

@@ -70,6 +70,66 @@ object Streamed {
            COUNT(*) AS n, ${sqlDsum("value")} AS total_value
     FROM events GROUP BY 1, 2"""
 
-  val queries: Map[String, Q] = Map("st01_stream_tumbling" -> st01)
-  val oracle: Map[String, String] = Map("st01_stream_tumbling" -> st01Sql)
+  // --------------------------------------------------------------- st02
+  // Streaming-native session windows in APPEND mode with a real
+  // watermark: a session row is emitted only once its window has closed
+  // relative to the 1-hour watermark — sessions still open when the
+  // stream drains (ends within the last hour of event time) are withheld
+  // by design. That retention-and-drop behavior is the actual watermark
+  // semantic, and the batch oracle replicates it: q20-style gap
+  // sessionization plus the `session_end <= max(ts) - 1h` emission
+  // predicate. (Session merge uses a strict > gap test; the fixture's
+  // microsecond timestamps make exact-gap ties a measure-zero case.)
+  val st02: Q = (s, d) => {
+    val agg = s.readStream
+      .schema(rawSchema)
+      .parquet(stageDir(d))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+    val name = "st02_mem"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"), col("session_value"))
+  }
+
+  val st02Sql: String = s"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS prev_ts
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR epoch(ts) - epoch(prev_ts) > 1800
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged),
+    aggd AS (
+      SELECT MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             user_id, COUNT(*) AS n_events,
+             ${sqlDsum("value")} AS session_value
+      FROM sess GROUP BY user_id, sid)
+    SELECT session_start, session_end, user_id, n_events, session_value
+    FROM aggd
+    WHERE session_end <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)"""
+
+  val queries: Map[String, Q] = Map(
+    "st01_stream_tumbling" -> st01,
+    "st02_stream_session" -> st02)
+  val oracle: Map[String, String] = Map(
+    "st01_stream_tumbling" -> st01Sql,
+    "st02_stream_session" -> st02Sql)
 }
