@@ -281,17 +281,86 @@ object Dedup {
     SELECT i, j, CAST(hamming AS INTEGER) AS hamming
     FROM ham WHERE hamming <= 8"""
 
+  // ---------------------------------------------------------------- d06
+  // Embedding-cosine near-dup: candidate pairs from 4 bands of 8
+  // sign-bits each (random-hyperplane LSH specialized to coordinate
+  // hyperplanes — sign patterns are exact arithmetic both engines
+  // replay), then the exact quantized cosine (native
+  // [[graft.functions.QDotFloat]]) on candidates only. Same
+  // candidates-then-verify shape as d04/d05: candidate generation is
+  // banded (never all-pairs), verification touches only colliding pairs.
+  val D06Threshold = 0.35
+
+  val d06: Q = (s, d) => {
+    import graft.functions.VectorExprs.{qdot, qnormsq}
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val banded = e.select(col("vec_id"), explode(expr(
+      """transform(sequence(0, 3), t -> named_struct('t', t,
+        |  'k', aggregate(sequence(1, 8), 0, (acc, j) ->
+        |         acc + if(cast(element_at(embedding, t * 8 + j) as double) > 0d,
+        |                  shiftleft(1, j - 1), 0))))""".stripMargin)).as("bk"))
+      .select(col("vec_id"), col("bk.t").as("t"), col("bk.k").as("k"))
+    val cand = banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .agg(count(lit(1)).as("n_bands"))
+      .select(col("i"), col("j"))
+    cand
+      .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), Seq("i"))
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), Seq("j"))
+      .withColumn("cosine",
+        qdot(col("ea"), col("eb")) /
+          (sqrt(qnormsq(col("ea"))) * sqrt(qnormsq(col("eb")))))
+      .filter(col("cosine") >= D06Threshold)
+      .select(col("i"), col("j"), col("cosine"))
+  }
+
+  /** SQL replay: same sign-bit bands, same quantized-dot cosine. */
+  val d06Sql: String = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    bands AS (
+      SELECT vec_id, t,
+             (SELECT SUM(CASE WHEN CAST(embedding[t*8 + j] AS DOUBLE) > 0
+                              THEN (1 << (j - 1)) ELSE 0 END)
+              FROM range(1, 9) r(j)) AS k
+      FROM e CROSS JOIN range(0, 4) tt(t)),
+    cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+             FROM bands a JOIN bands b
+               ON a.t = b.t AND a.k = b.k AND a.vec_id < b.vec_id),
+    ver AS (
+      SELECT c.i, c.j,
+             CAST(SUM(CAST(round(CAST(a.embedding[x] AS DOUBLE) *
+                                 CAST(b.embedding[x] AS DOUBLE), 6)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(round(CAST(a.embedding[x] AS DOUBLE) *
+                                 CAST(a.embedding[x] AS DOUBLE), 6)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS nsqa,
+             CAST(SUM(CAST(round(CAST(b.embedding[x] AS DOUBLE) *
+                                 CAST(b.embedding[x] AS DOUBLE), 6)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS nsqb
+      FROM cand c
+        JOIN e a ON c.i = a.vec_id
+        JOIN e b ON c.j = b.vec_id
+        CROSS JOIN range(1, 65) r(x)
+      GROUP BY c.i, c.j)
+    SELECT i, j, dot / (sqrt(nsqa) * sqrt(nsqb)) AS cosine
+    FROM ver WHERE dot / (sqrt(nsqa) * sqrt(nsqb)) >= 0.35"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
     "d03_dedup_jaccard" -> d03,
     "d04_dedup_minhash_lsh" -> d04,
-    "d05_dedup_simhash" -> d05)
+    "d05_dedup_simhash" -> d05,
+    "d06_dedup_embedding" -> d06)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
     "d02_dedup_hash" -> d02Sql,
     "d03_dedup_jaccard" -> d03Sql,
     "d04_dedup_minhash_lsh" -> d04Sql,
-    "d05_dedup_simhash" -> d05Sql)
+    "d05_dedup_simhash" -> d05Sql,
+    "d06_dedup_embedding" -> d06Sql)
 }

@@ -648,6 +648,26 @@ object Relational {
                    ORDER BY o_totalprice DESC, o_orderkey ASC)) t
     WHERE rnk <= 20"""
 
+  // ---------------------------------------------------------------- q29
+  // RIGHT OUTER join: all suppliers, heavy-shipment stats, zero rows
+  // kept. (Symmetric to q22's left outer; registered separately so the
+  // right-outer path is exercised and oracle-checked in its own plan.)
+  val q29: Q = (s, d) => {
+    val l = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+    val sup = Tables.supplier(s, d)
+    l.join(sup, l("l_suppkey") === sup("s_suppkey"), "right")
+      .groupBy(sup("s_suppkey"), sup("s_nationkey"))
+      .agg(count(l("l_orderkey")).as("n_heavy_items"),
+           coalesce(dsum(l("l_extendedprice")), lit(0.0)).as("heavy_revenue"))
+  }
+
+  val q29Sql: String = s"""
+    SELECT s_suppkey, s_nationkey, COUNT(l_orderkey) AS n_heavy_items,
+           COALESCE(${sqlDsum("l_extendedprice")}, 0.0) AS heavy_revenue
+    FROM (SELECT * FROM lineitem WHERE l_quantity >= 45) l
+      RIGHT JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -676,7 +696,8 @@ object Relational {
     "q25_asof_join" -> q25,
     "q26_union_all" -> q26,
     "q27_approx_distinct" -> q27,
-    "q28_ranking_family" -> q28)
+    "q28_ranking_family" -> q28,
+    "q29_right_outer" -> q29)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -706,5 +727,6 @@ object Relational {
     "q25_asof_join" -> q25Sql,
     "q26_union_all" -> q26Sql,
     "q27_approx_distinct" -> q27Sql,
-    "q28_ranking_family" -> q28Sql)
+    "q28_ranking_family" -> q28Sql,
+    "q29_right_outer" -> q29Sql)
 }

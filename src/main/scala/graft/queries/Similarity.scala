@@ -23,13 +23,13 @@ import Num._
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Exact decimal-quantized dot product of two Array[Float] columns. */
-  private def qdot(a: String, b: String): Column = expr(
-    s"""cast(aggregate(
-       |  zip_with($a, $b, (x, y) ->
-       |    cast(round(cast(x as double) * cast(y as double), 6) as decimal(20,6))),
-       |  cast(0 as decimal(30,6)),
-       |  (acc, v) -> cast(acc + v as decimal(30,6))) as double)""".stripMargin)
+  /** Exact decimal-quantized dot product of two Array[Float] columns —
+    * the native codegen'd [[graft.functions.QDotFloat]] expression
+    * (bit-identical to the zip_with/aggregate HOF formulation it
+    * replaced, but one primitive loop instead of per-element Decimal
+    * allocations). */
+  private def qdot(a: String, b: String): Column =
+    graft.functions.VectorExprs.qdot(col(a), col(b))
 
   /** Exact decimal-quantized squared norm of an Array[Float] column. */
   private def qnormsq(a: String): Column = qdot(a, a)
