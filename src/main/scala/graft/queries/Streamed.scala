@@ -126,10 +126,37 @@ object Streamed {
     FROM aggd
     WHERE session_end <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)"""
 
+  // --------------------------------------------------------------- st03
+  // The same session semantics as st02 but through the CUSTOM-STATE API
+  // (flatMapGroupsWithState, graft.streaming.StatefulSessions): open
+  // sessions live in the state store with an event-time timeout, closed
+  // sessions emit in append mode. Same oracle as st02 — two independent
+  // implementations (built-in session_window vs custom state machine)
+  // must produce the identical session set.
+  val st03: Q = (s, d) => {
+    val events = s.readStream
+      .schema(rawSchema)
+      .parquet(stageDir(d))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+    val out = graft.streaming.StatefulSessions.sessions(events)
+    val name = "st03_mem"
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
-    "st02_stream_session" -> st02)
+    "st02_stream_session" -> st02,
+    "st03_stateful_session" -> st03)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
-    "st02_stream_session" -> st02Sql)
+    "st02_stream_session" -> st02Sql,
+    "st03_stateful_session" -> st02Sql)
 }
