@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word-n-gram shingling: distinct space-separated n-grams of a
+  * document in one pass (hash-set dedup, first-occurrence order) —
+  * semantically identical to the HOF chain
+  *   array_distinct(transform(sequence(1, size(w)-n+1),
+  *     i -> concat_ws(' ', w[i], …, w[i+n-1])))
+  * over `split(text, ' ')`, but a single compiled function per row
+  * instead of interpreted lambda evaluation (Catalyst higher-order
+  * functions never enter whole-stage codegen, and the dedup pipelines
+  * evaluate shingling several times per query). Documents with fewer
+  * than n tokens yield an empty array.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    // Same tokenization as split(text, ' '): single-space regex,
+    // unlimited splits (trailing empties kept, like Spark's default).
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](words.length * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** MinHash signature of a shingle array: element t (t ∈ [0, numTables))
+  * is min over shingles of xxhash64(shingle, seed = t) — the per-table
+  * minimum of an independent hash family, computed in one compiled pass
+  * over the array instead of numTables interpreted `transform` lambdas.
+  * Empty input yields an empty signature (the document can never be an
+  * LSH candidate).
+  */
+case class MinHashSig(child: Expression, numTables: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], numTables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($c, $numTables);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  def compute(arr: ArrayData, numTables: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = new Array[Long](numTables)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var t = 0
+      while (t < numTables) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(s, t.toLong)
+        if (h < mins(t)) mins(t) = h
+        t += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+}
+
+/** Column-level entry points for native text expressions. */
+object TextExprs {
+  /** Distinct word-n-gram shingles of a string column. */
+  def shingles(text: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), n))
+
+  /** MinHash signature (array of numTables per-table minima). */
+  def minhashSig(shingles: Column, numTables: Int): Column =
+    GraftSqlBridge.column(
+      MinHashSig(GraftSqlBridge.expression(shingles), numTables))
+}

@@ -59,12 +59,9 @@ object Dedup {
   private def shingleArrays(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(col("doc_id"))
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
-      .withColumn("shingles", expr(
-        """array_distinct(transform(sequence(1, size(w) - 2),
-          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-          |                 element_at(w, i + 2))))""".stripMargin))
+      .withColumn("shingles",
+        graft.functions.TextExprs.shingles(col("text"), 3))
+      .filter(size(col("shingles")) > 0)
 
   /** Exploded (doc_id, shingle) pairs. */
   private def shingles(s: SparkSession, d: String): DataFrame =
@@ -166,12 +163,11 @@ object Dedup {
 
   val d04: Q = (s, d) => {
     val docs = shingleArrays(s, d).select(col("doc_id"), col("shingles"))
-    // (doc_id, t, v): minhash signature entry per hash table t.
-    val sig = docs.select(col("doc_id"), explode(expr(
-      s"""transform(sequence(0, ${D04NumTables - 1}), t -> named_struct(
-         |  't', t, 'v', array_min(transform(shingles, x -> xxhash64(x, t)))))"""
-        .stripMargin)).as("tv"))
-      .select(col("doc_id"), col("tv.t").as("t"), col("tv.v").as("v"))
+    // (doc_id, t, v): minhash signature entry per hash table t, from the
+    // native one-pass signature expression (graft.functions.MinHashSig).
+    val sig = docs.select(col("doc_id"),
+        posexplode(graft.functions.TextExprs
+          .minhashSig(col("shingles"), D04NumTables)).as(Seq("t", "v")))
     // Candidates: docs agreeing on any table's minhash. Same
     // shuffle+ReusedExchange shape as d03's pair join; the groupBy
     // dedups multi-table collisions map-side.
@@ -183,10 +179,15 @@ object Dedup {
       .agg(count(lit(1)).as("n_tables"))
       .select(col("i"), col("j"))
     // Exact verification on the candidates only (AQE broadcasts these
-    // joins when the candidate set is small).
+    // joins when the candidate set is small). Intersections run over
+    // 64-bit shingle hashes, not the strings — 4-8× less join payload
+    // and a cheaper set-intersect; a within-pair hash collision
+    // (~52²/2⁶⁴ per pair) is the only approximation.
+    val hashed = docs.select(col("doc_id"),
+      expr("transform(shingles, x -> xxhash64(x))").as("ha"))
     cand
-      .join(docs.select(col("doc_id").as("i"), col("shingles").as("sha")), Seq("i"))
-      .join(docs.select(col("doc_id").as("j"), col("shingles").as("shb")), Seq("j"))
+      .join(hashed.select(col("doc_id").as("i"), col("ha").as("sha")), Seq("i"))
+      .join(hashed.select(col("doc_id").as("j"), col("ha").as("shb")), Seq("j"))
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("ni", size(col("sha")).cast("long"))
       .withColumn("nj", size(col("shb")).cast("long"))
