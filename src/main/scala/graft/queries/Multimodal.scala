@@ -74,13 +74,51 @@ object Multimodal {
     FROM meta CROSS JOIN range(1, 8) r(i)
     WHERE i <= n_frames AND (i % 2) = 1"""
 
+  // ---------------------------------------------------------------- m04
+  // Resize stage: decode → aspect-preserving bound to a 300px max side,
+  // still inside one narrow mapPartitions pass (decode+resize fuse into
+  // a single per-partition iterator — no intermediate materialization).
+  val m04: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        graft.multimodal.FakeCodec.resize(
+          graft.multimodal.FakeCodec.decode(id, bytes), 300)
+      })
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"))
+  }
+
+  val m04Sql: String = """
+    WITH meta AS (
+      SELECT doc_id,
+             64 + octet_length(CAST(text AS BLOB)) % 577 AS w,
+             64 + (octet_length(CAST(text AS BLOB)) * 31) % 457 AS h
+      FROM documents),
+    sized AS (SELECT doc_id, w, h, GREATEST(w, h) AS side FROM meta)
+    SELECT doc_id,
+           CAST(CASE WHEN side <= 300 THEN w
+                     ELSE GREATEST(1, CAST(FLOOR(CAST(w AS DOUBLE) *
+                       (300.0 / CAST(side AS DOUBLE))) AS INTEGER))
+                END AS INTEGER) AS width,
+           CAST(CASE WHEN side <= 300 THEN h
+                     ELSE GREATEST(1, CAST(FLOOR(CAST(h AS DOUBLE) *
+                       (300.0 / CAST(side AS DOUBLE))) AS INTEGER))
+                END AS INTEGER) AS height
+    FROM sized"""
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
-    "m03_frame_sample" -> m03)
+    "m03_frame_sample" -> m03,
+    "m04_resize" -> m04)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
     "m02_decode_stub" -> m02Sql,
-    "m03_frame_sample" -> m03Sql)
+    "m03_frame_sample" -> m03Sql,
+    "m04_resize" -> m04Sql)
 }

@@ -668,6 +668,28 @@ object Relational {
       RIGHT JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY 1, 2"""
 
+  // ---------------------------------------------------------------- q30
+  // GROUPING SETS through the SQL front-end (`spark.sql` over a temp
+  // view): the grouping-set expansion Spark plans as a single Expand +
+  // aggregate, same engine path as rollup/cube but with an explicit set
+  // list. grouping_id() disambiguates the null-vs-grouped rows.
+  val q30: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n,
+             CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      FROM lineitem_v
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+  }
+
+  val q30Sql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+           ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n,
+           CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -697,7 +719,8 @@ object Relational {
     "q26_union_all" -> q26,
     "q27_approx_distinct" -> q27,
     "q28_ranking_family" -> q28,
-    "q29_right_outer" -> q29)
+    "q29_right_outer" -> q29,
+    "q30_grouping_sets" -> q30)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -728,5 +751,6 @@ object Relational {
     "q26_union_all" -> q26Sql,
     "q27_approx_distinct" -> q27Sql,
     "q28_ranking_family" -> q28Sql,
-    "q29_right_outer" -> q29Sql)
+    "q29_right_outer" -> q29Sql,
+    "q30_grouping_sets" -> q30Sql)
 }
