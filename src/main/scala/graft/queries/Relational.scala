@@ -690,6 +690,28 @@ object Relational {
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
 
+  // ---------------------------------------------------------------- q31
+  // Salted two-stage aggregation — the standard skew treatment when a
+  // handful of hot keys would overload single reducers: stage 1
+  // aggregates on (key, salt) spreading each hot key over 16 reducers,
+  // stage 2 merges the 16 partials per key. Decimal-quantized sums make
+  // the two-stage result bit-identical to a direct groupBy, which is
+  // exactly what the oracle checks. (events has 5 hot event_types over
+  // 10k+ rows — the canonical skew shape.)
+  val q31: Q = (s, d) => {
+    val salted = Events.read(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), dsumExpr(col("value")).as("pv"))
+    salted
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("total_value"))
+  }
+
+  val q31Sql: String = s"""
+    SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+    FROM events GROUP BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -720,7 +742,8 @@ object Relational {
     "q27_approx_distinct" -> q27,
     "q28_ranking_family" -> q28,
     "q29_right_outer" -> q29,
-    "q30_grouping_sets" -> q30)
+    "q30_grouping_sets" -> q30,
+    "q31_salted_agg" -> q31)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -752,5 +775,6 @@ object Relational {
     "q27_approx_distinct" -> q27Sql,
     "q28_ranking_family" -> q28Sql,
     "q29_right_outer" -> q29Sql,
-    "q30_grouping_sets" -> q30Sql)
+    "q30_grouping_sets" -> q30Sql,
+    "q31_salted_agg" -> q31Sql)
 }

@@ -58,6 +58,26 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(cfg.warehouseDir).count() == 847)
   }
 
+  test("partitioned warehouse load prunes partitions at the scan") {
+    val staging = tmpDir("graft-partstage-")
+    Files.writeString(Paths.get(staging, "batch.json"),
+      Seq("""{"CustomerID": "1", "Title": "Mr.", "FirstName": "a"}""",
+          """{"CustomerID": "2", "Title": "Ms.", "FirstName": "b"}""",
+          """{"CustomerID": "3", "Title": "Mr.", "FirstName": "c"}""")
+        .mkString("", "\n", "\n"))
+    val wh = tmpDir("graft-partwh-") + "/t"
+    graft.load.WarehouseLoad.batch(spark, staging, Schemas.customers, wh,
+      partitionCols = Seq("title"))
+    // hive-style partition dirs exist…
+    assert(Files.exists(Paths.get(wh, "title=Mr.")))
+    // …and a filter on the partition column prunes to one of them
+    val df = spark.read.parquet(wh).where(org.apache.spark.sql.functions
+      .col("title") === "Ms.")
+    assert(df.count() == 1)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(title"), scan.take(1500))
+  }
+
   test("strict load refuses files with coercion failures") {
     val staging = tmpDir("graft-badstage-")
     Files.writeString(Paths.get(staging, "bad.json"),
