@@ -712,6 +712,67 @@ object Relational {
     SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
     FROM events GROUP BY event_type"""
 
+  // ---------------------------------------------------------------- q32
+  // Statistical aggregates from exact moments: n, Σx and Σx² accumulate
+  // as decimals (associative → partitioning-independent), and stddev/
+  // variance derive from them in double at the very end — deterministic
+  // across engines, unlike a straight stddev over doubles whose
+  // accumulation order varies with partitioning.
+  val q32: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("sx"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,6)")).as("sxx"))
+      .select(col("l_returnflag"), col("n"), col("min_qty"), col("max_qty"),
+        (col("sx").cast("double") / col("n")).as("avg_qty"),
+        sqrt((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+          (col("n") - 1)).as("stddev_qty"))
+
+  val q32Sql: String = """
+    WITH m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+             SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n, min_qty, max_qty,
+           CAST(sx AS DOUBLE) / n AS avg_qty,
+           sqrt((CAST(sxx AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+             AS stddev_qty
+    FROM m"""
+
+  // ---------------------------------------------------------------- q33
+  // MapType path for semi-structured data: props parsed as
+  // map<string,string> (schema-free, unlike q18's struct), values pulled
+  // with element access.
+  val q33: Q = (s, d) =>
+    Events.read(s, d)
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+      .select(col("event_type"),
+        element_at(col("m"), "k").cast("long").as("k"),
+        size(map_keys(col("m"))).as("n_keys"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+           max(col("n_keys")).cast("int").as("max_keys"),
+           count(when(col("k").isNull, 1)).as("n_missing"))
+
+  val q33Sql: String = """
+    SELECT event_type,
+           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(MAX(len(json_keys(props))) AS INTEGER) AS max_keys,
+           COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                 THEN 1 END) AS n_missing
+    FROM events GROUP BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -743,7 +804,9 @@ object Relational {
     "q28_ranking_family" -> q28,
     "q29_right_outer" -> q29,
     "q30_grouping_sets" -> q30,
-    "q31_salted_agg" -> q31)
+    "q31_salted_agg" -> q31,
+    "q32_moment_stats" -> q32,
+    "q33_map_extract" -> q33)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -776,5 +839,7 @@ object Relational {
     "q28_ranking_family" -> q28Sql,
     "q29_right_outer" -> q29Sql,
     "q30_grouping_sets" -> q30Sql,
-    "q31_salted_agg" -> q31Sql)
+    "q31_salted_agg" -> q31Sql,
+    "q32_moment_stats" -> q32Sql,
+    "q33_map_extract" -> q33Sql)
 }

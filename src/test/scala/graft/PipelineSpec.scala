@@ -78,6 +78,37 @@ class PipelineSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(title"), scan.take(1500))
   }
 
+  test("ambiguous case-colliding JSON keys refuse the load") {
+    val staging = tmpDir("graft-ambigstage-")
+    Files.writeString(Paths.get(staging, "a.json"),
+      """{"CustomerID": "1", "customerid": "2"}""" + "\n")
+    val wh = tmpDir("graft-ambigwh-") + "/t"
+    // Refused a layer before SchemaAlign: case-insensitive JSON schema
+    // inference itself rejects the colliding keys (COLUMN_ALREADY_EXISTS)
+    // — the load never proceeds with ambiguous bindings, matching COPY's
+    // ambiguous-match error. (SchemaAlign.AmbiguousColumnException covers
+    // the same contract for pre-schema'd frames — SchemaAlignSpec.)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      graft.load.WarehouseLoad.batch(spark, staging, Schemas.customers, wh)
+    }
+    assert(e.getErrorClass == "COLUMN_ALREADY_EXISTS")
+  }
+
+  test("staged files with evolving key sets load with nulls for gaps") {
+    val staging = tmpDir("graft-evostage-")
+    Files.writeString(Paths.get(staging, "v1.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+    Files.writeString(Paths.get(staging, "v2.json"),
+      """{"CustomerID": "2", "FirstName": "b", "MiddleName": "Q"}""" + "\n")
+    val wh = tmpDir("graft-evowh-") + "/t"
+    graft.load.WarehouseLoad.batch(spark, staging, Schemas.customers, wh)
+    val rows = spark.read.parquet(wh)
+      .select("customerid", "firstname", "middlename")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(2) && rows(1).getString(2) == "Q")
+  }
+
   test("strict load refuses files with coercion failures") {
     val staging = tmpDir("graft-badstage-")
     Files.writeString(Paths.get(staging, "bad.json"),
