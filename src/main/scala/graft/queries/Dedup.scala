@@ -308,12 +308,17 @@ object Dedup {
       .groupBy(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
       .agg(count(lit(1)).as("n_bands"))
       .select(col("i"), col("j"))
+    // Norms are per-vector, not per-pair — compute once before the join
+    // so each candidate pair does one dot product, not three.
+    val withNorm = e.withColumn("nsq", qnormsq(col("embedding")))
     cand
-      .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), Seq("i"))
-      .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), Seq("j"))
+      .join(withNorm.select(col("vec_id").as("i"),
+        col("embedding").as("ea"), col("nsq").as("nsqa")), Seq("i"))
+      .join(withNorm.select(col("vec_id").as("j"),
+        col("embedding").as("eb"), col("nsq").as("nsqb")), Seq("j"))
       .withColumn("cosine",
         qdot(col("ea"), col("eb")) /
-          (sqrt(qnormsq(col("ea"))) * sqrt(qnormsq(col("eb")))))
+          (sqrt(col("nsqa")) * sqrt(col("nsqb"))))
       .filter(col("cosine") >= D06Threshold)
       .select(col("i"), col("j"), col("cosine"))
   }
