@@ -290,6 +290,12 @@ object Dedup {
   // [[graft.functions.QDotFloat]]) on candidates only. Same
   // candidates-then-verify shape as d04/d05: candidate generation is
   // banded (never all-pairs), verification touches only colliding pairs.
+  //
+  // Scale note: with FIXED band width, expected bucket occupancy — and
+  // with it candidate count — grows with corpus size; like s02's bucket
+  // bits, the band width is the knob you raise with the corpus (wider
+  // bands ⇒ 2× buckets per added bit) to hold occupancy roughly
+  // constant. 8 bits fits the test corpus.
   val D06Threshold = 0.35
 
   val d06: Q = (s, d) => {

@@ -161,6 +161,84 @@ object Similarity {
           FROM ranked) t
     WHERE rn <= 3"""
 
+  // ---------------------------------------------------------------- s05
+  // IVF-flat ANN: the corpus is assigned to inverted lists by nearest
+  // centroid; a query probes only its `nprobe` closest lists and runs
+  // exact cosine inside them. At scale the table is partitioned by
+  // `centroid` so a probe prunes all but nprobe/C of the corpus at the
+  // file-listing level (same pruning story as the partitioned warehouse).
+  //
+  // The codebook here is training-free and deterministic — the first C
+  // vectors by vec_id — so both engines replay the exact same structure
+  // (spark.ml KMeans would be engine-specific and un-oracle-able);
+  // a production deployment swaps in trained centroids without touching
+  // the plan shape.
+  private val IvfC = 32       // centroids (codebook = vec_id < C)
+  private val IvfProbe = 4    // lists probed per query
+
+  val s05: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < IvfC)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+              qnormsq("embedding").as("cnsq"))
+    // assign every vector to its nearest centroid (cosine, tie → min cid)
+    def nearest(vecs: DataFrame, k: Int, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("cid").asc)
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("csim", qdot("embedding", "ce") /
+          (sqrt(qnormsq("embedding")) * sqrt(col("cnsq"))))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= k)
+    }
+    val corpus = nearest(e.filter(col("vec_id") =!= 0), 1, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val probes = nearest(e.filter(col("vec_id") === 0), IvfProbe, "vec_id")
+      .select(col("cid"), col("embedding").as("qe"),
+              qnormsq("embedding").as("qnsq"))
+    corpus.join(broadcast(probes), Seq("cid"))
+      .withColumn("cosine", qdot("embedding", "qe") /
+        (sqrt(qnormsq("embedding")) * sqrt(col("qnsq"))))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), col("cid"), col("cosine"))
+  }
+
+  val s05Sql: String = s"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < $IvfC),
+    cn AS (SELECT cid, ${sqlDot("ce", "ce")} AS cnsq
+           FROM cents CROSS JOIN range(1, 65) r(i) GROUP BY cid),
+    sims AS (SELECT e.vec_id, c.cid,
+                    ${sqlDot("e.embedding", "c.ce")} AS dot,
+                    ${sqlDot("e.embedding", "e.embedding")} AS nsq
+             FROM embeddings e CROSS JOIN cents c CROSS JOIN range(1, 65) r(i)
+             GROUP BY e.vec_id, c.cid),
+    ranked AS (SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY dot / (sqrt(nsq) * sqrt(cnsq)) DESC,
+                                 cid ASC) AS crank
+               FROM sims JOIN cn USING (cid)),
+    corpus AS (SELECT vec_id, cid FROM ranked
+               WHERE crank = 1 AND vec_id <> 0),
+    probes AS (SELECT cid FROM ranked
+               WHERE crank <= $IvfProbe AND vec_id = 0),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qn AS (SELECT ${sqlDot("qe", "qe")} AS qnsq
+           FROM q CROSS JOIN range(1, 65) r(i)),
+    hits AS (SELECT c.vec_id, c.cid,
+                    ${sqlDot("e.embedding", "q.qe")} AS dot,
+                    ${sqlDot("e.embedding", "e.embedding")} AS nsq
+             FROM corpus c
+               JOIN probes p ON c.cid = p.cid
+               JOIN embeddings e ON e.vec_id = c.vec_id
+               CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+             GROUP BY c.vec_id, c.cid)
+    SELECT vec_id, cid, dot / (sqrt(nsq) * sqrt(qnsq)) AS cosine
+    FROM hits CROSS JOIN qn
+    ORDER BY cosine DESC, vec_id ASC LIMIT 5"""
+
   // ---------------------------------------------------------------- s04
   // Per-label embedding statistics (count, mean L2 norm).
   val s04: Q = (s, d) =>
@@ -181,11 +259,13 @@ object Similarity {
     "s01_cosine_topk" -> s01,
     "s02_ann_bitlsh" -> s02,
     "s03_knn_join" -> s03,
-    "s04_embedding_stats" -> s04)
+    "s04_embedding_stats" -> s04,
+    "s05_ivf_ann" -> s05)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
     "s02_ann_bitlsh" -> s02Sql,
     "s03_knn_join" -> s03Sql,
-    "s04_embedding_stats" -> s04Sql)
+    "s04_embedding_stats" -> s04Sql,
+    "s05_ivf_ann" -> s05Sql)
 }

@@ -53,6 +53,33 @@ class QueriesSpec extends SparkSpec {
       s"LSH missed ground-truth pairs: ${truth -- lsh}")
   }
 
+  test("jaccard maxDocFreq guard drops stopword-shingle-only pairs") {
+    import spark.implicits._
+    import graft.queries.Dedup
+    // 6 docs sharing ONE hot shingle ("the common phrase" appears in
+    // all); docs 1/2 additionally share real content. With a df cap
+    // below 6 the hot shingle can't pair anything on its own.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta the common phrase"),
+      (2L, "alpha beta gamma delta the common phrase"),
+      (3L, "one two three four the common phrase"),
+      (4L, "five six seven eight the common phrase"),
+      (5L, "nine ten eleven twelve the common phrase"),
+      (6L, "red green blue yellow the common phrase"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("graft-hotshingle-")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val unguarded = Dedup.nearDupJaccard(spark, dir, threshold = 0.01)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.nearDupJaccard(spark, dir, threshold = 0.01,
+      maxDocFreq = Some(5)).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair exists unguarded (all docs share the hot shingle)…
+    assert(unguarded.size == 15)
+    // …but with the cap, only the genuinely-overlapping pair remains
+    assert(guarded == Set((1L, 2L)), s"guarded: $guarded")
+  }
+
   test("simhash: identical docs hash identically, near-dups are close") {
     import graft.functions.SimHash
     import spark.implicits._
