@@ -773,6 +773,34 @@ object Relational {
                  THEN 1 END) AS n_missing
     FROM events GROUP BY event_type"""
 
+  // ---------------------------------------------------------------- q34
+  // Array aggregation + array functions: collect per-group value lists
+  // (sorted, so the result is set-deterministic regardless of
+  // partitioning — a bare collect_list is partition-order-dependent and
+  // can never be oracle-checked), then slice/size over them.
+  val q34: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000)
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("keys"),
+           count(lit(1)).as("n"))
+      .select(col("o_orderpriority"), col("n"),
+        size(col("keys")).as("n_keys"),
+        slice(col("keys"), 1, 3).as("first3"),
+        element_at(col("keys"), -1).as("last_key"))
+
+  val q34Sql: String = """
+    WITH g AS (
+      SELECT o_orderpriority,
+             list_sort(list(o_orderkey)) AS keys, COUNT(*) AS n
+      FROM orders WHERE o_totalprice > 450000
+      GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n,
+           CAST(len(keys) AS INTEGER) AS n_keys,
+           keys[1:3] AS first3,
+           keys[-1] AS last_key
+    FROM g"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -806,7 +834,8 @@ object Relational {
     "q30_grouping_sets" -> q30,
     "q31_salted_agg" -> q31,
     "q32_moment_stats" -> q32,
-    "q33_map_extract" -> q33)
+    "q33_map_extract" -> q33,
+    "q34_array_agg" -> q34)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -841,5 +870,6 @@ object Relational {
     "q30_grouping_sets" -> q30Sql,
     "q31_salted_agg" -> q31Sql,
     "q32_moment_stats" -> q32Sql,
-    "q33_map_extract" -> q33Sql)
+    "q33_map_extract" -> q33Sql,
+    "q34_array_agg" -> q34Sql)
 }
