@@ -20,9 +20,10 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++ Streamed.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-sketch ops (d04, d05)
-    * whose hashing is engine-specific → driver records rows-only checks.
-    */
+    * the same parquet tables — every registered query has one:
+    * hash-sketch ops are made checkable via portable hashing (d05),
+    * candidates + exact verification (d04, d06), or contract checks
+    * (q27's HLL tolerance). */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Text.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ Streamed.oracle

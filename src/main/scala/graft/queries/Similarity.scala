@@ -181,24 +181,26 @@ object Similarity {
     val cents = e.filter(col("vec_id") < IvfC)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
               qnormsq("embedding").as("cnsq"))
-    // assign every vector to its nearest centroid (cosine, tie → min cid)
+    // assign every vector to its nearest centroid (cosine, tie → min
+    // cid); the vector's own norm is per-vector, so it's computed once
+    // before the ×C fan-out, not inside it
     def nearest(vecs: DataFrame, k: Int, idCol: String): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("csim").desc, col("cid").asc)
-      vecs.crossJoin(broadcast(cents))
+      vecs.withColumn("vnsq", qnormsq("embedding"))
+        .crossJoin(broadcast(cents))
         .withColumn("csim", qdot("embedding", "ce") /
-          (sqrt(qnormsq("embedding")) * sqrt(col("cnsq"))))
+          (sqrt(col("vnsq")) * sqrt(col("cnsq"))))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= k)
     }
     val corpus = nearest(e.filter(col("vec_id") =!= 0), 1, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cid"))
+      .select(col("vec_id"), col("embedding"), col("cid"), col("vnsq"))
     val probes = nearest(e.filter(col("vec_id") === 0), IvfProbe, "vec_id")
-      .select(col("cid"), col("embedding").as("qe"),
-              qnormsq("embedding").as("qnsq"))
+      .select(col("cid"), col("embedding").as("qe"), col("vnsq").as("qnsq"))
     corpus.join(broadcast(probes), Seq("cid"))
       .withColumn("cosine", qdot("embedding", "qe") /
-        (sqrt(qnormsq("embedding")) * sqrt(col("qnsq"))))
+        (sqrt(col("vnsq")) * sqrt(col("qnsq"))))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(5)
       .select(col("vec_id"), col("cid"), col("cosine"))
