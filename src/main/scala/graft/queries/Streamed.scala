@@ -151,12 +151,86 @@ object Streamed {
     s.table(name)
   }
 
+  // --------------------------------------------------------------- st04
+  // Sliding event-time windows (2-hour window, 1-hour slide): every
+  // event lands in exactly two windows. Complete mode like st01; the
+  // batch oracle replays the two-window membership with a 2-row fan-out
+  // per event.
+  val st04: Q = (s, d) => {
+    val agg = s.readStream
+      .schema(rawSchema)
+      .parquet(stageDir(d))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val name = "st04_mem"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("total_value"))
+  }
+
+  val st04Sql: String = s"""
+    SELECT CAST(date_trunc('hour', ts) - INTERVAL (o) HOUR AS TIMESTAMP)
+             AS window_start,
+           event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1)) t(o)
+    GROUP BY 1, 2"""
+
+  // --------------------------------------------------------------- st05
+  // Stream-static join: the streaming event feed enriched against a
+  // static dimension (severity per event type) — the standard staged-
+  // stream enrichment; the static side broadcasts into every micro-batch.
+  val st05: Q = (s, d) => {
+    import s.implicits._
+    val dim = Seq(
+      ("click", "low"), ("view", "low"), ("signup", "medium"),
+      ("purchase", "high"), ("error", "critical"))
+      .toDF("event_type", "severity")
+    val agg = s.readStream
+      .schema(rawSchema)
+      .parquet(stageDir(d))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("severity"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val name = "st05_mem"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val st05Sql: String = s"""
+    SELECT severity, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+    FROM events
+    JOIN (VALUES ('click', 'low'), ('view', 'low'), ('signup', 'medium'),
+                 ('purchase', 'high'), ('error', 'critical'))
+         dim(event_type, severity)
+      USING (event_type)
+    GROUP BY severity"""
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
-    "st03_stateful_session" -> st03)
+    "st03_stateful_session" -> st03,
+    "st04_stream_sliding" -> st04,
+    "st05_stream_static_join" -> st05)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
-    "st03_stateful_session" -> st02Sql)
+    "st03_stateful_session" -> st02Sql,
+    "st04_stream_sliding" -> st04Sql,
+    "st05_stream_static_join" -> st05Sql)
 }
