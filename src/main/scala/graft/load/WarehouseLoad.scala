@@ -90,6 +90,39 @@ object WarehouseLoad {
     }
   }
 
+  /** Batch load with COPY's per-file load-history dedup: every staged
+    * file loads at most once across re-runs — the batch analog of
+    * Snowpipe's load history (the reference records loaded files and
+    * skips them on the next COPY). History is a tiny parquet of file
+    * paths beside the warehouse; new batches anti-join against it, so a
+    * re-run over an unchanged staging dir appends nothing.
+    *
+    * The history append commits after the data write (two-phase,
+    * best-effort): a crash between the two can re-load a file on retry.
+    * The checkpointed [[continuous]] leg is the transactional
+    * exactly-once path; this covers ad-hoc batch re-runs. */
+  def batchIdempotent(spark: SparkSession, stagingDir: String,
+                      target: StructType, warehouseDir: String,
+                      historyDir: String, strict: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val hPath = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = spark.read.schema(stagedSchema(spark, stagingDir))
+      .json(stagingDir)
+      .withColumn("_src_file", input_file_name())
+    val fresh =
+      if (fs.exists(hPath)) {
+        val history = spark.read.parquet(historyDir)
+        raw.join(history, raw("_src_file") === history("file"), "left_anti")
+      } else raw
+    val freshFiles = fresh.select(col("_src_file").as("file")).distinct()
+    rethrowStrict {
+      align(fresh, target, strict)
+        .write.mode("append").parquet(warehouseDir)
+    }
+    freshFiles.write.mode("append").parquet(historyDir)
+  }
+
   /** Continuous auto-ingest: checkpointed streaming file source over the
     * staging dir. `Trigger.AvailableNow` drains everything currently
     * staged then stops — call again later and only new files load. */

@@ -109,6 +109,32 @@ class PipelineSpec extends SparkSpec {
     assert(rows(0).isNullAt(2) && rows(1).getString(2) == "Q")
   }
 
+  test("idempotent batch load skips already-loaded files (COPY history)") {
+    val staging = tmpDir("graft-idemstage-")
+    val wh = tmpDir("graft-idemwh-") + "/t"
+    val hist = tmpDir("graft-idemhist-") + "/h"
+    Files.writeString(Paths.get(staging, "f1.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+    Files.writeString(Paths.get(staging, "f2.json"),
+      """{"CustomerID": "2", "FirstName": "b"}""" + "\n")
+    graft.load.WarehouseLoad.batchIdempotent(spark, staging,
+      Schemas.customers, wh, hist)
+    assert(spark.read.parquet(wh).count() == 2)
+    // re-run over the unchanged staging dir: nothing loads again
+    graft.load.WarehouseLoad.batchIdempotent(spark, staging,
+      Schemas.customers, wh, hist)
+    assert(spark.read.parquet(wh).count() == 2)
+    // a new staged file loads exactly its own rows
+    Files.writeString(Paths.get(staging, "f3.json"),
+      """{"CustomerID": "3", "FirstName": "c"}""" + "\n")
+    graft.load.WarehouseLoad.batchIdempotent(spark, staging,
+      Schemas.customers, wh, hist)
+    val rows = spark.read.parquet(wh)
+    assert(rows.count() == 3)
+    assert(rows.select("customerid").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("strict load refuses files with coercion failures") {
     val staging = tmpDir("graft-badstage-")
     Files.writeString(Paths.get(staging, "bad.json"),
