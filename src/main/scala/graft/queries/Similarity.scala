@@ -181,22 +181,30 @@ object Similarity {
     val cents = e.filter(col("vec_id") < IvfC)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
               qnormsq("embedding").as("cnsq"))
-    // assign every vector to its nearest centroid (cosine, tie → min
-    // cid); the vector's own norm is per-vector, so it's computed once
-    // before the ×C fan-out, not inside it
-    def nearest(vecs: DataFrame, k: Int, idCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("csim").desc, col("cid").asc)
+    // centroid similarities per vector; the vector's own norm is
+    // per-vector, so it's computed once before the ×C fan-out
+    def sims(vecs: DataFrame): DataFrame =
       vecs.withColumn("vnsq", qnormsq("embedding"))
         .crossJoin(broadcast(cents))
         .withColumn("csim", qdot("embedding", "ce") /
           (sqrt(col("vnsq")) * sqrt(col("cnsq"))))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= k)
-    }
-    val corpus = nearest(e.filter(col("vec_id") =!= 0), 1, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cid"), col("vnsq"))
-    val probes = nearest(e.filter(col("vec_id") === 0), IvfProbe, "vec_id")
+    // corpus assignment (k=1) is a hash aggregate — max_by over a
+    // (csim, -cid) tuple (unique cid ⇒ deterministic tie-break), one
+    // partial+final agg instead of a per-vector sort window
+    val corpus = sims(e.filter(col("vec_id") =!= 0))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cid"), col("embedding"), col("vnsq")),
+        struct(col("csim"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+              col("best.embedding").as("embedding"), col("best.vnsq").as("vnsq"))
+    // the single query vector probes its top-nprobe lists (tiny side —
+    // the window ranks C rows)
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = sims(e.filter(col("vec_id") === 0))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= IvfProbe)
       .select(col("cid"), col("embedding").as("qe"), col("vnsq").as("qnsq"))
     corpus.join(broadcast(probes), Seq("cid"))
       .withColumn("cosine", qdot("embedding", "qe") /
