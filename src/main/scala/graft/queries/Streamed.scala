@@ -44,7 +44,7 @@ object Streamed {
 
   // --------------------------------------------------------------- st01
   val st01: Q = (s, d) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Events.ensureNanosCompat(s)
     val agg = s.readStream
       .schema(rawSchema)
       .parquet(stageDir(d))
@@ -81,6 +81,7 @@ object Streamed {
   // predicate. (Session merge uses a strict > gap test; the fixture's
   // microsecond timestamps make exact-gap ties a measure-zero case.)
   val st02: Q = (s, d) => {
+    graft.sources.Events.ensureNanosCompat(s)
     val agg = s.readStream
       .schema(rawSchema)
       .parquet(stageDir(d))
@@ -134,6 +135,7 @@ object Streamed {
   // implementations (built-in session_window vs custom state machine)
   // must produce the identical session set.
   val st03: Q = (s, d) => {
+    graft.sources.Events.ensureNanosCompat(s)
     val events = s.readStream
       .schema(rawSchema)
       .parquet(stageDir(d))
@@ -157,6 +159,7 @@ object Streamed {
   // batch oracle replays the two-window membership with a 2-row fan-out
   // per event.
   val st04: Q = (s, d) => {
+    graft.sources.Events.ensureNanosCompat(s)
     val agg = s.readStream
       .schema(rawSchema)
       .parquet(stageDir(d))

@@ -12,8 +12,17 @@ import org.apache.spark.sql.functions._
   * is a single codegen'd projection over the scan.
   */
 object Events {
-  def read(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The one place the nanos-compat conf is toggled (idempotent,
+    * runtime-settable): every events read — batch here, streaming in
+    * [[graft.queries.Streamed]] — routes through this, so no query
+    * function mutates session state ad hoc. Sessions built by
+    * Verify/Bench/specs also set it at build time; this covers
+    * arbitrary caller sessions. */
+  def ensureNanosCompat(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def read(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureNanosCompat(spark)
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
