@@ -801,6 +801,35 @@ object Relational {
            keys[-1] AS last_key
     FROM g"""
 
+  // ---------------------------------------------------------------- q35
+  // RANGE-framed analytic window: per-user trailing-1-hour event value,
+  // frame bounded by the ORDER BY *value* (epoch seconds), not row
+  // counts — rows with equal timestamps share a frame, and gaps shrink
+  // it; complements the ROWS frames of q11/q20/q28.
+  val q35: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es"))
+      .rangeBetween(-3600L, 0L)
+    Events.read(s, d)
+      .withColumn("es", expr("unix_micros(ts) div 1000000"))
+      .withColumn("trailing_1h_value",
+        dsumExpr(col("value")).over(w).cast("double"))
+      .withColumn("trailing_1h_n", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("es"),
+              col("trailing_1h_value"), col("trailing_1h_n"))
+  }
+
+  val q35Sql: String = """
+    SELECT user_id, event_id, es,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS trailing_1h_value,
+           COUNT(*) OVER w AS trailing_1h_n
+    FROM (SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es
+          FROM events) t
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -835,7 +864,8 @@ object Relational {
     "q31_salted_agg" -> q31,
     "q32_moment_stats" -> q32,
     "q33_map_extract" -> q33,
-    "q34_array_agg" -> q34)
+    "q34_array_agg" -> q34,
+    "q35_range_frame" -> q35)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -871,5 +901,6 @@ object Relational {
     "q31_salted_agg" -> q31Sql,
     "q32_moment_stats" -> q32Sql,
     "q33_map_extract" -> q33Sql,
-    "q34_array_agg" -> q34Sql)
+    "q34_array_agg" -> q34Sql,
+    "q35_range_frame" -> q35Sql)
 }
