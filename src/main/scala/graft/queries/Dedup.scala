@@ -360,13 +360,39 @@ object Dedup {
     SELECT i, j, dot / (sqrt(nsqa) * sqrt(nsqb)) AS cosine
     FROM ver WHERE dot / (sqrt(nsqa) * sqrt(nsqb)) >= 0.35"""
 
+  // ---------------------------------------------------------------- d07
+  // Keep-best dedup: for each duplicate cluster (by content hash), keep
+  // the canonical representative — here the longest text, ties to the
+  // smallest doc_id. One max_by hash aggregate (partial+final, no sort,
+  // no window): the production "dedup keeping the best copy" shape.
+  val d07: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(
+        // tie-break packed into one orderable BIGINT: longest text wins,
+        // then smallest doc_id (doc_ids < 1e9 by the testdata contract)
+        max_by(col("doc_id"),
+          length(col("text")).cast("long") * lit(1000000000L) - col("doc_id"))
+          .as("keep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        max(length(col("text"))).as("text_len"))
+
+  val d07Sql: String = """
+    SELECT sha256(text) AS content_hash,
+           arg_max(doc_id, CAST(len(text) AS BIGINT) * 1000000000 - doc_id)
+             AS keep_doc_id,
+           COUNT(*) AS n_copies,
+           MAX(len(text)) AS text_len
+    FROM documents GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
     "d03_dedup_jaccard" -> d03,
     "d04_dedup_minhash_lsh" -> d04,
     "d05_dedup_simhash" -> d05,
-    "d06_dedup_embedding" -> d06)
+    "d06_dedup_embedding" -> d06,
+    "d07_dedup_keep_best" -> d07)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -374,5 +400,6 @@ object Dedup {
     "d03_dedup_jaccard" -> d03Sql,
     "d04_dedup_minhash_lsh" -> d04Sql,
     "d05_dedup_simhash" -> d05Sql,
-    "d06_dedup_embedding" -> d06Sql)
+    "d06_dedup_embedding" -> d06Sql,
+    "d07_dedup_keep_best" -> d07Sql)
 }

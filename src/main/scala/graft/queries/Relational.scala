@@ -830,6 +830,31 @@ object Relational {
     WINDOW w AS (PARTITION BY user_id ORDER BY es
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
 
+  // ---------------------------------------------------------------- q36
+  // Math function family — restricted to IEEE-exact operations (sqrt,
+  // abs, floor/ceil, integer pmod, exact powers) so both engines agree
+  // bit-for-bit; transcendentals (ln/exp) are deliberately excluded from
+  // the oracle surface because libm results differ across platforms.
+  val q36: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        abs(col("l_discount") - 0.04).as("abs_disc_delta"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+        pmod(col("l_partkey"), lit(97)).as("part_bucket"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"))
+
+  val q36Sql: String = """
+    SELECT l_orderkey, l_linenumber,
+           sqrt(l_quantity) AS sqrt_qty,
+           abs(l_discount - 0.04) AS abs_disc_delta,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           l_partkey % 97 AS part_bucket,
+           l_quantity * l_quantity AS qty_sq
+    FROM lineitem"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -865,7 +890,8 @@ object Relational {
     "q32_moment_stats" -> q32,
     "q33_map_extract" -> q33,
     "q34_array_agg" -> q34,
-    "q35_range_frame" -> q35)
+    "q35_range_frame" -> q35,
+    "q36_math_funcs" -> q36)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -902,5 +928,6 @@ object Relational {
     "q32_moment_stats" -> q32Sql,
     "q33_map_extract" -> q33Sql,
     "q34_array_agg" -> q34Sql,
-    "q35_range_frame" -> q35Sql)
+    "q35_range_frame" -> q35Sql,
+    "q36_math_funcs" -> q36Sql)
 }
