@@ -855,6 +855,35 @@ object Relational {
            l_quantity * l_quantity AS qty_sq
     FROM lineitem"""
 
+  // ---------------------------------------------------------------- q37
+  // Correlated scalar subquery (TPC-H Q17 shape) through the SQL
+  // front-end: Catalyst decorrelates the per-part average into an
+  // aggregate-then-join — the plan has ONE extra aggregate over
+  // lineitem, not a per-row subquery execution. Quantities are integral
+  // doubles, so the inner AVG is order-independent and the 0.2×avg
+  // threshold compares identically across engines.
+  val q37: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    Tables.part(s, d).createOrReplaceTempView("part_v")
+    s.sql(s"""
+      SELECT p_brand, COUNT(*) AS n_small,
+             ${sqlDsum("l_extendedprice")} AS small_revenue
+      FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+      WHERE l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem_v l2
+                          WHERE l2.l_partkey = p_partkey)
+      GROUP BY p_brand""")
+  }
+
+  val q37Sql: String = s"""
+    SELECT p_brand, COUNT(*) AS n_small,
+           ${sqlDsum("l_extendedprice")} AS small_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -891,7 +920,8 @@ object Relational {
     "q33_map_extract" -> q33,
     "q34_array_agg" -> q34,
     "q35_range_frame" -> q35,
-    "q36_math_funcs" -> q36)
+    "q36_math_funcs" -> q36,
+    "q37_correlated_subquery" -> q37)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -929,5 +959,6 @@ object Relational {
     "q33_map_extract" -> q33Sql,
     "q34_array_agg" -> q34Sql,
     "q35_range_frame" -> q35Sql,
-    "q36_math_funcs" -> q36Sql)
+    "q36_math_funcs" -> q36Sql,
+    "q37_correlated_subquery" -> q37Sql)
 }
