@@ -66,10 +66,14 @@ object WarehouseLoad {
     * key set from a sample instead of a full inference scan. */
   private def stagedSchema(spark: SparkSession, stagingDir: String,
                            samplingRatio: Double = 1.0): StructType =
+    stagedSchemaOf(spark, Seq(stagingDir), samplingRatio)
+
+  private def stagedSchemaOf(spark: SparkSession, paths: Seq[String],
+                             samplingRatio: Double = 1.0): StructType =
     spark.read
       .option("primitivesAsString", "true")
       .option("samplingRatio", samplingRatio.toString)
-      .json(stagingDir).schema
+      .json(paths: _*).schema
 
   /** One-shot load of the staged JSON into the parquet warehouse table.
     *
@@ -100,27 +104,45 @@ object WarehouseLoad {
     * The history append commits after the data write (two-phase,
     * best-effort): a crash between the two can re-load a file on retry.
     * The checkpointed [[continuous]] leg is the transactional
-    * exactly-once path; this covers ad-hoc batch re-runs. */
+    * exactly-once path; this covers ad-hoc batch re-runs.
+    *
+    * The staging dir is listed exactly once, up front, and that snapshot
+    * drives BOTH the data read (explicit file paths) and the history
+    * append — so history can only ever contain files the loaded plan
+    * actually read. Deriving the two from independent directory scans
+    * would let a file landing mid-load be recorded as loaded without its
+    * data ever being read (silent data loss on every future run). */
   def batchIdempotent(spark: SparkSession, stagingDir: String,
                       target: StructType, warehouseDir: String,
                       historyDir: String, strict: Boolean = false): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
     val hPath = new org.apache.hadoop.fs.Path(historyDir)
+    val sPath = new org.apache.hadoop.fs.Path(stagingDir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val raw = spark.read.schema(stagedSchema(spark, stagingDir))
-      .json(stagingDir)
-      .withColumn("_src_file", input_file_name())
-    val fresh =
+    val staged: Seq[String] = fs.listStatus(sPath).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.toString).sorted
+    import spark.implicits._
+    // Anti-join in Spark (history can be millions of paths at warehouse
+    // scale); the collect is bounded by this batch's staging listing,
+    // which already lives on the driver.
+    val freshFiles: Seq[String] =
       if (fs.exists(hPath)) {
         val history = spark.read.parquet(historyDir)
-        raw.join(history, raw("_src_file") === history("file"), "left_anti")
-      } else raw
-    val freshFiles = fresh.select(col("_src_file").as("file")).distinct()
-    rethrowStrict {
-      align(fresh, target, strict)
-        .write.mode("append").parquet(warehouseDir)
+        staged.toDF("file").join(history, Seq("file"), "left_anti")
+          .collect().map(_.getString(0)).toSeq.sorted
+      } else staged
+    if (freshFiles.nonEmpty) {
+      val raw = spark.read.schema(stagedSchemaOf(spark, freshFiles))
+        .json(freshFiles: _*)
+      rethrowStrict {
+        align(raw, target, strict)
+          .write.mode("append").parquet(warehouseDir)
+      }
+      freshFiles.toDF("file").write.mode("append").parquet(historyDir)
     }
-    freshFiles.write.mode("append").parquet(historyDir)
   }
 
   /** Continuous auto-ingest: checkpointed streaming file source over the

@@ -594,9 +594,12 @@ object Relational {
   // ---------------------------------------------------------------- q27
   // approx_count_distinct (HyperLogLog++). The sketch value itself is
   // engine-specific, so the oracle-checkable output is the *contract*:
-  // the estimate lands within the configured 5% rsd of the exact count
-  // (deterministic for fixed data — Spark's HLL is seedless). At 100 TB
-  // the sketch replaces the exact distinct's full shuffle with a
+  // the estimate lands within 3× the configured relative standard
+  // deviation of the exact count (deterministic for fixed data — Spark's
+  // HLL is seedless). The bound is 3×rsd, not rsd itself: 0.05 is a
+  // standard deviation, so ~1/3 of cardinalities legitimately err past
+  // it; 3σ holds across scale factors and fixture changes. At 100 TB the
+  // sketch replaces the exact distinct's full shuffle with a
   // constant-size partial aggregate.
   val q27: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -604,11 +607,11 @@ object Relational {
       .agg(countDistinct(col("l_partkey")).as("exact_parts"),
            (abs(approx_count_distinct(col("l_partkey"), 0.05) -
                 countDistinct(col("l_partkey"))).cast("double") /
-             countDistinct(col("l_partkey")) <= 0.05).as("hll_within_5pct"))
+             countDistinct(col("l_partkey")) <= 0.15).as("hll_within_3rsd"))
 
   val q27Sql: String = """
     SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
-           TRUE AS hll_within_5pct
+           TRUE AS hll_within_3rsd
     FROM lineitem GROUP BY l_returnflag"""
 
   // ---------------------------------------------------------------- q28
@@ -765,11 +768,17 @@ object Relational {
            max(col("n_keys")).cast("int").as("max_keys"),
            count(when(col("k").isNull, 1)).as("n_missing"))
 
+  // DuckDB's SUM over BIGINT widens to HUGEINT (which the driver's hash
+  // compare treats as a different type) — cast back to BIGINT; and
+  // n_missing must count post-cast nulls on both sides, so the oracle
+  // probes TRY_CAST(...) IS NULL exactly like Spark's `k IS NULL`.
   val q33Sql: String = """
     SELECT event_type,
-           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            CAST(MAX(len(json_keys(props))) AS INTEGER) AS max_keys,
-           COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL
+           COUNT(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                              AS BIGINT) IS NULL
                  THEN 1 END) AS n_missing
     FROM events GROUP BY event_type"""
 
@@ -786,7 +795,11 @@ object Relational {
            count(lit(1)).as("n"))
       .select(col("o_orderpriority"), col("n"),
         size(col("keys")).as("n_keys"),
-        slice(col("keys"), 1, 3).as("first3"),
+        // Serialized to a CSV string rather than emitted as array<long>:
+        // the driver's oracle comparer sorts rows with pandas, which
+        // cannot hash/sort ndarray cells — scalar columns only.
+        concat_ws(",", slice(col("keys"), 1, 3).cast("array<string>"))
+          .as("first3"),
         element_at(col("keys"), -1).as("last_key"))
 
   val q34Sql: String = """
@@ -797,7 +810,7 @@ object Relational {
       GROUP BY o_orderpriority)
     SELECT o_orderpriority, n,
            CAST(len(keys) AS INTEGER) AS n_keys,
-           keys[1:3] AS first3,
+           array_to_string(keys[1:3], ',') AS first3,
            keys[-1] AS last_key
     FROM g"""
 
