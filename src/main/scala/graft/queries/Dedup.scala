@@ -130,20 +130,27 @@ object Dedup {
            FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM t) g
            WHERE i <= len(w) - 2)"""
 
-  val d03Sql: String = s"""
-    WITH $ShinglesCte,
+  /** d03's pair set as a reusable CTE chain ending in `pairs(i, j, c,
+    * ni, nj, jaccard)` — d08's component oracle builds on the same
+    * edges. */
+  private val JaccardPairsCte = s"""
+    $ShinglesCte,
     kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
     shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     common AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
                FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
-    SELECT i, j, c, ca.n AS ni, cb.n AS nj,
-           CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
-    FROM common
-      JOIN counts ca ON i = ca.doc_id
-      JOIN counts cb ON j = cb.doc_id
-    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5"""
+               GROUP BY 1, 2),
+    pairs AS (SELECT i, j, c, ca.n AS ni, cb.n AS nj,
+                     CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+              FROM common
+                JOIN counts ca ON i = ca.doc_id
+                JOIN counts cb ON j = cb.doc_id
+              WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5)"""
+
+  val d03Sql: String = s"""
+    WITH $JaccardPairsCte
+    SELECT i, j, c, ni, nj, jaccard FROM pairs"""
 
   // ---------------------------------------------------------------- d04
   // MinHash-LSH near-dup, candidates + exact verification — the standard
@@ -387,6 +394,92 @@ object Dedup {
            MAX(len(text)) AS text_len
     FROM documents GROUP BY 1"""
 
+  /** Connected components over an undirected edge list — the step that
+    * turns pairwise near-dup output into dedup *clusters* (keep one doc
+    * per component, drop the rest). Iterative min-label propagation with
+    * label-edge augmentation: each round every node takes the minimum
+    * label over itself, its neighbors, and its current label's label —
+    * the augmentation (node↔label links re-entering the edge set) gives
+    * pointer-doubling behavior, so rounds needed grow with log(component
+    * diameter), not diameter (the MapReduce-CC "hash-to-min" family,
+    * Rastogi et al. 2013 / Kiveris et al. 2014). Each round is one
+    * shuffle join + one min-aggregate; `localCheckpoint` truncates the
+    * growing lineage per round (standard for iterative DataFrame
+    * algorithms), and the fixpoint is unique, so the result is
+    * deterministic however many rounds it takes.
+    *
+    * Returns (id, component) for every node in `edges`; component = the
+    * minimum node id reachable, so canonical representatives fall out as
+    * `id == component`. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .localCheckpoint()
+    var lab = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val aug = sym
+        .union(lab.select(col("id"), col("comp")))
+        .union(lab.select(col("comp"), col("id")))
+      val viaNeighbors = aug
+        .join(lab.select(col("id").as("nid"), col("comp").as("ncomp")),
+          col("b") === col("nid"))
+        .select(col("a").as("id"), col("ncomp").as("cand"))
+      val next = viaNeighbors
+        .union(lab.select(col("id"), col("comp").as("cand")))
+        .groupBy(col("id")).agg(min(col("cand")).as("comp"))
+        .localCheckpoint()
+      val changed = next.select(col("id"), col("comp").as("nc"))
+        .join(lab, Seq("id"))
+        .filter(col("nc") =!= col("comp")).count()
+      lab = next.select(col("id"), col("comp"))
+      converged = changed == 0
+      iter += 1
+    }
+    lab
+  }
+
+  // ---------------------------------------------------------------- d08
+  // Dedup clustering: d03's near-dup pairs are only half the operator a
+  // training-data pipeline needs — near-duplication is transitive in
+  // practice (A~B, B~C ⇒ keep one of {A,B,C}), so the pairs must become
+  // connected components before anything can be dropped. Output is one
+  // row per clustered doc: its component (= min doc_id reachable),
+  // whether it is the kept canonical copy, and the cluster size.
+  val d08: Q = (s, d) => {
+    val comp = connectedComponents(d03(s, d).select(col("i"), col("j")),
+      "i", "j")
+    val sizes = comp.groupBy(col("comp").as("component"))
+      .agg(count(lit(1)).as("csize"))
+    comp.select(col("id").as("doc_id"), col("comp").as("component"))
+      .join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).as("is_canonical"),
+        col("csize"))
+  }
+
+  /** Oracle: same edges (d03's pair CTE), components via a recursive CTE
+    * propagating reachable ids; MIN over the reach set = the component.
+    * UNION (not UNION ALL) dedups the frontier, so recursion terminates
+    * on the finite reach relation. */
+  val d08Sql: String = s"""
+    WITH RECURSIVE $JaccardPairsCte,
+    sym AS (SELECT i AS a, j AS b FROM pairs
+            UNION ALL SELECT j, i FROM pairs),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+    SELECT c.doc_id, c.component, (c.doc_id = c.component) AS is_canonical,
+           s.csize
+    FROM comp c JOIN sizes s USING (component)"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -394,7 +487,8 @@ object Dedup {
     "d04_dedup_minhash_lsh" -> d04,
     "d05_dedup_simhash" -> d05,
     "d06_dedup_embedding" -> d06,
-    "d07_dedup_keep_best" -> d07)
+    "d07_dedup_keep_best" -> d07,
+    "d08_dedup_clusters" -> d08)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -403,5 +497,6 @@ object Dedup {
     "d04_dedup_minhash_lsh" -> d04Sql,
     "d05_dedup_simhash" -> d05Sql,
     "d06_dedup_embedding" -> d06Sql,
-    "d07_dedup_keep_best" -> d07Sql)
+    "d07_dedup_keep_best" -> d07Sql,
+    "d08_dedup_clusters" -> d08Sql)
 }

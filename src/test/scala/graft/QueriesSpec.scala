@@ -97,6 +97,23 @@ class QueriesSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 8)
   }
 
+  test("connected components: multi-hop chains collapse to one component") {
+    import spark.implicits._
+    // A 5-node path (forces multi-round propagation), a disjoint pair,
+    // and a triangle with a redundant edge.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("i", "j")
+    val comp = graft.queries.Dedup.connectedComponents(edges, "i", "j")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comp(_) == 1L), s"path: $comp")
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+    assert(comp.size == 10)
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
