@@ -897,6 +897,176 @@ object Relational {
                         WHERE l2.l_partkey = p_partkey)
     GROUP BY p_brand"""
 
+  // ---------------------------------------------------------------- q38
+  // Pivot (long → wide): per line-status row, one quantity column per
+  // return flag. Spark's `pivot` with EXPLICIT values compiles to a
+  // single hash aggregate of conditional sums — one shuffle, no extra
+  // pass to discover the pivot domain (at 100 TB, always pass the value
+  // list; implicit pivot runs a distinct scan first). The oracle states
+  // the same plan literally as conditional aggregation.
+  val q38: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_linestatus"), col("A").as("qty_a"),
+              col("N").as("qty_n"), col("R").as("qty_r"))
+
+  val q38Sql: String = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS qty_a,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS qty_n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS qty_r
+    FROM lineitem GROUP BY l_linestatus"""
+
+  // ---------------------------------------------------------------- q39
+  // Lateral explode (wide → long): posexplode of the token array keeps
+  // the element *position* — the generator runs inside whole-stage
+  // codegen and the row explosion happens after the pushed-down
+  // doc_id/pos filters, so the blow-up is bounded at the scan.
+  val q39: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("pos") < 8)
+
+  val q39Sql: String = """
+    SELECT doc_id, i - 1 AS pos, w[i] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS i
+          FROM documents WHERE doc_id < 100) t
+    WHERE i <= 8"""
+
+  // ---------------------------------------------------------------- q40
+  // Deterministic portable sampling — the 100 TB replacement for
+  // `TABLESAMPLE`/`rand()`: bucket every row by a cryptographic hash of
+  // its key, so the sample is (a) exactly reproducible across engines,
+  // runs and cluster layouts, (b) cheap (a filter — no shuffle, no
+  // sort), and (c) consistent across tables sharing the key. Two modes
+  // in one output: a ~10% Bernoulli sample (hash bucket < 10 of 100)
+  // and a per-language stratified sample (10 docs with the smallest
+  // hash per stratum — one window over the stratum key).
+  val q40: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+    val bernoulli = docs.filter(pmod(col("h"), lit(100)) < 10)
+      .select(col("doc_id"), col("lang"), lit("bernoulli").as("mode"))
+    val stratified = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("doc_id"), col("lang"), lit("stratified").as("mode"))
+    bernoulli.unionAll(stratified)
+  }
+
+  val q40Sql: String = """
+    WITH h AS (SELECT doc_id, lang,
+                      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT AS h
+               FROM documents)
+    SELECT doc_id, lang, 'bernoulli' AS mode FROM h WHERE h % 100 < 10
+    UNION ALL
+    SELECT doc_id, lang, 'stratified' AS mode
+    FROM (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY h, doc_id) AS rk
+          FROM h) r
+    WHERE rk <= 10"""
+
+  // ---------------------------------------------------------------- q41
+  // String-similarity band join: edit-distance near-matches among parts,
+  // banded by (brand, size) so the quadratic levenshtein only runs
+  // within buckets — the same candidates-then-verify shape as the dedup
+  // family, here with equi-join banding (one shuffle; AQE handles
+  // residual bucket skew). An unbanded all-pairs edit distance is never
+  // the answer at scale.
+  val q41: Q = (s, d) => {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    p.as("a").hint("shuffle_hash")
+      .join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_size") === col("b.p_size") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("edit_dist",
+        levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("edit_dist") <= 4)
+      .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+              col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+              col("edit_dist"))
+  }
+
+  val q41Sql: String = """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4"""
+
+  // ---------------------------------------------------------------- q42
+  // Exact distributed quantiles + approx contract. Exact percentiles are
+  // computed by explicit rank arithmetic (row_number vs ceil(p·n)) so
+  // both engines state the identical discrete-quantile definition — no
+  // reliance on engine quantile functions agreeing on interpolation
+  // conventions. One window sort per group key = one shuffle; that IS
+  // the scalable exact-quantile plan. approx_percentile (Greenwald-
+  // Khanna style sketch, constant memory, no sort) rides along under a
+  // contract bound: its rank error ≤ n/accuracy puts the estimate
+  // strictly inside [p25, p75] for p50 — asserted as a boolean the
+  // oracle states as TRUE.
+  val q42: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val ranked = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val exact = ranked.groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.25), col("l_quantity")))
+          .as("p25"),
+        max(when(col("rn") === ceil(col("n") * 0.50), col("l_quantity")))
+          .as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.75), col("l_quantity")))
+          .as("p75"))
+    val approx = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+        .as("ap50"))
+    exact.join(approx, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
+        (col("ap50") >= col("p25") && col("ap50") <= col("p75"))
+          .as("approx_ok"))
+  }
+
+  val q42Sql: String = """
+    WITH r AS (
+      SELECT l_returnflag, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+               THEN l_quantity END) AS p25,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT)
+               THEN l_quantity END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+               THEN l_quantity END) AS p75,
+           TRUE AS approx_ok
+    FROM r GROUP BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -934,7 +1104,12 @@ object Relational {
     "q34_array_agg" -> q34,
     "q35_range_frame" -> q35,
     "q36_math_funcs" -> q36,
-    "q37_correlated_subquery" -> q37)
+    "q37_correlated_subquery" -> q37,
+    "q38_pivot" -> q38,
+    "q39_explode" -> q39,
+    "q40_sample_hash" -> q40,
+    "q41_edit_distance" -> q41,
+    "q42_quantiles" -> q42)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -973,5 +1148,10 @@ object Relational {
     "q34_array_agg" -> q34Sql,
     "q35_range_frame" -> q35Sql,
     "q36_math_funcs" -> q36Sql,
-    "q37_correlated_subquery" -> q37Sql)
+    "q37_correlated_subquery" -> q37Sql,
+    "q38_pivot" -> q38Sql,
+    "q39_explode" -> q39Sql,
+    "q40_sample_hash" -> q40Sql,
+    "q41_edit_distance" -> q41Sql,
+    "q42_quantiles" -> q42Sql)
 }
