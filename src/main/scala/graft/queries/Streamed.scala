@@ -224,16 +224,100 @@ object Streamed {
       USING (event_type)
     GROUP BY severity"""
 
+  // --------------------------------------------------------------- st06
+  // Stream-stream interval join — the funnel/attribution primitive: each
+  // purchase joins the same user's view events from the preceding hour.
+  // Both sides carry watermarks and the join predicate carries the time
+  // bound, which is what lets the state store evict: a buffered view row
+  // is droppable once the watermark passes its ts + 1h, so state is
+  // bounded by (rate × interval), never the whole stream. Inner interval
+  // joins emit matches as micro-batches arrive (append mode); the batch
+  // oracle is the identical join stated over the static table.
+  val st06: Q = (s, d) => {
+    graft.sources.Events.ensureNanosCompat(s)
+    def side(name: String): DataFrame = s.readStream
+      .schema(rawSchema)
+      .parquet(stageDir(d))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter(col("event_type") === name)
+      .withWatermark("ts", "1 hour")
+    val views = side("view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+              col("ts").as("v_ts"))
+    val purchases = side("purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+    val name = "st06_mem"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+              col("view_id"), col("p_ts"), col("v_ts"))
+  }
+
+  val st06Sql: String = """
+    SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+           p.ts AS p_ts, v.ts AS v_ts
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR"""
+
+  // --------------------------------------------------------------- st07
+  // Streaming deduplication: dropDuplicates on the key columns keeps the
+  // first arrival per key in the state store and suppresses the rest —
+  // the in-flight analog of d01/d02's batch dedup (state is one row per
+  // distinct key; bound it with a watermark + event-time key column when
+  // keys are unbounded). Output is restricted to the key itself, so the
+  // emitted set is deterministic (which copy "won" is arrival-order
+  // dependent and never observable here); the oracle is plain DISTINCT.
+  val st07: Q = (s, d) => {
+    graft.sources.Events.ensureNanosCompat(s)
+    val dedup = s.readStream
+      .schema(rawSchema)
+      .parquet(stageDir(d))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = "st07_mem"
+    val q = dedup.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val st07Sql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
     "st03_stateful_session" -> st03,
     "st04_stream_sliding" -> st04,
-    "st05_stream_static_join" -> st05)
+    "st05_stream_static_join" -> st05,
+    "st06_stream_stream_join" -> st06,
+    "st07_stream_dedup" -> st07)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
     "st03_stateful_session" -> st02Sql,
     "st04_stream_sliding" -> st04Sql,
-    "st05_stream_static_join" -> st05Sql)
+    "st05_stream_static_join" -> st05Sql,
+    "st06_stream_stream_join" -> st06Sql,
+    "st07_stream_dedup" -> st07Sql)
 }
