@@ -120,6 +120,59 @@ object MinHashSig {
   }
 }
 
+/** Fused text canonicalization — the first stage of any LLM-corpus
+  * pipeline: Unicode NFC normalization (composed form, so visually
+  * identical strings hash identically for dedup), Unicode default
+  * lowercasing, whitespace-run collapse to single spaces, and trim, in
+  * ONE compiled pass per row. The equivalent built-in chain
+  * (`trim(regexp_replace(lower(...), ...))`) allocates three
+  * intermediate strings per row and has no NFC step at all — Spark has
+  * no built-in Unicode normalizer.
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_text"
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeText.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NormalizeText.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  def compute(text: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer
+      .normalize(text.toString, java.text.Normalizer.Form.NFC)
+    val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+    // Collapse whitespace runs and trim in one scan.
+    val sb = new java.lang.StringBuilder(lower.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (sb.length > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 /** Column-level entry points for native text expressions. */
 object TextExprs {
   /** Distinct word-n-gram shingles of a string column. */
@@ -130,4 +183,8 @@ object TextExprs {
   def minhashSig(shingles: Column, numTables: Int): Column =
     GraftSqlBridge.column(
       MinHashSig(GraftSqlBridge.expression(shingles), numTables))
+
+  /** Fused NFC + lowercase + whitespace-collapse + trim. */
+  def normalizeText(text: Column): Column =
+    GraftSqlBridge.column(NormalizeText(GraftSqlBridge.expression(text)))
 }

@@ -157,13 +157,40 @@ object Text {
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
     FROM documents"""
 
+  // ---------------------------------------------------------------- t07
+  // Text canonicalization via the fused native expression
+  // (graft.functions.NormalizeText): NFC + Unicode lowercase +
+  // whitespace collapse + trim in one compiled pass — the
+  // pre-processing step upstream of every dedup/fingerprint operator
+  // (canonically-equal texts must hash equal). The oracle replays the
+  // same pipeline with DuckDB's nfc_normalize/lower/regexp_replace;
+  // sha256 of the normalized text cross-checks the full string content
+  // without shipping it.
+  val t07: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("norm",
+        graft.functions.TextExprs.normalizeText(col("text")))
+      .select(col("doc_id"),
+        length(col("norm")).as("n_chars_norm"),
+        sha2(col("norm"), 256).as("norm_hash"))
+
+  val t07Sql: String = """
+    SELECT doc_id,
+           CAST(len(n) AS INTEGER) AS n_chars_norm,
+           sha256(n) AS norm_hash
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(lower(nfc_normalize(text)),
+                                     '\s+', ' ', 'g')) AS n
+          FROM documents) t"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
     "t03_langid" -> t03,
     "t04_fingerprint" -> t04,
     "t05_token_freq" -> t05,
-    "t06_token_count_regex" -> t06)
+    "t06_token_count_regex" -> t06,
+    "t07_normalize" -> t07)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -171,5 +198,6 @@ object Text {
     "t03_langid" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
     "t05_token_freq" -> t05Sql,
-    "t06_token_count_regex" -> t06Sql)
+    "t06_token_count_regex" -> t06Sql,
+    "t07_normalize" -> t07Sql)
 }

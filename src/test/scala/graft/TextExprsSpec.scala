@@ -48,4 +48,25 @@ class TextExprsSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))     // same text → same signature
     assert(sigs(0) != sigs(2))     // different text → different signature
   }
+
+  test("normalizeText: NFC composition, case, whitespace runs, trim") {
+    val decomposed = "Café"            // e + combining acute
+    val composed = "café"               // precomposed é, lowered
+    val rows = Seq(
+      decomposed,
+      "  Hello\t\tWorld \n",
+      "already normal",
+      "").toDF("t")
+      .select(TextExprs.normalizeText(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == composed)              // NFC + lowercase
+    assert(rows(1) == "hello world")         // collapse + trim
+    assert(rows(2) == "already normal")
+    assert(rows(3) == "")
+    // canonically-equal inputs hash equal after normalization
+    assert(graft.functions.NormalizeText.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("CAFÉ")) ==
+      graft.functions.NormalizeText.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("café")))
+  }
 }
