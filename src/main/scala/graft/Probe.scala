@@ -14,12 +14,18 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val q = args.headOption.getOrElse("d08_dedup_clusters")
-    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val df = SparkEntry.queries(q)(spark, d)
-    df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*)
-      .show(50, truncate = false)
-    println(s"[probe] $q rows=${df.count()}")
+    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    args.headOption.getOrElse("s05_ivf_ann").split(",").foreach { q =>
+      val fn = SparkEntry.queries(q)
+      fn(spark, "/root/testdata/sf0.001").write.format("noop")
+        .mode("overwrite").save() // warm
+      val times = (1 to 3).map(_ =>
+        time(fn(spark, d).write.format("noop").mode("overwrite").save()))
+      println(f"[probe] $q%-24s min=${times.min}%6.2fs  runs=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
     spark.stop()
   }
 }

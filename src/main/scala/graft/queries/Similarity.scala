@@ -190,8 +190,13 @@ object Similarity {
           (sqrt(col("vnsq")) * sqrt(col("cnsq"))))
     // corpus assignment (k=1) is a hash aggregate — max_by over a
     // (csim, -cid) tuple (unique cid ⇒ deterministic tie-break), one
-    // partial+final agg instead of a per-vector sort window
-    val corpus = sims(e.filter(col("vec_id") =!= 0))
+    // partial+final agg instead of a per-vector sort window.
+    // The corpus is repartitioned on vec_id BEFORE the ×C fan-out: the
+    // single-file parquet scan is one task, and without the explicit
+    // shuffle the entire C-way dot-product fan-out runs on one core.
+    // Partitioning by the same key the aggregate groups on means the
+    // exchange is reused — the groupBy adds no second shuffle.
+    val corpus = sims(e.filter(col("vec_id") =!= 0).repartition(col("vec_id")))
       .groupBy(col("vec_id"))
       .agg(max_by(
         struct(col("cid"), col("embedding"), col("vnsq")),

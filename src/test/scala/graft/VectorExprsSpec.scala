@@ -47,6 +47,31 @@ class VectorExprsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("scaled6 fast path agrees with the exact BigDecimal reference") {
+    import graft.functions.QDotFloat
+    val rnd = new scala.util.Random(42)
+    // random float-product-shaped values across magnitudes
+    (1 to 200000).foreach { _ =>
+      val r = (rnd.nextFloat() * 2 - 1).toDouble *
+        (rnd.nextFloat() * 2 - 1).toDouble *
+        math.pow(10, rnd.nextInt(7) - 3)
+      assert(QDotFloat.scaled6(r) == QDotFloat.scaled6Exact(r), s"r=$r")
+    }
+    // adversarial: decimal midpoints and their neighborhoods, both signs
+    val mids = Seq(0.0000005, 0.0000015, 1.0000005, 0.1234565, 12.9999995)
+    for (m <- mids; eps <- Seq(-1e-13, -1e-10, 0.0, 1e-10, 1e-13);
+         s <- Seq(1, -1)) {
+      val r = s * (m + eps)
+      assert(QDotFloat.scaled6(r) == QDotFloat.scaled6Exact(r), s"r=$r")
+    }
+    // large magnitudes (still within the documented ≤9.2e12 domain)
+    // exercise the exact-path fallback
+    Seq(1.23456789e7, 9.8765432101e9, 9.0e12).foreach { r =>
+      assert(QDotFloat.scaled6(r) == QDotFloat.scaled6Exact(r), s"r=$r")
+      assert(QDotFloat.scaled6(-r) == QDotFloat.scaled6Exact(-r), s"r=-$r")
+    }
+  }
+
   test("graft_qdot registers for SQL use") {
     VectorExprs.register(spark)
     val out = spark.sql(
