@@ -416,8 +416,12 @@ object Dedup {
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .localCheckpoint()
-    var lab = sym.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Seed with the one-hop minimum (min of self and direct neighbors)
+    // rather than the identity labeling — the first propagation round is
+    // folded into the same aggregation that enumerates the node set.
+    var lab = sym.select(col("a").as("id"), col("b").as("cand"))
+      .groupBy(col("id"))
+      .agg(least(min(col("cand")), first(col("id"))).as("comp"))
       .localCheckpoint()
     var converged = false
     var iter = 0
