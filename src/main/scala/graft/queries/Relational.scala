@@ -1067,6 +1067,30 @@ object Relational {
            TRUE AS approx_ok
     FROM r GROUP BY l_returnflag"""
 
+  // ---------------------------------------------------------------- q43
+  // Distribution-position windows: percent_rank (rank position scaled to
+  // [0,1]) and cume_dist (fraction of partition ≤ current row) complete
+  // the ranking family beyond q28's row_number/rank/dense_rank/ntile.
+  // Both are rank arithmetic over one per-partition sort — same single
+  // shuffle as any window; values are exact small-integer ratios, so
+  // both engines agree bit-for-bit.
+  val q43: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"))
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 480000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
+  val q43Sql: String = """
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders WHERE o_totalprice > 480000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1109,7 +1133,8 @@ object Relational {
     "q39_explode" -> q39,
     "q40_sample_hash" -> q40,
     "q41_edit_distance" -> q41,
-    "q42_quantiles" -> q42)
+    "q42_quantiles" -> q42,
+    "q43_rank_distribution" -> q43)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1153,5 +1178,6 @@ object Relational {
     "q39_explode" -> q39Sql,
     "q40_sample_hash" -> q40Sql,
     "q41_edit_distance" -> q41Sql,
-    "q42_quantiles" -> q42Sql)
+    "q42_quantiles" -> q42Sql,
+    "q43_rank_distribution" -> q43Sql)
 }
