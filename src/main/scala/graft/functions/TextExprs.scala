@@ -173,6 +173,62 @@ object NormalizeText {
   }
 }
 
+/** All ordered pairs (a_i, a_j), i < j, from a sorted id array — the
+  * pair-emission step of the inverted-index near-dup join (each posting
+  * list emits its own candidate pairs). Semantically identical to the
+  * nested-transform HOF chain
+  *   flatten(transform(docs, (x, ix) -> transform(slice(docs, ix+2,
+  *     size(docs)), y -> named_struct('i', x, 'j', y))))
+  * but one compiled pass: Catalyst higher-order functions run
+  * interpreted (never codegen), and this sits directly on the d03 hot
+  * path with one evaluation per distinct shingle.
+  */
+case class DocPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("i", LongType, nullable = false),
+      StructField("j", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_doc_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    DocPairs.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DocPairs.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DocPairs =
+    copy(child = newChild)
+}
+
+object DocPairs {
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](a, arr.getLong(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-level entry points for native text expressions. */
 object TextExprs {
   /** Distinct word-n-gram shingles of a string column. */
@@ -187,4 +243,8 @@ object TextExprs {
   /** Fused NFC + lowercase + whitespace-collapse + trim. */
   def normalizeText(text: Column): Column =
     GraftSqlBridge.column(NormalizeText(GraftSqlBridge.expression(text)))
+
+  /** All (i < j) pairs from a sorted array<long> (posting-list join). */
+  def docPairs(docs: Column): Column =
+    GraftSqlBridge.column(DocPairs(GraftSqlBridge.expression(docs)))
 }

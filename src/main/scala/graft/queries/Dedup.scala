@@ -95,10 +95,11 @@ object Dedup {
       .filter(size(col("docs")) >= 2)
     val inv = maxDocFreq.fold(inv0)(cap =>
       inv0.filter(size(col("docs")) <= cap))
-    val pairs = inv.select(explode(expr(
-      """flatten(transform(docs, (x, ix) ->
-        |  transform(slice(docs, ix + 2, size(docs)),
-        |            y -> named_struct('i', x, 'j', y))))""".stripMargin)).as("p"))
+    // Native one-pass pair emission (graft.functions.DocPairs): the
+    // HOF-chain equivalent runs interpreted, once per distinct shingle —
+    // squarely on the hot path.
+    val pairs = inv.select(
+        explode(graft.functions.TextExprs.docPairs(col("docs"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
     val common = pairs.groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
     common
