@@ -270,17 +270,48 @@ object Similarity {
     SELECT label, COUNT(*) AS n, ${sqlDavg("norm")} AS avg_norm
     FROM norms GROUP BY label"""
 
+  // ---------------------------------------------------------------- s06
+  // Per-label centroids (prototype vectors): the mean embedding of each
+  // class — the building block of IVF codebook training, k-means steps,
+  // and class-prototype classification. Long output format (label, dim,
+  // value) rather than an array column: dimension-wise rows shuffle as
+  // (label, dim) keys — a partial+final hash aggregate that scales to
+  // any corpus with no per-label skew (each of |labels|×dims cells is
+  // its own key), and the driver's comparer can sort scalar cells.
+  // Elements are quantized (round-6 decimal) before summing, so the
+  // partial aggregation order cannot perturb the mean.
+  val s06: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("label"), (col("p") + 1).as("dim"),
+        round(col("v").cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("q")).cast("double") / count(lit(1))).as("centroid_val"),
+           count(lit(1)).as("n"))
+
+  val s06Sql: String = """
+    SELECT label, CAST(i AS INTEGER) AS dim,
+           CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS centroid_val,
+           COUNT(*) AS n
+    FROM embeddings CROSS JOIN range(1, 65) r(i)
+    GROUP BY label, i"""
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> s01,
     "s02_ann_bitlsh" -> s02,
     "s03_knn_join" -> s03,
     "s04_embedding_stats" -> s04,
-    "s05_ivf_ann" -> s05)
+    "s05_ivf_ann" -> s05,
+    "s06_label_centroids" -> s06)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
     "s02_ann_bitlsh" -> s02Sql,
     "s03_knn_join" -> s03Sql,
     "s04_embedding_stats" -> s04Sql,
-    "s05_ivf_ann" -> s05Sql)
+    "s05_ivf_ann" -> s05Sql,
+    "s06_label_centroids" -> s06Sql)
 }
