@@ -150,16 +150,53 @@ object VectorExprs {
 
 /** SparkSessionExtensions hook: add
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
-  * to a session builder and `graft_qdot` resolves in plain SQL — the
-  * idiomatic way to ship a library's native expressions. */
+  * to a session builder and every graft native expression resolves in
+  * plain SQL — the idiomatic way to ship a library's expressions.
+  *
+  * Registered: `graft_qdot(a, b)`, `graft_shingles(text, n)`,
+  * `graft_minhash_sig(shingles, numTables)`,
+  * `graft_normalize_text(text)`, `graft_doc_pairs(docs)`.
+  * Integer parameters must be foldable literals (they parameterize the
+  * generated code). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(
-      (FunctionIdentifier(VectorExprs.FnName),
-       new ExpressionInfo(classOf[QDotFloat].getName, VectorExprs.FnName),
-       { args: Seq[Expression] =>
-         require(args.length == 2,
-           s"${VectorExprs.FnName} expects exactly 2 arguments")
-         QDotFloat(args.head, args(1))
-       }))
+  import GraftExtensions.intLit
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, clazz: Class[_],
+               builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+         builder))
+    inject("graft_qdot", classOf[QDotFloat], { args =>
+      require(args.length == 2, "graft_qdot expects (array, array)")
+      QDotFloat(args.head, args(1))
+    })
+    inject("graft_shingles", classOf[WordShingles], { args =>
+      require(args.length == 2, "graft_shingles expects (text, n)")
+      WordShingles(args.head, intLit(args(1), "graft_shingles n"))
+    })
+    inject("graft_minhash_sig", classOf[MinHashSig], { args =>
+      require(args.length == 2,
+        "graft_minhash_sig expects (shingles, numTables)")
+      MinHashSig(args.head, intLit(args(1), "graft_minhash_sig numTables"))
+    })
+    inject("graft_normalize_text", classOf[NormalizeText], { args =>
+      require(args.length == 1, "graft_normalize_text expects (text)")
+      NormalizeText(args.head)
+    })
+    inject("graft_doc_pairs", classOf[DocPairs], { args =>
+      require(args.length == 1, "graft_doc_pairs expects (docs)")
+      DocPairs(args.head)
+    })
+  }
+}
+
+object GraftExtensions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other if other.foldable && other.dataType == IntegerType =>
+      other.eval().asInstanceOf[Int]
+    case _ => throw new IllegalArgumentException(
+      s"$what must be an integer literal")
+  }
 }

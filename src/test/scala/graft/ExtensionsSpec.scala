@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** GraftExtensions registers every native expression for SQL use. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("all graft functions resolve in SQL via GraftExtensions") {
+    val base = spark // force base session creation first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    try {
+      assert(s2.sql(
+        "SELECT graft_qdot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+        .head().getDouble(0) == 11.0)
+      assert(s2.sql(
+        "SELECT size(graft_shingles('a b c d', 3)) AS n")
+        .head().getInt(0) == 2)
+      assert(s2.sql(
+        "SELECT size(graft_minhash_sig(graft_shingles('a b c d', 3), 4)) AS n")
+        .head().getInt(0) == 4)
+      assert(s2.sql(
+        "SELECT graft_normalize_text('  A   B ') AS t")
+        .head().getString(0) == "a b")
+      assert(s2.sql(
+        "SELECT size(graft_doc_pairs(array(1L, 2L, 3L))) AS n")
+        .head().getInt(0) == 3)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
