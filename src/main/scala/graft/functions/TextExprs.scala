@@ -229,6 +229,56 @@ object DocPairs {
   }
 }
 
+/** All ordered pairs (a_i, a_j), i < j, from a sorted string array —
+  * [[DocPairs]] for token co-occurrence: per-document pair emission
+  * from bounded sorted token lists instead of a token-stream self-join
+  * (same reasoning as the inverted-index dedup join). */
+case class StrPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", StringType, nullable = false),
+      StructField("b", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_str_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    StrPairs.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.StrPairs.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): StrPairs =
+    copy(child = newChild)
+}
+
+object StrPairs {
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getUTF8String(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](a, arr.getUTF8String(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-level entry points for native text expressions. */
 object TextExprs {
   /** Distinct word-n-gram shingles of a string column. */
@@ -247,4 +297,8 @@ object TextExprs {
   /** All (i < j) pairs from a sorted array<long> (posting-list join). */
   def docPairs(docs: Column): Column =
     GraftSqlBridge.column(DocPairs(GraftSqlBridge.expression(docs)))
+
+  /** All (i < j) pairs from a sorted array<string> (co-occurrence). */
+  def strPairs(toks: Column): Column =
+    GraftSqlBridge.column(StrPairs(GraftSqlBridge.expression(toks)))
 }

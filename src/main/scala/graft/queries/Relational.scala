@@ -1091,6 +1091,46 @@ object Relational {
     FROM orders WHERE o_totalprice > 480000
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)"""
 
+  // ---------------------------------------------------------------- q44
+  // Calendar-spine left join — the standard "report every day, even
+  // empty ones" warehouse pattern: a generated date spine (sequence +
+  // explode, no source table) left-joins the daily aggregate, with
+  // zero-filled gaps. The spine is generated, tiny, and broadcast; the
+  // fact side aggregates BEFORE the join, so the spine join touches
+  // |days| rows, never |orders|.
+  val q44: Q = (s, d) => {
+    val days = s.range(1).select(explode(expr(
+      """sequence(timestamp'1995-01-01 00:00:00',
+        |         timestamp'1995-12-31 00:00:00',
+        |         interval 1 day)""".stripMargin)).as("day"))
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-01-01").cast("timestamp"))
+      .groupBy(date_trunc("DAY", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("rev"))
+    days.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("rev"), lit(0.0)).as("revenue"))
+  }
+
+  val q44Sql: String = s"""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                    TIMESTAMP '1995-12-31',
+                                    INTERVAL 1 DAY)) AS day),
+    daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             COUNT(*) AS cnt, ${sqlDsum("o_totalprice")} AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY 1)
+    SELECT spine.day,
+           COALESCE(cnt, 0) AS n_orders,
+           COALESCE(rev, 0.0) AS revenue
+    FROM spine LEFT JOIN daily ON spine.day = daily.day"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1134,7 +1174,8 @@ object Relational {
     "q40_sample_hash" -> q40,
     "q41_edit_distance" -> q41,
     "q42_quantiles" -> q42,
-    "q43_rank_distribution" -> q43)
+    "q43_rank_distribution" -> q43,
+    "q44_date_spine" -> q44)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1179,5 +1220,6 @@ object Relational {
     "q40_sample_hash" -> q40Sql,
     "q41_edit_distance" -> q41Sql,
     "q42_quantiles" -> q42Sql,
-    "q43_rank_distribution" -> q43Sql)
+    "q43_rank_distribution" -> q43Sql,
+    "q44_date_spine" -> q44Sql)
 }

@@ -183,6 +183,58 @@ object Text {
                                      '\s+', ' ', 'g')) AS n
           FROM documents) t"""
 
+  // ---------------------------------------------------------------- t08
+  // Token co-occurrence with a rational PMI score: for every token pair
+  // appearing in the same document, c (co-occurrence count), each
+  // token's document frequency, and n_docs·c / (df_a·df_b) — the PMI
+  // argument before the log, kept as an exact integer ratio so both
+  // engines agree bit-for-bit (log itself is libm-dependent and stays
+  // out of the oracle surface; callers apply it to taste).
+  //
+  // Pair emission is per-document from the sorted distinct token list
+  // (native StrPairs — bounded work per doc, one shuffle to count)
+  // rather than a token-stream self-join; document frequencies are a
+  // tiny aggregate broadcast into the pair stream, and the corpus size
+  // joins in as a broadcast scalar. Real corpora cap the kept-token df
+  // exactly like d03's shingle guard.
+  val t08: Q = (s, d) => {
+    val docs = Tables.documents(s, d).repartition(col("doc_id"))
+    val toks = docs.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("ws"))
+    val pairs = toks
+      .select(explode(graft.functions.TextExprs.strPairs(col("ws"))).as("p"))
+      .groupBy(col("p.a").as("wa"), col("p.b").as("wb"))
+      .agg(count(lit(1)).as("c"))
+    val df = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(df.select(col("w").as("wa"), col("dfc").as("ca"))),
+        Seq("wa"))
+      .join(broadcast(df.select(col("w").as("wb"), col("dfc").as("cb"))),
+        Seq("wb"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("wa"), col("wb"), col("c"), col("ca"), col("cb"),
+        ((col("n_docs") * col("c")).cast("double") /
+          (col("ca") * col("cb"))).as("pmi_ratio"))
+  }
+
+  val t08Sql: String = """
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    df AS (SELECT w, COUNT(*) AS dfc FROM tok GROUP BY w),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pairs AS (SELECT a.w AS wa, b.w AS wb, COUNT(*) AS c
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND a.w < b.w
+              GROUP BY 1, 2)
+    SELECT wa, wb, c, ca.dfc AS ca, cb.dfc AS cb,
+           CAST(n_docs * c AS DOUBLE) / (ca.dfc * cb.dfc) AS pmi_ratio
+    FROM pairs
+      JOIN df ca ON wa = ca.w
+      JOIN df cb ON wb = cb.w
+      CROSS JOIN nd"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -190,7 +242,8 @@ object Text {
     "t04_fingerprint" -> t04,
     "t05_token_freq" -> t05,
     "t06_token_count_regex" -> t06,
-    "t07_normalize" -> t07)
+    "t07_normalize" -> t07,
+    "t08_cooccurrence" -> t08)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -199,5 +252,6 @@ object Text {
     "t04_fingerprint" -> t04Sql,
     "t05_token_freq" -> t05Sql,
     "t06_token_count_regex" -> t06Sql,
-    "t07_normalize" -> t07Sql)
+    "t07_normalize" -> t07Sql,
+    "t08_cooccurrence" -> t08Sql)
 }
