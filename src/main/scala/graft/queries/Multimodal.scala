@@ -110,15 +110,49 @@ object Multimodal {
                 END AS INTEGER) AS height
     FROM sized"""
 
+  // ---------------------------------------------------------------- m05
+  // Patch-grid extraction (the tiling step of ViT-style image
+  // tokenization): decode → 64px patch grid → one row per patch with a
+  // PORTABLE md5-derived patch fingerprint standing in for patch bytes
+  // (the codec-less-container stub, same policy as m02). Two sequence
+  // generators fan out the grid inside codegen — narrow stages, no
+  // shuffle anywhere; at scale the explosion lands after column pruning,
+  // so only (doc_id, width, height) rows amplify.
+  val m05: Q = (s, d) =>
+    m02(s, d)
+      .select(col("doc_id"), col("width"), col("height"),
+        explode(sequence(lit(0), expr("int((width - 1) div 64)"))).as("px"))
+      .select(col("doc_id"), col("width"), col("height"), col("px"),
+        explode(sequence(lit(0), expr("int((height - 1) div 64)"))).as("py"))
+      .select(col("doc_id"), col("px"), col("py"),
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("px"),
+          col("py"))), 1, 8), 16, 10).cast("long").as("patch_fp"))
+
+  val m05Sql: String = """
+    WITH meta AS (
+      SELECT doc_id,
+             64 + octet_length(CAST(text AS BLOB)) % 577 AS w,
+             64 + (octet_length(CAST(text AS BLOB)) * 31) % 457 AS h
+      FROM documents)
+    SELECT doc_id, CAST(px AS INTEGER) AS px, CAST(py AS INTEGER) AS py,
+           ('0x' || substring(md5(doc_id || ':' || px || ':' || py), 1, 8))
+             ::BIGINT AS patch_fp
+    FROM meta
+      CROSS JOIN range(0, 10) gx(px)
+      CROSS JOIN range(0, 9) gy(py)
+    WHERE px <= (w - 1) // 64 AND py <= (h - 1) // 64"""
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
     "m03_frame_sample" -> m03,
-    "m04_resize" -> m04)
+    "m04_resize" -> m04,
+    "m05_patch_grid" -> m05)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
     "m02_decode_stub" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
-    "m04_resize" -> m04Sql)
+    "m04_resize" -> m04Sql,
+    "m05_patch_grid" -> m05Sql)
 }
