@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Multimodal, Relational, Similarity, Streamed, Text}
+import graft.queries.{Corpus, Dedup, Multimodal, Relational, Similarity, Streamed, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Text.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ Streamed.queries
+      Similarity.queries ++ Multimodal.queries ++ Streamed.queries ++
+      Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every registered query has one:
@@ -26,5 +27,6 @@ object SparkEntry {
     * (q27's HLL tolerance). */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Text.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ Multimodal.oracle ++ Streamed.oracle
+      Similarity.oracle ++ Multimodal.oracle ++ Streamed.oracle ++
+      Corpus.oracle
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** End-to-end corpus curation — the whole LLM training-data preparation
+  * flow as ONE declarative plan, composing the operators the library
+  * ships individually: canonicalize (native NormalizeText) → quality
+  * gate (token stats) → language gate (stopword heuristic) → exact
+  * dedup on the canonical hash (keep the smallest doc_id) → a
+  * deterministic hash-bucket sample of the survivors.
+  *
+  * Plan shape at 100 TB: the normalize/gate stages are one narrow
+  * codegen'd pass over the scan (no shuffle until dedup); dedup is one
+  * hash aggregate on the 32-byte canonical hash; the sample is a filter.
+  * Two shuffles total for the entire curation flow, both on compact
+  * keys. The DuckDB oracle replays every stage.
+  */
+object Corpus {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  // ---------------------------------------------------------------- c01
+  val c01: Q = (s, d) => {
+    val stopArr = array(stopwords.map(lit): _*)
+    val canon = Tables.documents(s, d)
+      .withColumn("norm", graft.functions.TextExprs.normalizeText(col("text")))
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => array_contains(stopArr, t)))
+          .cast("double") / size(col("toks")))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+    val gated = canon
+      .filter(col("n_tokens") >= 20 &&
+        col("distinct_ratio") >= 0.3 &&
+        col("stop_ratio") >= 0.08)          // language gate: en-like
+    val deduped = gated
+      .groupBy(sha2(col("norm"), 256).as("norm_hash"))
+      .agg(min(col("doc_id")).as("doc_id"),
+           count(lit(1)).as("n_copies"),
+           min(col("n_tokens")).as("n_tokens"))
+    deduped
+      .filter(pmod(conv(substring(col("norm_hash"), 1, 8), 16, 10)
+        .cast("long"), lit(100)) < 50)       // deterministic 50% sample
+      .select(col("doc_id"), col("norm_hash"), col("n_copies"),
+              col("n_tokens"))
+  }
+
+  val c01Sql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    raw"""
+    WITH canon AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(nfc_normalize(text)),
+                                 '\s+', ' ', 'g')) AS norm
+      FROM documents),
+    stats AS (
+      SELECT doc_id, norm, string_split(norm, ' ') AS toks
+      FROM canon),
+    gated AS (
+      SELECT doc_id, norm,
+             CAST(len(toks) AS INTEGER) AS n_tokens
+      FROM stats
+      WHERE len(toks) >= 20
+        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+        AND CAST(len(list_filter(toks, t -> list_contains($stopList, t)))
+                 AS DOUBLE) / len(toks) >= 0.08),
+    deduped AS (
+      SELECT sha256(norm) AS norm_hash,
+             MIN(doc_id) AS doc_id,
+             COUNT(*) AS n_copies,
+             MIN(n_tokens) AS n_tokens
+      FROM gated GROUP BY 1)
+    SELECT doc_id, norm_hash, n_copies, n_tokens
+    FROM deduped
+    WHERE ('0x' || substring(norm_hash, 1, 8))::BIGINT % 100 < 50"""
+  }
+
+  val queries: Map[String, Q] = Map("c01_curate" -> c01)
+  val oracle: Map[String, String] = Map("c01_curate" -> c01Sql)
+}
