@@ -299,13 +299,84 @@ object Similarity {
     FROM embeddings CROSS JOIN range(1, 65) r(i)
     GROUP BY label, i"""
 
+  // ---------------------------------------------------------------- s07
+  // Cross-set ANN join that scales in the QUERY-SET dimension: s03's
+  // broadcast-the-queries trick caps the query side at broadcast size,
+  // but when both sides are large (dataset-vs-dataset linking, batch
+  // retrieval for a whole training epoch) the scalable shape is
+  // symmetric LSH bucketing — band keys on BOTH sides, an equi-join on
+  // (band, key), exact cosine on collisions only, then a per-query
+  // top-3 window. No broadcast, no cross join; both sides shuffle once
+  // on compact band keys, and the window shuffles candidates once on
+  // the query id. Same sign-bit construction as d06, so the oracle
+  // replays the exact algorithm (banded recall and all) bit-for-bit.
+  val s07: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        explode(expr(
+          """transform(sequence(0, 3), t -> named_struct('t', t,
+            |  'k', aggregate(sequence(1, 8), 0, (acc, j) ->
+            |         acc + if(cast(element_at(embedding, t * 8 + j)
+            |                       as double) > 0d,
+            |                  shiftleft(1, j - 1), 0))))""".stripMargin))
+          .as("bk"))
+        .select(col(idAs), col(embAs),
+          col("bk.t").as("t"), col("bk.k").as("k"))
+    val queriesSide = banded(e.filter(col("label") === 0), "qid", "qe")
+    val corpusSide = banded(e.filter(col("label") =!= 0), "cid", "ce")
+    val cand = queriesSide.join(corpusSide, Seq("t", "k"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(first(col("qe")).as("qe"), first(col("ce")).as("ce"))
+    val scored = cand
+      .withColumn("cosine",
+        graft.functions.VectorExprs.qdot(col("qe"), col("ce")) /
+          (sqrt(graft.functions.VectorExprs.qdot(col("qe"), col("qe"))) *
+           sqrt(graft.functions.VectorExprs.qdot(col("ce"), col("ce")))))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("cid").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk").cast("int").as("rk"))
+  }
+
+  val s07Sql: String = s"""
+    WITH bands AS (
+      SELECT vec_id, label, embedding, t,
+             (SELECT SUM(CASE WHEN CAST(embedding[t*8 + j] AS DOUBLE) > 0
+                              THEN (1 << (j - 1)) ELSE 0 END)
+              FROM range(1, 9) r(j)) AS k
+      FROM embeddings CROSS JOIN range(0, 4) tt(t)),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+      FROM bands q JOIN bands c ON q.t = c.t AND q.k = c.k
+      WHERE q.label = 0 AND c.label <> 0),
+    scored AS (
+      SELECT cand.qid, cand.cid,
+             ${sqlDot("qe.embedding", "ce.embedding")} /
+               (sqrt(${sqlDot("qe.embedding", "qe.embedding")}) *
+                sqrt(${sqlDot("ce.embedding", "ce.embedding")})) AS cosine
+      FROM cand
+        JOIN embeddings qe ON cand.qid = qe.vec_id
+        JOIN embeddings ce ON cand.cid = ce.vec_id
+        CROSS JOIN range(1, 65) r(i)
+      GROUP BY cand.qid, cand.cid)
+    SELECT qid, cid, cosine, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT qid, cid, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, cid ASC) AS rk
+          FROM scored) t
+    WHERE rk <= 3"""
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> s01,
     "s02_ann_bitlsh" -> s02,
     "s03_knn_join" -> s03,
     "s04_embedding_stats" -> s04,
     "s05_ivf_ann" -> s05,
-    "s06_label_centroids" -> s06)
+    "s06_label_centroids" -> s06,
+    "s07_ann_set_join" -> s07)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -313,5 +384,6 @@ object Similarity {
     "s03_knn_join" -> s03Sql,
     "s04_embedding_stats" -> s04Sql,
     "s05_ivf_ann" -> s05Sql,
-    "s06_label_centroids" -> s06Sql)
+    "s06_label_centroids" -> s06Sql,
+    "s07_ann_set_join" -> s07Sql)
 }
