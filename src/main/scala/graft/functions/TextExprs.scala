@@ -301,4 +301,24 @@ object TextExprs {
   /** All (i < j) pairs from a sorted array<string> (co-occurrence). */
   def strPairs(toks: Column): Column =
     GraftSqlBridge.column(StrPairs(GraftSqlBridge.expression(toks)))
+
+  /** Register the text expressions on an EXISTING session's function
+    * registry (idempotent) — the runtime alternative to wiring
+    * [[GraftExtensions]] into the session builder. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    GraftSqlBridge.registerFunction(spark, "graft_normalize_text",
+      new ExpressionInfo(classOf[NormalizeText].getName,
+        "graft_normalize_text"),
+      { args =>
+        require(args.length == 1, "graft_normalize_text expects (text)")
+        NormalizeText(args.head)
+      })
+    GraftSqlBridge.registerFunction(spark, "graft_shingles",
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      { args =>
+        require(args.length == 2, "graft_shingles expects (text, n)")
+        WordShingles(args.head, GraftExtensions.intLitArg(args(1), "n"))
+      })
+  }
 }

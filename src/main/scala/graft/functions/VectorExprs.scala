@@ -192,6 +192,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Shared with runtime registration helpers (TextExprs.register). */
+  private[functions] def intLitArg(e: Expression, what: String): Int =
+    intLit(e, what)
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other if other.foldable && other.dataType == IntegerType =>

@@ -80,6 +80,46 @@ object Corpus {
     WHERE ('0x' || substring(norm_hash, 1, 8))::BIGINT % 100 < 50"""
   }
 
-  val queries: Map[String, Q] = Map("c01_curate" -> c01)
-  val oracle: Map[String, String] = Map("c01_curate" -> c01Sql)
+  // ---------------------------------------------------------------- c02
+  // The same curation flow through the SQL FRONT-END: a temp view plus
+  // runtime-registered graft functions (TextExprs.register), everything
+  // else plain Spark SQL — the proof that SQL-only users can run the
+  // pipeline. Must produce byte-identical output to c01 (and shares its
+  // oracle), so the two front-ends are checked against each other every
+  // round.
+  val c02: Q = (s, d) => {
+    graft.functions.TextExprs.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("documents_v")
+    val stopList = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    s.sql(s"""
+      WITH canon AS (
+        SELECT doc_id, graft_normalize_text(text) AS norm
+        FROM documents_v),
+      stats AS (
+        SELECT doc_id, norm, split(norm, ' ') AS toks FROM canon),
+      gated AS (
+        SELECT doc_id, norm, CAST(size(toks) AS INT) AS n_tokens
+        FROM stats
+        WHERE size(toks) >= 20
+          AND CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) >= 0.3
+          AND CAST(size(filter(toks, t -> array_contains($stopList, t)))
+                   AS DOUBLE) / size(toks) >= 0.08),
+      deduped AS (
+        SELECT sha2(norm, 256) AS norm_hash,
+               MIN(doc_id) AS doc_id,
+               COUNT(*) AS n_copies,
+               MIN(n_tokens) AS n_tokens
+        FROM gated GROUP BY 1)
+      SELECT doc_id, norm_hash, n_copies, n_tokens
+      FROM deduped
+      WHERE pmod(CAST(conv(substring(norm_hash, 1, 8), 16, 10) AS BIGINT),
+                 100) < 50""")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "c01_curate" -> c01,
+    "c02_curate_sql" -> c02)
+  val oracle: Map[String, String] = Map(
+    "c01_curate" -> c01Sql,
+    "c02_curate_sql" -> c01Sql)
 }

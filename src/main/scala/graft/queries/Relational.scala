@@ -1131,6 +1131,32 @@ object Relational {
            COALESCE(rev, 0.0) AS revenue
     FROM spine LEFT JOIN daily ON spine.day = daily.day"""
 
+  // ---------------------------------------------------------------- q45
+  // ANSI-safe arithmetic family: Spark 4 runs with ansi.enabled=true,
+  // where raw division/cast THROW on bad input — production pipelines
+  // use the try_* forms (null-on-failure) plus nullif/coalesce. This is
+  // the q36 counterpart for the failure paths: division by zero,
+  // unparseable casts, and null plumbing, all row-level and exact.
+  val q45: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(l_quantity, l_linenumber - 1)").as("qty_per_prev"),
+        expr("try_divide(l_extendedprice, l_discount)").as("price_per_disc"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_as_int"),
+        coalesce(expr("try_divide(l_quantity, l_discount)"), lit(-1.0))
+          .as("qty_per_disc_filled"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"))
+
+  val q45Sql: String = """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity / NULLIF(l_linenumber - 1, 0) AS qty_per_prev,
+           l_extendedprice / NULLIF(l_discount, 0.0) AS price_per_disc,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           COALESCE(l_quantity / NULLIF(l_discount, 0.0), -1.0)
+             AS qty_per_disc_filled,
+           NULLIF(l_discount, 0.0) AS disc_or_null
+    FROM lineitem"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1175,7 +1201,8 @@ object Relational {
     "q41_edit_distance" -> q41,
     "q42_quantiles" -> q42,
     "q43_rank_distribution" -> q43,
-    "q44_date_spine" -> q44)
+    "q44_date_spine" -> q44,
+    "q45_try_arithmetic" -> q45)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1221,5 +1248,6 @@ object Relational {
     "q41_edit_distance" -> q41Sql,
     "q42_quantiles" -> q42Sql,
     "q43_rank_distribution" -> q43Sql,
-    "q44_date_spine" -> q44Sql)
+    "q44_date_spine" -> q44Sql,
+    "q45_try_arithmetic" -> q45Sql)
 }
