@@ -1157,6 +1157,35 @@ object Relational {
            NULLIF(l_discount, 0.0) AS disc_or_null
     FROM lineitem"""
 
+  // ---------------------------------------------------------------- q46
+  // Explicit null ordering: Spark sorts ASC NULLS FIRST by default,
+  // DuckDB (and Postgres) ASC NULLS LAST — silent cross-engine result
+  // divergence unless the query states its null placement. Both sides
+  // here pin NULLS LAST (and a total tie-break), making the window
+  // deterministic and portable; the nullable key comes from nullif.
+  val q46: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("disc_or_null").asc_nulls_last,
+               col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(s, d)
+      .withColumn("disc_or_null", nullif(col("l_discount"), lit(0.0)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 100)
+      .select(col("l_returnflag"), col("rk").cast("int").as("rk"),
+              col("l_orderkey"), col("l_linenumber"), col("disc_or_null"))
+  }
+
+  val q46Sql: String = """
+    SELECT l_returnflag, CAST(rk AS INTEGER) AS rk,
+           l_orderkey, l_linenumber, disc_or_null
+    FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+                 NULLIF(l_discount, 0.0) AS disc_or_null,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY NULLIF(l_discount, 0.0) ASC NULLS LAST,
+                            l_orderkey ASC, l_linenumber ASC) AS rk
+          FROM lineitem) t
+    WHERE rk <= 100"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1202,7 +1231,8 @@ object Relational {
     "q42_quantiles" -> q42,
     "q43_rank_distribution" -> q43,
     "q44_date_spine" -> q44,
-    "q45_try_arithmetic" -> q45)
+    "q45_try_arithmetic" -> q45,
+    "q46_null_ordering" -> q46)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1249,5 +1279,6 @@ object Relational {
     "q42_quantiles" -> q42Sql,
     "q43_rank_distribution" -> q43Sql,
     "q44_date_spine" -> q44Sql,
-    "q45_try_arithmetic" -> q45Sql)
+    "q45_try_arithmetic" -> q45Sql,
+    "q46_null_ordering" -> q46Sql)
 }
