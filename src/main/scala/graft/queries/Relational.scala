@@ -899,11 +899,13 @@ object Relational {
 
   // ---------------------------------------------------------------- q38
   // Pivot (long → wide): per line-status row, one quantity column per
-  // return flag. Spark's `pivot` with EXPLICIT values compiles to a
-  // single hash aggregate of conditional sums — one shuffle, no extra
-  // pass to discover the pivot domain (at 100 TB, always pass the value
-  // list; implicit pivot runs a distinct scan first). The oracle states
-  // the same plan literally as conditional aggregation.
+  // return flag. Spark's `pivot` with EXPLICIT values plans as a
+  // two-phase aggregate — partial per (status, flag), then the pivot
+  // projection over the collapsed key space — with no extra pass to
+  // discover the pivot domain (at 100 TB, always pass the value list;
+  // implicit pivot runs a distinct scan first). The second shuffle
+  // moves ≤ |status|×|flag| rows: free. The oracle states the plan
+  // literally as conditional aggregation.
   val q38: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_linestatus"))

@@ -11,6 +11,11 @@ import org.apache.spark.sql.execution.{ExtendedMode, FormattedMode}
   */
 class PlanSpec extends SparkSpec {
 
+  /** Number of Exchange operators in a FormattedMode plan (counted via
+    * the "(n) Exchange" node-detail headers — each node has exactly one). */
+  private def exchanges(p: String): Int =
+    """\(\d+\) Exchange""".r.findAllIn(p).length
+
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
   private def extended(df: DataFrame): String =
@@ -52,5 +57,28 @@ class PlanSpec extends SparkSpec {
       executed.contains("ShuffleQueryStage 0") &&
         !executed.contains("ShuffleQueryStage 3"),
       executed.take(3000))
+  }
+
+  test("q38: explicit-values pivot = two-phase agg, no domain scan") {
+    val p = formatted(SparkEntry.queries("q38_pivot")(spark, sf0001))
+    // pre-aggregate on (status, flag) then pivot: exactly two exchanges,
+    // the second over the collapsed (status, flag) cardinality — and no
+    // extra job to discover the pivot domain (explicit values)
+    assert(exchanges(p) == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s07: cross-set ANN join is an equi-join, never a cross join") {
+    val p = formatted(SparkEntry.queries("s07_ann_set_join")(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banded ANN join must stay an equi-join:\n$p")
+  }
+
+  test("c01: curation gates run in the scan stage (no pre-dedup shuffle)") {
+    val p = formatted(SparkEntry.queries("c01_curate")(spark, sf0001))
+    // normalize+gates+hash-agg partials+sample-filter = narrow until the
+    // single dedup aggregate; only that one exchange appears
+    assert(exchanges(p) == 1, p)
   }
 }
