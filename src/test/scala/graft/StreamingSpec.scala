@@ -62,4 +62,51 @@ class StreamingSpec extends SparkSpec {
     // One event per emitted session — the late 00:30 row joined nothing.
     assert(r2.map(_.getAs[Long]("n_events")).sum == 2)
   }
+
+  test("stream-stream interval join matches across checkpointed restarts") {
+    val src = tmpDir("graft-ssj-src-")
+    val out = tmpDir("graft-ssj-out-") + "/p"
+    val cp = tmpDir("graft-ssj-cp-")
+
+    def runOnce(): Unit = {
+      val evs = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, kind STRING")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+      val views = evs.filter(col("kind") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      val buys = evs.filter(col("kind") === "buy")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      val q = buys.join(views,
+          col("b_user") === col("v_user") &&
+            col("v_ts") <= col("b_ts") &&
+            col("v_ts") >= col("b_ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("b_user").as("user_id"), col("b_ts"), col("v_ts"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // Batch 1: a view at 10:00, a buy at 10:30 (joins), a view at 12:00.
+    Seq((1L, ts("2024-01-01 10:00:00"), "view"),
+        (1L, ts("2024-01-01 10:30:00"), "buy"),
+        (1L, ts("2024-01-01 12:00:00"), "view"))
+      .toDF("user_id", "ts", "kind").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 1)
+
+    // Batch 2 (same checkpoint): a buy at 12:20 must join the BUFFERED
+    // 12:00 view from batch 1 — the join state survived the restart.
+    Seq((1L, ts("2024-01-01 12:20:00"), "buy"))
+      .toDF("user_id", "ts", "kind").write.mode("append").parquet(src)
+    runOnce()
+    val rows = spark.read.parquet(out)
+      .select(col("b_ts"), col("v_ts")).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1))).toSet
+    assert(rows == Set(
+      (ts("2024-01-01 10:30:00"), ts("2024-01-01 10:00:00")),
+      (ts("2024-01-01 12:20:00"), ts("2024-01-01 12:00:00"))),
+      s"join state lost across restart or wrong matches: $rows")
+  }
 }
