@@ -1188,6 +1188,38 @@ object Relational {
           FROM lineitem) t
     WHERE rk <= 100"""
 
+  // ---------------------------------------------------------------- q47
+  // Schema-drift union: two generations of the same feed — the old
+  // extract lacking a column, the new one carrying it — combined with
+  // unionByName(allowMissingColumns), which aligns by NAME and
+  // null-fills the gap. Positional unionAll would silently misalign the
+  // moment column order drifts; by-name union is the schema-evolution-
+  // safe operator a long-lived warehouse feed needs.
+  val q47: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val oldGen = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val newGen = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    oldGen.unionByName(newGen, allowMissingColumns = true)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           count(col("o_totalprice")).as("n_with_price"),
+           dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_price"))
+  }
+
+  val q47Sql: String = s"""
+    WITH unioned AS (
+      SELECT o_orderkey, o_orderstatus, NULL AS o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+    SELECT o_orderstatus, COUNT(*) AS n,
+           COUNT(o_totalprice) AS n_with_price,
+           ${sqlDsum("COALESCE(o_totalprice, 0.0)")} AS total_price
+    FROM unioned GROUP BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1234,7 +1266,8 @@ object Relational {
     "q43_rank_distribution" -> q43,
     "q44_date_spine" -> q44,
     "q45_try_arithmetic" -> q45,
-    "q46_null_ordering" -> q46)
+    "q46_null_ordering" -> q46,
+    "q47_schema_drift_union" -> q47)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1282,5 +1315,6 @@ object Relational {
     "q43_rank_distribution" -> q43Sql,
     "q44_date_spine" -> q44Sql,
     "q45_try_arithmetic" -> q45Sql,
-    "q46_null_ordering" -> q46Sql)
+    "q46_null_ordering" -> q46Sql,
+    "q47_schema_drift_union" -> q47Sql)
 }

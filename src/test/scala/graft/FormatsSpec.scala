@@ -39,6 +39,20 @@ class FormatsSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0)
   }
 
+  test("parquet schema evolution: mergeSchema unions batch schemas") {
+    val dir = tmpDir("evolve-")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/b=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("id", "name", "score", "b"))
+    val byId = merged.collect().map(r =>
+      r.getAs[Long]("id") -> (if (r.isNullAt(r.fieldIndex("score"))) None
+                              else Some(r.getAs[Double]("score")))).toMap
+    assert(byId == Map(1L -> None, 2L -> Some(9.5)),
+      "old-batch rows must null-fill the new column")
+  }
+
   test("CSV round-trip with header + explicit schema") {
     val dir = tmpDir("csv-")
     val src = spark.read.parquet(s"$sf0001/region.parquet")
