@@ -1144,7 +1144,12 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"),
         expr("try_divide(l_quantity, l_linenumber - 1)").as("qty_per_prev"),
         expr("try_divide(l_extendedprice, l_discount)").as("price_per_disc"),
-        expr("try_cast(l_returnflag AS INT)").as("flag_as_int"),
+        // try_cast pays a per-row exception on FAILURE — price it like
+        // production data (a dirty minority), not a 100%-failure column:
+        // rows with flag 'R' carry an unparseable value, the rest parse.
+        expr("""try_cast(CASE WHEN l_returnflag = 'R' THEN 'oops'
+                              ELSE CAST(l_linenumber AS STRING) END
+                         AS INT)""").as("line_or_null"),
         coalesce(expr("try_divide(l_quantity, l_discount)"), lit(-1.0))
           .as("qty_per_disc_filled"),
         nullif(col("l_discount"), lit(0.0)).as("disc_or_null"))
@@ -1153,7 +1158,9 @@ object Relational {
     SELECT l_orderkey, l_linenumber,
            l_quantity / NULLIF(l_linenumber - 1, 0) AS qty_per_prev,
            l_extendedprice / NULLIF(l_discount, 0.0) AS price_per_disc,
-           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CASE WHEN l_returnflag = 'R' THEN 'oops'
+                         ELSE CAST(l_linenumber AS VARCHAR) END
+                    AS INTEGER) AS line_or_null,
            COALESCE(l_quantity / NULLIF(l_discount, 0.0), -1.0)
              AS qty_per_disc_filled,
            NULLIF(l_discount, 0.0) AS disc_or_null
