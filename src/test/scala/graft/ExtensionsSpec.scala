@@ -34,4 +34,16 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("GraftSession.attach registers functions on an existing session") {
+    val s2 = spark.newSession()
+    GraftSession.attach(s2)
+    assert(s2.sql("SELECT graft_normalize_text(' X  y ') AS t")
+      .head().getString(0) == "x y")
+    assert(s2.sql(
+      "SELECT graft_qdot(array(1.0f, 1.0f), array(2.0f, 2.0f)) AS d")
+      .head().getDouble(0) == 4.0)
+    // idempotent
+    GraftSession.attach(s2)
+  }
 }
