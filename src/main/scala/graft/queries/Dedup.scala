@@ -485,6 +485,38 @@ object Dedup {
            s.csize
     FROM comp c JOIN sizes s USING (component)"""
 
+  // ---------------------------------------------------------------- d09
+  // The dedup payoff: the surviving corpus after near-dup clustering —
+  // every document except non-canonical cluster members. Exact
+  // duplicates are subsumed (identical text ⇒ identical shingles ⇒
+  // Jaccard 1 ⇒ same cluster), so this one anti-join applies the whole
+  // pairwise+transitive dedup chain to the corpus. The drop list is
+  // tiny relative to the corpus (only clustered docs), so the anti-join
+  // broadcasts at any scale where dedup itself is feasible.
+  val d09: Q = (s, d) => {
+    val dropList = connectedComponents(d03(s, d).select(col("i"), col("j")),
+        "i", "j")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    Tables.documents(s, d)
+      .join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  val d09Sql: String = s"""
+    WITH RECURSIVE $JaccardPairsCte,
+    sym AS (SELECT i AS a, j AS b FROM pairs
+            UNION ALL SELECT j, i FROM pairs),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    drop_list AS (SELECT id FROM comp WHERE id <> component)
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM drop_list)"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -493,7 +525,8 @@ object Dedup {
     "d05_dedup_simhash" -> d05,
     "d06_dedup_embedding" -> d06,
     "d07_dedup_keep_best" -> d07,
-    "d08_dedup_clusters" -> d08)
+    "d08_dedup_clusters" -> d08,
+    "d09_dedup_applied" -> d09)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -503,5 +536,6 @@ object Dedup {
     "d05_dedup_simhash" -> d05Sql,
     "d06_dedup_embedding" -> d06Sql,
     "d07_dedup_keep_best" -> d07Sql,
-    "d08_dedup_clusters" -> d08Sql)
+    "d08_dedup_clusters" -> d08Sql,
+    "d09_dedup_applied" -> d09Sql)
 }
