@@ -1227,6 +1227,48 @@ object Relational {
            ${sqlDsum("COALESCE(o_totalprice, 0.0)")} AS total_price
     FROM unioned GROUP BY o_orderstatus"""
 
+  // ---------------------------------------------------------------- q48
+  // Bag-semantics set operations: intersectAll / exceptAll keep
+  // MULTIPLICITY (min / difference of per-row counts) where q13/q14's
+  // set forms collapse duplicates — the distinction that matters when
+  // rows are legitimately repeated (line items per part). Catalyst
+  // plans both as aggregate-count + generate, one shuffle each.
+  val q48: Q = (s, d) => {
+    val a = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_returnflag"))
+    val b = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_partkey"), col("l_returnflag"))
+    a.intersectAll(b)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_intersect"))
+      .join(
+        a.exceptAll(b)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_except")),
+        Seq("l_returnflag"), "full_outer")
+      .select(col("l_returnflag"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"))
+  }
+
+  val q48Sql: String = """
+    WITH a AS (SELECT l_partkey, l_returnflag FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'),
+    b AS (SELECT l_partkey, l_returnflag FROM lineitem
+          WHERE l_quantity >= 25),
+    i AS (SELECT l_returnflag, COUNT(*) AS n_intersect
+          FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+          GROUP BY 1),
+    e AS (SELECT l_returnflag, COUNT(*) AS n_except
+          FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+          GROUP BY 1)
+    SELECT l_returnflag,
+           COALESCE(n_intersect, 0) AS n_intersect,
+           COALESCE(n_except, 0) AS n_except
+    FROM i FULL OUTER JOIN e USING (l_returnflag)"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1274,7 +1316,8 @@ object Relational {
     "q44_date_spine" -> q44,
     "q45_try_arithmetic" -> q45,
     "q46_null_ordering" -> q46,
-    "q47_schema_drift_union" -> q47)
+    "q47_schema_drift_union" -> q47,
+    "q48_bag_set_ops" -> q48)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1323,5 +1366,6 @@ object Relational {
     "q44_date_spine" -> q44Sql,
     "q45_try_arithmetic" -> q45Sql,
     "q46_null_ordering" -> q46Sql,
-    "q47_schema_drift_union" -> q47Sql)
+    "q47_schema_drift_union" -> q47Sql,
+    "q48_bag_set_ops" -> q48Sql)
 }
