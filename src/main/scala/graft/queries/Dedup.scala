@@ -68,6 +68,16 @@ object Dedup {
     shingleArrays(s, d)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
 
+  /** Exploded (doc_id, shingle-HASH) pairs: the inverted-index shuffle
+    * keys on xxhash64 of the shingle (8 bytes) instead of the ~25-byte
+    * string — same trick as d04's hashed verify stage. A cross-shingle
+    * collision (~|shingles|²/2⁶⁴) is the only approximation; the oracle
+    * gate (string-keyed) confirms the fixture corpus has none. */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s, d)
+      .select(col("doc_id"),
+        explode(expr("transform(shingles, x -> xxhash64(x))")).as("s"))
+
   /** Near-dup pairs by exact shingle-Jaccard via an inverted index of
     * posting lists: ONE shuffle groups (shingle → sorted doc list), then
     * each list emits its own doc pairs inline and a second shuffle
@@ -85,7 +95,7 @@ object Dedup {
     */
   def nearDupJaccard(s: SparkSession, d: String, threshold: Double,
                      maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh0 = shingles(s, d)
+    val sh0 = hashedShingles(s, d)
     // Per-doc shingle counts are |docs| rows — broadcast them into the
     // pair stream instead of shuffling it twice.
     val counts = broadcast(
