@@ -1269,6 +1269,40 @@ object Relational {
            COALESCE(n_except, 0) AS n_except
     FROM i FULL OUTER JOIN e USING (l_returnflag)"""
 
+  // ---------------------------------------------------------------- q49
+  // Latest record per key — the change-feed-to-snapshot collapse every
+  // warehouse runs constantly. Implemented with max_by over a packed
+  // orderable key (one partial+final hash aggregate, no sort, no
+  // window): at 100 TB this beats the row_number()-over-window form by
+  // an entire per-partition sort. Tie-break on event_id makes the pick
+  // total, so both engines agree.
+  val q49: Q = (s, d) =>
+    Events.read(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"),
+        col("last_ts"), col("n_events"))
+
+  // Oracle uses the equivalent window formulation (DuckDB 1.0's arg_max
+  // has no composite ordering key) — same latest-row pick, total order.
+  val q49Sql: String = """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+             MAX(ts) OVER (PARTITION BY user_id) AS last_ts
+      FROM events)
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value, last_ts, n_events
+    FROM r WHERE rn = 1"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1317,7 +1351,8 @@ object Relational {
     "q45_try_arithmetic" -> q45,
     "q46_null_ordering" -> q46,
     "q47_schema_drift_union" -> q47,
-    "q48_bag_set_ops" -> q48)
+    "q48_bag_set_ops" -> q48,
+    "q49_latest_per_key" -> q49)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1367,5 +1402,6 @@ object Relational {
     "q45_try_arithmetic" -> q45Sql,
     "q46_null_ordering" -> q46Sql,
     "q47_schema_drift_union" -> q47Sql,
-    "q48_bag_set_ops" -> q48Sql)
+    "q48_bag_set_ops" -> q48Sql,
+    "q49_latest_per_key" -> q49Sql)
 }
