@@ -81,4 +81,20 @@ class PlanSpec extends SparkSpec {
     // single dedup aggregate; only that one exchange appears
     assert(exchanges(p) == 1, p)
   }
+
+  test("no batch query plans a CartesianProduct") {
+    // Cross joins in s01/s03 broadcast (BroadcastNestedLoopJoin); a
+    // CartesianProduct anywhere means a shuffle-everything-everywhere
+    // plan slipped in. Streaming queries are excluded (building them
+    // executes the stream); d08/d09/c01 run driver loops at build time
+    // and are covered by their own assertions.
+    val skip = Set("d08_dedup_clusters", "d09_dedup_applied")
+    SparkEntry.queries.keys
+      .filterNot(_.startsWith("st")).filterNot(skip)
+      .foreach { name =>
+        val p = formatted(SparkEntry.queries(name)(spark, sf0001))
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct")
+      }
+  }
 }
