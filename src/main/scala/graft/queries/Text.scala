@@ -235,6 +235,57 @@ object Text {
       JOIN df cb ON wb = cb.w
       CROSS JOIN nd"""
 
+  // ---------------------------------------------------------------- t09
+  // TF-IDF top terms: the per-document salient vocabulary — term
+  // frequency times the corpus rarity ratio N/df. The score keeps the
+  // rational form (tf·N/df as an exact integer-ratio double) rather
+  // than the usual log-idf: same ranking for fixed tf (log is
+  // monotone), and the oracle stays libm-free. One explode + two hash
+  // aggregates + a broadcast df join + a per-doc top-3 window.
+  val t09: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val tf = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    // document frequency + corpus size over the FULL corpus
+    val df = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), Seq("w")).crossJoin(broadcast(n))
+      .withColumn("tfidf_ratio",
+        (col("tf") * col("n_docs")).cast("double") / col("dfc"))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf_ratio").desc, col("w").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("w").as("term"), col("tf"),
+        col("dfc"), col("tfidf_ratio"), col("rk").cast("int").as("rk"))
+  }
+
+  val t09Sql: String = """
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id < 100),
+    tfc AS (SELECT doc_id, w, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+    dfc AS (SELECT w, COUNT(*) AS dfc
+            FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents) t
+            GROUP BY w),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, w, tf, dfc,
+             CAST(tf * n_docs AS DOUBLE) / dfc AS tfidf_ratio
+      FROM tfc JOIN dfc USING (w) CROSS JOIN nd)
+    SELECT doc_id, w AS term, tf, dfc, tfidf_ratio,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf_ratio DESC, w ASC) AS rk
+          FROM scored) r
+    WHERE rk <= 3"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -243,7 +294,8 @@ object Text {
     "t05_token_freq" -> t05,
     "t06_token_count_regex" -> t06,
     "t07_normalize" -> t07,
-    "t08_cooccurrence" -> t08)
+    "t08_cooccurrence" -> t08,
+    "t09_tfidf_topk" -> t09)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -253,5 +305,6 @@ object Text {
     "t05_token_freq" -> t05Sql,
     "t06_token_count_regex" -> t06Sql,
     "t07_normalize" -> t07Sql,
-    "t08_cooccurrence" -> t08Sql)
+    "t08_cooccurrence" -> t08Sql,
+    "t09_tfidf_topk" -> t09Sql)
 }
