@@ -3,7 +3,9 @@
 run each oracle_sql.json entry in DuckDB over the sf parquet tables and
 compare with the Spark results dumped by graft.Verify.
 
-Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir> [q1,q2,...]
+(the optional third arg restricts the check to the named queries — dev
+iteration aid, mirrors Verify's SPARK_GRAFT_ONLY)
 """
 import json
 import math
@@ -35,12 +37,14 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -78,4 +82,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None))

@@ -1303,6 +1303,48 @@ object Relational {
            value AS last_value, last_ts, n_events
     FROM r WHERE rn = 1"""
 
+  // ---------------------------------------------------------------- q50
+  // Runtime bloom-filter join pruning — Catalyst's InjectRuntimeFilter
+  // builds a bloom filter over the *filtered* dimension keys at runtime
+  // and pushes `might_contain(l_partkey)` beneath the fact-side shuffle,
+  // so rows that can never match are dropped BEFORE they are hashed,
+  // serialized and shuffled. At 100 TB this is the difference between
+  // shuffling the whole fact table and shuffling the ~selectivity
+  // fraction that survives; the OSS default thresholds (10 GB scan) are
+  // tuned for clusters, so a session clone lowers them to make the same
+  // plan shape reproducible at test scale (no global conf mutation).
+  // Broadcast is disabled in the clone to exercise the shuffle-join
+  // path — with broadcast the small side never shuffles and the bloom
+  // filter would be redundant. PlanSpec asserts `might_contain` lands
+  // in the fact-side scan filter.
+  val q50: Q = (s, d) => {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    ss.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "1")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dim = Tables.part(ss, d).filter(col("p_size") <= 2)
+    Tables.lineitem(ss, d)
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q50Sql: String = s"""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 2
+    GROUP BY p_brand"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1352,7 +1394,8 @@ object Relational {
     "q46_null_ordering" -> q46,
     "q47_schema_drift_union" -> q47,
     "q48_bag_set_ops" -> q48,
-    "q49_latest_per_key" -> q49)
+    "q49_latest_per_key" -> q49,
+    "q50_bloom_prune" -> q50)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1403,5 +1446,6 @@ object Relational {
     "q46_null_ordering" -> q46Sql,
     "q47_schema_drift_union" -> q47Sql,
     "q48_bag_set_ops" -> q48Sql,
-    "q49_latest_per_key" -> q49Sql)
+    "q49_latest_per_key" -> q49Sql,
+    "q50_bloom_prune" -> q50Sql)
 }

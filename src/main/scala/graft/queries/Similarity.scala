@@ -369,6 +369,56 @@ object Similarity {
           FROM scored) t
     WHERE rk <= 3"""
 
+  // ---------------------------------------------------------------- s08
+  // Symmetric int8 quantization of the embedding column — the storage /
+  // serving compression step of an embedding pipeline (4× smaller than
+  // float32, SIMD-friendly int dot products downstream). Per vector:
+  // scale = 127/max|v|, q_i = round(v_i·scale) ∈ [-127,127], plus the
+  // reconstruction-error profile (max and mean |v_i − q_i/scale|).
+  // Purely row-local (one narrow map over the corpus, no shuffle at
+  // all) — at 100 TB this runs at scan speed. Errors are quantized to
+  // 4 decimals and the scale to 6 before aggregation so both engines
+  // agree bit-for-bit (same round-then-decimal discipline as s06).
+  val s08: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.embeddings(s, d)
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("mx") > 0)
+      .withColumn("scale", lit(127.0) / col("mx"))
+      .withColumn("q", transform(col("v"), x => round(x * col("scale"), 0)))
+      .withColumn("err", zip_with(col("v"), col("q"),
+        (a, b) => round(abs(a - b / col("scale")), 4)))
+      .select(
+        col("vec_id"), col("label"),
+        round(col("scale"), 6).as("scale6"),
+        size(filter(col("q"), x => abs(x) >= 127)).as("n_sat"),
+        array_max(col("err")).as("max_err4"),
+        (aggregate(col("err"), lit(0).cast(DecimalType(18, 6)),
+          (acc, x) => (acc + x.cast(DecimalType(18, 6)))
+            .cast(DecimalType(18, 6))).cast("double") / 64)
+          .as("avg_err4"))
+  }
+
+  val s08Sql: String = """
+    WITH x AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN range(1, 65) r(i)),
+    sc AS (
+      SELECT vec_id, CAST(127 AS DOUBLE) / MAX(ABS(v)) AS scale
+      FROM x GROUP BY vec_id HAVING MAX(ABS(v)) > 0),
+    qe AS (
+      SELECT x.vec_id, x.label, sc.scale,
+             round(x.v * sc.scale, 0) AS q,
+             round(ABS(x.v - round(x.v * sc.scale, 0) / sc.scale), 4) AS err
+      FROM x JOIN sc ON x.vec_id = sc.vec_id)
+    SELECT vec_id, label,
+           round(scale, 6) AS scale6,
+           CAST(COUNT(*) FILTER (WHERE ABS(q) >= 127) AS INTEGER) AS n_sat,
+           MAX(err) AS max_err4,
+           CAST(SUM(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / 64 AS avg_err4
+    FROM qe GROUP BY vec_id, label, scale"""
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> s01,
     "s02_ann_bitlsh" -> s02,
@@ -376,7 +426,8 @@ object Similarity {
     "s04_embedding_stats" -> s04,
     "s05_ivf_ann" -> s05,
     "s06_label_centroids" -> s06,
-    "s07_ann_set_join" -> s07)
+    "s07_ann_set_join" -> s07,
+    "s08_embedding_quant" -> s08)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -385,5 +436,6 @@ object Similarity {
     "s04_embedding_stats" -> s04Sql,
     "s05_ivf_ann" -> s05Sql,
     "s06_label_centroids" -> s06Sql,
-    "s07_ann_set_join" -> s07Sql)
+    "s07_ann_set_join" -> s07Sql,
+    "s08_embedding_quant" -> s08Sql)
 }

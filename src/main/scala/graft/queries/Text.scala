@@ -286,6 +286,51 @@ object Text {
           FROM scored) r
     WHERE rk <= 3"""
 
+  // ---------------------------------------------------------------- t10
+  // Document chunking: split every document into overlapping
+  // fixed-token-window chunks (window=32 tokens, stride=24 → 8-token
+  // overlap) — the canonical pre-tokenization step of an LLM training
+  // pipeline. Pure generator plan: one `sequence` of chunk starts per
+  // row, `posexplode`, then `slice` + `array_join` — no shuffle at all;
+  // at 100 TB this is an embarrassingly parallel map whose output is
+  // ~(1 + overlap/stride)× the input bytes. Tail chunks shorter than
+  // the window are kept (standard), so every token lands in ≥1 chunk.
+  private val ChunkWindow = 32
+  private val ChunkStride = 24
+
+  val t10: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        col("toks"),
+        posexplode(
+          sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+            lit(ChunkStride))).as(Seq("chunk_id", "start_tok")))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        col("start_tok"),
+        size(slice(col("toks"), col("start_tok") + 1, lit(ChunkWindow)))
+          .as("chunk_len"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(ChunkWindow)), " ")
+          .as("chunk_text"))
+
+  val t10Sql: String = s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks,
+             generate_subscripts(toks, 1) - 1 AS start_tok
+      FROM t)
+    SELECT doc_id,
+           CAST(start_tok / $ChunkStride AS INTEGER) AS chunk_id,
+           CAST(start_tok AS INTEGER) AS start_tok,
+           CAST(len(toks[start_tok + 1 : start_tok + $ChunkWindow]) AS INTEGER)
+             AS chunk_len,
+           array_to_string(toks[start_tok + 1 : start_tok + $ChunkWindow], ' ')
+             AS chunk_text
+    FROM starts WHERE start_tok % $ChunkStride = 0"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -295,7 +340,8 @@ object Text {
     "t06_token_count_regex" -> t06,
     "t07_normalize" -> t07,
     "t08_cooccurrence" -> t08,
-    "t09_tfidf_topk" -> t09)
+    "t09_tfidf_topk" -> t09,
+    "t10_chunking" -> t10)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -306,5 +352,6 @@ object Text {
     "t06_token_count_regex" -> t06Sql,
     "t07_normalize" -> t07Sql,
     "t08_cooccurrence" -> t08Sql,
-    "t09_tfidf_topk" -> t09Sql)
+    "t09_tfidf_topk" -> t09Sql,
+    "t10_chunking" -> t10Sql)
 }

@@ -44,6 +44,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q50: runtime bloom filter prunes the fact side before its shuffle") {
+    val df = SparkEntry.queries("q50_bloom_prune")(spark, sf0001)
+    val p = extended(df)
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("bloom_filter_agg"), p)
+    // and the join stayed a shuffle join (broadcast would make the
+    // bloom filter redundant rather than load-bearing)
+    assert(formatted(df).contains("SortMergeJoin")
+      || formatted(df).contains("ShuffledHashJoin"), formatted(df))
+  }
+
   test("d05: band self-join reuses one exchange over the simhash plan") {
     val df = SparkEntry.queries("d05_dedup_simhash")(spark, "/root/testdata/sf0.01")
     val p = formatted(df)

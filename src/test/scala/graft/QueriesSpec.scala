@@ -114,6 +114,34 @@ class QueriesSpec extends SparkSpec {
     assert(comp.size == 10)
   }
 
+  test("chunking covers every token and overlaps by window-stride") {
+    import org.apache.spark.sql.Row
+    val rows = SparkEntry.queries("t10_chunking")(spark, sf0001).collect()
+    // group chunks per doc; starts are stride-spaced from 0 and the last
+    // chunk reaches the end of the token list
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("start_tok"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("start_tok") == i * 24, s"doc $doc stride")
+      }
+      // full chunks are exactly 32 tokens; only the final chunk may be
+      // shorter, and coverage is contiguous: next start <= prev end
+      sorted.init.foreach { r =>
+        val len = r.getAs[Int]("chunk_len")
+        val start = r.getAs[Int]("start_tok")
+        assert(start + len >= start + 24, s"doc $doc gap before next chunk")
+      }
+      val last = sorted.last
+      val nTok = last.getAs[Int]("start_tok") + last.getAs[Int]("chunk_len")
+      assert(sorted.map(_.getAs[Int]("chunk_len")).sum >= nTok,
+        s"doc $doc tokens uncovered")
+      val full = sorted.filter(r => r.getAs[Int]("start_tok") + 32 <= nTok)
+      full.foreach(r => assert(r.getAs[Int]("chunk_len") == 32))
+    }
+    assert(byDoc.nonEmpty)
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
