@@ -527,6 +527,53 @@ object Dedup {
     FROM documents
     WHERE doc_id NOT IN (SELECT id FROM drop_list)"""
 
+  // ---------------------------------------------------------------- d10
+  // Incremental dedup — the production shape: a NEW batch of documents
+  // (doc_id >= 400 stands in for today's crawl) deduped against the
+  // EXISTING corpus (doc_id < 400, standing in for the historical hash
+  // index) and within itself. Per new doc, one verdict:
+  //   dup_of_corpus — its content hash already exists in the corpus
+  //   dup_in_batch  — first seen in this batch, but an earlier batch
+  //                   row (smaller doc_id) has the same hash
+  //   unique        — genuinely new content
+  // Shape at 100 TB: the batch is tiny next to the corpus, so this is
+  // ONE broadcast-able semi-join of batch hashes against the corpus
+  // hash index (which a real deployment stores pre-hashed — here the
+  // hash is computed in the scan stage), plus one within-batch
+  // min-per-hash aggregate. The corpus is never shuffled.
+  val d10: Q = (s, d) => {
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val corpus = hashed.filter(col("doc_id") < 400).select(col("h"))
+      .distinct()
+    val batch = hashed.filter(col("doc_id") >= 400)
+    val inCorpus = batch.join(broadcast(corpus), Seq("h"), "left_semi")
+      .select(col("doc_id"), lit("dup_of_corpus").as("verdict"))
+    val rest = batch.join(broadcast(corpus), Seq("h"), "left_anti")
+    val firstInBatch = rest.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_id"))
+    val restV = rest.join(firstInBatch, Seq("h"))
+      .select(col("doc_id"),
+        when(col("doc_id") === col("first_id"), "unique")
+          .otherwise("dup_in_batch").as("verdict"))
+    inCorpus.unionAll(restV)
+  }
+
+  val d10Sql: String = """
+    WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    corpus AS (SELECT DISTINCT h FROM h WHERE doc_id < 400),
+    batch AS (SELECT * FROM h WHERE doc_id >= 400),
+    first_in_batch AS (
+      SELECT h, MIN(doc_id) AS first_id FROM batch
+      WHERE h NOT IN (SELECT h FROM corpus) GROUP BY h)
+    SELECT doc_id, 'dup_of_corpus' AS verdict FROM batch
+    WHERE h IN (SELECT h FROM corpus)
+    UNION ALL
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id = f.first_id THEN 'unique'
+                ELSE 'dup_in_batch' END AS verdict
+    FROM batch b JOIN first_in_batch f ON b.h = f.h"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -536,7 +583,8 @@ object Dedup {
     "d06_dedup_embedding" -> d06,
     "d07_dedup_keep_best" -> d07,
     "d08_dedup_clusters" -> d08,
-    "d09_dedup_applied" -> d09)
+    "d09_dedup_applied" -> d09,
+    "d10_dedup_incremental" -> d10)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -547,5 +595,6 @@ object Dedup {
     "d06_dedup_embedding" -> d06Sql,
     "d07_dedup_keep_best" -> d07Sql,
     "d08_dedup_clusters" -> d08Sql,
-    "d09_dedup_applied" -> d09Sql)
+    "d09_dedup_applied" -> d09Sql,
+    "d10_dedup_incremental" -> d10Sql)
 }

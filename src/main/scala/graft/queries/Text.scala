@@ -331,6 +331,51 @@ object Text {
              AS chunk_text
     FROM starts WHERE start_tok % $ChunkStride = 0"""
 
+  // ---------------------------------------------------------------- t11
+  // Corpus vocabulary health per source: vocabulary size, hapax count
+  // (tokens seen exactly once — the Heaps-law tail that dominates
+  // tokenizer vocab growth), type/token ratio, and the share of the
+  // source's token mass covered by its top-10 tokens (head
+  // concentration, a Zipf check). Two hash aggregates on (source,
+  // token) then (source) — distinct tokens are the only shuffled keys,
+  // so this scales with vocabulary, not corpus bytes.
+  val t11: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("rk",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("c").desc, col("w").asc)))
+    ranked
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("c")).as("total_tokens"),
+        (count(lit(1)).cast("double") / sum(col("c"))).as("type_token_ratio"),
+        (sum(when(col("rk") <= 10, col("c")).otherwise(0L)).cast("double") /
+          sum(col("c"))).as("top10_mass"))
+  }
+
+  val t11Sql: String = """
+    WITH c AS (
+      SELECT source, w, COUNT(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents) t
+      GROUP BY source, w),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY c DESC, w ASC) AS rk FROM c)
+    SELECT source,
+           COUNT(*) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS DOUBLE) / SUM(c) AS type_token_ratio,
+           CAST(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+             AS top10_mass
+    FROM r GROUP BY source"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -341,7 +386,8 @@ object Text {
     "t07_normalize" -> t07,
     "t08_cooccurrence" -> t08,
     "t09_tfidf_topk" -> t09,
-    "t10_chunking" -> t10)
+    "t10_chunking" -> t10,
+    "t11_vocab_stats" -> t11)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -353,5 +399,6 @@ object Text {
     "t07_normalize" -> t07Sql,
     "t08_cooccurrence" -> t08Sql,
     "t09_tfidf_topk" -> t09Sql,
-    "t10_chunking" -> t10Sql)
+    "t10_chunking" -> t10Sql,
+    "t11_vocab_stats" -> t11Sql)
 }
