@@ -1,0 +1,57 @@
+package graft.load
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout (Z-order clustering) for scan pruning.
+  *
+  * A 100 TB table is pruned by file/row-group min-max statistics, and
+  * those statistics are only selective if the writer clustered the data.
+  * A linear sort clusters ONE dimension perfectly and leaves every other
+  * dimension's per-file range at the full domain — a predicate on the
+  * second column skips nothing. Interleaving the bits of both keys
+  * (Morton / Z-value) and range-partitioning + sorting by that single
+  * derived value tiles the key space into quadrants, so EVERY clustered
+  * dimension gets bounded per-file ranges and predicates on any of them
+  * skip most files.
+  *
+  * The Z-value is a pure bit-arithmetic Catalyst expression
+  * (shift/and/or — whole-stage-codegen'd, no UDF), so the write plan is
+  * scan → narrow map → range shuffle → local sort: exactly one shuffle,
+  * identical to a plain sorted write. `repartitionByRange` samples the
+  * Z-values to build balanced output files at any scale.
+  */
+object Layout {
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative integer columns: bit i of `a` lands at position 2i,
+    * bit i of `b` at 2i+1. 16 bits each covers a 65536×65536 key grid
+    * in one long; widen per column as domains require. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(
+          shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(
+          shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Write `df` as `numFiles` parquet files Z-clustered on `(a, b)`:
+    * range-partition by Z-value (sampled balanced boundaries), sort each
+    * partition by it, write. The helper value never materializes in the
+    * output schema. */
+  def writeZOrdered(df: DataFrame, a: String, b: String, path: String,
+                    numFiles: Int, bits: Int = 16): Unit = {
+    val z = zValue(col(a), col(b), bits)
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Comparison baseline: the same write linearly sorted on `a` only. */
+  def writeLinear(df: DataFrame, a: String, path: String,
+                  numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(a))
+      .sortWithinPartitions(col(a))
+      .write.mode("overwrite").parquet(path)
+}

@@ -1345,6 +1345,155 @@ object Relational {
     WHERE p_size <= 2
     GROUP BY p_brand"""
 
+  // ---------------------------------------------------------------- q51
+  // Heavy hitters via approx_top_k (Apache DataSketches frequent-items
+  // under the hood): the streaming/mergeable answer to "top tokens" at
+  // 100 TB — one pass, fixed memory, partial sketches merge across
+  // executors, vs t05's exact global sort-limit which shuffles every
+  // distinct key. On this corpus the vocabulary (31 tokens) is far
+  // below the sketch's tracked capacity, so the sketch is EXACT and the
+  // oracle compares real counts; at production vocabulary sizes the
+  // same plan degrades gracefully to ±ε·N guaranteed-error estimates.
+  // Output is re-ranked deterministically (count desc, token asc); the
+  // boundary counts are separated at every test sf, so membership is
+  // stable.
+  val q51: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(expr("approx_top_k(token, 5)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("freq"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("freq").desc, col("token").asc)).cast("int"))
+
+  val q51Sql: String = """
+    SELECT token, freq, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT token, COUNT(*) AS freq,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
+          FROM (SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents) t
+          GROUP BY token) r
+    WHERE rk <= 5"""
+
+  // ---------------------------------------------------------------- q52
+  // Distributed distinct counting with MERGEABLE sketches
+  // (DataSketches HLL): per-group sketches estimate each group, and
+  // hll_union_agg folds the already-built group sketches into the
+  // global estimate WITHOUT rescanning the data — the property that
+  // matters at 100 TB, where per-partition sketches merge on one
+  // reducer instead of shuffling every distinct key (and sketches are
+  // storable: tomorrow's batch merges into today's). Contract oracle
+  // (q27 pattern): the output carries exact counts plus a boolean
+  // "estimate within 15% of exact" — lgK=12 gives ~1.6% rsd, so the
+  // 15% bound is a ~9σ margin, not a tuned constant; the raw estimate
+  // itself is kept out of the compared columns.
+  val q52: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val per = li.groupBy(col("l_returnflag")).agg(
+      expr("hll_sketch_agg(l_partkey, 12)").as("sk"),
+      countDistinct(col("l_partkey")).as("n_exact"))
+    def ok(est: org.apache.spark.sql.Column,
+           exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      abs(est.cast("double") - exact) / exact <= 0.15
+    val perOut = per.select(col("l_returnflag").as("grp"), col("n_exact"),
+      ok(expr("hll_sketch_estimate(sk)"), col("n_exact")).as("hll_ok"))
+    val merged = per.agg(expr("hll_union_agg(sk)").as("sku"))
+    val globalExact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
+    val allOut = merged.crossJoin(globalExact)
+      .select(lit("ALL").as("grp"), col("n_exact"),
+        ok(expr("hll_sketch_estimate(sku)"), col("n_exact")).as("hll_ok"))
+    perOut.unionAll(allOut)
+  }
+
+  val q52Sql: String = """
+    SELECT l_returnflag AS grp, COUNT(DISTINCT l_partkey) AS n_exact,
+           TRUE AS hll_ok
+    FROM lineitem GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT l_partkey), TRUE FROM lineitem"""
+
+  // ---------------------------------------------------------------- q53
+  // Ordered funnel analysis: per user, the first `view`, the first
+  // `click` strictly after that view, the first `purchase` strictly
+  // after that click — then the count of users surviving each stage.
+  // Each stage is one conditional min-aggregate over (user_id) joined
+  // back to the previous stage's firsts; user_id is the only shuffle
+  // key throughout, and each stage's input is pre-filtered by event
+  // type in the scan, so a 100 TB event log funnels with three
+  // selective scans + three hash aggregates, never a window sort.
+  val q53: Q = (s, d) => {
+    val ev = Events.read(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("vts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("cts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
+    v.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("stage_order"), lit("view").as("stage"),
+        col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("stage_order"), lit("click").as("stage"),
+          col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("stage_order"), lit("purchase").as("stage"),
+          col("n_users")))
+  }
+
+  val q53Sql: String = """
+    WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS cts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.vts
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS pts
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.cts
+          GROUP BY e.user_id)
+    SELECT 1 AS stage_order, 'view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'click', COUNT(*) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*) FROM p"""
+
+  // ---------------------------------------------------------------- q54
+  // Retention cohorts: users grouped by the calendar week of their
+  // first event; for each (cohort_week, week_offset) the number of
+  // distinct users active that many weeks later. One min-aggregate for
+  // first-touch (user_id keys), one broadcast-able join back onto the
+  // log, one count-distinct on (cohort, offset) — the standard
+  // product-analytics matrix, all hash aggregates.
+  val q54: Q = (s, d) => {
+    val ev = Events.read(s, d)
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .withColumn("cohort_week",
+        date_trunc("week", col("first_ts")).cast("date"))
+    ev.join(firsts, Seq("user_id"))
+      .withColumn("week_offset",
+        floor(datediff(col("ts").cast("date"), col("cohort_week")) / 7)
+          .cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  val q54Sql: String = """
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id)
+    SELECT cohort_week,
+           CAST(floor(date_diff('day', cohort_week, CAST(e.ts AS DATE)) / 7)
+                AS INTEGER) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1395,7 +1544,11 @@ object Relational {
     "q47_schema_drift_union" -> q47,
     "q48_bag_set_ops" -> q48,
     "q49_latest_per_key" -> q49,
-    "q50_bloom_prune" -> q50)
+    "q50_bloom_prune" -> q50,
+    "q51_approx_topk" -> q51,
+    "q52_hll_sketch" -> q52,
+    "q53_funnel" -> q53,
+    "q54_retention" -> q54)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1447,5 +1600,9 @@ object Relational {
     "q47_schema_drift_union" -> q47Sql,
     "q48_bag_set_ops" -> q48Sql,
     "q49_latest_per_key" -> q49Sql,
-    "q50_bloom_prune" -> q50Sql)
+    "q50_bloom_prune" -> q50Sql,
+    "q51_approx_topk" -> q51Sql,
+    "q52_hll_sketch" -> q52Sql,
+    "q53_funnel" -> q53Sql,
+    "q54_retention" -> q54Sql)
 }

@@ -55,6 +55,15 @@ class PlanSpec extends SparkSpec {
       || formatted(df).contains("ShuffledHashJoin"), formatted(df))
   }
 
+  test("t09: per-group top-k plans a WindowGroupLimit (no full sort+filter)") {
+    // rank <= k predicates over a window should trigger Spark's
+    // WindowGroupLimit pushdown: each group keeps a running top-k heap
+    // instead of fully sorting and ranking every row — the difference
+    // between O(n log k) and O(n log n) per group at scale.
+    val p = formatted(SparkEntry.queries("t09_tfidf_topk")(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("d05: band self-join reuses one exchange over the simhash plan") {
     val df = SparkEntry.queries("d05_dedup_simhash")(spark, "/root/testdata/sf0.01")
     val p = formatted(df)
