@@ -132,6 +132,10 @@ object VectorExprs {
   /** Quantized squared L2 norm. */
   def qnormsq(a: Column): Column = qdot(a, a)
 
+  /** One-pass int8 quantization stats struct (see [[Int8QuantStats]]). */
+  def int8Stats(a: Column): Column =
+    GraftSqlBridge.column(Int8QuantStats(GraftSqlBridge.expression(a)))
+
   val FnName = "graft_qdot"
 
   private val info = new ExpressionInfo(
@@ -155,7 +159,8 @@ object VectorExprs {
   *
   * Registered: `graft_qdot(a, b)`, `graft_shingles(text, n)`,
   * `graft_minhash_sig(shingles, numTables)`,
-  * `graft_normalize_text(text)`, `graft_doc_pairs(docs)`.
+  * `graft_normalize_text(text)`, `graft_doc_pairs(docs)`,
+  * `graft_int8_stats(vec)`.
   * Integer parameters must be foldable literals (they parameterize the
   * generated code). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -187,6 +192,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_doc_pairs", classOf[DocPairs], { args =>
       require(args.length == 1, "graft_doc_pairs expects (docs)")
       DocPairs(args.head)
+    })
+    inject("graft_int8_stats", classOf[Int8QuantStats], { args =>
+      require(args.length == 1, "graft_int8_stats expects (vec)")
+      Int8QuantStats(args.head)
     })
   }
 }

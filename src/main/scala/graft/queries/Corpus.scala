@@ -20,7 +20,7 @@ import graft.sources.Tables
 object Corpus {
   type Q = (SparkSession, String) => DataFrame
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[queries] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   // ---------------------------------------------------------------- c01
   val c01: Q = (s, d) => {

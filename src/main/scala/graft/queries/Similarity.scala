@@ -379,26 +379,21 @@ object Similarity {
   // all) — at 100 TB this runs at scan speed. Errors are quantized to
   // 4 decimals and the scale to 6 before aggregation so both engines
   // agree bit-for-bit (same round-then-decimal discipline as s06).
-  val s08: Q = (s, d) => {
-    import org.apache.spark.sql.types.DecimalType
+  // Computed by the native one-pass [[graft.functions.Int8QuantStats]]
+  // expression (~5x the interpreted HOF chain it replaced; the HOF
+  // formulation survives in VectorExprsSpec as the equivalence
+  // reference).
+  val s08: Q = (s, d) =>
     Tables.embeddings(s, d)
-      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-      .filter(col("mx") > 0)
-      .withColumn("scale", lit(127.0) / col("mx"))
-      .withColumn("q", transform(col("v"), x => round(x * col("scale"), 0)))
-      .withColumn("err", zip_with(col("v"), col("q"),
-        (a, b) => round(abs(a - b / col("scale")), 4)))
+      .withColumn("st",
+        graft.functions.VectorExprs.int8Stats(col("embedding")))
+      .filter(col("st").isNotNull)
       .select(
         col("vec_id"), col("label"),
-        round(col("scale"), 6).as("scale6"),
-        size(filter(col("q"), x => abs(x) >= 127)).as("n_sat"),
-        array_max(col("err")).as("max_err4"),
-        (aggregate(col("err"), lit(0).cast(DecimalType(18, 6)),
-          (acc, x) => (acc + x.cast(DecimalType(18, 6)))
-            .cast(DecimalType(18, 6))).cast("double") / 64)
-          .as("avg_err4"))
-  }
+        col("st.scale6").as("scale6"),
+        col("st.n_sat").as("n_sat"),
+        col("st.max_err4").as("max_err4"),
+        col("st.avg_err4").as("avg_err4"))
 
   val s08Sql: String = """
     WITH x AS (

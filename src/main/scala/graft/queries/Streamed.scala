@@ -333,6 +333,78 @@ object Streamed {
   val st07Sql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  // --------------------------------------------------------------- st08
+  // Streaming corpus curation: c01's normalize → quality/language gates
+  // → exact dedup, running continuously over a document stream. The
+  // gates are the same narrow codegen'd pass (zero state); dedup is
+  // dropDuplicates keyed on the 32-byte canonical hash — one state row
+  // per distinct surviving document. Output is (norm_hash, n_tokens):
+  // both are pure functions of the canonical text, so the emitted set
+  // is deterministic no matter which copy arrives first (the batch
+  // min-doc_id pick is arrival-order-dependent in a stream and stays
+  // out of the columns). Unbounded corpora bound the state with
+  // dropDuplicatesWithinWatermark; the fixture stream is finite.
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def stageDocsDir(d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-stream-docs-")
+    dir.toFile.deleteOnExit()
+    Files.createSymbolicLink(dir.resolve("documents.parquet"),
+      Paths.get(s"$d/documents.parquet"))
+    dir.toString
+  }
+
+  val st08: Q = (s, d) => {
+    val ss = stateSession(s)
+    val stopArr = array(Corpus.stopwords.map(lit): _*)
+    val gated = ss.readStream
+      .schema(docSchema)
+      .parquet(stageDocsDir(d))
+      .withColumn("norm", graft.functions.TextExprs.normalizeText(col("text")))
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= 20 &&
+        size(array_distinct(col("toks"))).cast("double") /
+          col("n_tokens") >= 0.3 &&
+        size(filter(col("toks"), t => array_contains(stopArr, t)))
+          .cast("double") / col("n_tokens") >= 0.08)
+      .select(sha2(col("norm"), 256).as("norm_hash"), col("n_tokens"))
+      .dropDuplicates("norm_hash")
+    val name = "st08_mem"
+    val q = gated.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
+  val st08Sql: String = {
+    val stopList = Corpus.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    raw"""
+    WITH canon AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(nfc_normalize(text)),
+                                 '\s+', ' ', 'g')) AS norm
+      FROM documents),
+    stats AS (SELECT norm, string_split(norm, ' ') AS toks FROM canon)
+    SELECT DISTINCT sha256(norm) AS norm_hash,
+           CAST(len(toks) AS INTEGER) AS n_tokens
+    FROM stats
+    WHERE len(toks) >= 20
+      AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+      AND CAST(len(list_filter(toks, t -> list_contains($stopList, t)))
+               AS DOUBLE) / len(toks) >= 0.08"""
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -340,7 +412,8 @@ object Streamed {
     "st04_stream_sliding" -> st04,
     "st05_stream_static_join" -> st05,
     "st06_stream_stream_join" -> st06,
-    "st07_stream_dedup" -> st07)
+    "st07_stream_dedup" -> st07,
+    "st08_stream_curate" -> st08)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -348,5 +421,6 @@ object Streamed {
     "st04_stream_sliding" -> st04Sql,
     "st05_stream_static_join" -> st05Sql,
     "st06_stream_stream_join" -> st06Sql,
-    "st07_stream_dedup" -> st07Sql)
+    "st07_stream_dedup" -> st07Sql,
+    "st08_stream_curate" -> st08Sql)
 }

@@ -29,6 +29,12 @@ class ExtensionsSpec extends SparkSpec {
       assert(s2.sql(
         "SELECT size(graft_doc_pairs(array(1L, 2L, 3L))) AS n")
         .head().getInt(0) == 3)
+      // 127/1 = 127 exactly: both elements quantize saturated, no error
+      val i8 = s2.sql(
+        "SELECT graft_int8_stats(array(1.0f, -1.0f)) AS st")
+        .selectExpr("st.scale6", "st.n_sat", "st.max_err4").head()
+      assert(i8.getDouble(0) == 127.0 && i8.getInt(1) == 2 &&
+        i8.getDouble(2) == 0.0)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -72,6 +72,39 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("int8 stats expression equals the HOF formulation on real data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hof = e
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("mx") > 0)
+      .withColumn("scale", lit(127.0) / col("mx"))
+      .withColumn("q", transform(col("v"), x => round(x * col("scale"), 0)))
+      .withColumn("err", zip_with(col("v"), col("q"),
+        (a, b) => round(abs(a - b / col("scale")), 4)))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale6"),
+        size(filter(col("q"), x => abs(x) >= 127)).as("n_sat"),
+        array_max(col("err")).as("max_err4"),
+        (aggregate(col("err"), lit(0).cast(DecimalType(18, 6)),
+          (acc, x) => (acc + x.cast(DecimalType(18, 6)))
+            .cast(DecimalType(18, 6))).cast("double") / 64).as("avg_err4"))
+    val native = e
+      .withColumn("st", VectorExprs.int8Stats(col("embedding")))
+      .filter(col("st").isNotNull)
+      .select(col("vec_id"), col("st.scale6").as("scale6"),
+        col("st.n_sat").as("n_sat"), col("st.max_err4").as("max_err4"),
+        col("st.avg_err4").as("avg_err4"))
+    val h = hof.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val n = native.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(h.keySet == n.keySet)
+    h.foreach { case (k, v) => assert(v == n(k), s"vec $k: hof=$v native=${n(k)}") }
+    assert(h.nonEmpty)
+  }
+
   test("graft_qdot registers for SQL use") {
     VectorExprs.register(spark)
     val out = spark.sql(
