@@ -142,17 +142,63 @@ object Multimodal {
       CROSS JOIN range(0, 9) gy(py)
     WHERE px <= (w - 1) // 64 AND py <= (h - 1) // 64"""
 
+  // ---------------------------------------------------------------- m06
+  // Aspect-ratio bucketing: snap each decoded medium to the nearest
+  // standard training aspect bucket (9:16, 3:4, 1:1, 4:3, 16:9) — how
+  // image/video pipelines group samples so a training batch shares one
+  // tensor shape. Bucket choice = threshold comparison at the midpoints
+  // between adjacent bucket ratios (identical `<` comparisons on the
+  // same doubles in both engines). One narrow map + one hash aggregate
+  // on five keys.
+  val m06: Q = (s, d) => {
+    val r = col("width").cast("double") / col("height")
+    val bucket = when(r < 0.65625, "9:16")
+      .when(r < 0.875, "3:4")
+      .when(r < 7.0 / 6, "1:1")
+      .when(r < 14.0 / 9, "4:3")
+      .otherwise("16:9")
+    m02(s, d)
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("width")).cast("double") / count(lit(1))).as("avg_w"),
+        (sum(col("height")).cast("double") / count(lit(1))).as("avg_h"))
+  }
+
+  val m06Sql: String = """
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(64 + octet_length(CAST(text AS BLOB)) % 577 AS INTEGER)
+               AS width,
+             CAST(64 + (octet_length(CAST(text AS BLOB)) * 31) % 457 AS INTEGER)
+               AS height
+      FROM documents),
+    b AS (
+      SELECT width, height,
+             CASE WHEN CAST(width AS DOUBLE) / height < 0.65625 THEN '9:16'
+                  WHEN CAST(width AS DOUBLE) / height < 0.875 THEN '3:4'
+                  WHEN CAST(width AS DOUBLE) / height < CAST(7 AS DOUBLE)/6 THEN '1:1'
+                  WHEN CAST(width AS DOUBLE) / height < CAST(14 AS DOUBLE)/9 THEN '4:3'
+                  ELSE '16:9' END AS bucket
+      FROM meta)
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_w,
+           CAST(SUM(height) AS DOUBLE) / COUNT(*) AS avg_h
+    FROM b GROUP BY bucket"""
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
     "m03_frame_sample" -> m03,
     "m04_resize" -> m04,
-    "m05_patch_grid" -> m05)
+    "m05_patch_grid" -> m05,
+    "m06_aspect_buckets" -> m06)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
     "m02_decode_stub" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "m04_resize" -> m04Sql,
-    "m05_patch_grid" -> m05Sql)
+    "m05_patch_grid" -> m05Sql,
+    "m06_aspect_buckets" -> m06Sql)
 }

@@ -1494,6 +1494,32 @@ object Relational {
     FROM events e JOIN f ON e.user_id = f.user_id
     GROUP BY 1, 2"""
 
+  // ---------------------------------------------------------------- q55
+  // Rollup with grouping metadata: grouping()/grouping_id() distinguish
+  // "NULL because this level aggregated the column away" from "NULL in
+  // the data" — the piece that makes rollup/cube output machine-readable
+  // (q08/q09 emit the levels; this emits their provenance). Same single
+  // Expand + hash-aggregate plan as q08.
+  val q55: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("g_flag"), col("g_status"), col("gid"), col("n"), col("sum_qty"))
+
+  val q55Sql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+           COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1548,7 +1574,8 @@ object Relational {
     "q51_approx_topk" -> q51,
     "q52_hll_sketch" -> q52,
     "q53_funnel" -> q53,
-    "q54_retention" -> q54)
+    "q54_retention" -> q54,
+    "q55_grouping_id" -> q55)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1604,5 +1631,6 @@ object Relational {
     "q51_approx_topk" -> q51Sql,
     "q52_hll_sketch" -> q52Sql,
     "q53_funnel" -> q53Sql,
-    "q54_retention" -> q54Sql)
+    "q54_retention" -> q54Sql,
+    "q55_grouping_id" -> q55Sql)
 }
