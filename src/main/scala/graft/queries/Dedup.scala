@@ -574,6 +574,51 @@ object Dedup {
                 ELSE 'dup_in_batch' END AS verdict
     FROM batch b JOIN first_in_batch f ON b.h = f.h"""
 
+  // ---------------------------------------------------------------- d11
+  // Incremental dedup against a corpus too large to broadcast: ship a
+  // BLOOM FILTER of the corpus hash index instead of the index itself
+  // (Spark's own BloomFilterAggregate/BloomFilterMightContain pair, the
+  // expressions behind InjectRuntimeFilter, built explicitly via
+  // GraftSqlBridge). The batch probes the filter (a scalar subquery —
+  // one broadcast binary, ~8 bits per corpus document instead of 32+
+  // bytes), and only the bloom POSITIVES — |true dups| + ~1% false
+  // positives — reach the exact semi-join verify. At 100 TB the corpus
+  // hash index never moves: the bloom is the only thing shipped, and
+  // the verify join's probe side is tiny by construction. Output is
+  // exactly the exact-verify result, so the oracle is plain SQL and the
+  // bloom is pure pruning (false positives can never surface).
+  val d11: Q = (s, d) => {
+    import org.apache.spark.sql.GraftSqlBridge
+    // Key = t04's order-insensitive vocabulary fingerprint (the fixture
+    // corpus has no byte-exact duplicates at oracle scale, but plenty of
+    // same-token-set near-exacts — a real dedup signal either way).
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        sha2(concat_ws(" ",
+          array_sort(array_distinct(split(col("text"), " ")))), 256).as("h"))
+    val corpusHashes = hashed.filter(col("doc_id") < 400).select(col("h"))
+    val bloom = corpusHashes
+      .agg(GraftSqlBridge.bloomFilterAgg(xxhash64(col("h")), 100000L)
+        .as("bf"))
+      .scalar()
+    val batch = hashed.filter(col("doc_id") >= 400)
+    val candidates = batch
+      .filter(GraftSqlBridge.mightContain(bloom, xxhash64(col("h"))))
+    candidates
+      .join(corpusHashes.distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"), lit("dup_of_corpus").as("verdict"))
+  }
+
+  val d11Sql: String = """
+    WITH h AS (
+      SELECT doc_id,
+             sha256(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+      FROM documents)
+    SELECT doc_id, 'dup_of_corpus' AS verdict
+    FROM h WHERE doc_id >= 400
+      AND h IN (SELECT h FROM h WHERE doc_id < 400)"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -584,7 +629,8 @@ object Dedup {
     "d07_dedup_keep_best" -> d07,
     "d08_dedup_clusters" -> d08,
     "d09_dedup_applied" -> d09,
-    "d10_dedup_incremental" -> d10)
+    "d10_dedup_incremental" -> d10,
+    "d11_dedup_bloom" -> d11)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -596,5 +642,6 @@ object Dedup {
     "d07_dedup_keep_best" -> d07Sql,
     "d08_dedup_clusters" -> d08Sql,
     "d09_dedup_applied" -> d09Sql,
-    "d10_dedup_incremental" -> d10Sql)
+    "d10_dedup_incremental" -> d10Sql,
+    "d11_dedup_bloom" -> d11Sql)
 }

@@ -56,6 +56,12 @@ object Streamed {
   private def stateSession(s: SparkSession, partitions: Int = 8): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // Optional state-store provider override (e.g. RocksDB for state
+    // that exceeds executor heap — the right provider at 100 TB key
+    // cardinalities; the default in-memory provider wins while state
+    // fits, measured in SCALE.md).
+    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach(cls =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", cls))
     ss
   }
 

@@ -64,6 +64,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("d11: bloom probe guards the batch side before the verify join") {
+    val df = SparkEntry.queries("d11_dedup_bloom")(spark, sf0001)
+    val p = extended(df)
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("bloom_filter_agg"), p)
+  }
+
   test("d05: band self-join reuses one exchange over the simhash plan") {
     val df = SparkEntry.queries("d05_dedup_simhash")(spark, "/root/testdata/sf0.01")
     val p = formatted(df)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.VectorExprs
+import graft.functions.{Int8Quant, VectorExprs}
 
 /** The native QDotFloat expression must be bit-identical to the
   * higher-order-function formulation it replaced (zip_with + round +
@@ -103,6 +103,43 @@ class VectorExprsSpec extends SparkSpec {
     assert(h.keySet == n.keySet)
     h.foreach { case (k, v) => assert(v == n(k), s"vec $k: hof=$v native=${n(k)}") }
     assert(h.nonEmpty)
+  }
+
+  test("int8 stats match the BigDecimal reference on random vectors (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def r(x: Double, s: Int): Double =
+      JBD.valueOf(x).setScale(s, RoundingMode.HALF_UP).doubleValue()
+    def ref(v: Array[Float]): Option[(Double, Int, Double, Double)] = {
+      val d = v.map(_.toDouble)
+      val mx = d.map(math.abs).foldLeft(0.0)(math.max)
+      if (!(mx > 0.0)) None
+      else {
+        val scale = 127.0 / mx
+        val q = d.map(x => r(x * scale, 0))
+        val err = d.zip(q).map { case (x, qq) =>
+          r(math.abs(x - qq / scale), 4) }
+        val sum6 = err.foldLeft(JBD.ZERO)((acc, e) =>
+          acc.add(JBD.valueOf(e).setScale(6, RoundingMode.UNNECESSARY)))
+        Some((r(scale, 6), q.count(math.abs(_) >= 127.0),
+          err.foldLeft(0.0)(math.max), sum6.doubleValue() / v.length))
+      }
+    }
+    val genFloat = Gen.frequency(
+      8 -> Gen.chooseNum(-100f, 100f),
+      2 -> Gen.oneOf(0f, 1f, -1f, 0.5f, -0.5f, 63.5f, 0.25f, 1e-6f, 1e6f))
+    val genVec = Gen.choose(1, 64).flatMap(n =>
+      Gen.listOfN(n, genFloat).map(_.toArray))
+    val prop = Prop.forAll(genVec) { v =>
+      val got = Option(Int8Quant.compute(new GenericArrayData(v)))
+        .map(row => (row.getDouble(0), row.getInt(1),
+          row.getDouble(2), row.getDouble(3)))
+      got == ref(v)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("graft_qdot registers for SQL use") {
