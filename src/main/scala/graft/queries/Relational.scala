@@ -1520,6 +1520,58 @@ object Relational {
            COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
+  // ---------------------------------------------------------------- q56
+  // Six-table star-chain join (TPC-H Q5 shape): region → nation →
+  // customer → orders → lineitem → supplier, with the classic local-
+  // supplier predicate (customer and supplier in the same nation),
+  // filtered to one region and a one-year order window, revenue by
+  // nation. The optimizer showcase: every dimension is broadcast (the
+  // only shuffles are the fact-side aggregation), the region/date
+  // filters push into the scans, and the nation=nation predicate rides
+  // the join instead of a post-filter.
+  val q56: Q = (s, d) => {
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, d)
+    val cust = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val orders = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1997-01-01")
+    val li = Tables.lineitem(s, d)
+    // orders and lineitem are both fact tables — their join shuffles on
+    // the order key (co-bucketing them removes even that; Bucketing.scala);
+    // customer joins shuffle on custkey; only the true dimensions broadcast.
+    li
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q56Sql: String = s"""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1575,7 +1627,8 @@ object Relational {
     "q52_hll_sketch" -> q52,
     "q53_funnel" -> q53,
     "q54_retention" -> q54,
-    "q55_grouping_id" -> q55)
+    "q55_grouping_id" -> q55,
+    "q56_local_supplier" -> q56)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1632,5 +1685,6 @@ object Relational {
     "q52_hll_sketch" -> q52Sql,
     "q53_funnel" -> q53Sql,
     "q54_retention" -> q54Sql,
-    "q55_grouping_id" -> q55Sql)
+    "q55_grouping_id" -> q55Sql,
+    "q56_local_supplier" -> q56Sql)
 }

@@ -109,6 +109,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p) == 1, p)
   }
 
+  test("AQE coalesces shuffle partitions at runtime (final plan)") {
+    // Session configures 4 shuffle partitions; at sf0.001 the post-agg
+    // data is far below the advisory partition size, so the ADAPTIVE
+    // final plan must read the shuffle through a coalesced
+    // AQEShuffleRead — the mechanism that right-sizes reducer counts at
+    // every scale without manual tuning.
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead"), finalPlan)
+    assert(finalPlan.contains("coalesced"), finalPlan)
+  }
+
   test("no batch query plans a CartesianProduct") {
     // Cross joins in s01/s03 broadcast (BroadcastNestedLoopJoin); a
     // CartesianProduct anywhere means a shuffle-everything-everywhere
