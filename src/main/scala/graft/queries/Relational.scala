@@ -1388,17 +1388,24 @@ object Relational {
   // 15% bound is a ~9σ margin, not a tuned constant; the raw estimate
   // itself is kept out of the compared columns.
   val q52: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-    val per = li.groupBy(col("l_returnflag")).agg(
+    // One distinct pre-aggregation feeds everything: HLL registers are
+    // duplicate-insensitive, so sketches over the distinct (flag, key)
+    // pairs are bit-identical to sketches over the raw fact rows — and
+    // the exact counts become cheap counts over the same deduped set
+    // instead of two independent count-distinct Expands over the scan.
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+    val per = pairs.groupBy(col("l_returnflag")).agg(
       expr("hll_sketch_agg(l_partkey, 12)").as("sk"),
-      countDistinct(col("l_partkey")).as("n_exact"))
+      count(lit(1)).as("n_exact"))
     def ok(est: org.apache.spark.sql.Column,
            exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       abs(est.cast("double") - exact) / exact <= 0.15
     val perOut = per.select(col("l_returnflag").as("grp"), col("n_exact"),
       ok(expr("hll_sketch_estimate(sk)"), col("n_exact")).as("hll_ok"))
     val merged = per.agg(expr("hll_union_agg(sk)").as("sku"))
-    val globalExact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
+    val globalExact = pairs.select(col("l_partkey")).distinct()
+      .agg(count(lit(1)).as("n_exact"))
     val allOut = merged.crossJoin(globalExact)
       .select(lit("ALL").as("grp"), col("n_exact"),
         ok(expr("hll_sketch_estimate(sku)"), col("n_exact")).as("hll_ok"))
