@@ -1,13 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Locale
 
 /** Benchmark main: times every registered query at the given sf and
   * prints one JSON line. Each query is executed through a `noop`-format
   * write, which consumes every output row and column — unlike count(),
   * which would let Catalyst prune projections and measure projection
   * queries as bare row-counting scans.
+  *
+  * Output contract (the driver snapshots only the LAST 2000 chars of
+  * stdout and parses a JSON line out of it, with sbt's `[success]`
+  * footer trailing):
+  *   - the FINAL line printed is a compact JSON summary — query keys
+  *     shortened to their registry prefix (`q01`, `d03`, `st06`, ...)
+  *     and seconds rounded to 2 decimals — sized to fit the tail
+  *     window in full (~1.5k chars for ~110 queries);
+  *   - the full-fidelity result (full query names, nanosecond-derived
+  *     seconds, per-query error messages) is written to the file named
+  *     by $BENCH_OUT (default `bench_full.json` in the cwd);
+  *   - a query that throws is recorded in an `"errors"` map instead of
+  *     being silently timed as a success, and the process exits
+  *     non-zero so a perf run cannot mistake a crash for a speedup.
   */
 object Bench {
+  private def jstr(s: String): String =
+    "\"" + s.replaceAll("[\\\\\"\n\r\t]", " ") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,6 +47,10 @@ object Bench {
       try { fn(spark, warmDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
     }
+    // A failed query is an error, not a timing: record the message and
+    // keep rc non-zero. (Correctness is the oracle gate's job; this
+    // guard only stops a crash from masquerading as a fast number.)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Two timed passes, min per query: single-shot numbers on a shared
     // box swing up to 3× from scheduler/GC noise; the min of two runs is
     // the standard low-variance estimator of the plan's actual cost.
@@ -38,16 +62,46 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
+        } catch {
+          case t: Throwable =>
+            errors(name) =
+              Option(t.getMessage).getOrElse(t.getClass.getName).take(160)
+        }
         name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = pass()
     val p2 = pass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def render(fmt: String => String, dec: Int): String = {
+      val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+        jstr(fmt(k)) + ":" + String.format(Locale.ROOT, s"%.${dec}f", Double.box(v))
+      }.mkString("{", ",", "}")
+      val errs = errors.map { case (k, v) => jstr(fmt(k)) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      val tot = String.format(Locale.ROOT, s"%.${dec}f", Double.box(total))
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"errors":$errs}"""
+    }
+
+    // Registry prefixes (the token before the first underscore: q01,
+    // d03, st06, ...) are unique by naming convention; fall back to the
+    // full name if a future entry ever collides.
+    val prefixed = results.keys.groupBy(_.split("_")(0))
+    def short(name: String): String = {
+      val p = name.split("_")(0)
+      if (prefixed(p).size == 1) p else name
+    }
+
+    val fullJson = render(identity, 3)
+    val benchOut = sys.env.getOrElse("BENCH_OUT", "bench_full.json")
+    try Files.write(Paths.get(benchOut), fullJson.getBytes(StandardCharsets.UTF_8))
+    catch { case t: Throwable => System.err.println(s"bench: cannot write $benchOut: $t") }
+
     spark.stop()
+    // Printed last, after spark.stop(), so no executor/shutdown logging
+    // can trail it — only sbt's own short footer follows in the tail.
+    println(render(short, 2))
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -38,8 +38,8 @@ object StreamingMerge {
     }
   }
 
-  private def commit(spark: SparkSession, dimDir: String, df: DataFrame,
-                     version: String): Unit = {
+  private[load] def commit(spark: SparkSession, dimDir: String, df: DataFrame,
+                           version: String): Unit = {
     df.write.mode("overwrite").parquet(s"$dimDir/$version")
     val fs = new org.apache.hadoop.fs.Path(dimDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

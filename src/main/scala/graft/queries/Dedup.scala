@@ -619,6 +619,42 @@ object Dedup {
     FROM h WHERE doc_id >= 400
       AND h IN (SELECT h FROM h WHERE doc_id < 400)"""
 
+  // ---------------------------------------------------------------- d12
+  // Takedown applied end-to-end: commit the corpus as a versioned
+  // warehouse snapshot, serve a deterministic opt-out key list through
+  // the real Takedown operator (load/Takedown.scala: size-guarded
+  // broadcast anti-join → full snapshot rewrite → atomic manifest
+  // repoint), re-serve the same list (idempotence: the second apply
+  // must remove 0 rows and commit no new version), then return the
+  // committed survivors read back through the manifest. The oracle
+  // replays corpus-minus-list in SQL, so the whole delete path — not
+  // just the anti-join — sits under the correctness gate.
+  val d12: Q = (s, d) => {
+    val dim = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-takedown-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val dimPath = new org.apache.hadoop.fs.Path(dim)
+    val fs = dimPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // Wipe the previous invocation's warehouse (bench runs each query
+    // three times): the query demonstrates the full lifecycle each run.
+    fs.delete(dimPath, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    graft.load.Takedown.init(s, dim, docs)
+    val optOut = Tables.documents(s, d)
+      .filter(col("doc_id") % 37 === 0).select(col("doc_id"))
+    graft.load.Takedown(s, dim, optOut, Seq("doc_id"), "00000001")
+    val again = graft.load.Takedown(s, dim, optOut, Seq("doc_id"), "00000002")
+    require(again == 0L,
+      s"takedown not idempotent: second apply removed $again rows")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dim, "v=00000002")),
+      "idempotent re-apply must not commit a new version")
+    graft.load.StreamingMerge.snapshot(s, dim).get
+  }
+
+  val d12Sql: String = """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents WHERE doc_id % 37 <> 0"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -630,7 +666,8 @@ object Dedup {
     "d08_dedup_clusters" -> d08,
     "d09_dedup_applied" -> d09,
     "d10_dedup_incremental" -> d10,
-    "d11_dedup_bloom" -> d11)
+    "d11_dedup_bloom" -> d11,
+    "d12_takedown" -> d12)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -643,5 +680,6 @@ object Dedup {
     "d08_dedup_clusters" -> d08Sql,
     "d09_dedup_applied" -> d09Sql,
     "d10_dedup_incremental" -> d10Sql,
-    "d11_dedup_bloom" -> d11Sql)
+    "d11_dedup_bloom" -> d11Sql,
+    "d12_takedown" -> d12Sql)
 }

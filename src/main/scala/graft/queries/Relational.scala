@@ -69,13 +69,15 @@ object Relational {
       AND l_quantity < 24"""
 
   // ---------------------------------------------------------------- q03
-  // Fact ⋈ dimension with an explicit broadcast of the small side:
-  // no shuffle of `orders` at any scale as long as `customer` fits the
-  // broadcast threshold per executor; grouping shuffle is on 5 keys.
+  // Fact ⋈ dimension. `customer` grows with scale factor, so the
+  // broadcast is size-guarded (Hints.broadcastIfSmall): hinted at
+  // test/bench scale — no shuffle of `orders` — and left to the
+  // planner (sort-merge + AQE) once the estimate exceeds the
+  // threshold; grouping shuffle is on 5 keys either way.
   val q03: Q = (s, d) => {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(Hints.broadcastIfSmall(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(dsum(col("o_totalprice")).as("revenue"),
            count(lit(1)).as("n_orders"))
@@ -89,7 +91,10 @@ object Relational {
 
   // ---------------------------------------------------------------- q04
   // TPC-H Q5-shaped star join: one big fact (lineitem) against a chain
-  // of dimensions, all broadcast — the only shuffle is the final group.
+  // of dimensions. nation/region are bounded → unconditional broadcast;
+  // customer scales → size-guarded hint (falls back to shuffle join
+  // above the threshold, where the lineitem⋈orders shuffle dominates
+  // anyway).
   val q04: Q = (s, d) => {
     val l = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
@@ -97,7 +102,7 @@ object Relational {
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(Hints.broadcastIfSmall(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .filter(r("r_name") === "ASIA" &&
@@ -205,7 +210,8 @@ object Relational {
   val q10: Q = (s, d) => {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
-    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    val joined =
+      o.join(Hints.broadcastIfSmall(c), o("o_custkey") === c("c_custkey"))
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     joined
@@ -620,7 +626,8 @@ object Relational {
   val q28: Q = (s, d) => {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
-    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    val joined =
+      o.join(Hints.broadcastIfSmall(c), o("o_custkey") === c("c_custkey"))
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     joined
@@ -1547,11 +1554,12 @@ object Relational {
     val li = Tables.lineitem(s, d)
     // orders and lineitem are both fact tables — their join shuffles on
     // the order key (co-bucketing them removes even that; Bucketing.scala);
-    // customer joins shuffle on custkey; only the true dimensions broadcast.
+    // customer joins shuffle on custkey; bounded dims (nation/region)
+    // broadcast unconditionally, supplier only under the size guard.
     li
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+      .join(Hints.broadcastIfSmall(sup), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

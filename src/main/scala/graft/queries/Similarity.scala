@@ -414,6 +414,123 @@ object Similarity {
            CAST(SUM(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / 64 AS avg_err4
     FROM qe GROUP BY vec_id, label, scale"""
 
+  // ---------------------------------------------------------------- s09
+  // IVF with a DATA-DERIVED codebook — closes the s05 ↔ s06 loop: the
+  // codebook is the per-label mean embedding (s06's exact-decimal
+  // centroid computation, reassembled into vectors), so the inverted
+  // lists are trained structure rather than s05's first-C stand-in.
+  // Centroids are exact decimal aggregates (round-6 quantized elements,
+  // decimal sum, double division), so the oracle replays the training
+  // step itself — the full train→assign→probe→verify pipeline sits
+  // under the correctness gate. Centroid-side dot products run through
+  // a decimal-quantized HOF (centroids are doubles, not floats, so the
+  // codegen'd QDotFloat doesn't apply); the codebook is |labels| rows —
+  // bounded by the label domain — so the ×C fan-out is a broadcast and
+  // the only corpus shuffles are the assignment aggregate and final
+  // top-k, same as s05.
+  private val IvfProbe9 = 3 // of |labels| (=10 in the fixtures) lists
+
+  /** Decimal-quantized dot product over two numeric arrays of any
+    * element type (cast-to-double per element): the HOF formulation
+    * QDotFloat replaced, still the right tool when one side is the
+    * double-typed trained centroid. */
+  private def qdotAny(a: String, b: String): Column = expr(
+    s"""cast(aggregate(zip_with($a, $b, (x, y) ->
+       |    cast(round(cast(x as double) * cast(y as double), 6)
+       |         as decimal(20,6))),
+       |  cast(0 as decimal(20,6)),
+       |  (acc, v) -> cast(acc + v as decimal(20,6))) as double)""".stripMargin)
+
+  val s09: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    // Training: per-label mean, dimension-wise (exactly s06), then
+    // reassembled into an ordered vector per label.
+    val centLong = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("label"), (col("p") + 1).as("dim"),
+        round(col("v").cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("q")).cast("double") / count(lit(1))).as("cv"))
+    val cents = centLong
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("a"))
+      .select(col("label").as("cid"), expr("transform(a, x -> x.cv)").as("ce"))
+      .withColumn("cnsq", qdotAny("ce", "ce"))
+    def sims(vecs: DataFrame): DataFrame =
+      vecs.withColumn("vnsq", qnormsq("embedding"))
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", qdotAny("embedding", "ce") /
+          (sqrt(col("vnsq")) * sqrt(col("cnsq"))))
+    // Corpus assignment (nearest trained centroid, k=1): one hash
+    // aggregate, deterministic tie-break on cid — s05's shape.
+    val corpus = sims(e.filter(col("vec_id") =!= 0).repartition(col("vec_id")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cid"), col("embedding"), col("vnsq")),
+        struct(col("csim"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+              col("best.embedding").as("embedding"), col("best.vnsq").as("vnsq"))
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = sims(e.filter(col("vec_id") === 0))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= IvfProbe9)
+      .select(col("cid"), col("embedding").as("qe"), col("vnsq").as("qnsq"))
+    corpus.join(broadcast(probes), Seq("cid"))
+      .withColumn("cosine", qdot("embedding", "qe") /
+        (sqrt(col("vnsq")) * sqrt(col("qnsq"))))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), col("cid"), col("cosine"))
+  }
+
+  val s09Sql: String = s"""
+    WITH centl AS (
+      SELECT label AS cid, CAST(i AS INTEGER) AS dim,
+             CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cv
+      FROM embeddings CROSS JOIN range(1, 65) r(i)
+      GROUP BY label, i),
+    cn AS (SELECT cid,
+                  CAST(SUM(CAST(round(cv * cv, 6) AS DECIMAL(20,6)))
+                       AS DOUBLE) AS cnsq
+           FROM centl GROUP BY cid),
+    en AS (SELECT vec_id, ${sqlDot("embedding", "embedding")} AS nsq
+           FROM embeddings CROSS JOIN range(1, 65) r(i) GROUP BY vec_id),
+    dots AS (SELECT e.vec_id, c.cid,
+                    CAST(SUM(CAST(round(
+                      CAST(e.embedding[c.dim] AS DOUBLE) * c.cv, 6)
+                      AS DECIMAL(20,6))) AS DOUBLE) AS dot
+             FROM embeddings e JOIN centl c ON TRUE
+             GROUP BY e.vec_id, c.cid),
+    sims AS (SELECT d2.vec_id, d2.cid,
+                    d2.dot / (sqrt(en.nsq) * sqrt(cn.cnsq)) AS csim
+             FROM dots d2 JOIN en ON d2.vec_id = en.vec_id
+                          JOIN cn ON d2.cid = cn.cid),
+    ranked AS (SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY csim DESC, cid ASC) AS crank
+               FROM sims),
+    corpus AS (SELECT vec_id, cid FROM ranked
+               WHERE crank = 1 AND vec_id <> 0),
+    probes AS (SELECT cid FROM ranked
+               WHERE crank <= $IvfProbe9 AND vec_id = 0),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qn AS (SELECT ${sqlDot("qe", "qe")} AS qnsq
+           FROM q CROSS JOIN range(1, 65) r(i)),
+    hits AS (SELECT c.vec_id, c.cid,
+                    ${sqlDot("e.embedding", "q.qe")} AS dot,
+                    ${sqlDot("e.embedding", "e.embedding")} AS nsq
+             FROM corpus c
+               JOIN probes p ON c.cid = p.cid
+               JOIN embeddings e ON e.vec_id = c.vec_id
+               CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+             GROUP BY c.vec_id, c.cid)
+    SELECT vec_id, cid, dot / (sqrt(nsq) * sqrt(qnsq)) AS cosine
+    FROM hits CROSS JOIN qn
+    ORDER BY cosine DESC, vec_id ASC LIMIT 5"""
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> s01,
     "s02_ann_bitlsh" -> s02,
@@ -422,7 +539,8 @@ object Similarity {
     "s05_ivf_ann" -> s05,
     "s06_label_centroids" -> s06,
     "s07_ann_set_join" -> s07,
-    "s08_embedding_quant" -> s08)
+    "s08_embedding_quant" -> s08,
+    "s09_ivf_trained" -> s09)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -432,5 +550,6 @@ object Similarity {
     "s05_ivf_ann" -> s05Sql,
     "s06_label_centroids" -> s06Sql,
     "s07_ann_set_join" -> s07Sql,
-    "s08_embedding_quant" -> s08Sql)
+    "s08_embedding_quant" -> s08Sql,
+    "s09_ivf_trained" -> s09Sql)
 }

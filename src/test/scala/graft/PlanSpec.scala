@@ -34,6 +34,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("broadcastIfSmall: hints under the cap, withholds above it") {
+    import graft.queries.Hints
+    import graft.sources.Tables
+    // Clone the session with the planner's own broadcast election off,
+    // so whatever strategy appears is attributable to the hint alone.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val o = Tables.orders(s2, sf0001)
+    val c = Tables.customer(s2, sf0001)
+    val cond = o("o_custkey") === c("c_custkey")
+    // Generous explicit cap → estimate qualifies → hint → broadcast.
+    val hinted = formatted(o.join(Hints.broadcastIfSmall(c, 1L << 30), cond))
+    assert(hinted.contains("BroadcastHashJoin"), hinted)
+    // Zero cap → no hint → shuffle join (the 100 TB-customer shape).
+    val guarded = formatted(o.join(Hints.broadcastIfSmall(c, 0L), cond))
+    assert(!guarded.contains("BroadcastHashJoin"), guarded)
+    // Default cap follows the session threshold: disabled ⇒ no hint.
+    val followed = formatted(o.join(Hints.broadcastIfSmall(c), cond))
+    assert(!followed.contains("BroadcastHashJoin"), followed)
+  }
+
   test("q12: top-k plans as TakeOrderedAndProject (no global sort)") {
     val p = formatted(SparkEntry.queries("q12_topk")(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)
@@ -128,7 +149,8 @@ class PlanSpec extends SparkSpec {
     // plan slipped in. Streaming queries are excluded (building them
     // executes the stream); d08/d09/c01 run driver loops at build time
     // and are covered by their own assertions.
-    val skip = Set("d08_dedup_clusters", "d09_dedup_applied")
+    // d12 executes the takedown warehouse lifecycle at plan-build time.
+    val skip = Set("d08_dedup_clusters", "d09_dedup_applied", "d12_takedown")
     SparkEntry.queries.keys
       .filterNot(_.startsWith("st")).filterNot(skip)
       .foreach { name =>
