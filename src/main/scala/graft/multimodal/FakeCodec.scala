@@ -34,4 +34,67 @@ object FakeCodec {
              height = math.max(1, (m.height * scale).toInt))
     }
   }
+
+  /** REAL container parsing for the two formats a codec-less container
+    * can still synthesize and validate byte-for-byte: binary PPM (P6)
+    * images and canonical PCM WAV audio. Header-only reads — the pixel
+    * and sample payloads are never copied or materialized beyond the
+    * row's own byte array, so MB-scale payloads cost exactly one pass
+    * of the mapPartitions iterator. Unrecognized payloads fall back to
+    * the arithmetic stub, keeping [[decode]]'s deterministic contract
+    * for the fixture corpus. */
+  def decodeReal(id: Long, bytes: Array[Byte]): MediaMeta =
+    parsePpm(id, bytes).orElse(parseWav(id, bytes))
+      .getOrElse(decode(id, bytes))
+
+  /** `P6` + whitespace-separated width/height/maxval (with `#` comment
+    * support), then raw pixels. Returns width×height, 1 frame. */
+  private[multimodal] def parsePpm(id: Long,
+                                   bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 9 || bytes(0) != 'P' || bytes(1) != '6') return None
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    var i = 2
+    val vals = new Array[Int](3)
+    var v = 0
+    val headerEnd = math.min(bytes.length, 256) // header is tiny; bound the scan
+    while (v < 3 && i < headerEnd) {
+      if (isWs(bytes(i))) i += 1
+      else if (bytes(i) == '#') {
+        while (i < headerEnd && bytes(i) != '\n') i += 1
+      } else {
+        var x = 0
+        var any = false
+        while (i < headerEnd && bytes(i) >= '0' && bytes(i) <= '9') {
+          x = x * 10 + (bytes(i) - '0'); i += 1; any = true
+        }
+        if (!any) return None
+        vals(v) = x; v += 1
+      }
+    }
+    if (v < 3 || vals(0) <= 0 || vals(1) <= 0) None
+    else Some(MediaMeta(id, vals(0), vals(1), 1, bytes.length.toLong))
+  }
+
+  /** Canonical 44-byte RIFF/WAVE/fmt/data layout: width = channels,
+    * height = bits per sample, n_frames = PCM sample frames. */
+  private[multimodal] def parseWav(id: Long,
+                                   bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 44) return None
+    def ascii(off: Int, s: String) =
+      s.indices.forall(k => bytes(off + k) == s.charAt(k).toByte)
+    if (!ascii(0, "RIFF") || !ascii(8, "WAVE") ||
+        !ascii(12, "fmt ") || !ascii(36, "data")) return None
+    def le16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    val channels = le16(22)
+    val bits = le16(34)
+    val dataLen = le32(40)
+    val frameBytes = channels * (bits / 8)
+    if (frameBytes <= 0) None
+    else Some(MediaMeta(id, channels, bits,
+      (dataLen / frameBytes).toInt, bytes.length.toLong))
+  }
 }

@@ -655,6 +655,46 @@ object Dedup {
     SELECT doc_id, lang, source, n_chars
     FROM documents WHERE doc_id % 37 <> 0"""
 
+  // ---------------------------------------------------------------- d13
+  // Benchmark decontamination — the training-data hygiene step nothing
+  // else here covers: drop (here: report) every training document that
+  // shares a 5-token run with a held-out evaluation set, so the eval
+  // set can't leak into training. doc_id % 7 == 0 stands in for the
+  // benchmark docs. Scale shape: the benchmark is bounded (eval sets
+  // are thousands of docs, not data-scale), so its distinct grams
+  // BROADCAST; the training side computes grams in the scan stage and
+  // probes the broadcast semi-join — the corpus itself never shuffles
+  // a gram anywhere. The only shuffle is the per-doc hit count on
+  // (already-filtered) contaminated rows. At 100 TB the grams would be
+  // 64-bit hashes; strings here keep both engines trivially aligned
+  // and never leave the probe side anyway.
+  val d13: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(w) - 4),
+          |  i -> array_join(slice(w, i, 5), ' ')))""".stripMargin)).as("g"))
+    val bench = grams(docs.filter(col("doc_id") % 7 === 0))
+      .select(col("g")).distinct()
+    grams(docs.filter(col("doc_id") % 7 =!= 0))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  val d13Sql: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+          FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM t) x
+          WHERE i <= len(w) - 4),
+    bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0)
+    SELECT doc_id, COUNT(*) AS n_hit_grams
+    FROM g JOIN bench USING (g)
+    WHERE doc_id % 7 <> 0
+    GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -667,7 +707,8 @@ object Dedup {
     "d09_dedup_applied" -> d09,
     "d10_dedup_incremental" -> d10,
     "d11_dedup_bloom" -> d11,
-    "d12_takedown" -> d12)
+    "d12_takedown" -> d12,
+    "d13_decontaminate" -> d13)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -681,5 +722,6 @@ object Dedup {
     "d09_dedup_applied" -> d09Sql,
     "d10_dedup_incremental" -> d10Sql,
     "d11_dedup_bloom" -> d11Sql,
-    "d12_takedown" -> d12Sql)
+    "d12_takedown" -> d12Sql,
+    "d13_decontaminate" -> d13Sql)
 }

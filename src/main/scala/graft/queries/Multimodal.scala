@@ -57,11 +57,35 @@ object Multimodal {
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
     FROM documents"""
 
+  /** Decode *metadata* on the expression path. The stub codec is pure
+    * arithmetic on the payload length, so (width, height, n_frames)
+    * derive as plain columns: m03/m05/m06 stay inside whole-stage
+    * codegen and Catalyst prunes everything but the length input —
+    * routing them through m02's typed mapPartitions (as before) would
+    * materialize (doc_id, payload) through the Dataset encoder and
+    * kill column pruning for queries that never touch pixel data.
+    * m02/m04 keep the mapPartitions boundary: that is the real-codec
+    * batch shape. With a real codec these metadata columns are
+    * computed once at ingest and persisted; the formulas mirror
+    * [[graft.multimodal.FakeCodec.decode]] exactly (64-bit widening
+    * on the ×31 product included).
+    */
+  private def metaCols(s: SparkSession, d: String): DataFrame = {
+    val n = octet_length(col("text").cast("binary"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      (lit(64) + n % 577).cast("int").as("width"),
+      (lit(64) + n.cast("bigint") * 31 % 457).cast("int").as("height"),
+      (lit(1) + n % 7).cast("int").as("n_frames"),
+      n.cast("bigint").as("n_bytes"))
+  }
+
   // ---------------------------------------------------------------- m03
   // Frame sampling: explode every 2nd frame index of the decoded fake
   // media — the narrow (no-shuffle) fan-out stage of a video pipeline.
+  // Metadata-only consumer ⇒ expression path (no decode boundary).
   val m03: Q = (s, d) =>
-    m02(s, d)
+    metaCols(s, d)
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(1), col("n_frames"), lit(2))).as("frame_idx"))
 
@@ -117,9 +141,10 @@ object Multimodal {
   // (the codec-less-container stub, same policy as m02). Two sequence
   // generators fan out the grid inside codegen — narrow stages, no
   // shuffle anywhere; at scale the explosion lands after column pruning,
-  // so only (doc_id, width, height) rows amplify.
+  // so only (doc_id, width, height) rows amplify (expression path — no
+  // decode boundary ahead of the fan-out).
   val m05: Q = (s, d) =>
-    m02(s, d)
+    metaCols(s, d)
       .select(col("doc_id"), col("width"), col("height"),
         explode(sequence(lit(0), expr("int((width - 1) div 64)"))).as("px"))
       .select(col("doc_id"), col("width"), col("height"), col("px"),
@@ -149,7 +174,7 @@ object Multimodal {
   // tensor shape. Bucket choice = threshold comparison at the midpoints
   // between adjacent bucket ratios (identical `<` comparisons on the
   // same doubles in both engines). One narrow map + one hash aggregate
-  // on five keys.
+  // on five keys (expression path — metadata-only consumer).
   val m06: Q = (s, d) => {
     val r = col("width").cast("double") / col("height")
     val bucket = when(r < 0.65625, "9:16")
@@ -157,7 +182,7 @@ object Multimodal {
       .when(r < 7.0 / 6, "1:1")
       .when(r < 14.0 / 9, "4:3")
       .otherwise("16:9")
-    m02(s, d)
+    metaCols(s, d)
       .withColumn("bucket", bucket)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),

@@ -376,6 +376,94 @@ object Text {
              AS top10_mass
     FROM r GROUP BY source"""
 
+  // ---------------------------------------------------------------- t12
+  // BPE-step pair statistics: adjacent character-pair frequencies
+  // within words — exactly the count a byte-pair-encoding trainer
+  // computes each merge iteration (the top pair IS the next merge).
+  // The real answer to "how many tokens is this corpus" is metered in
+  // learned-merge units, and this is the first, fully-oracle-able
+  // iteration of learning them. Plan shape: two narrow generators
+  // (words, then in-word pairs — both stay map-side in codegen), one
+  // hash aggregate on the pair domain (≤ |alphabet|² keys — bounded,
+  // skew-free), top-20 via TakeOrderedAndProject. At 100 TB: the only
+  // shuffle carries one row per distinct pair per partition.
+  val t12: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair").asc)
+      .limit(20)
+
+  val t12Sql: String = """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    cs AS (SELECT string_split(w, '') AS c FROM words WHERE length(w) >= 2),
+    idx AS (SELECT c, generate_subscripts(c, 1) AS i FROM cs),
+    pairs AS (SELECT c[i] || c[i + 1] AS pair FROM idx WHERE i < len(c))
+    SELECT pair, COUNT(*) AS freq
+    FROM pairs GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 20"""
+
+  // ---------------------------------------------------------------- t13
+  // Repetition metrics — the quality filters LLM curation actually
+  // gates on (Gopher/C4 family): per document, the mass of the single
+  // most repeated bigram and the fraction of duplicated trigrams.
+  // Plan shape: one gram explosion per n, a (doc_id, gram) partial+
+  // final hash aggregate (map-side combine collapses repeats before
+  // the shuffle; keys are per-document, so no global skew is
+  // possible), then a per-doc rollup and one join of the two gram
+  // profiles on doc_id. Fractions are BIGINT/BIGINT divisions on
+  // identical counts — engine-exact doubles.
+  val t13: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+    def profile(n: Int, pfx: String): DataFrame = toks
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as(s"${pfx}_top"),
+           sum(col("c")).as(s"${pfx}_total"),
+           count(lit(1)).as(s"${pfx}_distinct"))
+    toks.select(col("doc_id"), size(col("w")).as("n_tokens"))
+      .join(profile(2, "bi"), Seq("doc_id"))
+      .join(profile(3, "tri"), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bi_top").cast("double") / col("bi_total"))
+          .as("top_bigram_frac"),
+        ((col("tri_total") - col("tri_distinct")).cast("double") /
+          col("tri_total")).as("dup_trigram_frac"))
+  }
+
+  val t13Sql: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, w FROM t WHERE len(w) >= 3),
+    bi AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+           FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM tok) x
+           WHERE i <= len(w) - 1),
+    bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
+    bia AS (SELECT doc_id, MAX(c) AS top, CAST(SUM(c) AS BIGINT) AS total
+            FROM bic GROUP BY doc_id),
+    tri AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+            FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM tok) x
+            WHERE i <= len(w) - 2),
+    tric AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g),
+    tria AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total,
+                    COUNT(*) AS dstct
+             FROM tric GROUP BY doc_id)
+    SELECT tok.doc_id, CAST(len(tok.w) AS INTEGER) AS n_tokens,
+           CAST(bia.top AS DOUBLE) / bia.total AS top_bigram_frac,
+           CAST(tria.total - tria.dstct AS DOUBLE) / tria.total
+             AS dup_trigram_frac
+    FROM tok JOIN bia USING (doc_id) JOIN tria USING (doc_id)"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -387,7 +475,9 @@ object Text {
     "t08_cooccurrence" -> t08,
     "t09_tfidf_topk" -> t09,
     "t10_chunking" -> t10,
-    "t11_vocab_stats" -> t11)
+    "t11_vocab_stats" -> t11,
+    "t12_bpe_pairs" -> t12,
+    "t13_repetition" -> t13)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -400,5 +490,7 @@ object Text {
     "t08_cooccurrence" -> t08Sql,
     "t09_tfidf_topk" -> t09Sql,
     "t10_chunking" -> t10Sql,
-    "t11_vocab_stats" -> t11Sql)
+    "t11_vocab_stats" -> t11Sql,
+    "t12_bpe_pairs" -> t12Sql,
+    "t13_repetition" -> t13Sql)
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.{FakeCodec, MediaMeta}
+
+/** Real-binary codec fixtures: deterministic P6 PPM images and PCM WAV
+  * audio synthesized at MB-scale, pushed through the m02-shaped typed
+  * mapPartitions decode stage — the plumbing the stub path never
+  * exercised with realistic payload sizes. */
+class MultimodalCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A valid binary PPM: header + w*h*3 deterministic pixel bytes. */
+  private def ppm(w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n# synthetic fixture\n$w $h\n255\n".getBytes("US-ASCII")
+    val pixels = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < pixels.length) { pixels(i) = (i * 31 & 0xff).toByte; i += 1 }
+    header ++ pixels
+  }
+
+  /** A canonical 44-byte-header PCM WAV with `frames` sample frames. */
+  private def wav(channels: Int, bits: Int, frames: Int): Array[Byte] = {
+    val dataLen = frames * channels * (bits / 8)
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(channels.toShort).putInt(44100)
+    b.putInt(44100 * channels * bits / 8)
+    b.putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < dataLen) { b.put((i * 7 & 0xff).toByte); i += 1 }
+    b.array()
+  }
+
+  test("PPM headers parse exactly (dims, comments, payload size)") {
+    val bytes = ppm(1024, 768)
+    val m = FakeCodec.decodeReal(7L, bytes)
+    assert(m == MediaMeta(7L, 1024, 768, 1, bytes.length.toLong))
+    assert(m.n_bytes > 1024L * 768 * 3)
+  }
+
+  test("WAV headers parse exactly (channels, bits, frames)") {
+    val m = FakeCodec.decodeReal(9L, wav(2, 16, 44100))
+    assert(m.width == 2 && m.height == 16 && m.n_frames == 44100)
+    assert(m.n_bytes == 44L + 44100L * 2 * 2)
+  }
+
+  test("unrecognized payloads fall back to the arithmetic stub") {
+    val junk = "not a media file".getBytes("US-ASCII")
+    assert(FakeCodec.decodeReal(3L, junk) == FakeCodec.decode(3L, junk))
+    // truncated magic must not trip the parsers
+    assert(FakeCodec.decodeReal(4L, "P6".getBytes("US-ASCII")) ==
+      FakeCodec.decode(4L, "P6".getBytes("US-ASCII")))
+  }
+
+  test("MB-scale payloads stream through the mapPartitions decode stage") {
+    // 24 images, ~2.4 MB each (~57 MB total), plus interleaved audio:
+    // realistic media row sizes through the m02 batch shape. Dimensions
+    // vary per row so a constant-folded plan can't fake the decode.
+    val rows = (0 until 24).map { k =>
+      (k.toLong, ppm(800 + k, 1000 + k))
+    } ++ (100 until 108).map { k => (k.toLong, wav(2, 16, 22050 + k)) }
+    val decoded = spark.createDataset(rows)
+      .repartition(4)
+      .mapPartitions(_.map { case (id, bytes) =>
+        FakeCodec.decodeReal(id, bytes)
+      })
+      .collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(decoded.size == 32)
+    (0 until 24).foreach { k =>
+      val m = decoded(k.toLong)
+      assert(m.width == 800 + k && m.height == 1000 + k && m.n_frames == 1,
+        s"image $k decoded as $m")
+      assert(m.n_bytes > 2000000L, s"image $k payload suspiciously small: $m")
+    }
+    (100 until 108).foreach { k =>
+      val m = decoded(k.toLong)
+      assert(m.width == 2 && m.height == 16 && m.n_frames == 22050 + k,
+        s"audio $k decoded as $m")
+    }
+  }
+}

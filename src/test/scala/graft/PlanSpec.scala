@@ -107,6 +107,29 @@ class PlanSpec extends SparkSpec {
       executed.take(3000))
   }
 
+  test("m03/m05/m06: metadata-only multimodal queries skip the decode boundary") {
+    // Metadata consumers must stay on the expression path: a typed
+    // mapPartitions decode stage (fine for m02/m04, which touch pixel
+    // bytes) would materialize every row through the Dataset encoder
+    // and kill column pruning + whole-stage codegen for queries that
+    // only read width/height/n_frames.
+    Seq("m03_frame_sample", "m05_patch_grid", "m06_aspect_buckets")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf0001)
+        val p = formatted(df)
+        assert(!p.contains("MapPartitions") &&
+          !p.contains("DeserializeToObject"),
+          s"$name crosses a typed boundary:\n$p")
+        // "*(n)" node prefixes = whole-stage-codegen membership (AQE
+        // plans only finalize codegen stages after execution)
+        df.collect()
+        assert(df.queryExecution.executedPlan.toString.contains("*("), p)
+      }
+    // ...and the real-codec queries keep the typed batch shape.
+    val m02p = formatted(SparkEntry.queries("m02_decode_stub")(spark, sf0001))
+    assert(m02p.contains("MapPartitions"), m02p)
+  }
+
   test("q38: explicit-values pivot = two-phase agg, no domain scan") {
     val p = formatted(SparkEntry.queries("q38_pivot")(spark, sf0001))
     // pre-aggregate on (status, flag) then pivot: exactly two exchanges,
