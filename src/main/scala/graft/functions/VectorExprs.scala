@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expression for the quantized dot product used across
   * the similarity surface: Σ_i round6(a_i · b_i), summed exactly as
-  * scaled-by-10⁶ longs, returned as double.
+  * scaled-by-10⁶ longs, returned as double. Accepts array<float> or
+  * array<double> on each side independently (doubles carry trained
+  * centroids, s09); every element widens to double before the product.
   *
   * Semantically identical to the higher-order-function formulation
   *   cast(aggregate(zip_with(a, b, (x,y) -> cast(round(x*y, 6) as
@@ -30,28 +32,42 @@ import org.apache.spark.sql.SparkSessionExtensions
 case class QDotFloat(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Each side may independently be array<float> or array<double> (the
+  // double case carries trained centroids, s09): every element is
+  // widened to double before the product either way, so the quantized
+  // sum is the same value the all-float path would produce on the same
+  // doubles.
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<float>, array<float>), got " +
-          s"(${l.simpleString(10)}, ${r.simpleString(10)})")
-    }
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<float|double>), got " +
+        s"(${left.dataType.simpleString(10)}, ${right.dataType.simpleString(10)})")
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_qdot"
 
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (fl, fr) = (isFloat(left), isFloat(right))
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
       var sum = 0L
       var i = 0
       while (i < n) {
-        sum += QDotFloat.scaled6(x.getFloat(i).toDouble * y.getFloat(i).toDouble)
+        val xv = if (fl) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (fr) y.getFloat(i).toDouble else y.getDouble(i)
+        sum += QDotFloat.scaled6(xv * yv)
         i += 1
       }
       QDotFloat.toDouble6(sum)
@@ -63,6 +79,8 @@ case class QDotFloat(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      def get(arr: String, isF: Boolean): String =
+        if (isF) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -71,7 +89,7 @@ case class QDotFloat(left: Expression, right: Expression)
          |  long $sum = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $sum += graft.functions.QDotFloat.scaled6(
-         |      ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)));
+         |      ${get(a, isFloat(left))} * ${get(b, isFloat(right))});
          |  }
          |  ${ev.value} = graft.functions.QDotFloat.toDouble6($sum);
          |}
@@ -124,7 +142,8 @@ object QDotFloat {
 
 /** Column-level and SQL-level entry points for the native expressions. */
 object VectorExprs {
-  /** Quantized dot product of two Array[Float] columns (see [[QDotFloat]]). */
+  /** Quantized dot product of two Array[Float|Double] columns (see
+    * [[QDotFloat]]). */
   def qdot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       QDotFloat(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))

@@ -116,10 +116,50 @@ object Corpus {
                  100) < 50""")
   }
 
+  // ---------------------------------------------------------------- c03
+  // Domain-mixture sampling — the step that turns a curated corpus
+  // into a training mixture: each source gets a target sampling rate
+  // (here derived from the source id: 25/50/75%), membership is
+  // decided by a portable cryptographic hash of the key (q40's
+  // mechanism — reproducible across engines, runs and cluster
+  // layouts), and the output is the per-source mixture audit
+  // (target vs achieved). Scale shape: the keep-decision is a
+  // row-local filter fused into the scan — no shuffle, no sort, no
+  // rand(); the only exchange is the 20-key audit aggregate. At
+  // 100 TB the same plan emits the sampled corpus by filtering
+  // instead of auditing.
+  val c03: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("target_pct",
+        (lit(25) * (lit(1) + substring(col("source"), 4, 10).cast("int") % 3))
+          .cast("int"))
+    docs.groupBy(col("source"), col("target_pct"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(pmod(col("h"), lit(100)) < col("target_pct"), 1)
+          .otherwise(0)).cast("bigint").as("n_kept"))
+  }
+
+  val c03Sql: String = """
+    WITH h AS (SELECT source,
+                      CAST(25 * (1 + CAST(substr(source, 4) AS INTEGER) % 3)
+                           AS INTEGER) AS target_pct,
+                      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 100 AS hb
+               FROM documents)
+    SELECT source, target_pct, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN hb < target_pct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM h GROUP BY source, target_pct"""
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
-    "c02_curate_sql" -> c02)
+    "c02_curate_sql" -> c02,
+    "c03_mixture_sample" -> c03)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
-    "c02_curate_sql" -> c01Sql)
+    "c02_curate_sql" -> c01Sql,
+    "c03_mixture_sample" -> c03Sql)
 }

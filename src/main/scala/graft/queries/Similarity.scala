@@ -423,23 +423,14 @@ object Similarity {
   // decimal sum, double division), so the oracle replays the training
   // step itself — the full train→assign→probe→verify pipeline sits
   // under the correctness gate. Centroid-side dot products run through
-  // a decimal-quantized HOF (centroids are doubles, not floats, so the
-  // codegen'd QDotFloat doesn't apply); the codebook is |labels| rows —
-  // bounded by the label domain — so the ×C fan-out is a broadcast and
-  // the only corpus shuffles are the assignment aggregate and final
-  // top-k, same as s05.
+  // the same codegen'd QDotFloat as the float path (it widens each
+  // side independently, so array<float> × array<double> stays one
+  // primitive loop — the interpreted HOF formulation it replaced cost
+  // s09 ~3.8 s at sf0.1 vs ~1 s native); the codebook is |labels|
+  // rows — bounded by the label domain — so the ×C fan-out is a
+  // broadcast and the only corpus shuffles are the assignment
+  // aggregate and final top-k, same as s05.
   private val IvfProbe9 = 3 // of |labels| (=10 in the fixtures) lists
-
-  /** Decimal-quantized dot product over two numeric arrays of any
-    * element type (cast-to-double per element): the HOF formulation
-    * QDotFloat replaced, still the right tool when one side is the
-    * double-typed trained centroid. */
-  private def qdotAny(a: String, b: String): Column = expr(
-    s"""cast(aggregate(zip_with($a, $b, (x, y) ->
-       |    cast(round(cast(x as double) * cast(y as double), 6)
-       |         as decimal(20,6))),
-       |  cast(0 as decimal(20,6)),
-       |  (acc, v) -> cast(acc + v as decimal(20,6))) as double)""".stripMargin)
 
   val s09: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
@@ -456,11 +447,11 @@ object Similarity {
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("a"))
       .select(col("label").as("cid"), expr("transform(a, x -> x.cv)").as("ce"))
-      .withColumn("cnsq", qdotAny("ce", "ce"))
+      .withColumn("cnsq", qdot("ce", "ce"))
     def sims(vecs: DataFrame): DataFrame =
       vecs.withColumn("vnsq", qnormsq("embedding"))
         .crossJoin(broadcast(cents))
-        .withColumn("csim", qdotAny("embedding", "ce") /
+        .withColumn("csim", qdot("embedding", "ce") /
           (sqrt(col("vnsq")) * sqrt(col("cnsq"))))
     // Corpus assignment (nearest trained centroid, k=1): one hash
     // aggregate, deterministic tie-break on cid — s05's shape.

@@ -464,6 +464,51 @@ object Text {
              AS dup_trigram_frac
     FROM tok JOIN bia USING (doc_id) JOIN tria USING (doc_id)"""
 
+  // ---------------------------------------------------------------- t14
+  // PII redaction audit — the masking pass every published training
+  // corpus runs (emails, phone numbers → placeholder tokens), with
+  // per-document detection counts and the rewritten length as the
+  // audit trail. The fixture corpus is PII-free by construction, so a
+  // deterministic contact block (1 + doc_id % 3 copies) is appended
+  // per document inside the query: the operator under test is the
+  // pattern inventory + masked rewrite + audit — entirely row-local
+  // regex work fused into the scan projection, zero shuffle, scan
+  // speed at any corpus size.
+  val t14: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("block",
+        concat(lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .withColumn("t2",
+        concat(col("text"), expr("repeat(block, int(1 + doc_id % 3))")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t2"),
+          lit("[a-z0-9._]+@[a-z0-9.-]+"), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t2"),
+          lit("555-\\d{4}"), lit(0))).as("n_phones"),
+        length(regexp_replace(
+          regexp_replace(col("t2"), "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+          "555-\\d{4}", "<PHONE>")).as("redacted_len"))
+
+  val t14Sql: String = """
+    WITH p AS (
+      SELECT doc_id,
+             text || repeat(' contact user' || doc_id ||
+                            '@example.com or 555-' ||
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                            CAST(1 + doc_id % 3 AS INTEGER)) AS t2
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t2, '[a-z0-9._]+@[a-z0-9.-]+'))
+                AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t2, '555-\d{4}')) AS INTEGER)
+             AS n_phones,
+           CAST(length(regexp_replace(
+             regexp_replace(t2, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '555-\d{4}', '<PHONE>', 'g')) AS INTEGER) AS redacted_len
+    FROM p"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -477,7 +522,8 @@ object Text {
     "t10_chunking" -> t10,
     "t11_vocab_stats" -> t11,
     "t12_bpe_pairs" -> t12,
-    "t13_repetition" -> t13)
+    "t13_repetition" -> t13,
+    "t14_pii_redact" -> t14)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -492,5 +538,6 @@ object Text {
     "t10_chunking" -> t10Sql,
     "t11_vocab_stats" -> t11Sql,
     "t12_bpe_pairs" -> t12Sql,
-    "t13_repetition" -> t13Sql)
+    "t13_repetition" -> t13Sql,
+    "t14_pii_redact" -> t14Sql)
 }

@@ -130,6 +130,12 @@ class PlanSpec extends SparkSpec {
     assert(m02p.contains("MapPartitions"), m02p)
   }
 
+  test("d13: decontamination probes a broadcast semi-join (corpus grams never shuffle)") {
+    val p = formatted(SparkEntry.queries("d13_decontaminate")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval-gram set must broadcast; training grams must not shuffle:\n$p")
+  }
+
   test("q38: explicit-values pivot = two-phase agg, no domain scan") {
     val p = formatted(SparkEntry.queries("q38_pivot")(spark, sf0001))
     // pre-aggregate on (status, flag) then pivot: exactly two exchanges,

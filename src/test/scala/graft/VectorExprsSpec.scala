@@ -31,6 +31,27 @@ class VectorExprsSpec extends SparkSpec {
       col("native").isNull =!= col("hof").isNull).count() == 0)
   }
 
+  test("mixed float x double qdot equals the HOF formulation (s09's centroid shape)") {
+    // left = real float embeddings, right = double centroids (per-label
+    // means, exactly how s09 feeds trained codebook vectors in).
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cent = e
+      .groupBy(col("label"))
+      .agg(expr("transform(aggregate(collect_list(embedding)," +
+        " cast(array() as array<double>)," +
+        " (acc, v) -> if(size(acc) = 0, transform(v, x -> cast(x as double))," +
+        "              zip_with(acc, v, (a2, x) -> a2 + cast(x as double))))," +
+        " t -> t / count(1))").as("ce"))
+    val both = e.join(cent, Seq("label"))
+      .select(
+        VectorExprs.qdot(col("embedding"), col("ce")).as("native"),
+        hofQdot("embedding", "ce").as("hof"),
+        VectorExprs.qdot(col("ce"), col("ce")).as("native_dd"),
+        hofQdot("ce", "ce").as("hof_dd"))
+    assert(both.where(col("native") =!= col("hof") ||
+      col("native_dd") =!= col("hof_dd")).count() == 0)
+  }
+
   test("qdot handles negatives, zeros and rounding ties like round()") {
     val df = Seq(
       (Array(0.5f, -0.5f, 3.0f), Array(2.0f, 3.0f, 0.0f)),
