@@ -45,7 +45,11 @@ object ScdMerge {
     val dimCols = current.columns.toSeq
     // `_u_present` marks join hits explicitly — tracked columns may
     // legitimately hold nulls, so value-nullness cannot signal presence.
-    val u = broadcast(updates.select(
+    // Batches are normally orders of magnitude smaller than the
+    // dimension, but the hint is size-guarded all the same: an
+    // anomalously large backfill batch falls back to a shuffle join
+    // instead of an executor OOM.
+    val u = graft.queries.Hints.broadcastIfSmall(updates.select(
       keyCols.map(col) ++ trackedCols.map(c => col(c).as(s"_u_$c"))
         :+ lit(true).as("_u_present"): _*))
 
@@ -70,7 +74,7 @@ object ScdMerge {
     val openForCompare = open.select(
       keyCols.map(col) ++ trackedCols.map(c => col(c).as(s"_u_$c"))
         :+ lit(true).as("_u_present"): _*)
-    val newVersions = broadcast(updates.select(
+    val newVersions = graft.queries.Hints.broadcastIfSmall(updates.select(
         (keyCols ++ trackedCols).map(col): _*))
       .join(openForCompare, keyCols, "left")
       .filter(col("_u_present").isNull || anyDiff(trackedCols))

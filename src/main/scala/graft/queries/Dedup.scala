@@ -536,20 +536,29 @@ object Dedup {
   //   dup_in_batch  — first seen in this batch, but an earlier batch
   //                   row (smaller doc_id) has the same hash
   //   unique        — genuinely new content
-  // Shape at 100 TB: the batch is tiny next to the corpus, so this is
-  // ONE broadcast-able semi-join of batch hashes against the corpus
-  // hash index (which a real deployment stores pre-hashed — here the
-  // hash is computed in the scan stage), plus one within-batch
-  // min-per-hash aggregate. The corpus is never shuffled.
+  // Shape at 100 TB: the batch is tiny next to the corpus, so the
+  // SMALL side to ship is the batch's hash set — broadcast it INTO the
+  // corpus scan (a semi-join that keeps only corpus hashes the batch
+  // mentions: output ≤ |batch|), then broadcast that hit set back over
+  // the batch. The corpus (which a real deployment stores pre-hashed —
+  // here the hash is computed in the scan stage) is never shuffled AND
+  // never broadcast — only batch-sized hash sets move, in both
+  // directions. (Broadcasting the corpus index itself — the obvious
+  // one-join formulation — dies exactly when the corpus outgrows
+  // executor memory, which is the regime d11's bloom variant is for.)
+  // Plus one within-batch min-per-hash aggregate.
   val d10: Q = (s, d) => {
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
     val corpus = hashed.filter(col("doc_id") < 400).select(col("h"))
-      .distinct()
     val batch = hashed.filter(col("doc_id") >= 400)
-    val inCorpus = batch.join(broadcast(corpus), Seq("h"), "left_semi")
+    val batchHashes = batch.select(col("h")).distinct()
+    // corpus hashes the batch actually mentions — bounded by |batch|
+    val hitHashes = corpus.join(broadcast(batchHashes), Seq("h"), "left_semi")
+      .distinct()
+    val inCorpus = batch.join(broadcast(hitHashes), Seq("h"), "left_semi")
       .select(col("doc_id"), lit("dup_of_corpus").as("verdict"))
-    val rest = batch.join(broadcast(corpus), Seq("h"), "left_anti")
+    val rest = batch.join(broadcast(hitHashes), Seq("h"), "left_anti")
     val firstInBatch = rest.groupBy(col("h"))
       .agg(min(col("doc_id")).as("first_id"))
     val restV = rest.join(firstInBatch, Seq("h"))
