@@ -154,12 +154,113 @@ object Corpus {
              AS n_kept
     FROM h GROUP BY source, target_pct"""
 
+  // ---------------------------------------------------------------- c04
+  // Sequence packing — concat-and-chunk documents into fixed-length
+  // training sequences (the step between a curated corpus and a token
+  // loader): documents in deterministic doc_id order are laid end to
+  // end on a global token axis, and each doc reports which packed
+  // sequence its tokens start/end in and at what offset.
+  //
+  // The global prefix sum is the scale hazard: a naive
+  // `Window.orderBy(doc_id)` with no partition runs as ONE task over
+  // the whole corpus. This plan computes it as a two-level distributed
+  // prefix sum instead: (1) a per-block running sum — parallel windows
+  // partitioned by `block` (doc_id DIV 64); (2) block totals, whose
+  // running sum gives each block's global start — a window over a
+  // 64×-smaller relation, joined back size-guarded. At 100 TB the
+  // block-offset relation is corpus/64 rows of two longs; if even that
+  // outgrows one task the same reduction applies recursively (blocks of
+  // blocks) — each level shrinks the single-task window another 64×.
+  val c04: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val L = 512L // tokens per packed sequence
+    val B = 64L  // docs per prefix-sum block
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("block", expr(s"doc_id DIV $B"))
+    val inBlock = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = docs.withColumn("local_start",
+      coalesce(sum(col("n_tokens")).over(inBlock), lit(0L)))
+    val blockOffsets = docs.groupBy(col("block"))
+      .agg(sum(col("n_tokens")).as("block_total"))
+      .withColumn("block_start",
+        coalesce(sum(col("block_total")).over(
+          Window.orderBy(col("block"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("block"), col("block_start"))
+    withLocal.join(Hints.broadcastIfSmall(blockOffsets), Seq("block"))
+      .withColumn("st", col("block_start") + col("local_start"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"st DIV $L").as("seq_first"),
+        expr(s"(st + n_tokens - 1) DIV $L").as("seq_last"),
+        pmod(col("st"), lit(L)).as("seq_offset"))
+  }
+
+  val c04Sql: String = """
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS st
+          FROM t)
+    SELECT doc_id, n_tokens,
+           st // 512 AS seq_first,
+           (st + n_tokens - 1) // 512 AS seq_last,
+           st % 512 AS seq_offset
+    FROM c"""
+
+  // ---------------------------------------------------------------- c05
+  // Deterministic training shuffle + sharding — the "global shuffle"
+  // that precedes sequence packing in a real run: each doc gets a
+  // pseudorandom-but-reproducible order key (60-bit md5 prefix of its
+  // id — portable across engines, runs and cluster layouts; no
+  // rand()), shard = key mod 8, and the output is the per-shard
+  // balance audit (doc count, token mass, key range). Scale shape:
+  // shard assignment is a row-local expression fused into the scan,
+  // the audit is one 8-group aggregate; writing the shuffled corpus
+  // is `repartition(shard) + sortWithinPartitions(ord)` — per-shard
+  // local sorts, never a global sort.
+  val c05: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("ord",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+    docs.groupBy(pmod(col("ord"), lit(8)).cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("ord")).as("first_key"),
+        max(col("ord")).as("last_key"))
+  }
+
+  val c05Sql: String = """
+    WITH h AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        ::BIGINT AS ord
+               FROM documents)
+    SELECT CAST(ord % 8 AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(ord) AS first_key,
+           MAX(ord) AS last_key
+    FROM h GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
     "c02_curate_sql" -> c02,
-    "c03_mixture_sample" -> c03)
+    "c03_mixture_sample" -> c03,
+    "c04_pack_sequences" -> c04,
+    "c05_shard_shuffle" -> c05)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
     "c02_curate_sql" -> c01Sql,
-    "c03_mixture_sample" -> c03Sql)
+    "c03_mixture_sample" -> c03Sql,
+    "c04_pack_sequences" -> c04Sql,
+    "c05_shard_shuffle" -> c05Sql)
 }

@@ -509,6 +509,45 @@ object Text {
              '555-\d{4}', '<PHONE>', 'g')) AS INTEGER) AS redacted_len
     FROM p"""
 
+  // ---------------------------------------------------------------- t15
+  // Unigram-LM rarity score — the perplexity-style quality signal of a
+  // corpus-trained unigram model, in libm-free form (t09's trick): the
+  // per-doc MEAN INVERSE TOKEN PROBABILITY avg(total/cnt) ranks
+  // documents by vocabulary rarity exactly like geometric-mean
+  // perplexity ranks them, but every term is an exact integer-ratio
+  // double, so the oracle needs no ln(). n_hapax (corpus-unique
+  // tokens) is the companion "novel vocabulary" count.
+  // Scale shape: the model IS the token frequency table — Zipf-bounded
+  // vocab, size-guarded broadcast back onto the (map-side) explode;
+  // the scalar corpus total rides a 1-row broadcast; one doc-keyed
+  // aggregate ends the plan. Two shuffles (vocab agg + doc agg) no
+  // matter the corpus size.
+  val t15: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freqs = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(Hints.broadcastIfSmall(freqs), Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt") === 1, 1).otherwise(0)).cast("long")
+          .as("n_hapax"),
+        Num.davg(col("total").cast("double") / col("cnt")).as("rarity"))
+  }
+
+  val t15Sql: String = s"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    freqs AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    tot AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           ${Num.sqlDavg("CAST(total AS DOUBLE) / cnt")} AS rarity
+    FROM toks JOIN freqs USING (w) CROSS JOIN tot
+    GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -523,7 +562,8 @@ object Text {
     "t11_vocab_stats" -> t11,
     "t12_bpe_pairs" -> t12,
     "t13_repetition" -> t13,
-    "t14_pii_redact" -> t14)
+    "t14_pii_redact" -> t14,
+    "t15_unigram_rarity" -> t15)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -539,5 +579,6 @@ object Text {
     "t11_vocab_stats" -> t11Sql,
     "t12_bpe_pairs" -> t12Sql,
     "t13_repetition" -> t13Sql,
-    "t14_pii_redact" -> t14Sql)
+    "t14_pii_redact" -> t14Sql,
+    "t15_unigram_rarity" -> t15Sql)
 }

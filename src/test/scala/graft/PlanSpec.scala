@@ -172,6 +172,21 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("coalesced"), finalPlan)
   }
 
+  test("c04: doc-level prefix sum is a partitioned window, not one task") {
+    // The doc-level running sum must window over `block` partitions
+    // (parallel); only the 64x-smaller block-offset relation may use an
+    // unpartitioned window. A single global-ordered window over the
+    // docs would serialize the whole corpus through one task.
+    val df = SparkEntry.queries("c04_pack_sequences")(spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.length == 2, s"expected 2 windows:\n${df.queryExecution}")
+    // Exactly one window (the block-offset one) is allowed to be global.
+    assert(windows.count(_.partitionSpec.isEmpty) == 1,
+      windows.map(_.partitionSpec).mkString("; "))
+  }
+
   test("no batch query plans a CartesianProduct") {
     // Cross joins in s01/s03 broadcast (BroadcastNestedLoopJoin); a
     // CartesianProduct anywhere means a shuffle-everything-everywhere
