@@ -187,6 +187,22 @@ class PlanSpec extends SparkSpec {
       windows.map(_.partitionSpec).mkString("; "))
   }
 
+  test("q57: planner broadcasts from ANALYZE statistics, no hint anywhere") {
+    // First call registers + ANALYZEs; the second exercises the
+    // already-registered path (Bench reruns every query — staleness
+    // check must not re-ANALYZE or crash).
+    SparkEntry.queries("q57_cbo_stats_join")(spark, sf0001)
+    val df = SparkEntry.queries("q57_cbo_stats_join")(spark, sf0001)
+    assert(formatted(df).contains("BroadcastHashJoin"), formatted(df))
+    // Row-count statistics really flowed from ANALYZE into the plan —
+    // the CBO leaf stats carry a rowCount, which file-size guessing
+    // never produces.
+    val leafStats = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats)
+    assert(leafStats.exists(_.rowCount.isDefined),
+      leafStats.mkString("; "))
+  }
+
   test("no batch query plans a CartesianProduct") {
     // Cross joins in s01/s03 broadcast (BroadcastNestedLoopJoin); a
     // CartesianProduct anywhere means a shuffle-everything-everywhere
