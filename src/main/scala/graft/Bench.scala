@@ -26,7 +26,10 @@ import java.util.Locale
   */
 object Bench {
   private def jstr(s: String): String =
-    "\"" + s.replaceAll("[\\\\\"\n\r\t]", " ") + "\""
+    // Blank every control character (U+0000–U+001F), not just the
+    // common whitespace escapes — an exception message containing \b
+    // or \f must not break the driver's JSON parse.
+    "\"" + s.replaceAll("[\\\\\"\\p{Cntrl}]", " ") + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

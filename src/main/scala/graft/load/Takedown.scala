@@ -36,8 +36,13 @@ object Takedown {
             keyCols: Seq[String], version: String): Long = {
     val current = StreamingMerge.snapshot(spark, dimDir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dimDir"))
+    // Pin the key set before using it twice (semi-join count, then
+    // anti-join rewrite): if `keys` were non-deterministic or read
+    // mutable input, re-evaluation could make the returned count
+    // disagree with what the committed snapshot actually dropped.
     val k = graft.queries.Hints.broadcastIfSmall(
-      keys.select(keyCols.map(col): _*).dropDuplicates(keyCols))
+      keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+        .localCheckpoint(true))
     val hits = current.join(k, keyCols, "left_semi").count()
     if (hits > 0L) {
       StreamingMerge.commit(spark, dimDir,

@@ -92,9 +92,14 @@ object FakeCodec {
     val channels = le16(22)
     val bits = le16(34)
     val dataLen = le32(40)
+    // Non-byte-aligned PCM (e.g. 12-bit) has no whole-byte frame size,
+    // and a mono 8-bit data chunk > 2 GiB would wrap the Int frame
+    // count — both fall back to the arithmetic stub rather than lie.
+    if (bits <= 0 || bits % 8 != 0) return None
     val frameBytes = channels * (bits / 8)
-    if (frameBytes <= 0) None
+    val frames = if (frameBytes > 0) dataLen / frameBytes else -1L
+    if (frameBytes <= 0 || frames > Int.MaxValue.toLong) None
     else Some(MediaMeta(id, channels, bits,
-      (dataLen / frameBytes).toInt, bytes.length.toLong))
+      frames.toInt, bytes.length.toLong))
   }
 }

@@ -134,8 +134,12 @@ object Corpus {
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long"))
       .withColumn("target_pct",
-        (lit(25) * (lit(1) + substring(col("source"), 4, 10).cast("int") % 3))
-          .cast("int"))
+        // substring-to-end + try_cast on BOTH sides (oracle uses
+        // TRY_CAST(substr(source, 4))) so the pair stays aligned on
+        // long or non-numeric source suffixes, not just the current
+        // short all-digit fixture shape.
+        (lit(25) * (lit(1) +
+          expr("substring(source, 4)").try_cast("int") % 3)).cast("int"))
     docs.groupBy(col("source"), col("target_pct"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(pmod(col("h"), lit(100)) < col("target_pct"), 1)
@@ -144,7 +148,7 @@ object Corpus {
 
   val c03Sql: String = """
     WITH h AS (SELECT source,
-                      CAST(25 * (1 + CAST(substr(source, 4) AS INTEGER) % 3)
+                      CAST(25 * (1 + TRY_CAST(substr(source, 4) AS INTEGER) % 3)
                            AS INTEGER) AS target_pct,
                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                         ::BIGINT % 100 AS hb

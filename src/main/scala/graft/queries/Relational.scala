@@ -1620,10 +1620,14 @@ object Relational {
       if (stale || !cbo.catalog.tableExists(name)) {
         cbo.catalog.createTable(name, loc, "parquet")
         cbo.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+        // Column stats belong to the registration, not the query:
+        // repeat invocations (Bench runs each query three times) must
+        // measure the CBO-planned join, not a stats-collection scan.
+        if (t == "orders")
+          cbo.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS " +
+            "FOR COLUMNS o_custkey, o_totalprice")
       }
     }
-    cbo.sql(s"ANALYZE TABLE g57_orders COMPUTE STATISTICS " +
-      "FOR COLUMNS o_custkey, o_totalprice")
     cbo.sql("""
       SELECT n_name,
              COUNT(*) AS n_orders,

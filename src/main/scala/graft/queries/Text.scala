@@ -193,10 +193,12 @@ object Text {
   //
   // Pair emission is per-document from the sorted distinct token list
   // (native StrPairs — bounded work per doc, one shuffle to count)
-  // rather than a token-stream self-join; document frequencies are a
-  // tiny aggregate broadcast into the pair stream, and the corpus size
-  // joins in as a broadcast scalar. Real corpora cap the kept-token df
-  // exactly like d03's shingle guard.
+  // rather than a token-stream self-join; the document-frequency
+  // relation grows with corpus vocabulary (Heaps' law), so it rides a
+  // size-guarded hint (Hints.broadcastIfSmall) — broadcast where it
+  // fits, shuffle join where it doesn't — while the corpus size joins
+  // in as a genuinely scalar broadcast. Real corpora cap the
+  // kept-token df exactly like d03's shingle guard.
   val t08: Q = (s, d) => {
     val docs = Tables.documents(s, d).repartition(col("doc_id"))
     val toks = docs.select(col("doc_id"),
@@ -209,10 +211,10 @@ object Text {
       .groupBy(col("w")).agg(count(lit(1)).as("dfc"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     pairs
-      .join(broadcast(df.select(col("w").as("wa"), col("dfc").as("ca"))),
-        Seq("wa"))
-      .join(broadcast(df.select(col("w").as("wb"), col("dfc").as("cb"))),
-        Seq("wb"))
+      .join(Hints.broadcastIfSmall(
+        df.select(col("w").as("wa"), col("dfc").as("ca"))), Seq("wa"))
+      .join(Hints.broadcastIfSmall(
+        df.select(col("w").as("wb"), col("dfc").as("cb"))), Seq("wb"))
       .crossJoin(broadcast(nDocs))
       .select(col("wa"), col("wb"), col("c"), col("ca"), col("cb"),
         ((col("n_docs") * col("c")).cast("double") /
@@ -253,7 +255,8 @@ object Text {
         .as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("dfc"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), Seq("w")).crossJoin(broadcast(n))
+    val scored = tf.join(Hints.broadcastIfSmall(df), Seq("w"))
+      .crossJoin(broadcast(n))
       .withColumn("tfidf_ratio",
         (col("tf") * col("n_docs")).cast("double") / col("dfc"))
     scored

@@ -55,6 +55,20 @@ class PlanSpec extends SparkSpec {
     assert(!followed.contains("BroadcastHashJoin"), followed)
   }
 
+  test("t08/t09: vocabulary df-table broadcasts are size-guarded") {
+    // The document-frequency relation grows with corpus vocabulary
+    // (Heaps' law) — the guard must withhold the hint when the session
+    // threshold disqualifies it, so the join degrades to a shuffle
+    // join instead of forcing an executor-OOM broadcast at 100 TB.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Seq("t08_cooccurrence", "t09_tfidf_topk").foreach { name =>
+      val p = formatted(SparkEntry.queries(name)(s2, sf0001))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"$name must shuffle-join the df table when broadcast is off:\n$p")
+    }
+  }
+
   test("q12: top-k plans as TakeOrderedAndProject (no global sort)") {
     val p = formatted(SparkEntry.queries("q12_topk")(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)
