@@ -551,6 +551,114 @@ object Text {
     FROM toks JOIN freqs USING (w) CROSS JOIN tot
     GROUP BY doc_id"""
 
+  // ---------------------------------------------------------------- t16
+  // Iterative BPE merge training — the subword fidelity step t12 only
+  // started: K merge rounds, each taking the arg-max adjacent-symbol
+  // pair (count desc, then lexical (lhs, rhs) tie-break), applying it
+  // corpus-wide, and recounting. Output is the merge table itself —
+  // (step, lhs, rhs, pre-merge pair frequency, corpus token count
+  // after the merge) — the artifact a tokenizer ships and the unit a
+  // curation pipeline's capacity planning bills in; tokens_after
+  // diverges from the whitespace count from step 1 on.
+  //
+  // Scale shape (Sennrich '16): training runs on the WORD-FREQUENCY
+  // DICTIONARY, not the raw corpus — the corpus is touched exactly
+  // once (one token-count hash aggregate, the same shuffle as t05),
+  // and every merge round operates on the vocabulary-sized dict
+  // (Heaps' law: sublinear in corpus), localCheckpoint-ed per round
+  // like d08's CC loop so lineage stays flat. Applying the trained
+  // table to the corpus is then a row-local map (t06's shape).
+  //
+  // Greedy left-to-right merge without regex (the oracle's RE2 has no
+  // lookbehind): a word's symbol sequence is encoded as
+  // "~s1~~s2~…~sK~" — every symbol wrapped in '~', adjacent symbols
+  // sharing none — so merging (l, r) is the plain substring replace
+  // "~l~~r~" → "~lr~", which both engines scan left-to-right,
+  // non-overlapping: exactly BPE's merge order, and the encoding
+  // invariant survives the rewrite (proof: the replacement re-wraps
+  // the merged symbol in the same '~…~' form).
+  private val bpeK = 10
+
+  private def bpeSymbols(wstr: org.apache.spark.sql.Column) =
+    split(trim(wstr, "~"), "~~")
+
+  val t16: Q = (s, d) => {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // initial representation: one row per distinct word, chars wrapped
+    var rep = wc.select(
+      concat(lit("~"),
+        array_join(expr("filter(split(w, ''), x -> x <> '')"), "~~"),
+        lit("~")).as("wstr"),
+      col("cnt")).localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var k = 1
+    while (k <= bpeK) {
+      val best = rep
+        .select(bpeSymbols(col("wstr")).as("s"), col("cnt"))
+        .filter(size(col("s")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(s) - 1), i -> " +
+            "named_struct('lhs', element_at(s, i), 'rhs', element_at(s, i + 1)))"))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) k = bpeK + 1
+      else {
+        val (l, r, f) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        rep = rep.withColumn("wstr",
+          replace(col("wstr"), lit("~" + l + "~~" + r + "~"),
+            lit("~" + l + r + "~"))).localCheckpoint()
+        val tokensAfter = rep
+          .agg(sum(col("cnt") * size(bpeSymbols(col("wstr")))))
+          .head().getLong(0)
+        merges += ((k, l, r, f, tokensAfter))
+        k += 1
+      }
+    }
+    val sess = s; import sess.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "freq", "tokens_after")
+  }
+
+  /** Oracle: the same K rounds unrolled as generated CTE triples
+    * (pair count → arg-max → rewrite); per-step token counts via
+    * scalar subqueries over each round's rewritten dictionary. */
+  val t16Sql: String = {
+    val init = """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    rep0 AS (SELECT '~' || array_to_string(string_split(w, ''), '~~') || '~'
+                      AS wstr, cnt FROM wc)"""
+    val rounds = (1 to bpeK).map { k =>
+      s""",
+    p$k AS (SELECT s[i] AS lhs, s[i + 1] AS rhs,
+                  CAST(SUM(cnt) AS BIGINT) AS freq
+           FROM (SELECT string_split(trim(wstr, '~'), '~~') AS s, cnt,
+                        generate_subscripts(
+                          string_split(trim(wstr, '~'), '~~'), 1) AS i
+                 FROM rep${k - 1}) x
+           WHERE i < len(s)
+           GROUP BY 1, 2),
+    b$k AS (SELECT lhs, rhs, freq FROM p$k
+           ORDER BY freq DESC, lhs, rhs LIMIT 1),
+    rep$k AS (SELECT replace(wstr, '~' || b.lhs || '~~' || b.rhs || '~',
+                             '~' || b.lhs || b.rhs || '~') AS wstr, cnt
+             FROM rep${k - 1}, b$k b)"""
+    }.mkString
+    val out = (1 to bpeK).map { k =>
+      s"""    SELECT CAST($k AS INTEGER) AS step, lhs, rhs, freq,
+           (SELECT CAST(SUM(cnt * len(string_split(trim(wstr, '~'), '~~')))
+                   AS BIGINT) FROM rep$k) AS tokens_after
+    FROM b$k"""
+    }.mkString("\n    UNION ALL\n")
+    init + rounds + "\n" + out
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -566,7 +674,8 @@ object Text {
     "t12_bpe_pairs" -> t12,
     "t13_repetition" -> t13,
     "t14_pii_redact" -> t14,
-    "t15_unigram_rarity" -> t15)
+    "t15_unigram_rarity" -> t15,
+    "t16_bpe_merges" -> t16)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -583,5 +692,6 @@ object Text {
     "t12_bpe_pairs" -> t12Sql,
     "t13_repetition" -> t13Sql,
     "t14_pii_redact" -> t14Sql,
-    "t15_unigram_rarity" -> t15Sql)
+    "t15_unigram_rarity" -> t15Sql,
+    "t16_bpe_merges" -> t16Sql)
 }

@@ -142,6 +142,28 @@ class QueriesSpec extends SparkSpec {
     assert(byDoc.nonEmpty)
   }
 
+  test("t16: BPE merges shrink the token count below the whitespace proxy") {
+    val rows = SparkEntry.queries("t16_bpe_merges")(spark, sf0001).collect()
+      .sortBy(_.getAs[Int]("step"))
+    assert(rows.length == 10, s"expected 10 merge steps, got ${rows.length}")
+    // Whitespace-proxy token count = corpus words; char-level BPE starts
+    // ABOVE it (chars per word > 1) but after enough merges the learned
+    // units must bill differently from whitespace words — the point of
+    // subword accounting. Each merge strictly shrinks the corpus (the
+    // winning pair has freq >= 1 occurrence to rewrite).
+    val after = rows.map(_.getAs[Long]("tokens_after"))
+    assert(after.zip(after.tail).forall { case (a, b) => b < a },
+      s"token counts must strictly decrease: ${after.mkString(",")}")
+    val ws = SparkEntry.queries("t01_token_stats")(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("total_tokens")).head()
+      .getLong(0)
+    assert(after.forall(_ != ws),
+      s"subword counts must differ from whitespace count $ws")
+    // merge table is well-formed: single-char symbols only at step 1
+    assert(rows.head.getAs[String]("lhs").length == 1)
+    assert(rows.map(_.getAs[Long]("freq")).forall(_ > 0))
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
