@@ -727,6 +727,69 @@ object Dedup {
     WHERE doc_id % 7 <> 0
     GROUP BY doc_id"""
 
+  // ---------------------------------------------------------------- d14
+  // Substring-level dedup — the boilerplate-removal operator document-
+  // level Jaccard (d03/d04) cannot express (Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better"): carve every document
+  // into fixed 8-token spans, keep only each span's globally FIRST
+  // occurrence (ordered by doc_id, then span position), and report the
+  // per-document retained-span fraction — the fraction of the doc that
+  // survives after shared headers/footers/navigation chrome are
+  // deduplicated away across the whole corpus.
+  //
+  // Scale shape: spans shuffle by their 16-byte hash — linear in
+  // corpus span count, never pairs². First-occurrence is a MIN(struct)
+  // hash aggregate, NOT a row_number window: partial aggregation
+  // collapses a viral boilerplate span map-side, so the one span that
+  // appears in half the web never lands on a single reducer (the
+  // skew case the window formulation cannot avoid). The span text
+  // itself is dropped before the exchange — only (doc_id, idx, md5)
+  // ever ships. Per-doc totals and retained counts then meet in a
+  // doc_id-keyed join of two already-aggregated relations.
+  val d14: Q = (s, d) => {
+    val W = 8
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w), $W),
+           |  i -> named_struct('idx', (i - 1) div $W,
+           |                    'h', md5(array_join(slice(w, i, $W), ' '))))"""
+          .stripMargin)).as("sp"))
+      .select(col("doc_id"), col("sp.idx").as("span_idx"), col("sp.h").as("h"))
+    val totals = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    val retained = spans
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("f"))
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_retained"))
+    totals.join(retained, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (coalesce(col("n_retained"), lit(0L)).cast("double") /
+          col("n_spans")).as("retained_frac"))
+  }
+
+  /** Oracle: same spans via generate_subscripts stride enumeration;
+    * first occurrence via the window formulation (different algorithm,
+    * same fixpoint — which is the point of an oracle). */
+  val d14Sql: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sp AS (SELECT doc_id, (i - 1) // 8 AS span_idx,
+                  md5(array_to_string(w[i:i+7], ' ')) AS h
+           FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM t) x
+           WHERE (i - 1) % 8 = 0),
+    rn AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY h
+                                     ORDER BY doc_id, span_idx) AS rn
+           FROM sp)
+    SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS retained_frac
+    FROM rn GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -740,7 +803,8 @@ object Dedup {
     "d10_dedup_incremental" -> d10,
     "d11_dedup_bloom" -> d11,
     "d12_takedown" -> d12,
-    "d13_decontaminate" -> d13)
+    "d13_decontaminate" -> d13,
+    "d14_dedup_spans" -> d14)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -755,5 +819,6 @@ object Dedup {
     "d10_dedup_incremental" -> d10Sql,
     "d11_dedup_bloom" -> d11Sql,
     "d12_takedown" -> d12Sql,
-    "d13_decontaminate" -> d13Sql)
+    "d13_decontaminate" -> d13Sql,
+    "d14_dedup_spans" -> d14Sql)
 }

@@ -609,6 +609,101 @@ object Similarity {
     FROM q LEFT JOIN acnt ON q.qid = acnt.qid
            LEFT JOIN hcnt ON q.qid = hcnt.qid"""
 
+  // ---------------------------------------------------------------- s11
+  // Multi-probe ANN — the recall KNOB s10 only measures: probe the
+  // query's bucket PLUS every Hamming-distance-1 neighbor bucket (6
+  // sign bits → 6 extra probes; a vector whose true neighbors sit just
+  // across one separating hyperplane is recovered by flipping that one
+  // bit). Candidates stay bucket-pruned: the probe list explodes to 7
+  // (qid, pbucket) rows and the corpus joins on bucket = pbucket — an
+  // equi-join, never a scan — so cost is 7× bucket population, not
+  // corpus size, and recall@3 is ≥ the single-probe recall by
+  // construction (the probe set is a superset). QueriesSpec asserts
+  // the floor against s10 on the fixture.
+  val s11: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketExpr("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket").as("qbucket"), qnormsq("embedding").as("qnsq"))
+    val probes = q.withColumn("pbucket",
+      explode(expr("array(qbucket, qbucket ^ 1, qbucket ^ 2, qbucket ^ 4," +
+        " qbucket ^ 8, qbucket ^ 16, qbucket ^ 32)")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    def top3(joined: DataFrame): DataFrame = joined
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", qdot("embedding", "qe"))
+      .withColumn("nsq", qnormsq("embedding"))
+      .withColumn("cosine",
+        col("dot") / (sqrt(col("nsq")) * sqrt(col("qnsq"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"))
+    val exact = top3(e.crossJoin(broadcast(q)))
+    val ann = top3(e.join(broadcast(probes), col("bucket") === col("pbucket")))
+    val annCnt = ann.groupBy(col("qid")).agg(count(lit(1)).as("n_ann"))
+    val hitCnt = exact.join(ann, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    q.select(col("qid"))
+      .join(annCnt, Seq("qid"), "left")
+      .join(hitCnt, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(3.0))
+          .as("recall"))
+  }
+
+  /** Oracle: s10's audit with the ANN candidate filter widened from
+    * bucket equality to Hamming distance ≤ 1 on the 6-bit code. */
+  val s11Sql: String = s"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (SELECT CAST(SUM(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                                   THEN (1 << (i - 1))
+                                   ELSE 0 END) AS INTEGER)
+              FROM range(1, 7) r(i)) AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+          FROM b WHERE vec_id < 10),
+    qn AS (SELECT qid, ${sqlDot("qe", "qe")} AS qnsq
+           FROM q CROSS JOIN range(1, 65) r(i) GROUP BY qid),
+    dots AS (SELECT q.qid, e.vec_id, e.bucket, q.qbucket,
+                    ${sqlDot("e.embedding", "q.qe")} AS dot,
+                    ${sqlDot("e.embedding", "e.embedding")} AS nsq
+             FROM b e CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+             WHERE e.vec_id <> q.qid
+             GROUP BY q.qid, e.vec_id, e.bucket, q.qbucket),
+    scored AS (SELECT dots.qid, vec_id, bucket, qbucket,
+                      dot / (sqrt(nsq) * sqrt(qnsq)) AS cosine
+               FROM dots JOIN qn ON dots.qid = qn.qid),
+    exact AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, vec_id ASC) AS rn
+                FROM scored) t
+              WHERE rn <= 3),
+    ann AS (SELECT qid, vec_id FROM (
+              SELECT qid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, vec_id ASC) AS rn
+              FROM scored
+              WHERE bucket = qbucket
+                 OR xor(bucket, qbucket) IN (1, 2, 4, 8, 16, 32)) t
+            WHERE rn <= 3),
+    acnt AS (SELECT qid, COUNT(*) AS n_ann FROM ann GROUP BY qid),
+    hcnt AS (SELECT e.qid, COUNT(*) AS n_hits
+             FROM exact e JOIN ann a
+               ON e.qid = a.qid AND e.vec_id = a.vec_id
+             GROUP BY e.qid)
+    SELECT q.qid,
+           CAST(COALESCE(n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(n_hits, 0) AS DOUBLE) / 3.0 AS recall
+    FROM q LEFT JOIN acnt ON q.qid = acnt.qid
+           LEFT JOIN hcnt ON q.qid = hcnt.qid"""
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> s01,
     "s02_ann_bitlsh" -> s02,
@@ -619,7 +714,8 @@ object Similarity {
     "s07_ann_set_join" -> s07,
     "s08_embedding_quant" -> s08,
     "s09_ivf_trained" -> s09,
-    "s10_ann_recall" -> s10)
+    "s10_ann_recall" -> s10,
+    "s11_ann_multiprobe" -> s11)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -631,5 +727,6 @@ object Similarity {
     "s07_ann_set_join" -> s07Sql,
     "s08_embedding_quant" -> s08Sql,
     "s09_ivf_trained" -> s09Sql,
-    "s10_ann_recall" -> s10Sql)
+    "s10_ann_recall" -> s10Sql,
+    "s11_ann_multiprobe" -> s11Sql)
 }

@@ -166,6 +166,16 @@ class PlanSpec extends SparkSpec {
       s"banded ANN join must stay an equi-join:\n$p")
   }
 
+  test("s11: multi-probe candidate join stays bucket-pruned (equi-join)") {
+    // The 7-bucket probe list must reach the corpus as bucket = pbucket
+    // — one BroadcastNestedLoop/Cartesian here and multi-probe becomes
+    // a full scan per query. (The exact-baseline side of the audit is
+    // the one intentional broadcast cross join, same as s10.)
+    val p = formatted(SparkEntry.queries("s11_ann_multiprobe")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c01: curation gates run in the scan stage (no pre-dedup shuffle)") {
     val p = formatted(SparkEntry.queries("c01_curate")(spark, sf0001))
     // normalize+gates+hash-agg partials+sample-filter = narrow until the

@@ -164,6 +164,24 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("freq")).forall(_ > 0))
   }
 
+  test("s11: multi-probe recall dominates single-probe recall per query") {
+    def recalls(name: String): Map[Long, (Double, Long)] =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => r.getAs[Long]("qid") ->
+          (r.getAs[Double]("recall"), r.getAs[Long]("n_ann"))).toMap
+    val single = recalls("s10_ann_recall")
+    val multi = recalls("s11_ann_multiprobe")
+    assert(single.keySet == multi.keySet)
+    // Superset probe set ⇒ recall can never drop, per query...
+    single.foreach { case (qid, (r1, _)) =>
+      assert(multi(qid)._1 >= r1, s"qid $qid: multi ${multi(qid)._1} < $r1")
+    }
+    // ...and on this fixture the extra probes must actually buy recall
+    // (strict aggregate improvement) at a bounded candidate overhead.
+    assert(multi.values.map(_._1).sum > single.values.map(_._1).sum,
+      s"multi-probe bought no recall: $multi vs $single")
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
