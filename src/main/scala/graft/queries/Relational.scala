@@ -1651,6 +1651,78 @@ object Relational {
     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
     GROUP BY n_name"""
 
+  // ---------------------------------------------------------------- q58
+  // Skewed-JOIN handling — q31 covers skewed aggregation; this is the
+  // other, more common production incident: one join key owning ~90%
+  // of the fact side (here l_partkey folded so key 0 takes 9 of every
+  // 10 lineitems — the one-domain-dominates-the-crawl shape). The
+  // dimension is deliberately NOT broadcast (threshold -1 in a session
+  // clone): at real scale the dim may be a scale-growing table the
+  // size guard refuses, and the sort-merge path must then survive the
+  // hot key. AQE's skew-join split does exactly that at runtime — the
+  // oversized shuffle partition is split into advisory-sized chunks,
+  // each joined against a replicated copy of the matching dim rows
+  // (PlanSpec asserts `skew=true` in the final adaptive plan). The
+  // salted fallback when AQE is unavailable: q31's two-stage shape
+  // applied to joins — explode the dim side over a salt domain, salt
+  // the fact key, join on (key, salt) — trades dim replication for the
+  // same reducer spread; AQE does the equivalent only where needed,
+  // which is why it is the default posture here.
+  val q58: Q = (s, d) => {
+    val sk = s.newSession()
+    sk.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sk.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Test-scale thresholds: the hot partition is ~16 KB at sf0.01
+    // (constant-key rows compress hard in the shuffle), so the split
+    // must engage well below the 256 MB production default. At 100 TB
+    // the DEFAULTS do the same job — these lines are the only
+    // scale-dependent tuning in the query.
+    sk.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+    sk.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    sk.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    // AQE splits a skewed reduce partition at MAP-OUTPUT granularity:
+    // the single-file, single-row-group fixture parquet scans as ONE
+    // map task, making the hot partition one indivisible chunk. The
+    // repartition stands in for the thousands of map tasks a real
+    // 100 TB scan produces — at scale it is not needed (and not
+    // wanted: it is an extra full shuffle).
+    val fact = Tables.lineitem(sk, d)
+      .repartition(16)
+      .select(
+        when(col("l_partkey") % 50 < 45, lit(0L))
+          .otherwise(col("l_partkey") % 50).as("hk"),
+        col("l_extendedprice"))
+    val dim = Tables.part(sk, d)
+      .filter(col("p_partkey") <= 50)
+      .select((col("p_partkey") - 1).as("hk"), col("p_brand"))
+    // Aggregate on p_brand, NOT on the join key: grouping on hk would
+    // let the final aggregate reuse the join's hash-partitioning, and
+    // AQE then refuses to split the hot partition (splitting breaks
+    // the partitioning the parent depends on, and the skew rule never
+    // introduces extra shuffles). Grouping on a different key needs
+    // its own exchange regardless, so the join is free to skew-split —
+    // the same reason production skew incidents usually CAN be
+    // AQE-repaired: the hot join rarely feeds an agg on its own key.
+    fact.join(dim, Seq("hk"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("revenue"))
+  }
+
+  val q58Sql: String = """
+    SELECT p_brand, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM (SELECT CASE WHEN l_partkey % 50 < 45 THEN 0
+                      ELSE l_partkey % 50 END AS hk,
+                 l_extendedprice
+          FROM lineitem) f
+      JOIN (SELECT p_partkey - 1 AS hk, p_brand
+            FROM part WHERE p_partkey <= 50) d USING (hk)
+    GROUP BY p_brand"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1708,7 +1780,8 @@ object Relational {
     "q54_retention" -> q54,
     "q55_grouping_id" -> q55,
     "q56_local_supplier" -> q56,
-    "q57_cbo_stats_join" -> q57)
+    "q57_cbo_stats_join" -> q57,
+    "q58_skew_join" -> q58)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1767,5 +1840,6 @@ object Relational {
     "q54_retention" -> q54Sql,
     "q55_grouping_id" -> q55Sql,
     "q56_local_supplier" -> q56Sql,
-    "q57_cbo_stats_join" -> q57Sql)
+    "q57_cbo_stats_join" -> q57Sql,
+    "q58_skew_join" -> q58Sql)
 }

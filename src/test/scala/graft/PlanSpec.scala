@@ -227,6 +227,16 @@ class PlanSpec extends SparkSpec {
       leafStats.mkString("; "))
   }
 
+  test("q58: AQE splits the skewed join partition at runtime") {
+    // sf0.01: key 0 owns ~54k of 60k fact rows → one ~1 MB shuffle
+    // partition against 32 KB advisory size. The FINAL adaptive plan
+    // must show the sort-merge join running in skew mode.
+    val df = SparkEntry.queries("q58_skew_join")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), p.take(4000))
+  }
+
   test("no batch query plans a CartesianProduct") {
     // Cross joins in s01/s03 broadcast (BroadcastNestedLoopJoin); a
     // CartesianProduct anywhere means a shuffle-everything-everywhere
