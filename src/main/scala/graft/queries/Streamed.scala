@@ -415,6 +415,49 @@ object Streamed {
                AS DOUBLE) / len(toks) >= 0.08"""
   }
 
+  // --------------------------------------------------------------- st09
+  // Streaming benchmark decontamination — d13's hygiene gate as the
+  // continuous-ingestion stage a production corpus pipeline actually
+  // runs: every incoming document's distinct 5-gram set probes the
+  // held-out eval set's grams, and contaminated docs surface with
+  // their hit counts. The eval set is a bounded STATIC relation (the
+  // same boundedness argument as d13), so the probe is a broadcast
+  // stream-static semi-join: eval grams ship once to every executor,
+  // the stream side computes grams in the scan stage and never
+  // shuffles one — the only stateful operator is the per-contaminated-
+  // doc count (state rows = contaminated docs, a vanishing fraction).
+  // Oracle: d13's exact SQL — streaming semantics checked against the
+  // batch fixpoint on the shared fixture.
+  val st09: Q = (s, d) => {
+    val ss = stateSession(s)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(w) - 4),
+          |  i -> array_join(slice(w, i, 5), ' ')))""".stripMargin)).as("g"))
+    val bench = grams(
+      graft.sources.Tables.documents(ss, d).filter(col("doc_id") % 7 === 0))
+      .select(col("g")).distinct()
+    val stream = ss.readStream
+      .schema(docSchema)
+      .parquet(stageDocsDir(d))
+      .filter(col("doc_id") % 7 =!= 0)
+    val hits = grams(stream)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+    val name = "st09_mem"
+    val q = hits.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -423,7 +466,8 @@ object Streamed {
     "st05_stream_static_join" -> st05,
     "st06_stream_stream_join" -> st06,
     "st07_stream_dedup" -> st07,
-    "st08_stream_curate" -> st08)
+    "st08_stream_curate" -> st08,
+    "st09_stream_decontaminate" -> st09)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -432,5 +476,7 @@ object Streamed {
     "st05_stream_static_join" -> st05Sql,
     "st06_stream_stream_join" -> st06Sql,
     "st07_stream_dedup" -> st07Sql,
-    "st08_stream_curate" -> st08Sql)
+    "st08_stream_curate" -> st08Sql,
+    // shared oracle: streaming output must equal d13's batch fixpoint
+    "st09_stream_decontaminate" -> Dedup.d13Sql)
 }
