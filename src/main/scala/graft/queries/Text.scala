@@ -582,7 +582,15 @@ object Text {
   private def bpeSymbols(wstr: org.apache.spark.sql.Column) =
     split(trim(wstr, "~"), "~~")
 
-  val t16: Q = (s, d) => {
+  /** Latest trained merge table per (session, sf dir) — t16 (the
+    * trainer) refreshes it, t17 (the tokenizer) consumes it, the same
+    * train-once-apply-everywhere contract as d08/d09's component
+    * relation. Standalone t17 runs train on demand. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, String, String, Long, Long)]]
+
+  private def trainBpe(s: SparkSession,
+                       d: String): Seq[(Int, String, String, Long, Long)] = {
     val wc = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -621,14 +629,19 @@ object Text {
         k += 1
       }
     }
-    val sess = s; import sess.implicits._
-    merges.toSeq.toDF("step", "lhs", "rhs", "freq", "tokens_after")
+    merges.toSeq
   }
 
-  /** Oracle: the same K rounds unrolled as generated CTE triples
-    * (pair count → arg-max → rewrite); per-step token counts via
-    * scalar subqueries over each round's rewritten dictionary. */
-  val t16Sql: String = {
+  val t16: Q = (s, d) => {
+    val merges = trainBpe(s, d)
+    bpeCache((s, d)) = merges
+    val sess = s; import sess.implicits._
+    merges.toDF("step", "lhs", "rhs", "freq", "tokens_after")
+  }
+
+  /** Shared oracle prefix: the K training rounds unrolled as generated
+    * CTE triples (pair count `p_k` → arg-max `b_k` → rewrite `rep_k`). */
+  private val bpeCtes: String = {
     val init = """
     WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
     wc AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
@@ -650,13 +663,74 @@ object Text {
                              '~' || b.lhs || b.rhs || '~') AS wstr, cnt
              FROM rep${k - 1}, b$k b)"""
     }.mkString
+    init + rounds
+  }
+
+  /** Oracle: per-step merge rows off the shared round CTEs; token
+    * counts via scalar subqueries over each round's dictionary. */
+  val t16Sql: String = {
     val out = (1 to bpeK).map { k =>
       s"""    SELECT CAST($k AS INTEGER) AS step, lhs, rhs, freq,
            (SELECT CAST(SUM(cnt * len(string_split(trim(wstr, '~'), '~~')))
                    AS BIGINT) FROM rep$k) AS tokens_after
     FROM b$k"""
     }.mkString("\n    UNION ALL\n")
-    init + rounds + "\n" + out
+    bpeCtes + "\n" + out
+  }
+
+  // ---------------------------------------------------------------- t17
+  // Subword token accounting — the trained tokenizer APPLIED: encode
+  // every document with t16's merge table (train-once-apply-everywhere
+  // via the shared cache; standalone runs train on demand) and report,
+  // per source, the whitespace token count next to the learned-subword
+  // count — the number a training pipeline's capacity planning
+  // actually bills in, computed corpus-wide. The application is a
+  // row-local chain of K plain replaces over the separator-encoded
+  // text (merges cannot span words: the inter-word text "~ ~"
+  // contains a space no merge pattern has), fused into the scan —
+  // zero shuffle before the 5-key source aggregate, scan speed at any
+  // corpus size.
+  val t17: Q = (s, d) => {
+    val merges = bpeCache.getOrElseUpdate((s, d), trainBpe(s, d))
+    val enc0 = expr(
+      """array_join(transform(split(text, ' '),
+        |  w -> '~' || array_join(filter(split(w, ''), x -> x <> ''), '~~')
+        |       || '~'), ' ')""".stripMargin)
+    val encoded = merges.foldLeft(
+      Tables.documents(s, d).withColumn("enc", enc0)) {
+      case (df, (_, l, r, _, _)) => df.withColumn("enc",
+        replace(col("enc"), lit("~" + l + "~~" + r + "~"),
+          lit("~" + l + r + "~")))
+    }
+    // symbols are wrapped in exactly two '~' each → count('~') / 2
+    encoded.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).cast("long").as("ws_tokens"),
+      sum(expr("(length(enc) - length(replace(enc, '~', ''))) div 2"))
+        .cast("long").as("bpe_tokens"))
+  }
+
+  /** Oracle: the same encode + K chained replaces, with each round's
+    * winning pair referenced straight from its `b_k` CTE (cross-joined
+    * single-row relations — no literal embedding, no escaping). */
+  val t17Sql: String = {
+    val encChain = (1 to bpeK).foldLeft("enc") { (acc, k) =>
+      s"replace($acc, '~' || m$k.lhs || '~~' || m$k.rhs || '~', " +
+        s"'~' || m$k.lhs || m$k.rhs || '~')"
+    }
+    val bs = (1 to bpeK).map(k => s"b$k m$k").mkString(", ")
+    s"""$bpeCtes,
+    enc0 AS (SELECT source, text,
+                    array_to_string(list_transform(string_split(text, ' '),
+                      w -> '~' || array_to_string(string_split(w, ''), '~~')
+                           || '~'), ' ') AS enc
+             FROM documents),
+    encf AS (SELECT source, text, $encChain AS enc FROM enc0, $bs)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM((length(enc) - length(replace(enc, '~', ''))) // 2)
+                AS BIGINT) AS bpe_tokens
+    FROM encf GROUP BY source"""
   }
 
   val queries: Map[String, Q] = Map(
@@ -675,7 +749,8 @@ object Text {
     "t13_repetition" -> t13,
     "t14_pii_redact" -> t14,
     "t15_unigram_rarity" -> t15,
-    "t16_bpe_merges" -> t16)
+    "t16_bpe_merges" -> t16,
+    "t17_bpe_tokenize" -> t17)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -693,5 +768,6 @@ object Text {
     "t13_repetition" -> t13Sql,
     "t14_pii_redact" -> t14Sql,
     "t15_unigram_rarity" -> t15Sql,
-    "t16_bpe_merges" -> t16Sql)
+    "t16_bpe_merges" -> t16Sql,
+    "t17_bpe_tokenize" -> t17Sql)
 }

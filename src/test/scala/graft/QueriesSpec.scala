@@ -164,6 +164,19 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("freq")).forall(_ > 0))
   }
 
+  test("t17: applied tokenizer reproduces t16's trained token count") {
+    import org.apache.spark.sql.functions.sum
+    // Train on the dictionary (t16), apply to the corpus (t17): the
+    // corpus-wide subword total must equal the final tokens_after the
+    // trainer reported — the dict-weighted count and the document-level
+    // encode agree, or one of them is lying.
+    val trained = SparkEntry.queries("t16_bpe_merges")(spark, sf0001)
+      .collect().maxBy(_.getAs[Int]("step")).getAs[Long]("tokens_after")
+    val applied = SparkEntry.queries("t17_bpe_tokenize")(spark, sf0001)
+      .agg(sum("bpe_tokens")).head().getLong(0)
+    assert(applied == trained, s"t17 total $applied != t16 final $trained")
+  }
+
   test("s11: multi-probe recall dominates single-probe recall per query") {
     def recalls(name: String): Map[Long, (Double, Long)] =
       SparkEntry.queries(name)(spark, sf0001).collect()
