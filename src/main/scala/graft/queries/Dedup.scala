@@ -790,6 +790,64 @@ object Dedup {
              AS retained_frac
     FROM rn GROUP BY doc_id"""
 
+  // ---------------------------------------------------------------- d15
+  // Span reconstruction — d14's other half (the Lee et al. operator in
+  // full): not just *how much* of each document survives substring
+  // dedup, but the deduplicated corpus itself — every document rebuilt
+  // from only its retained spans, in original span order. This is the
+  // text an LLM pipeline actually trains on after boilerplate removal.
+  //
+  // Scale shape: first-occurrence selection is d14's MIN(struct) hash
+  // aggregate (span text dropped before that exchange — only
+  // (doc_id, idx, md5) ships). The surviving ids come back as ONE
+  // compact row per doc — (doc_id, retained-index set) — joined on
+  // doc_id, so the reconstruction groupBy reuses the join's
+  // partitioning: span text crosses exactly one exchange end to end.
+  // (Joining on the composite (doc_id, idx) key would shuffle the
+  // text twice — once for the join, once to regroup by doc.)
+  val d15: Q = (s, d) => {
+    val W = 8
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w), $W),
+           |  i -> named_struct('idx', (i - 1) div $W,
+           |                    'sp', array_join(slice(w, i, $W), ' ')))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.idx").as("span_idx"), col("s.sp").as("sp"))
+    val keep = spans
+      .select(col("doc_id"), col("span_idx"), md5(col("sp")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("f"))
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(collect_set(col("f.span_idx")).as("keep"))
+    spans.join(keep, Seq("doc_id"))
+      .filter(array_contains(col("keep"), col("span_idx")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_retained"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "named_struct('i', span_idx, 'sp', sp))), x -> x.sp)"), " ")
+          .as("clean_text"))
+  }
+
+  /** Oracle: d14's window first-occurrence, reconstructed with an
+    * ordered string_agg. Docs whose every span was seen before drop
+    * out of both engines identically (inner semantics). */
+  val d15Sql: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sp AS (SELECT doc_id, (i - 1) // 8 AS span_idx,
+                  array_to_string(w[i:i+7], ' ') AS sp
+           FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM t) x
+           WHERE (i - 1) % 8 = 0),
+    rn AS (SELECT doc_id, span_idx, sp,
+                  ROW_NUMBER() OVER (PARTITION BY md5(sp)
+                                     ORDER BY doc_id, span_idx) AS rn
+           FROM sp)
+    SELECT doc_id, COUNT(*) AS n_retained,
+           string_agg(sp, ' ' ORDER BY span_idx) AS clean_text
+    FROM rn WHERE rn = 1
+    GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -804,7 +862,8 @@ object Dedup {
     "d11_dedup_bloom" -> d11,
     "d12_takedown" -> d12,
     "d13_decontaminate" -> d13,
-    "d14_dedup_spans" -> d14)
+    "d14_dedup_spans" -> d14,
+    "d15_dedup_reconstruct" -> d15)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -820,5 +879,6 @@ object Dedup {
     "d11_dedup_bloom" -> d11Sql,
     "d12_takedown" -> d12Sql,
     "d13_decontaminate" -> d13Sql,
-    "d14_dedup_spans" -> d14Sql)
+    "d14_dedup_spans" -> d14Sql,
+    "d15_dedup_reconstruct" -> d15Sql)
 }
