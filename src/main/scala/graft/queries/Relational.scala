@@ -1723,6 +1723,67 @@ object Relational {
             FROM part WHERE p_partkey <= 50) d USING (hk)
     GROUP BY p_brand"""
 
+  // ---------------------------------------------------------------- q59
+  // Scalable exact quantiles — the answer to q42's measured scale
+  // ceiling (SCALE.md round 5: the per-group window sort is bounded by
+  // the THREE l_returnflag groups, 26.7× at 100× data). Same discrete-
+  // quantile definition (value at row_number ceil(p·n)), different
+  // plan: (1) histogram pass — count rows per (group, value bucket),
+  // a partial-aggregated shuffle of (flag, bucket) keys only; the
+  // cumulative bucket counts locate, per target rank, the ONE bucket
+  // containing it and the residual rank within it; (2) resolve pass —
+  // only the hit buckets' rows (≈1/width of the data) are ranked, in
+  // windows keyed by (group, percentile). Both passes parallelize with
+  // executors, not group count; if a bucket is still too big, the same
+  // reduction recurses inside it (re-bucket at finer width) — each
+  // level shrinks the sorted set ~100×. Bucket width is the knob: it
+  // trades histogram size (rows/width keys) against pass-2 sort size.
+  val q59: Q = (s, d) => {
+    val ps = Seq(0.25, 0.50, 0.75)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      .withColumn("bucket", floor(col("v") / 1000.0))
+    val counts = li.groupBy(col("flag"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("flag")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("cum_before", col("cum") - col("c"))
+    val targets = counts.groupBy(col("flag")).agg(sum(col("c")).as("n"))
+      .select(col("flag"), col("n"), explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("target", ceil(col("n") * col("p")).cast("long"))
+    // bucket-sized relations: locating the rank is a tiny range join
+    val hits = targets.join(cum, Seq("flag"))
+      .filter(col("target") > col("cum_before") && col("target") <= col("cum"))
+      .select(col("flag"), col("p"), col("bucket"),
+        (col("target") - col("cum_before")).as("r"))
+    val wsel = Window.partitionBy(col("flag"), col("p")).orderBy(col("v"))
+    li.join(broadcast(hits), Seq("flag", "bucket"))
+      .withColumn("rn", row_number().over(wsel))
+      .filter(col("rn") === col("r"))
+      .groupBy(col("flag"))
+      .agg(max(when(col("p") === 0.25, col("v"))).as("p25"),
+           max(when(col("p") === 0.50, col("v"))).as("p50"),
+           max(when(col("p") === 0.75, col("v"))).as("p75"))
+      .select(col("flag").as("l_returnflag"),
+        col("p25"), col("p50"), col("p75"))
+  }
+
+  /** Oracle: the straight rank definition — same fixpoint the bucketed
+    * two-pass plan must land on. Bucket boundaries cannot split ties
+    * (equal values share a bucket), so value-at-rank is identical. */
+  val q59Sql: String = """
+    WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+                      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                         ORDER BY l_extendedprice) AS rn,
+                      COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+               FROM lineitem)
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN v END) AS p25,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN v END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN v END) AS p75
+    FROM r GROUP BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1781,7 +1842,8 @@ object Relational {
     "q55_grouping_id" -> q55,
     "q56_local_supplier" -> q56,
     "q57_cbo_stats_join" -> q57,
-    "q58_skew_join" -> q58)
+    "q58_skew_join" -> q58,
+    "q59_bucket_quantiles" -> q59)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1841,5 +1903,6 @@ object Relational {
     "q55_grouping_id" -> q55Sql,
     "q56_local_supplier" -> q56Sql,
     "q57_cbo_stats_join" -> q57Sql,
-    "q58_skew_join" -> q58Sql)
+    "q58_skew_join" -> q58Sql,
+    "q59_bucket_quantiles" -> q59Sql)
 }
