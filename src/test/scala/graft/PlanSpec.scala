@@ -237,6 +237,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("skew=true"), p.take(4000))
   }
 
+  test("d14/d15: span dedup ships text through at most one exchange") {
+    // d14 hashes spans before anything shuffles — no exchange carries
+    // text. d15 reconstructs documents, so text must cross exactly one
+    // exchange (the doc_id regroup above the keep-set join). Plan
+    // pinned at fixture scale: three exchanges each — span-hash agg,
+    // per-doc firsts agg, and totals/reconstruction regroup.
+    Seq("d14_dedup_spans", "d15_dedup_reconstruct").foreach { name =>
+      val p = formatted(SparkEntry.queries(name)(spark, sf0001))
+      assert(exchanges(p) == 3, s"$name:\n$p")
+    }
+  }
+
+  test("q59: pass-2 rank window sorts only the joined (bucket-pruned) rows") {
+    // The point of the two-pass plan: the only window over row-level
+    // data sits ABOVE the hit-bucket join (sorting ~1/width of the
+    // table); the cumulative-count window runs on the bucket-sized
+    // aggregate (no join below it). A window directly over the raw
+    // scan would be q42's group-bound sort again.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val df = SparkEntry.queries("q59_bucket_quantiles")(spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.nonEmpty)
+    val (rankW, cumW) = windows.partition(_.partitionSpec.length == 2)
+    assert(rankW.nonEmpty && cumW.nonEmpty, windows.mkString("; "))
+    rankW.foreach { w =>
+      assert(w.child.collectFirst { case j: Join => j }.isDefined,
+        s"rank window must sit above the hit-bucket join:\n$w")
+    }
+    cumW.foreach { w =>
+      assert(w.child.collectFirst { case j: Join => j }.isEmpty,
+        s"cumulative window must run on the bucket aggregate, not a join:\n$w")
+    }
+  }
+
   test("no batch query plans a CartesianProduct") {
     // Cross joins in s01/s03 broadcast (BroadcastNestedLoopJoin); a
     // CartesianProduct anywhere means a shuffle-everything-everywhere
