@@ -255,16 +255,89 @@ object Corpus {
            MAX(ord) AS last_key
     FROM h GROUP BY 1"""
 
+  // ---------------------------------------------------------------- c06
+  // Tokenize-and-pack — the end-to-end fusion a training-data run
+  // actually executes: c04's packing layout computed over TRAINED
+  // subword counts (t16's merge table applied via t17's row-local
+  // encode) instead of the whitespace proxy. The capacity numbers a
+  // loader bills in are BPE tokens; packing on whitespace counts
+  // mis-sizes every sequence boundary.
+  //
+  // Scale shape: training touches the corpus once and iterates on the
+  // Heaps-law word dictionary (t16); the trained encode + token count
+  // is ONE row-local expression fused into the scan (no shuffle, no
+  // join — the merge table is K driver-side literals folded into the
+  // plan); the packing layout is c04's two-level distributed prefix
+  // sum (per-block windows + a 64×-smaller broadcast offset relation).
+  // The whole pipeline adds zero shuffles beyond c04's.
+  val c06: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val L = 512L // tokens per packed sequence
+    val B = 64L  // docs per prefix-sum block
+    val merges = Text.trainedMerges(s, d)
+    val docs = Tables.documents(s, d)
+      .withColumn("enc", Text.bpeEncodeCol(col("text"), merges))
+      // symbols are wrapped in exactly two '~' each → count('~') / 2
+      .select(col("doc_id"),
+        expr("(length(enc) - length(replace(enc, '~', ''))) div 2")
+          .cast("long").as("n_tokens"))
+      .withColumn("block", expr(s"doc_id DIV $B"))
+    val inBlock = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = docs.withColumn("local_start",
+      coalesce(sum(col("n_tokens")).over(inBlock), lit(0L)))
+    val blockOffsets = docs.groupBy(col("block"))
+      .agg(sum(col("n_tokens")).as("block_total"))
+      .withColumn("block_start",
+        coalesce(sum(col("block_total")).over(
+          Window.orderBy(col("block"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("block"), col("block_start"))
+    withLocal.join(Hints.broadcastIfSmall(blockOffsets), Seq("block"))
+      .withColumn("st", col("block_start") + col("local_start"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"st DIV $L").as("seq_first"),
+        expr(s"(st + n_tokens - 1) DIV $L").as("seq_last"),
+        pmod(col("st"), lit(L)).as("seq_offset"))
+  }
+
+  val c06Sql: String = {
+    val (chain, bs) = Text.bpeEncChainSql
+    s"""${Text.bpeCtes},
+    enc0 AS (SELECT doc_id,
+                    array_to_string(list_transform(string_split(text, ' '),
+                      w -> '~' || array_to_string(string_split(w, ''), '~~')
+                           || '~'), ' ') AS enc
+             FROM documents),
+    encf AS (SELECT doc_id, $chain AS enc FROM enc0, $bs),
+    t AS (SELECT doc_id,
+                 CAST((length(enc) - length(replace(enc, '~', ''))) // 2
+                      AS BIGINT) AS n_tokens
+          FROM encf),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS st
+          FROM t)
+    SELECT doc_id, n_tokens,
+           st // 512 AS seq_first,
+           (st + n_tokens - 1) // 512 AS seq_last,
+           st % 512 AS seq_offset
+    FROM c"""
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
     "c02_curate_sql" -> c02,
     "c03_mixture_sample" -> c03,
     "c04_pack_sequences" -> c04,
-    "c05_shard_shuffle" -> c05)
+    "c05_shard_shuffle" -> c05,
+    "c06_tokenize_pack" -> c06)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
     "c02_curate_sql" -> c01Sql,
     "c03_mixture_sample" -> c03Sql,
     "c04_pack_sequences" -> c04Sql,
-    "c05_shard_shuffle" -> c05Sql)
+    "c05_shard_shuffle" -> c05Sql,
+    "c06_tokenize_pack" -> c06Sql)
 }

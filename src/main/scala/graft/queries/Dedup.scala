@@ -848,6 +848,112 @@ object Dedup {
     FROM rn WHERE rn = 1
     GROUP BY doc_id"""
 
+  // ---------------------------------------------------------------- d16
+  // Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster the
+  // corpus by embedding, then mark as semantic duplicates the vectors
+  // whose within-cluster cosine to a lower-id neighbor clears the
+  // threshold — catches paraphrases and near-translations that n-gram
+  // dedup (d03/d04) cannot see. The codebook is the TRAINED one
+  // (Similarity.trainedCentroids — s09's exact-decimal per-label
+  // means), so the whole train→assign→pair→verify pipeline sits under
+  // the oracle gate.
+  //
+  // Scale shape: assignment is one broadcast (codebook is
+  // label-bounded) + one max_by hash aggregate; the pair stage
+  // self-joins WITHIN clusters only — quadratic in cluster size, never
+  // in corpus size, which is exactly the published algorithm's scaling
+  // argument: codebook size grows with the corpus so cluster
+  // population stays bounded, and the cid-keyed shuffle spreads
+  // clusters across executors. A hot cluster (the skew incident) is
+  // sub-split by a secondary LSH band before pairing — d06's banding
+  // composes here unchanged.
+  val D16Threshold = 0.3
+
+  val d16: Q = (s, d) => {
+    import graft.functions.VectorExprs.{qdot, qnormsq}
+    val cents = Similarity.trainedCentroids(s, d)
+    val assigned = Tables.embeddings(s, d)
+      .withColumn("vnsq", qnormsq(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", qdot(col("embedding"), col("ce")) /
+        (sqrt(col("vnsq")) * sqrt(col("cnsq"))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cid"), col("embedding"), col("vnsq")),
+        struct(col("csim"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.embedding").as("embedding"), col("best.vnsq").as("vnsq"))
+    val a = assigned.select(col("cid"), col("vec_id").as("i"),
+      col("embedding").as("ea"), col("vnsq").as("nsqa"))
+    val b = assigned.select(col("cid"), col("vec_id").as("j"),
+      col("embedding").as("eb"), col("vnsq").as("nsqb"))
+    a.join(b, Seq("cid"))
+      .filter(col("i") < col("j"))
+      .withColumn("cosine", qdot(col("ea"), col("eb")) /
+        (sqrt(col("nsqa")) * sqrt(col("nsqb"))))
+      .filter(col("cosine") >= D16Threshold)
+      .groupBy(col("j").as("vec_id"))
+      .agg(max(col("cid")).as("cid"),
+        min(col("i")).as("dup_of"),
+        count(lit(1)).as("n_dups"))
+  }
+
+  /** Oracle: replays centroid training (s09's CTEs), nearest-centroid
+    * assignment over ALL vectors, then the within-cluster pair scan
+    * with the same quantized-decimal cosine. */
+  val d16Sql: String = s"""
+    WITH centl AS (
+      SELECT label AS cid, CAST(i AS INTEGER) AS dim,
+             CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cv
+      FROM embeddings CROSS JOIN range(1, 65) r(i)
+      GROUP BY label, i),
+    cn AS (SELECT cid,
+                  CAST(SUM(CAST(round(cv * cv, 6) AS DECIMAL(20,6)))
+                       AS DOUBLE) AS cnsq
+           FROM centl GROUP BY cid),
+    en AS (SELECT vec_id,
+                  CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) *
+                                      CAST(embedding[i] AS DOUBLE), 6)
+                                AS DECIMAL(20,6))) AS DOUBLE) AS nsq
+           FROM embeddings CROSS JOIN range(1, 65) r(i) GROUP BY vec_id),
+    dots AS (SELECT e.vec_id, c.cid,
+                    CAST(SUM(CAST(round(
+                      CAST(e.embedding[c.dim] AS DOUBLE) * c.cv, 6)
+                      AS DECIMAL(20,6))) AS DOUBLE) AS dot
+             FROM embeddings e JOIN centl c ON TRUE
+             GROUP BY e.vec_id, c.cid),
+    sims AS (SELECT d2.vec_id, d2.cid,
+                    d2.dot / (sqrt(en.nsq) * sqrt(cn.cnsq)) AS csim
+             FROM dots d2 JOIN en ON d2.vec_id = en.vec_id
+                          JOIN cn ON d2.cid = cn.cid),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY csim DESC, cid ASC) AS rk
+              FROM sims) t
+            WHERE rk = 1),
+    ver AS (
+      SELECT aa.cid, aa.vec_id AS i, bb.vec_id AS j,
+             CAST(SUM(CAST(round(CAST(ea.embedding[x] AS DOUBLE) *
+                                 CAST(eb.embedding[x] AS DOUBLE), 6)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS dot,
+             MAX(na.nsq) AS nsqa, MAX(nb.nsq) AS nsqb
+      FROM asg aa
+        JOIN asg bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+        JOIN embeddings ea ON ea.vec_id = aa.vec_id
+        JOIN embeddings eb ON eb.vec_id = bb.vec_id
+        JOIN en na ON na.vec_id = aa.vec_id
+        JOIN en nb ON nb.vec_id = bb.vec_id
+        CROSS JOIN range(1, 65) r(x)
+      GROUP BY aa.cid, aa.vec_id, bb.vec_id),
+    hits AS (SELECT cid, i, j, dot / (sqrt(nsqa) * sqrt(nsqb)) AS cosine
+             FROM ver
+             WHERE dot / (sqrt(nsqa) * sqrt(nsqb)) >= $D16Threshold)
+    SELECT j AS vec_id, MAX(cid) AS cid, MIN(i) AS dup_of,
+           COUNT(*) AS n_dups
+    FROM hits GROUP BY j"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -863,7 +969,8 @@ object Dedup {
     "d12_takedown" -> d12,
     "d13_decontaminate" -> d13,
     "d14_dedup_spans" -> d14,
-    "d15_dedup_reconstruct" -> d15)
+    "d15_dedup_reconstruct" -> d15,
+    "d16_dedup_semantic" -> d16)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -880,5 +987,6 @@ object Dedup {
     "d12_takedown" -> d12Sql,
     "d13_decontaminate" -> d13Sql,
     "d14_dedup_spans" -> d14Sql,
-    "d15_dedup_reconstruct" -> d15Sql)
+    "d15_dedup_reconstruct" -> d15Sql,
+    "d16_dedup_semantic" -> d16Sql)
 }

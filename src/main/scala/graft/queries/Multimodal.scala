@@ -211,13 +211,73 @@ object Multimodal {
            CAST(SUM(height) AS DOUBLE) / COUNT(*) AS avg_h
     FROM b GROUP BY bucket"""
 
+  // ---------------------------------------------------------------- m07
+  // Scene-cut detection — the shot-boundary stage of a video curation
+  // pipeline: per-frame signatures compared to their predecessor (lag
+  // window keyed by doc), a cut where the inter-frame distance jumps,
+  // scenes = cuts + 1. With a real codec the signature is a perceptual
+  // frame hash computed in the m02/m04 mapPartitions decode stage; in
+  // this codec-less container it is the same md5-derived stand-in as
+  // m05's patch fingerprint (deterministic, portable) — the stub policy
+  // is the signal, the PLUMBING (frame fan-out, per-doc lag window,
+  // per-doc aggregate) is real and is what this query pins.
+  //
+  // Scale shape: frame explosion is narrow post-pruning (only doc_id +
+  // length amplify); the lag window partitions by doc_id — millions of
+  // independent small partitions, no global sort; the final aggregate
+  // returns to one row per doc. Zero shuffles beyond the window's
+  // doc_id exchange, which the aggregate then reuses.
+  val m07: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val frames = metaCols(s, d)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(1), col("n_frames"))).as("frame_idx"))
+      .withColumn("fsig",
+        pmod(conv(substring(md5(concat_ws(":", col("doc_id"),
+          col("frame_idx"))), 1, 4), 16, 10).cast("long"), lit(1000)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("jump", abs(col("fsig") - lag(col("fsig"), 1).over(w)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        sum(when(col("jump") > 500, 1L).otherwise(0L)).as("n_cuts"),
+        (sum(when(col("jump") > 500, 1L).otherwise(0L)) + lit(1L))
+          .as("n_scenes"),
+        coalesce(max(col("jump")), lit(0L)).as("max_jump"))
+  }
+
+  val m07Sql: String = """
+    WITH meta AS (
+      SELECT doc_id, CAST(1 + octet_length(CAST(text AS BLOB)) % 7 AS INTEGER)
+               AS n_frames
+      FROM documents),
+    frames AS (
+      SELECT doc_id, n_frames, CAST(i AS INTEGER) AS frame_idx,
+             ('0x' || substring(md5(doc_id || ':' || i), 1, 4))::BIGINT % 1000
+               AS fsig
+      FROM meta CROSS JOIN range(1, 8) r(i)
+      WHERE i <= n_frames),
+    jumps AS (
+      SELECT doc_id, n_frames,
+             abs(fsig - lag(fsig) OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx)) AS jump
+      FROM frames)
+    SELECT doc_id, MAX(n_frames) AS n_frames,
+           CAST(SUM(CASE WHEN jump > 500 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           CAST(SUM(CASE WHEN jump > 500 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+             AS n_scenes,
+           COALESCE(MAX(jump), 0) AS max_jump
+    FROM jumps GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
     "m03_frame_sample" -> m03,
     "m04_resize" -> m04,
     "m05_patch_grid" -> m05,
-    "m06_aspect_buckets" -> m06)
+    "m06_aspect_buckets" -> m06,
+    "m07_scene_cuts" -> m07)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
@@ -225,5 +285,6 @@ object Multimodal {
     "m03_frame_sample" -> m03Sql,
     "m04_resize" -> m04Sql,
     "m05_patch_grid" -> m05Sql,
-    "m06_aspect_buckets" -> m06Sql)
+    "m06_aspect_buckets" -> m06Sql,
+    "m07_scene_cuts" -> m07Sql)
 }

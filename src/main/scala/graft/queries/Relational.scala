@@ -1784,6 +1784,58 @@ object Relational {
            MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN v END) AS p75
     FROM r GROUP BY l_returnflag"""
 
+  // ---------------------------------------------------------------- q60
+  // Bucketed co-located fact-to-fact join — the layout lever q56's
+  // comment points at, exercised under the oracle gate: lineitem and
+  // orders are written ONCE as co-bucketed tables (same key, same
+  // bucket count, per-bucket sorted — load/Bucketing.scala, the
+  // warehouse's clustered-layout contract), and the orderkey join then
+  // plans with ZERO exchanges on either side — the shuffle that
+  // dominates every fact-to-fact join at 100 TB is paid once at load
+  // time and never again. PlanSpec asserts the join stage is
+  // exchange-free and that the same join over plain parquet shuffles.
+  // Registration is per (table, sf dir) — the guard keys the table
+  // name to the source dir so Verify (sf0.01) and Bench (sf0.1) each
+  // build their layout exactly once; repeat invocations measure only
+  // the join.
+  val q60: Q = (s, d) => {
+    val san = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val li = s"g60_li_$san"
+    val ord = s"g60_ord_$san"
+    // A fresh session's catalog starts empty, but a previous JVM may
+    // have left the managed table's directory behind — saveAsTable
+    // then refuses the name. Rebuilding the layout is the correct
+    // response (the catalog, not the directory, owns bucketing
+    // metadata; orphaned files carry none).
+    def freshBucketed(table: String, df: DataFrame, key: String): Unit =
+      if (!s.catalog.tableExists(table)) {
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table)
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+        graft.load.Bucketing.writeBucketed(df, table, key, 8)
+      }
+    freshBucketed(li, Tables.lineitem(s, d), "l_orderkey")
+    freshBucketed(ord, Tables.orders(s, d), "o_orderkey")
+    // hint("merge") pins the sort-merge strategy (the one that matters
+    // fact-to-fact); the bucketed layout supplies its partitioning AND
+    // per-bucket order, so neither Exchange nor per-partition Sort
+    // appears on the join inputs.
+    s.table(li).hint("merge")
+      .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+  }
+
+  val q60Sql: String = """
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1843,7 +1895,8 @@ object Relational {
     "q56_local_supplier" -> q56,
     "q57_cbo_stats_join" -> q57,
     "q58_skew_join" -> q58,
-    "q59_bucket_quantiles" -> q59)
+    "q59_bucket_quantiles" -> q59,
+    "q60_bucketed_join" -> q60)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1904,5 +1957,6 @@ object Relational {
     "q56_local_supplier" -> q56Sql,
     "q57_cbo_stats_join" -> q57Sql,
     "q58_skew_join" -> q58Sql,
-    "q59_bucket_quantiles" -> q59Sql)
+    "q59_bucket_quantiles" -> q59Sql,
+    "q60_bucketed_join" -> q60Sql)
 }

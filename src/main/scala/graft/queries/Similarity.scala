@@ -432,22 +432,32 @@ object Similarity {
   // aggregate and final top-k, same as s05.
   private val IvfProbe9 = 3 // of |labels| (=10 in the fixtures) lists
 
-  val s09: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    // Training: per-label mean, dimension-wise (exactly s06), then
-    // reassembled into an ordered vector per label.
-    val centLong = e
+  /** Trained codebook: per-label mean embeddings (s06's exact-decimal
+    * centroid computation reassembled into ordered vectors) with their
+    * squared norms — (cid, ce, cnsq). Bounded by the label domain, so
+    * always broadcastable. Shared by s09 (trained IVF) and Dedup.d16
+    * (semantic dedup). */
+  private[queries] def trainedCentroids(s: SparkSession,
+                                        d: String): DataFrame = {
+    val centLong = Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
       .select(col("label"), (col("p") + 1).as("dim"),
         round(col("v").cast("double"), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("q"))
       .groupBy(col("label"), col("dim"))
       .agg((sum(col("q")).cast("double") / count(lit(1))).as("cv"))
-    val cents = centLong
+    centLong
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("a"))
       .select(col("label").as("cid"), expr("transform(a, x -> x.cv)").as("ce"))
       .withColumn("cnsq", qdot("ce", "ce"))
+  }
+
+  val s09: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    // Training: per-label mean, dimension-wise (exactly s06), then
+    // reassembled into an ordered vector per label.
+    val cents = trainedCentroids(s, d)
     def sims(vecs: DataFrame): DataFrame =
       vecs.withColumn("vnsq", qnormsq("embedding"))
         .crossJoin(broadcast(cents))

@@ -639,9 +639,15 @@ object Text {
     merges.toDF("step", "lhs", "rhs", "freq", "tokens_after")
   }
 
+  /** Train-once-apply-everywhere accessor for the merge table — t17 and
+    * Corpus.c06 (tokenize-and-pack) both consume it. */
+  private[queries] def trainedMerges(
+      s: SparkSession, d: String): Seq[(Int, String, String, Long, Long)] =
+    bpeCache.getOrElseUpdate((s, d), trainBpe(s, d))
+
   /** Shared oracle prefix: the K training rounds unrolled as generated
     * CTE triples (pair count `p_k` → arg-max `b_k` → rewrite `rep_k`). */
-  private val bpeCtes: String = {
+  private[queries] val bpeCtes: String = {
     val init = """
     WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
     wc AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
@@ -676,6 +682,30 @@ object Text {
     FROM b$k"""
     }.mkString("\n    UNION ALL\n")
     bpeCtes + "\n" + out
+  }
+
+  /** The full trained encode as ONE column expression: separator-encode
+    * `text`, then the K merge replaces folded in — row-local, fuses
+    * into the scan wherever it is used (t17, Corpus.c06). */
+  private[queries] def bpeEncodeCol(
+      text: org.apache.spark.sql.Column,
+      merges: Seq[(Int, String, String, Long, Long)]): org.apache.spark.sql.Column = {
+    val enc0 = array_join(transform(split(text, " "),
+      w => concat(lit("~"),
+        array_join(filter(split(w, ""), x => x =!= ""), "~~"), lit("~"))), " ")
+    merges.foldLeft(enc0) { case (c, (_, l, r, _, _)) =>
+      replace(c, lit("~" + l + "~~" + r + "~"), lit("~" + l + r + "~"))
+    }
+  }
+
+  /** Oracle-side encode chain over `enc` plus the b_k FROM-list aliases
+    * — mirrors [[bpeEncodeCol]]'s K replaces (used by t17Sql, c06Sql). */
+  private[queries] def bpeEncChainSql: (String, String) = {
+    val chain = (1 to bpeK).foldLeft("enc") { (acc, k) =>
+      s"replace($acc, '~' || m$k.lhs || '~~' || m$k.rhs || '~', " +
+        s"'~' || m$k.lhs || m$k.rhs || '~')"
+    }
+    (chain, (1 to bpeK).map(k => s"b$k m$k").mkString(", "))
   }
 
   // ---------------------------------------------------------------- t17
@@ -733,6 +763,83 @@ object Text {
     FROM encf GROUP BY source"""
   }
 
+  // ---------------------------------------------------------------- t18
+  // Zipf-law fit per source — the vocabulary-health check a corpus
+  // audit runs beyond t11's point statistics: rank tokens by frequency
+  // and fit log10(freq) ~ a + b·log10(rank) over the top-R ranks by
+  // closed-form least squares. Natural-language sources sit near
+  // b ≈ -1 (Zipf); templated/boilerplate sources flatten toward 0 —
+  // the slope IS a per-source quality signal.
+  //
+  // Scale shape: the frequency table shuffles distinct (source, token)
+  // keys only (t11's shape — vocabulary-sized, Heaps-sublinear); the
+  // top-R cut is a per-source window over that bounded relation; the
+  // fit itself aggregates R rows per source. Determinism: log10 values
+  // are quantized to 6 decimals and every least-squares sum runs in
+  // DECIMAL — associative, partitioning-independent, replayed exactly
+  // by the oracle (libm last-ulp differences vanish in the rounding).
+  private val ZipfRanks = 100
+
+  val t18: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val counts = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("w").asc)))
+      .filter(col("rk") <= ZipfRanks)
+      .withColumn("qx", round(log10(col("rk").cast("double")), 6))
+      .withColumn("qy", round(log10(col("c").cast("double")), 6))
+    def dsum6(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(20, 6))).cast("double")
+    val fit = ranked.groupBy(col("source")).agg(
+      count(lit(1)).as("n_ranks"),
+      dsum6(col("qx")).as("sx"),
+      dsum6(col("qy")).as("sy"),
+      dsum6(round(col("qx") * col("qy"), 6)).as("sxy"),
+      dsum6(round(col("qx") * col("qx"), 6)).as("sxx"),
+      max(when(col("rk") === 1, col("c"))).as("top_freq"))
+    fit.select(col("source"), col("n_ranks"), col("top_freq"),
+      ((col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
+        (col("n_ranks") * col("sxx") - col("sx") * col("sx")))
+        .as("zipf_slope"),
+      ((col("sy") - ((col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
+        (col("n_ranks") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+        col("n_ranks")).as("zipf_intercept"))
+  }
+
+  val t18Sql: String = s"""
+    WITH c AS (
+      SELECT source, w, COUNT(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents) t
+      GROUP BY source, w),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY c DESC, w ASC) AS rk FROM c),
+    q AS (SELECT source, c, rk,
+                 round(log10(CAST(rk AS DOUBLE)), 6) AS qx,
+                 round(log10(CAST(c AS DOUBLE)), 6) AS qy
+          FROM r WHERE rk <= $ZipfRanks),
+    f AS (SELECT source,
+                 COUNT(*) AS n_ranks,
+                 CAST(SUM(CAST(qx AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(qy AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(round(qx * qy, 6) AS DECIMAL(20,6)))
+                      AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(round(qx * qx, 6) AS DECIMAL(20,6)))
+                      AS DOUBLE) AS sxx,
+                 MAX(CASE WHEN rk = 1 THEN c END) AS top_freq
+          FROM q GROUP BY source)
+    SELECT source, n_ranks, top_freq,
+           (n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)
+             AS zipf_slope,
+           (sy - ((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)) * sx)
+             / n_ranks AS zipf_intercept
+    FROM f"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -750,7 +857,8 @@ object Text {
     "t14_pii_redact" -> t14,
     "t15_unigram_rarity" -> t15,
     "t16_bpe_merges" -> t16,
-    "t17_bpe_tokenize" -> t17)
+    "t17_bpe_tokenize" -> t17,
+    "t18_zipf_fit" -> t18)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -769,5 +877,6 @@ object Text {
     "t14_pii_redact" -> t14Sql,
     "t15_unigram_rarity" -> t15Sql,
     "t16_bpe_merges" -> t16Sql,
-    "t17_bpe_tokenize" -> t17Sql)
+    "t17_bpe_tokenize" -> t17Sql,
+    "t18_zipf_fit" -> t18Sql)
 }

@@ -127,7 +127,8 @@ class PlanSpec extends SparkSpec {
     // bytes) would materialize every row through the Dataset encoder
     // and kill column pruning + whole-stage codegen for queries that
     // only read width/height/n_frames.
-    Seq("m03_frame_sample", "m05_patch_grid", "m06_aspect_buckets")
+    Seq("m03_frame_sample", "m05_patch_grid", "m06_aspect_buckets",
+        "m07_scene_cuts")
       .foreach { name =>
         val df = SparkEntry.queries(name)(spark, sf0001)
         val p = formatted(df)
@@ -271,6 +272,27 @@ class PlanSpec extends SparkSpec {
       assert(w.child.collectFirst { case j: Join => j }.isEmpty,
         s"cumulative window must run on the bucket aggregate, not a join:\n$w")
     }
+  }
+
+  test("q60: co-bucketed layout removes the join-side exchanges") {
+    val df = SparkEntry.queries("q60_bucketed_join")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    // the only exchange left is the final aggregate's (o_orderpriority);
+    // neither join input shuffles — the bucketed layout supplies the
+    // orderkey partitioning both sides
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join inputs must be exchange-free:\n$p")
+  }
+
+  test("d16: trained codebook broadcasts into the assignment scan") {
+    val p = formatted(SparkEntry.queries("d16_dedup_semantic")(spark, sf0001))
+    // assignment = corpus × label-bounded codebook: must be the
+    // broadcast nested-loop fan-out, never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("no batch query plans a CartesianProduct") {
