@@ -39,3 +39,31 @@ pq.write_table(
     row_group_size=16384,
 )
 print(f"wrote {len(big)} docs ({n}x {len(df)}) to {dst}/documents.parquet")
+
+# Embeddings: replica k rotates each vector by k positions (preserves
+# intra-replica cosine/pair structure) and gets a DISTINCT label block
+# (label + k*1000) — semantic-cluster population stays constant while
+# the codebook grows with the corpus, which is exactly the SemDeDup /
+# IVF scaling regime (colliding labels would grow every cluster N-fold
+# and measure quadratic pair blowup no trained codebook has).
+emb_src = os.path.join(src, "embeddings.parquet")
+if os.path.exists(emb_src):
+    edf = pq.read_table(emb_src).to_pandas()
+    ereps = []
+    for k in range(n):
+        r = edf.copy()
+        r["vec_id"] = r["vec_id"] + k * 10_000_000
+        r["label"] = r["label"] + k * 1000
+        if k:
+            r["embedding"] = [
+                list(v[k % len(v):]) + list(v[: k % len(v)])
+                for v in r["embedding"]
+            ]
+        ereps.append(r)
+    ebig = pd.concat(ereps, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(ebig, preserve_index=False),
+        os.path.join(dst, "embeddings.parquet"),
+        row_group_size=4096,
+    )
+    print(f"wrote {len(ebig)} vecs ({n}x {len(edf)}) to {dst}/embeddings.parquet")

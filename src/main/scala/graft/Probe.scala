@@ -1,30 +1,30 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only probe: ad-hoc plan/timing experiments (contents vary per
-  * investigation; not part of the driver contract). */
+/** Dev-only micro-probe: time one registered query N times in a warm
+  * session (SPARK_GRAFT_PROBE=name[,name...], SPARK_GRAFT_SF_DIR,
+  * SPARK_GRAFT_PROBE_N). Bench's min-of-two can hide warm-path
+  * regressions; this prints every iteration. */
 object Probe {
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = sys.env.getOrElse("SPARK_GRAFT_PROBE", "q01_pricing_summary")
+      .split(",").toSeq
+    val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "4").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    args.headOption.getOrElse("s05_ivf_ann").split(",").foreach { q =>
-      val fn = SparkEntry.queries(q)
-      fn(spark, "/root/testdata/sf0.001").write.format("noop")
-        .mode("overwrite").save() // warm
-      val times = (1 to 3).map(_ =>
-        time(fn(spark, d).write.format("noop").mode("overwrite").save()))
-      println(f"[probe] $q%-24s min=${times.min}%6.2fs  runs=${times.map(t => f"$t%.2f").mkString(",")}")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to n).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[probe] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }

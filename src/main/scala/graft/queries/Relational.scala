@@ -1798,25 +1798,31 @@ object Relational {
   // name to the source dir so Verify (sf0.01) and Bench (sf0.1) each
   // build their layout exactly once; repeat invocations measure only
   // the join.
+  /** Run `write` (a saveAsTable) only if `table` is absent from the
+    * session catalog — and first clear any orphaned managed-table
+    * directory a previous JVM left behind (the catalog, not the
+    * directory, owns layout metadata; saveAsTable refuses a name whose
+    * location already exists). Shared by the layout queries (q60, q61). */
+  private def freshManagedTable(s: SparkSession, table: String)(
+      write: => Unit): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+      write
+    }
+
   val q60: Q = (s, d) => {
     val san = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val li = s"g60_li_$san"
     val ord = s"g60_ord_$san"
-    // A fresh session's catalog starts empty, but a previous JVM may
-    // have left the managed table's directory behind — saveAsTable
-    // then refuses the name. Rebuilding the layout is the correct
-    // response (the catalog, not the directory, owns bucketing
-    // metadata; orphaned files carry none).
-    def freshBucketed(table: String, df: DataFrame, key: String): Unit =
-      if (!s.catalog.tableExists(table)) {
-        val wh = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), table)
-        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(wh)) fs.delete(wh, true)
-        graft.load.Bucketing.writeBucketed(df, table, key, 8)
-      }
-    freshBucketed(li, Tables.lineitem(s, d), "l_orderkey")
-    freshBucketed(ord, Tables.orders(s, d), "o_orderkey")
+    freshManagedTable(s, li)(
+      graft.load.Bucketing.writeBucketed(Tables.lineitem(s, d), li,
+        "l_orderkey", 8))
+    freshManagedTable(s, ord)(
+      graft.load.Bucketing.writeBucketed(Tables.orders(s, d), ord,
+        "o_orderkey", 8))
     // hint("merge") pins the sort-merge strategy (the one that matters
     // fact-to-fact); the bucketed layout supplies its partitioning AND
     // per-bucket order, so neither Exchange nor per-partition Sort
@@ -1834,6 +1840,39 @@ object Relational {
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                          AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority"""
+
+  // ---------------------------------------------------------------- q61
+  // Partition-pruned warehouse layout — bucketing's (q60) sibling
+  // lever: orders written once PARTITIONED BY derived year, then a
+  // one-year query reads only that partition's files — the scan never
+  // opens the other years (PlanSpec asserts the PartitionFilters entry
+  // and that the pruned scan reads fewer files than the table holds).
+  // At 100 TB this is the difference between scanning a day and
+  // scanning a decade: time/tenant/source partition columns are the
+  // first thing a warehouse layout fixes, and every downstream query
+  // inherits the pruning with zero per-query work. Same per-dir
+  // registration guard as q60.
+  val q61: Q = (s, d) => {
+    val san = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tbl = s"g61_orders_$san"
+    freshManagedTable(s, tbl)(
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("o_year").saveAsTable(tbl))
+    s.table(tbl)
+      .filter(col("o_year") === 1996)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+  }
+
+  val q61Sql: String = s"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ${sqlDsum("o_totalprice")} AS total_price
+    FROM orders
+    WHERE year(o_orderdate) = 1996
     GROUP BY o_orderpriority"""
 
   val queries: Map[String, Q] = Map(
@@ -1896,7 +1935,8 @@ object Relational {
     "q57_cbo_stats_join" -> q57,
     "q58_skew_join" -> q58,
     "q59_bucket_quantiles" -> q59,
-    "q60_bucketed_join" -> q60)
+    "q60_bucketed_join" -> q60,
+    "q61_partition_prune" -> q61)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1958,5 +1998,6 @@ object Relational {
     "q57_cbo_stats_join" -> q57Sql,
     "q58_skew_join" -> q58Sql,
     "q59_bucket_quantiles" -> q59Sql,
-    "q60_bucketed_join" -> q60Sql)
+    "q60_bucketed_join" -> q60Sql,
+    "q61_partition_prune" -> q61Sql)
 }

@@ -714,6 +714,129 @@ object Similarity {
     FROM q LEFT JOIN acnt ON q.qid = acnt.qid
            LEFT JOIN hcnt ON q.qid = hcnt.qid"""
 
+  // ---------------------------------------------------------------- s12
+  // Product-quantization ANN (the PQ/ADC shape, Jégou et al. 2011) —
+  // the memory-side answer the IVF family (s05/s09) doesn't give: each
+  // 64-dim vector is split into 4 subvectors of 16 dims, each subspace
+  // gets its own trained codebook (per-label exact-decimal means —
+  // the same deterministic training discipline as s09, per subspace),
+  // and a vector is stored as 4 small code ids — a ~64× compression of
+  // the index. A query never touches the vectors: its per-subspace
+  // dot-product table against every centroid (M×K = 40 entries) is
+  // broadcast, and scoring is 4 table lookups + a sum per corpus row
+  // (asymmetric distance computation).
+  //
+  // Scale shape: codebooks and the ADC table are (M × K)-bounded →
+  // always broadcast; encoding is one broadcast join + one min_by
+  // aggregate per subspace row (4N rows, linear, no shuffle of the
+  // vectors beyond their own scan); scoring shuffles only (vec_id,
+  // code) pairs. At 100 TB the codes relation is the only thing the
+  // query-time scan reads — the float vectors stay cold — which is
+  // the entire point of PQ. Encoding uses true L2 (snsq − 2·dot +
+  // cnsq) so the codes minimize reconstruction error per the paper,
+  // not dot-product bias.
+  private val PqM = 4    // subspaces
+  private val PqSub = 16 // dims per subspace
+
+  val s12: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.embeddings(s, d)
+    val sub = e
+      .select(col("vec_id"), col("label"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+      .withColumn("sub", expr(s"slice(embedding, m * $PqSub + 1, $PqSub)"))
+      .drop("embedding")
+    // per-subspace codebook: dimension-wise exact-decimal label means
+    val cb = sub
+      .select(col("m"), col("label"), posexplode(col("sub")).as(Seq("p", "v")))
+      .select(col("m"), col("label"), (col("p") + 1).as("dim"),
+        round(col("v").cast("double"), 6)
+          .cast(DecimalType(18, 6)).as("q"))
+      .groupBy(col("m"), col("label"), col("dim"))
+      .agg((sum(col("q")).cast("double") / count(lit(1))).as("cv"))
+      .groupBy(col("m"), col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("a"))
+      .select(col("m"), col("label").as("code"),
+        expr("transform(a, x -> x.cv)").as("ce"))
+      .withColumn("cnsq",
+        graft.functions.VectorExprs.qdot(col("ce"), col("ce")))
+    // encode: nearest centroid per (vector, subspace) in exact L2
+    val enc = sub
+      .withColumn("snsq",
+        graft.functions.VectorExprs.qdot(col("sub"), col("sub")))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("dist",
+        col("snsq") - lit(2) *
+          graft.functions.VectorExprs.qdot(col("sub"), col("ce")) +
+          col("cnsq"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("code"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.code").as("code"))
+    // ADC table: query's per-subspace dots against every centroid
+    val dtab = cb
+      .join(sub.filter(col("vec_id") === 0)
+        .select(col("m"), col("sub").as("qs")), Seq("m"))
+      .select(col("m"), col("code"),
+        graft.functions.VectorExprs.qdot(col("qs"), col("ce")).as("pdot"))
+    enc.filter(col("vec_id") =!= 0)
+      .join(broadcast(dtab), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(round(col("pdot"), 6).cast(DecimalType(20, 6)))
+        .cast("double").as("approx_dot"))
+      .orderBy(col("approx_dot").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  /** Oracle: replays subspace split, codebook training, L2 encoding and
+    * the ADC lookup sum with the same quantized-decimal arithmetic. */
+  val s12Sql: String = s"""
+    WITH sub AS (
+      SELECT vec_id, label, CAST(m AS INTEGER) AS m,
+             embedding[m * $PqSub + 1 : (m + 1) * $PqSub] AS sub
+      FROM embeddings CROSS JOIN range(0, $PqM) mm(m)),
+    cb AS (SELECT m, label AS code, CAST(i AS INTEGER) AS i,
+                  CAST(SUM(CAST(round(CAST(sub[i] AS DOUBLE), 6)
+                                AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cv
+           FROM sub CROSS JOIN range(1, ${PqSub + 1}) r(i)
+           GROUP BY m, label, i),
+    cn AS (SELECT m, code,
+                  CAST(SUM(CAST(round(cv * cv, 6) AS DECIMAL(20,6)))
+                       AS DOUBLE) AS cnsq
+           FROM cb GROUP BY m, code),
+    sn AS (SELECT vec_id, m,
+                  CAST(SUM(CAST(round(CAST(sub[i] AS DOUBLE) *
+                                      CAST(sub[i] AS DOUBLE), 6)
+                                AS DECIMAL(20,6))) AS DOUBLE) AS snsq
+           FROM sub CROSS JOIN range(1, ${PqSub + 1}) r(i)
+           GROUP BY vec_id, m),
+    dots AS (SELECT s.vec_id, s.m, cb.code,
+                    CAST(SUM(CAST(round(CAST(s.sub[cb.i] AS DOUBLE) * cb.cv, 6)
+                                  AS DECIMAL(20,6))) AS DOUBLE) AS dot
+             FROM sub s JOIN cb ON s.m = cb.m
+             GROUP BY s.vec_id, s.m, cb.code),
+    enc AS (SELECT vec_id, m, code FROM (
+              SELECT d.vec_id, d.m, d.code,
+                     ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                       ORDER BY (sn.snsq - 2 * d.dot + cn.cnsq) ASC,
+                                d.code ASC) AS rn
+              FROM dots d
+                JOIN sn ON d.vec_id = sn.vec_id AND d.m = sn.m
+                JOIN cn ON d.m = cn.m AND d.code = cn.code) t
+            WHERE rn = 1),
+    dtab AS (SELECT cb.m, cb.code,
+                    CAST(SUM(CAST(round(CAST(q.sub[cb.i] AS DOUBLE) * cb.cv, 6)
+                                  AS DECIMAL(20,6))) AS DOUBLE) AS pdot
+             FROM sub q JOIN cb ON q.m = cb.m
+             WHERE q.vec_id = 0
+             GROUP BY cb.m, cb.code)
+    SELECT e.vec_id,
+           CAST(SUM(CAST(round(t.pdot, 6) AS DECIMAL(20,6))) AS DOUBLE)
+             AS approx_dot
+    FROM enc e JOIN dtab t ON e.m = t.m AND e.code = t.code
+    WHERE e.vec_id <> 0
+    GROUP BY e.vec_id
+    ORDER BY approx_dot DESC, vec_id ASC LIMIT 5"""
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> s01,
     "s02_ann_bitlsh" -> s02,
@@ -725,7 +848,8 @@ object Similarity {
     "s08_embedding_quant" -> s08,
     "s09_ivf_trained" -> s09,
     "s10_ann_recall" -> s10,
-    "s11_ann_multiprobe" -> s11)
+    "s11_ann_multiprobe" -> s11,
+    "s12_pq_ann" -> s12)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -738,5 +862,6 @@ object Similarity {
     "s08_embedding_quant" -> s08Sql,
     "s09_ivf_trained" -> s09Sql,
     "s10_ann_recall" -> s10Sql,
-    "s11_ann_multiprobe" -> s11Sql)
+    "s11_ann_multiprobe" -> s11Sql,
+    "s12_pq_ann" -> s12Sql)
 }

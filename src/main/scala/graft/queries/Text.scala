@@ -840,6 +840,99 @@ object Text {
              / n_ranks AS zipf_intercept
     FROM f"""
 
+  // ---------------------------------------------------------------- t19
+  // Heaps'-law fit — t18's companion: vocabulary GROWTH V(N) ≈ K·N^β
+  // against corpus token count, fitted over cumulative block points.
+  // The measured β is what capacity-plans a tokenizer's vocabulary (and
+  // the whole repo's "Heaps-law sublinear" scaling claims for t08/t15/
+  // t16 quote exactly this exponent — here it is measured, per corpus).
+  //
+  // Distributed shape: token first-occurrence is a min(block) hash
+  // aggregate (vocabulary-sized keys, the t11 shuffle); everything
+  // after runs on the BLOCK relation — docs/B rows of three longs. The
+  // cumulative window is unpartitioned but bounded by block count; B
+  // is the knob that keeps it driver-trivial at any corpus size, and
+  // c04's two-level prefix sum is the documented recursion if block
+  // count itself outgrows one task. The log-log least squares reuses
+  // t18's decimal-quantized discipline.
+  private val HeapsBlock = 500L
+
+  val t19: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Tables.documents(s, d)
+      .select(expr(s"doc_id DIV $HeapsBlock").as("block"),
+        explode(split(col("text"), " ")).as("w"))
+    val firstB = toks.groupBy(col("w")).agg(min(col("block")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("n_new"))
+    val blockToks = toks.groupBy(col("block")).agg(count(lit(1)).as("n_tok"))
+    val wb = Window.orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = blockToks
+      .join(firstB, col("block") === col("fb"), "left")
+      .select(col("block"), col("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_v", sum(col("n_new")).over(wb))
+      .withColumn("cum_n", sum(col("n_tok")).over(wb))
+      .withColumn("qx", round(log10(col("cum_n").cast("double")), 6))
+      .withColumn("qy", round(log10(col("cum_v").cast("double")), 6))
+    def dsum6(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(20, 6))).cast("double")
+    pts.agg(
+      count(lit(1)).as("n_points"),
+      max(col("cum_n")).as("total_tokens"),
+      max(col("cum_v")).as("vocab"),
+      dsum6(col("qx")).as("sx"),
+      dsum6(col("qy")).as("sy"),
+      dsum6(round(col("qx") * col("qy"), 6)).as("sxy"),
+      dsum6(round(col("qx") * col("qx"), 6)).as("sxx"))
+      .select(col("n_points"), col("total_tokens"), col("vocab"),
+        ((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_points") * col("sxx") - col("sx") * col("sx")))
+          .as("heaps_beta"),
+        ((col("sy") -
+          ((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_points") * col("sxx") - col("sx") * col("sx"))) *
+            col("sx")) / col("n_points")).as("heaps_log_k"))
+  }
+
+  val t19Sql: String = s"""
+    WITH toks AS (SELECT doc_id // $HeapsBlock AS block,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    fb AS (SELECT fb, COUNT(*) AS n_new FROM (
+             SELECT w, MIN(block) AS fb FROM toks GROUP BY w) t
+           GROUP BY fb),
+    bt AS (SELECT block, COUNT(*) AS n_tok FROM toks GROUP BY block),
+    pts AS (SELECT block,
+                   SUM(COALESCE(n_new, 0)) OVER (ORDER BY block
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_v,
+                   SUM(n_tok) OVER (ORDER BY block
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_n
+            FROM bt LEFT JOIN fb ON bt.block = fb.fb),
+    q AS (SELECT cum_n, cum_v,
+                 round(log10(CAST(cum_n AS DOUBLE)), 6) AS qx,
+                 round(log10(CAST(cum_v AS DOUBLE)), 6) AS qy
+          FROM pts),
+    f AS (SELECT COUNT(*) AS n_points,
+                 MAX(cum_n) AS total_tokens,
+                 MAX(cum_v) AS vocab,
+                 CAST(SUM(CAST(qx AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(qy AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(round(qx * qy, 6) AS DECIMAL(20,6)))
+                      AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(round(qx * qx, 6) AS DECIMAL(20,6)))
+                      AS DOUBLE) AS sxx
+          FROM q)
+    SELECT n_points, total_tokens, vocab,
+           (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)
+             AS heaps_beta,
+           (sy - ((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx))
+             * sx) / n_points AS heaps_log_k
+    FROM f"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -858,7 +951,8 @@ object Text {
     "t15_unigram_rarity" -> t15,
     "t16_bpe_merges" -> t16,
     "t17_bpe_tokenize" -> t17,
-    "t18_zipf_fit" -> t18)
+    "t18_zipf_fit" -> t18,
+    "t19_heaps_fit" -> t19)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -878,5 +972,6 @@ object Text {
     "t15_unigram_rarity" -> t15Sql,
     "t16_bpe_merges" -> t16Sql,
     "t17_bpe_tokenize" -> t17Sql,
-    "t18_zipf_fit" -> t18Sql)
+    "t18_zipf_fit" -> t18Sql,
+    "t19_heaps_fit" -> t19Sql)
 }

@@ -287,6 +287,16 @@ class PlanSpec extends SparkSpec {
       s"bucketed join inputs must be exchange-free:\n$p")
   }
 
+  test("q61: the year predicate prunes partitions at the scan") {
+    val df = SparkEntry.queries("q61_partition_prune")(spark, sf0001)
+    val p = formatted(df)
+    // the filter must land in the scan's PartitionFilters (directory
+    // pruning), not as a post-scan Filter over all years
+    assert(p.contains("PartitionFilters"), p)
+    assert("""PartitionFilters: \[[^\]]*o_year""".r.findFirstIn(p).isDefined,
+      s"o_year must prune at the scan:\n$p")
+  }
+
   test("d16: trained codebook broadcasts into the assignment scan") {
     val p = formatted(SparkEntry.queries("d16_dedup_semantic")(spark, sf0001))
     // assignment = corpus × label-bounded codebook: must be the
