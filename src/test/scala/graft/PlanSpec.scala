@@ -287,6 +287,14 @@ class PlanSpec extends SparkSpec {
       s"bucketed join inputs must be exchange-free:\n$p")
   }
 
+  test("t18: top-100 rank cut plans a WindowGroupLimit before the window sort") {
+    // the per-source vocabulary sort is the scale hazard (parallelism
+    // bounded by source count); WindowGroupLimit caps what reaches it
+    // to each partition's top-100 candidates
+    val p = formatted(SparkEntry.queries("t18_zipf_fit")(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q61: the year predicate prunes partitions at the scan") {
     val df = SparkEntry.queries("q61_partition_prune")(spark, sf0001)
     val p = formatted(df)
