@@ -458,6 +458,44 @@ object Streamed {
     ss.table(name)
   }
 
+  // --------------------------------------------------------------- st10
+  // Streaming subword token metering — t17's accounting as the
+  // continuous stage a training-data pipeline actually bills with:
+  // the BPE merge table is TRAINED ONCE on the batch corpus
+  // (Text.trainedMerges — the same shared cache t16/t17/c06 use) and
+  // applied to every incoming document as K driver-literal replaces
+  // fused into the streaming scan projection — no model relation, no
+  // join, no per-row state. The only stateful operator is the 5-key
+  // per-source running aggregate (state rows = source count, constant
+  // at any throughput). This is the train-once-apply-streaming
+  // contract end to end: retrain refreshes the literals, the stream
+  // restarts from its checkpoint, the meter keeps counting.
+  // Oracle: t17's exact SQL — streaming semantics checked against the
+  // batch fixpoint.
+  val st10: Q = (s, d) => {
+    val ss = stateSession(s)
+    val merges = Text.trainedMerges(s, d)
+    val stream = ss.readStream
+      .schema(docSchema)
+      .parquet(stageDocsDir(d))
+    val counts = stream
+      .withColumn("enc", Text.bpeEncodeCol(col("text"), merges))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("ws_tokens"),
+        sum(expr("(length(enc) - length(replace(enc, '~', ''))) div 2"))
+          .cast("long").as("bpe_tokens"))
+    val name = "st10_mem"
+    val q = counts.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -467,7 +505,8 @@ object Streamed {
     "st06_stream_stream_join" -> st06,
     "st07_stream_dedup" -> st07,
     "st08_stream_curate" -> st08,
-    "st09_stream_decontaminate" -> st09)
+    "st09_stream_decontaminate" -> st09,
+    "st10_stream_tokens" -> st10)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -478,5 +517,6 @@ object Streamed {
     "st07_stream_dedup" -> st07Sql,
     "st08_stream_curate" -> st08Sql,
     // shared oracle: streaming output must equal d13's batch fixpoint
-    "st09_stream_decontaminate" -> Dedup.d13Sql)
+    "st09_stream_decontaminate" -> Dedup.d13Sql,
+    "st10_stream_tokens" -> Text.t17Sql)
 }

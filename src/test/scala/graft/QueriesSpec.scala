@@ -177,6 +177,22 @@ class QueriesSpec extends SparkSpec {
     assert(applied == trained, s"t17 total $applied != t16 final $trained")
   }
 
+  test("c06: packed BPE token mass equals t16's trained count and packs densely") {
+    import org.apache.spark.sql.functions.{max, sum}
+    // tokenize-and-pack must place exactly the trained token mass on
+    // the packing axis — no tokens invented or lost between the
+    // tokenizer and the sequence layout...
+    val trained = SparkEntry.queries("t16_bpe_merges")(spark, sf0001)
+      .collect().maxBy(_.getAs[Int]("step")).getAs[Long]("tokens_after")
+    val packed = SparkEntry.queries("c06_tokenize_pack")(spark, sf0001)
+    val total = packed.agg(sum("n_tokens")).head().getLong(0)
+    assert(total == trained, s"c06 token mass $total != t16 final $trained")
+    // ...and the layout is gap-free: the last sequence index is exactly
+    // the one the total mass dictates at 512 tokens per sequence.
+    val lastSeq = packed.agg(max("seq_last")).head().getLong(0)
+    assert(lastSeq == (total - 1) / 512, s"packing has gaps: $lastSeq")
+  }
+
   test("s11: multi-probe recall dominates single-probe recall per query") {
     def recalls(name: String): Map[Long, (Double, Long)] =
       SparkEntry.queries(name)(spark, sf0001).collect()
