@@ -933,6 +933,88 @@ object Text {
              * sx) / n_points AS heaps_log_k
     FROM f"""
 
+  // ---------------------------------------------------------------- t20
+  // Model-based quality classification — the fastText-classifier stage
+  // of CCNet/LLaMA-style curation, as a naive-Bayes unigram model the
+  // engine can both TRAIN and APPLY in one plan: weak labels come from
+  // the rule gates the pipeline already trusts (t02/c01's token-count +
+  // distinct-ratio + stopword thresholds), per-token log-odds are
+  // Laplace-smoothed class likelihood ratios, and every document gets
+  // the summed log-odds score a threshold can act on. The value over
+  // the raw gates: the model generalizes their signal to every token,
+  // scoring documents the rules are ambivalent about.
+  //
+  // Scale shape: one (token, class) count aggregate (vocabulary-sized
+  // keys — the t11 shuffle); the model joins back through
+  // Hints.broadcastIfSmall (vocabulary grows with corpus: Heaps' law —
+  // the guarded pattern t15 established); scoring is one per-doc hash
+  // aggregate. Determinism: class counts are exact integers, log-odds
+  // are rounded to 6 decimals before the decimal-quantized sum (t18's
+  // discipline), so the score is partitioning-independent.
+  val t20: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val stopArr = array(stopwords.map(lit): _*)
+    val toks = Tables.documents(s, d)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("is_q",
+        size(col("tk")) >= 20 &&
+          (size(array_distinct(col("tk"))).cast("double") /
+            size(col("tk"))) >= 0.3 &&
+          (size(filter(col("tk"), t => array_contains(stopArr, t)))
+            .cast("double") / size(col("tk"))) >= 0.08)
+      .select(col("doc_id"), col("is_q"), explode(col("tk")).as("w"))
+    val cls = toks.agg(
+      sum(when(col("is_q"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("is_q"), 0L).otherwise(1L)).as("n0"),
+      countDistinct(col("w")).as("v"))
+    val model = toks.groupBy(col("w"))
+      .agg(sum(when(col("is_q"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("is_q"), 0L).otherwise(1L)).as("c0"))
+      .crossJoin(broadcast(cls))
+      .select(col("w"), round(
+        log10((col("c1") + 1).cast("double")) +
+          log10((col("n0") + col("v")).cast("double")) -
+          log10((col("c0") + 1).cast("double")) -
+          log10((col("n1") + col("v")).cast("double")), 6).as("lo"))
+    toks.join(Hints.broadcastIfSmall(model), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lo").cast(DecimalType(20, 6))).cast("double").as("score"))
+      .withColumn("pred", col("score") > 0)
+  }
+
+  val t20Sql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(tk) >= 20
+               AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.3
+               AND CAST(len(list_filter(tk, t -> list_contains($stopList, t)))
+                        AS DOUBLE) / len(tk) >= 0.08 AS is_q,
+             unnest(tk) AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) x),
+    cls AS (SELECT CAST(SUM(CASE WHEN is_q THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN is_q THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+                   COUNT(DISTINCT w) AS v
+            FROM toks),
+    model AS (
+      SELECT w,
+             round(log10(CAST(SUM(CASE WHEN is_q THEN 1 ELSE 0 END) + 1
+                              AS DOUBLE))
+                   + log10(CAST(n0 + v AS DOUBLE))
+                   - log10(CAST(SUM(CASE WHEN is_q THEN 0 ELSE 1 END) + 1
+                                AS DOUBLE))
+                   - log10(CAST(n1 + v AS DOUBLE)), 6) AS lo
+      FROM toks CROSS JOIN cls
+      GROUP BY w, n0, n1, v)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(lo AS DECIMAL(20,6))) AS DOUBLE) AS score,
+           CAST(SUM(CAST(lo AS DECIMAL(20,6))) AS DOUBLE) > 0 AS pred
+    FROM toks JOIN model USING (w)
+    GROUP BY doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -952,7 +1034,8 @@ object Text {
     "t16_bpe_merges" -> t16,
     "t17_bpe_tokenize" -> t17,
     "t18_zipf_fit" -> t18,
-    "t19_heaps_fit" -> t19)
+    "t19_heaps_fit" -> t19,
+    "t20_quality_classifier" -> t20)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -973,5 +1056,6 @@ object Text {
     "t16_bpe_merges" -> t16Sql,
     "t17_bpe_tokenize" -> t17Sql,
     "t18_zipf_fit" -> t18Sql,
-    "t19_heaps_fit" -> t19Sql)
+    "t19_heaps_fit" -> t19Sql,
+    "t20_quality_classifier" -> t20Sql)
 }
