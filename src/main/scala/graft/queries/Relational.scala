@@ -1802,8 +1802,9 @@ object Relational {
     * session catalog — and first clear any orphaned managed-table
     * directory a previous JVM left behind (the catalog, not the
     * directory, owns layout metadata; saveAsTable refuses a name whose
-    * location already exists). Shared by the layout queries (q60, q61). */
-  private def freshManagedTable(s: SparkSession, table: String)(
+    * location already exists). Shared by the layout queries (q60, q61)
+    * and the persisted ANN index (s13). */
+  private[queries] def freshManagedTable(s: SparkSession, table: String)(
       write: => Unit): Unit =
     if (!s.catalog.tableExists(table)) {
       val wh = new org.apache.hadoop.fs.Path(

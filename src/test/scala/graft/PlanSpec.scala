@@ -305,6 +305,17 @@ class PlanSpec extends SparkSpec {
       s"o_year must prune at the scan:\n$p")
   }
 
+  test("s13: probed inverted lists partition-prune the index scan") {
+    val df = SparkEntry.queries("s13_ivfpq_index")(spark, sf0001)
+    val p = formatted(df)
+    // the top-3 probe list must reach the codes table as directory
+    // pruning — the scan never opens the other lists' files — and the
+    // ADC table must broadcast
+    assert("""PartitionFilters: \[[^\]]*cid""".r.findFirstIn(p).isDefined,
+      s"probe list must prune index partitions:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("d16: trained codebook broadcasts into the assignment scan") {
     val p = formatted(SparkEntry.queries("d16_dedup_semantic")(spark, sf0001))
     // assignment = corpus × label-bounded codebook: must be the
