@@ -326,18 +326,90 @@ object Corpus {
     FROM c"""
   }
 
+  // ---------------------------------------------------------------- c07
+  // Contamination-safe split — the train/val/test partition an LLM run
+  // needs WITH the audit that makes it safe: membership is a portable
+  // hash of the doc id (80/10/10, rand()-free and reproducible — c03's
+  // mechanism), and the leakage audit reports how many val/test docs
+  // have a NEAR-DUPLICATE (d03's banded Jaccard pairs, threshold 0.5)
+  // inside train — the split-level contamination document-level random
+  // splitting silently ships (a val doc whose near-copy was trained on
+  // measures nothing).
+  //
+  // Scale shape: the split decision is row-local arithmetic on the id,
+  // so BOTH endpoints of every near-dup pair get their split assignment
+  // inside the pair relation itself — the corpus is never joined for
+  // the audit; the only non-d03 work is one aggregate over the
+  // true-pair-sized leak set and the 3-key split census.
+  val c07: Q = (s, d) => {
+    def splitOf(id: org.apache.spark.sql.Column) = {
+      val hb = pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(10))
+      when(hb < 8, "train").when(hb === 8, "val").otherwise("test")
+    }
+    val pairs = Dedup.d03(s, d).select(col("i"), col("j"))
+    val sym = pairs.union(pairs.select(col("j"), col("i")))
+      .toDF("k", "other")
+    val leaked = sym
+      .withColumn("ksplit", splitOf(col("k")))
+      .withColumn("osplit", splitOf(col("other")))
+      .filter(col("ksplit") =!= "train" && col("osplit") === "train")
+      .select(col("k")).distinct()
+    Tables.documents(s, d)
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+      .join(Hints.broadcastIfSmall(
+        leaked.withColumn("is_leaked", lit(1L))),
+        col("doc_id") === col("k"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_leaked"), lit(0L))).as("n_leaked"),
+        (sum(coalesce(col("is_leaked"), lit(0L))).cast("double") /
+          count(lit(1))).as("leak_frac"))
+  }
+
+  val c07Sql: String = s"""
+    WITH ${Dedup.JaccardPairsCte},
+    sym AS (SELECT i AS k, j AS other FROM pairs
+            UNION ALL
+            SELECT j AS k, i AS other FROM pairs),
+    sp AS (SELECT k, other,
+                  ('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))
+                    ::BIGINT % 10 AS kb,
+                  ('0x' || substring(md5(CAST(other AS VARCHAR)), 1, 8))
+                    ::BIGINT % 10 AS ob
+           FROM sym),
+    leaked AS (SELECT DISTINCT k FROM sp
+               WHERE kb >= 8 AND ob < 8),
+    census AS (SELECT doc_id,
+                      CASE WHEN hb < 8 THEN 'train'
+                           WHEN hb = 8 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM (SELECT doc_id,
+                            ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8))::BIGINT % 10 AS hb
+                     FROM documents) x)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN l.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked,
+           CAST(SUM(CASE WHEN l.k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS leak_frac
+    FROM census LEFT JOIN leaked l ON census.doc_id = l.k
+    GROUP BY split"""
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
     "c02_curate_sql" -> c02,
     "c03_mixture_sample" -> c03,
     "c04_pack_sequences" -> c04,
     "c05_shard_shuffle" -> c05,
-    "c06_tokenize_pack" -> c06)
+    "c06_tokenize_pack" -> c06,
+    "c07_split_leakage" -> c07)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
     "c02_curate_sql" -> c01Sql,
     "c03_mixture_sample" -> c03Sql,
     "c04_pack_sequences" -> c04Sql,
     "c05_shard_shuffle" -> c05Sql,
-    "c06_tokenize_pack" -> c06Sql)
+    "c06_tokenize_pack" -> c06Sql,
+    "c07_split_leakage" -> c07Sql)
 }

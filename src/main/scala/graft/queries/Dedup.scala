@@ -143,8 +143,8 @@ object Dedup {
 
   /** d03's pair set as a reusable CTE chain ending in `pairs(i, j, c,
     * ni, nj, jaccard)` — d08's component oracle builds on the same
-    * edges. */
-  private val JaccardPairsCte = s"""
+    * edges, and Corpus.c07's leakage audit consumes them cross-split. */
+  private[queries] val JaccardPairsCte = s"""
     $ShinglesCte,
     kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
     shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
