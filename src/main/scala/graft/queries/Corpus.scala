@@ -347,7 +347,7 @@ object Corpus {
         .cast("long"), lit(10))
       when(hb < 8, "train").when(hb === 8, "val").otherwise("test")
     }
-    val pairs = Dedup.d03(s, d).select(col("i"), col("j"))
+    val pairs = Dedup.jaccardPairs(s, d).select(col("i"), col("j"))
     val sym = pairs.union(pairs.select(col("j"), col("i")))
       .toDF("k", "other")
     val leaked = sym

@@ -472,11 +472,28 @@ object Dedup {
   private val ccCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Latest materialized d03 pair relation per (session, sf dir) — the
+    * same compute-once-consume-many contract as the component cache
+    * below: the cluster build (d08) refreshes it, the split-leakage
+    * audit (Corpus.c07) and standalone consumers reuse it. A real
+    * pipeline runs the banded near-dup scan once and feeds every
+    * downstream decision from its pairs. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def jaccardPairs(s: SparkSession, d: String,
+                                    refresh: Boolean = false): DataFrame = {
+    val key = (s, d)
+    def build() = d03(s, d).localCheckpoint()
+    if (refresh) { val p = build(); pairsCache(key) = p; p }
+    else pairsCache.getOrElseUpdate(key, build())
+  }
+
   private def jaccardComponents(s: SparkSession, d: String,
                                 refresh: Boolean): DataFrame = {
     val key = (s, d)
     def build() = connectedComponents(
-      d03(s, d).select(col("i"), col("j")), "i", "j")
+      jaccardPairs(s, d, refresh).select(col("i"), col("j")), "i", "j")
     if (refresh) { val c = build(); ccCache(key) = c; c }
     else ccCache.getOrElseUpdate(key, build())
   }

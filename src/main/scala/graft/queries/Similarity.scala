@@ -1023,6 +1023,113 @@ object Similarity {
     GROUP BY c.vec_id
     ORDER BY approx_dot DESC, c.vec_id ASC LIMIT 5"""
 
+  // ---------------------------------------------------------------- s14
+  // Distributed k-means training (Lloyd's algorithm) — the trainer
+  // s06 calls itself the building block of and s09 says "production
+  // swaps in": 3 full assign→recompute iterations in exact decimal
+  // arithmetic, so the whole training LOOP replays bit-for-bit in the
+  // oracle (unrolled per-round CTEs, t16's pattern for iterative
+  // algorithms). Init = per-label means (deterministic seed);
+  // assignment = nearest centroid in exact L2 (snsq − 2·dot + cnsq,
+  // ties to the smaller cid); recompute = dimension-wise decimal mean.
+  // Output: the trained centroids (long form) with member counts.
+  //
+  // Scale shape per round: centroids are K×dim-bounded → broadcast;
+  // assignment is one corpus scan + one min_by hash aggregate;
+  // recompute is s06's (cid, dim) skew-free aggregate; localCheckpoint
+  // keeps lineage flat across rounds (d08/t16's discipline). K rounds
+  // = K corpus scans — Lloyd's is inherently iterative; everything
+  // inside a round parallelizes with executors.
+  private val KmRounds = 3
+
+  val s14: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("vnsq", qnormsq("embedding"))
+    def assign(cents: DataFrame): DataFrame = e
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", col("vnsq") - lit(2) * qdot("embedding", "ce") +
+        col("cnsq"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("b"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("b.cid").as("cid"), col("embedding"))
+    def recompute(asg: DataFrame): DataFrame = asg
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("cid"), (col("p") + 1).as("dim"),
+        round(col("v").cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("q"))
+      .groupBy(col("cid"), col("dim"))
+      .agg((sum(col("q")).cast("double") / count(lit(1))).as("cv"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("a"))
+      .select(col("cid"), expr("transform(a, x -> x.cv)").as("ce"))
+      .withColumn("cnsq", qdot("ce", "ce"))
+    var cents = trainedCentroids(s, d).localCheckpoint()
+    var asg: DataFrame = null
+    (1 to KmRounds).foreach { _ =>
+      asg = assign(cents)
+      cents = recompute(asg).localCheckpoint()
+    }
+    val members = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    cents
+      .select(col("cid"), posexplode(col("ce")).as(Seq("p", "cv")))
+      .select(col("cid"), (col("p") + 1).as("dim"), col("cv"))
+      .join(members, Seq("cid"))
+  }
+
+  /** Oracle: init CTE (per-label means) + KmRounds unrolled
+    * assign/recompute CTE triples with identical decimal arithmetic. */
+  val s14Sql: String = {
+    val init = s"""
+    WITH cent0l AS (
+      SELECT label AS cid, CAST(i AS INTEGER) AS dim,
+             CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cv
+      FROM embeddings CROSS JOIN range(1, 65) r(i)
+      GROUP BY label, i),
+    en AS (SELECT vec_id,
+                  CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) *
+                                      CAST(embedding[i] AS DOUBLE), 6)
+                                AS DECIMAL(20,6))) AS DOUBLE) AS nsq
+           FROM embeddings CROSS JOIN range(1, 65) r(i) GROUP BY vec_id)"""
+    val rounds = (1 to KmRounds).map { r =>
+      s""",
+    cn${r - 1} AS (SELECT cid,
+                   CAST(SUM(CAST(round(cv * cv, 6) AS DECIMAL(20,6)))
+                        AS DOUBLE) AS cnsq
+            FROM cent${r - 1}l GROUP BY cid),
+    dots$r AS (SELECT e.vec_id, c.cid,
+                     CAST(SUM(CAST(round(
+                       CAST(e.embedding[c.dim] AS DOUBLE) * c.cv, 6)
+                       AS DECIMAL(20,6))) AS DOUBLE) AS dot
+              FROM embeddings e JOIN cent${r - 1}l c ON TRUE
+              GROUP BY e.vec_id, c.cid),
+    asg$r AS (SELECT vec_id, cid FROM (
+               SELECT d.vec_id, d.cid,
+                      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                        ORDER BY (en.nsq - 2 * d.dot + cn.cnsq) ASC,
+                                 d.cid ASC) AS rn
+               FROM dots$r d
+                 JOIN en ON d.vec_id = en.vec_id
+                 JOIN cn${r - 1} cn ON d.cid = cn.cid) t
+             WHERE rn = 1),
+    cent${r}l AS (SELECT a.cid, CAST(i AS INTEGER) AS dim,
+                        CAST(SUM(CAST(round(CAST(e.embedding[i] AS DOUBLE), 6)
+                                      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                          AS cv
+                 FROM asg$r a JOIN embeddings e ON a.vec_id = e.vec_id
+                 CROSS JOIN range(1, 65) r2(i)
+                 GROUP BY a.cid, i)"""
+    }.mkString
+    s"""$init$rounds
+    SELECT c.cid, c.dim, c.cv, m.n_members
+    FROM cent${KmRounds}l c
+      JOIN (SELECT cid, COUNT(*) AS n_members FROM asg$KmRounds
+            GROUP BY cid) m
+        ON c.cid = m.cid"""
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> s01,
     "s02_ann_bitlsh" -> s02,
@@ -1036,7 +1143,8 @@ object Similarity {
     "s10_ann_recall" -> s10,
     "s11_ann_multiprobe" -> s11,
     "s12_pq_ann" -> s12,
-    "s13_ivfpq_index" -> s13)
+    "s13_ivfpq_index" -> s13,
+    "s14_kmeans_train" -> s14)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -1051,5 +1159,6 @@ object Similarity {
     "s10_ann_recall" -> s10Sql,
     "s11_ann_multiprobe" -> s11Sql,
     "s12_pq_ann" -> s12Sql,
-    "s13_ivfpq_index" -> s13Sql)
+    "s13_ivfpq_index" -> s13Sql,
+    "s14_kmeans_train" -> s14Sql)
 }
