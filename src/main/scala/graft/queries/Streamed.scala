@@ -370,6 +370,20 @@ object Streamed {
     dir.toString
   }
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def stageEmbDir(d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-stream-emb-")
+    dir.toFile.deleteOnExit()
+    Files.createSymbolicLink(dir.resolve("embeddings.parquet"),
+      Paths.get(s"$d/embeddings.parquet"))
+    dir.toString
+  }
+
   val st08: Q = (s, d) => {
     val ss = stateSession(s)
     val stopArr = array(Corpus.stopwords.map(lit): _*)
@@ -496,6 +510,119 @@ object Streamed {
     ss.table(name)
   }
 
+  // --------------------------------------------------------------- st11
+  // Streaming ANN serving — the online half of the similarity family:
+  // a STREAM of query vectors probed against the static corpus, the
+  // IVF-flat (s05/s09) shape at serving time. The trained codebook is
+  // collected to DRIVER LITERALS (10 × 64 doubles — the model-serving
+  // analog of st10's merge literals), so each incoming query computes
+  // its nearest coarse list ROW-LOCALLY (an array_max over
+  // per-centroid struct(csim, -cid) — no join, no state); the probe is
+  // then a stream-static equi-join on the list id against the
+  // cid-assigned corpus, exact cosine on the probed list only, and a
+  // per-query max_by keeps the top-1 neighbor — the single stateful
+  // operator (state rows = distinct queries). Oracle: the same
+  // assignment + nprobe=1 + exact-cosine argmax as one batch SQL.
+  val st11: Q = (s, d) => {
+    import graft.functions.VectorExprs.{qdot, qnormsq}
+    val ss = stateSession(s)
+    val cents = Similarity.trainedCentroids(ss, d)
+      .collect().map(r => (r.getAs[Int]("cid"),
+        r.getAs[Seq[Double]]("ce").toArray, r.getAs[Double]("cnsq")))
+    val corpus = graft.sources.Tables.embeddings(ss, d)
+      .filter(col("vec_id") >= 10)
+      .withColumn("vnsq", qnormsq(col("embedding")))
+    def bestCid(e: org.apache.spark.sql.Column,
+                nsq: org.apache.spark.sql.Column) =
+      -array_max(array(cents.map { case (cid, ce, cnsq) =>
+        struct((qdot(e, typedLit(ce)) / (sqrt(nsq) * sqrt(lit(cnsq))))
+          .as("csim"), lit(-cid).as("neg_cid"))
+      }: _*)).getField("neg_cid")
+    val corpusAssigned = corpus
+      .withColumn("cid", bestCid(col("embedding"), col("vnsq")))
+      .select(col("cid"), col("vec_id").as("nvec"),
+        col("embedding").as("ne"), col("vnsq").as("nnsq"))
+    val stream = ss.readStream
+      .schema(embSchema)
+      .parquet(stageEmbDir(d))
+      .filter(col("vec_id") < 10)
+      .withColumn("qnsq", qnormsq(col("embedding")))
+      .withColumn("cid", bestCid(col("embedding"), col("qnsq")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("qnsq"), col("cid"))
+    val name = "st11_mem"
+    val q = stream.join(corpusAssigned, Seq("cid"))
+      .withColumn("cosine", qdot(col("qe"), col("ne")) /
+        (sqrt(col("qnsq")) * sqrt(col("nnsq"))))
+      .groupBy(col("qid"))
+      .agg(max_by(struct(col("nvec"), col("cosine")),
+        struct(col("cosine"), (-col("nvec")).as("neg"))).as("b"))
+      .select(col("qid"), col("b.nvec").as("neighbor"),
+        col("b.cosine").as("cosine"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
+  val st11Sql: String = """
+    WITH centl AS (
+      SELECT label AS cid, CAST(i AS INTEGER) AS dim,
+             CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cv
+      FROM embeddings CROSS JOIN range(1, 65) r(i)
+      GROUP BY label, i),
+    cn AS (SELECT cid,
+                  CAST(SUM(CAST(round(cv * cv, 6) AS DECIMAL(20,6)))
+                       AS DOUBLE) AS cnsq
+           FROM centl GROUP BY cid),
+    en AS (SELECT vec_id,
+                  CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) *
+                                      CAST(embedding[i] AS DOUBLE), 6)
+                                AS DECIMAL(20,6))) AS DOUBLE) AS nsq
+           FROM embeddings CROSS JOIN range(1, 65) r(i) GROUP BY vec_id),
+    dots AS (SELECT e.vec_id, c.cid,
+                    CAST(SUM(CAST(round(
+                      CAST(e.embedding[c.dim] AS DOUBLE) * c.cv, 6)
+                      AS DECIMAL(20,6))) AS DOUBLE) AS dot
+             FROM embeddings e JOIN centl c ON TRUE
+             GROUP BY e.vec_id, c.cid),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT d2.vec_id, d2.cid,
+                     ROW_NUMBER() OVER (PARTITION BY d2.vec_id
+                       ORDER BY d2.dot / (sqrt(en.nsq) * sqrt(cn.cnsq)) DESC,
+                                d2.cid ASC) AS rn
+              FROM dots d2
+                JOIN en ON d2.vec_id = en.vec_id
+                JOIN cn ON d2.cid = cn.cid) t
+            WHERE rn = 1),
+    pairs AS (SELECT q.vec_id AS qid, c.vec_id AS nvec,
+                     CAST(SUM(CAST(round(CAST(q.embedding[x] AS DOUBLE) *
+                                         CAST(c.embedding[x] AS DOUBLE), 6)
+                                   AS DECIMAL(20,6))) AS DOUBLE) AS dot
+              FROM embeddings q
+                JOIN asg aq ON q.vec_id = aq.vec_id
+                JOIN asg ac ON aq.cid = ac.cid
+                JOIN embeddings c ON c.vec_id = ac.vec_id
+                CROSS JOIN range(1, 65) r(x)
+              WHERE q.vec_id < 10 AND c.vec_id >= 10
+              GROUP BY q.vec_id, c.vec_id),
+    scored AS (SELECT p.qid, p.nvec,
+                      p.dot / (sqrt(eq.nsq) * sqrt(ec.nsq)) AS cosine
+               FROM pairs p
+                 JOIN en eq ON p.qid = eq.vec_id
+                 JOIN en ec ON p.nvec = ec.vec_id)
+    SELECT qid, nvec AS neighbor, cosine FROM (
+      SELECT qid, nvec, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, nvec ASC) AS rn
+      FROM scored) t
+    WHERE rn = 1"""
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -506,7 +633,8 @@ object Streamed {
     "st07_stream_dedup" -> st07,
     "st08_stream_curate" -> st08,
     "st09_stream_decontaminate" -> st09,
-    "st10_stream_tokens" -> st10)
+    "st10_stream_tokens" -> st10,
+    "st11_stream_ann" -> st11)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -518,5 +646,6 @@ object Streamed {
     "st08_stream_curate" -> st08Sql,
     // shared oracle: streaming output must equal d13's batch fixpoint
     "st09_stream_decontaminate" -> Dedup.d13Sql,
-    "st10_stream_tokens" -> Text.t17Sql)
+    "st10_stream_tokens" -> Text.t17Sql,
+    "st11_stream_ann" -> st11Sql)
 }
