@@ -361,28 +361,29 @@ object Streamed {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  private def stageDocsDir(d: String): String = {
-    import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft-stream-docs-")
-    dir.toFile.deleteOnExit()
-    Files.createSymbolicLink(dir.resolve("documents.parquet"),
-      Paths.get(s"$d/documents.parquet"))
-    dir.toString
-  }
+  /** Cached like [[stageDir]]: repeated invocations (Bench runs every
+    * query three times) must reuse one staging dir per source, not
+    * accumulate symlink dirs in /tmp. */
+  private val stagedByFile =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def stageFileDir(d: String, file: String): String =
+    stagedByFile.getOrElseUpdate((d, file), {
+      import java.nio.file.{Files, Paths}
+      val dir = Files.createTempDirectory(s"graft-stream-${file.take(3)}-")
+      dir.toFile.deleteOnExit()
+      Files.createSymbolicLink(dir.resolve(s"$file.parquet"),
+        Paths.get(s"$d/$file.parquet"))
+      dir.toString
+    })
+
+  private def stageDocsDir(d: String): String = stageFileDir(d, "documents")
 
   private val embSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  private def stageEmbDir(d: String): String = {
-    import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft-stream-emb-")
-    dir.toFile.deleteOnExit()
-    Files.createSymbolicLink(dir.resolve("embeddings.parquet"),
-      Paths.get(s"$d/embeddings.parquet"))
-    dir.toString
-  }
+  private def stageEmbDir(d: String): String = stageFileDir(d, "embeddings")
 
   val st08: Q = (s, d) => {
     val ss = stateSession(s)
