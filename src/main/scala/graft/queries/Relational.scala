@@ -1854,7 +1854,10 @@ object Relational {
   // first thing a warehouse layout fixes, and every downstream query
   // inherits the pruning with zero per-query work. Same per-dir
   // registration guard as q60.
-  val q61: Q = (s, d) => {
+  /** Ensure the year-partitioned orders table for this sf dir exists
+    * (one layout, shared by q61's static pruning and q62's dynamic
+    * pruning) and return its name. */
+  private def yearPartitionedOrders(s: SparkSession, d: String): String = {
     val san = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val tbl = s"g61_orders_$san"
     freshManagedTable(s, tbl)(
@@ -1862,6 +1865,11 @@ object Relational {
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").format("parquet")
         .partitionBy("o_year").saveAsTable(tbl))
+    tbl
+  }
+
+  val q61: Q = (s, d) => {
+    val tbl = yearPartitionedOrders(s, d)
     s.table(tbl)
       .filter(col("o_year") === 1996)
       .groupBy(col("o_orderpriority"))
@@ -1875,6 +1883,45 @@ object Relational {
     FROM orders
     WHERE year(o_orderdate) = 1996
     GROUP BY o_orderpriority"""
+
+  // ---------------------------------------------------------------- q62
+  // Dynamic partition pruning — q61's runtime sibling and the last of
+  // the optimizer's big levers in this suite (q50 runtime bloom, q57
+  // CBO, q58 AQE skew, q60 bucketing, q61 static pruning): the year
+  // predicate lives on a DIMENSION ('current' fiscal years), not on
+  // the fact table, so no static filter can prune the scan — instead
+  // the planner broadcasts the filtered dim, evaluates it into a
+  // dynamicpruningexpression on the fact's PARTITION column, and the
+  // scan skips the non-qualifying year directories at RUNTIME
+  // (PlanSpec asserts the subquery in PartitionFilters). At 100 TB
+  // this is the star-schema workhorse: "this quarter's" fact
+  // partitions are selected by the date-dim filter without anyone
+  // hand-propagating predicates onto the fact table.
+  val q62: Q = (s, d) => {
+    val tbl = yearPartitionedOrders(s, d)
+    val dim = s.range(1992, 1999)
+      .select(col("id").cast("int").as("d_year"))
+      .withColumn("d_tag",
+        when(col("d_year").isin(1996, 1997), "current").otherwise("old"))
+    s.table(tbl)
+      .join(dim.filter(col("d_tag") === "current"),
+        col("o_year") === col("d_year"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+  }
+
+  val q62Sql: String = s"""
+    WITH dim AS (
+      SELECT CAST(y AS INTEGER) AS d_year,
+             CASE WHEN y IN (1996, 1997) THEN 'current' ELSE 'old' END AS d_tag
+      FROM range(1992, 1999) t(y))
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           COUNT(*) AS n_orders,
+           ${sqlDsum("o_totalprice")} AS total_price
+    FROM orders JOIN dim ON year(o_orderdate) = d_year
+    WHERE d_tag = 'current'
+    GROUP BY 1"""
 
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
@@ -1937,7 +1984,8 @@ object Relational {
     "q58_skew_join" -> q58,
     "q59_bucket_quantiles" -> q59,
     "q60_bucketed_join" -> q60,
-    "q61_partition_prune" -> q61)
+    "q61_partition_prune" -> q61,
+    "q62_dynamic_prune" -> q62)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2000,5 +2048,6 @@ object Relational {
     "q58_skew_join" -> q58Sql,
     "q59_bucket_quantiles" -> q59Sql,
     "q60_bucketed_join" -> q60Sql,
-    "q61_partition_prune" -> q61Sql)
+    "q61_partition_prune" -> q61Sql,
+    "q62_dynamic_prune" -> q62Sql)
 }

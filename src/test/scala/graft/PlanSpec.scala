@@ -305,6 +305,16 @@ class PlanSpec extends SparkSpec {
       s"o_year must prune at the scan:\n$p")
   }
 
+  test("q62: the dim filter prunes fact partitions at RUNTIME (DPP)") {
+    val df = SparkEntry.queries("q62_dynamic_prune")(spark, sf0001)
+    val p = formatted(df)
+    // the year predicate sits on the dimension, so the fact scan must
+    // carry a dynamic pruning subquery on its partition column, not a
+    // static filter (and not nothing)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic pruning expression:\n$p")
+  }
+
   test("s13: probed inverted lists partition-prune the index scan") {
     val df = SparkEntry.queries("s13_ivfpq_index")(spark, sf0001)
     val p = formatted(df)
