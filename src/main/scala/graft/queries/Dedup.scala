@@ -96,9 +96,14 @@ object Dedup {
   def nearDupJaccard(s: SparkSession, d: String, threshold: Double,
                      maxDocFreq: Option[Long] = None): DataFrame = {
     val sh0 = hashedShingles(s, d)
-    // Per-doc shingle counts are |docs| rows — broadcast them into the
-    // pair stream instead of shuffling it twice.
-    val counts = broadcast(
+    // Per-doc shingle counts are |docs| rows — a DOCS-PROPORTIONAL
+    // relation, so the broadcast must be size-guarded (the t08/t09
+    // vocabulary discipline): below the session threshold the hint
+    // ships it into the pair stream instead of shuffling it twice;
+    // above it (billions of docs — multi-GB) the guard withholds the
+    // hint and the verify stage degrades to the shuffle join, which is
+    // the correct plan at that scale.
+    val counts = Hints.broadcastIfSmall(
       sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
     val inv0 = sh0.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
@@ -540,16 +545,20 @@ object Dedup {
   // duplicates are subsumed (identical text ⇒ identical shingles ⇒
   // Jaccard 1 ⇒ same cluster), so this one anti-join applies the whole
   // pairwise+transitive dedup chain to the corpus. The drop list is
-  // tiny relative to the corpus (only clustered docs), so the anti-join
-  // broadcasts at any scale where dedup itself is feasible. Components
-  // come from the shared relation d08 publishes (computed once,
-  // applied twice — the pipeline shape); standalone runs compute it.
+  // CLUSTER-MEMBERSHIP-proportional — real web corpora near-dup-cluster
+  // 30%+ of documents, making it corpus-proportional in the regime this
+  // engine targets — so the broadcast is size-guarded: small drop lists
+  // ship to every executor (one scan, no shuffle of the corpus), large
+  // ones fall back to a shuffled anti-join, the correct plan at that
+  // scale. Components come from the shared relation d08 publishes
+  // (computed once, applied twice — the pipeline shape); standalone
+  // runs compute it.
   val d09: Q = (s, d) => {
     val dropList = jaccardComponents(s, d, refresh = false)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     Tables.documents(s, d)
-      .join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .join(Hints.broadcastIfSmall(dropList), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
@@ -882,8 +891,10 @@ object Dedup {
   // argument: codebook size grows with the corpus so cluster
   // population stays bounded, and the cid-keyed shuffle spreads
   // clusters across executors. A hot cluster (the skew incident) is
-  // sub-split by a secondary LSH band before pairing — d06's banding
-  // composes here unchanged.
+  // still quadratic in its own population here; the documented
+  // RECOURSE — not current behavior — is to sub-split oversized
+  // clusters with a secondary LSH band before pairing (d06's banding
+  // composes on the (cid, band) key unchanged).
   val D16Threshold = 0.3
 
   val d16: Q = (s, d) => {

@@ -802,13 +802,17 @@ object Text {
       dsum6(round(col("qx") * col("qy"), 6)).as("sxy"),
       dsum6(round(col("qx") * col("qx"), 6)).as("sxx"),
       max(when(col("rk") === 1, col("c"))).as("top_freq"))
+    // Final slope/intercept rounded to 6 decimals (margins to the
+    // nearest rounding boundary verified ≥5e-3 scaled units at the
+    // fixture) so sub-1e-7 cross-engine noise cannot reach the hash —
+    // the t19 discipline, applied here per ADVICE r5.
     fit.select(col("source"), col("n_ranks"), col("top_freq"),
-      ((col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
-        (col("n_ranks") * col("sxx") - col("sx") * col("sx")))
+      round((col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
+        (col("n_ranks") * col("sxx") - col("sx") * col("sx")), 6)
         .as("zipf_slope"),
-      ((col("sy") - ((col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
+      round((col("sy") - ((col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
         (col("n_ranks") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
-        col("n_ranks")).as("zipf_intercept"))
+        col("n_ranks"), 6).as("zipf_intercept"))
   }
 
   val t18Sql: String = s"""
@@ -834,10 +838,11 @@ object Text {
                  MAX(CASE WHEN rk = 1 THEN c END) AS top_freq
           FROM q GROUP BY source)
     SELECT source, n_ranks, top_freq,
-           (n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)
+           round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 6)
              AS zipf_slope,
-           (sy - ((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)) * sx)
-             / n_ranks AS zipf_intercept
+           round((sy - ((n_ranks * sxy - sx * sy)
+                          / (n_ranks * sxx - sx * sx)) * sx)
+             / n_ranks, 6) AS zipf_intercept
     FROM f"""
 
   // ---------------------------------------------------------------- t19
@@ -851,11 +856,27 @@ object Text {
   // aggregate (vocabulary-sized keys, the t11 shuffle); everything
   // after runs on the BLOCK relation — docs/B rows of three longs. The
   // cumulative window is unpartitioned but bounded by block count; B
-  // is the knob that keeps it driver-trivial at any corpus size, and
-  // c04's two-level prefix sum is the documented recursion if block
-  // count itself outgrows one task. The log-log least squares reuses
-  // t18's decimal-quantized discipline.
-  private val HeapsBlock = 500L
+  // is the knob that keeps it driver-trivial at any corpus size (a
+  // production run sizes B so docs/B stays ~1e4–1e6), and c04's
+  // two-level prefix sum is the documented recursion if block count
+  // itself outgrows one task. The log-log least squares reuses t18's
+  // decimal-quantized discipline.
+  //
+  // Cross-engine determinism: B must give the fixture MANY fit points.
+  // At B=500 the sf0.01 corpus (500 docs) produced exactly ONE point,
+  // so the least-squares denominator n·Σx²−(Σx)² collapsed to a
+  // rounding residual (~3e-7) and beta became a ratio of residuals —
+  // any environment-level last-ulp difference (libm log10, a round()
+  // implementation detail) was amplified to O(1) and hashed red in the
+  // driver's gate (CORRECTNESS_r05: t19 hash_match=false) even while
+  // the same code compared green locally. B=25 yields 20 points at
+  // sf0.01, an O(50) denominator, and empirically ≥1e-3-scaled-unit
+  // margins between every rounded quantity and its nearest 6-decimal
+  // rounding boundary (vs ~1e-9 scaled-unit libm noise) — so both
+  // engines quantize identically with 6 orders of slack. The final
+  // beta/log_k are additionally rounded to 6 decimals so sub-1e-7
+  // cross-engine noise cannot reach the hash.
+  private val HeapsBlock = 25L
 
   val t19: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -887,13 +908,13 @@ object Text {
       dsum6(round(col("qx") * col("qy"), 6)).as("sxy"),
       dsum6(round(col("qx") * col("qx"), 6)).as("sxx"))
       .select(col("n_points"), col("total_tokens"), col("vocab"),
-        ((col("n_points") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_points") * col("sxx") - col("sx") * col("sx")))
+        round((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_points") * col("sxx") - col("sx") * col("sx")), 6)
           .as("heaps_beta"),
-        ((col("sy") -
+        round((col("sy") -
           ((col("n_points") * col("sxy") - col("sx") * col("sy")) /
             (col("n_points") * col("sxx") - col("sx") * col("sx"))) *
-            col("sx")) / col("n_points")).as("heaps_log_k"))
+            col("sx")) / col("n_points"), 6).as("heaps_log_k"))
   }
 
   val t19Sql: String = s"""
@@ -927,10 +948,11 @@ object Text {
                       AS DOUBLE) AS sxx
           FROM q)
     SELECT n_points, total_tokens, vocab,
-           (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)
+           round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 6)
              AS heaps_beta,
-           (sy - ((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx))
-             * sx) / n_points AS heaps_log_k
+           round((sy - ((n_points * sxy - sx * sy)
+                          / (n_points * sxx - sx * sx))
+             * sx) / n_points, 6) AS heaps_log_k
     FROM f"""
 
   // ---------------------------------------------------------------- t20

@@ -69,6 +69,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d03/d09: docs-proportional broadcasts are size-guarded") {
+    // d03's per-doc shingle counts and d09's drop list both grow with
+    // the corpus (|docs| rows / cluster membership, 30%+ of real web
+    // corpora) — when the session threshold disqualifies them the
+    // guard must withhold the hint so the join degrades to a shuffle
+    // join instead of forcing an executor-OOM broadcast at 100 TB.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val d03p = formatted(SparkEntry.queries("d03_dedup_jaccard")(s2, sf0001))
+    assert(!d03p.contains("BroadcastHashJoin"),
+      s"d03 must not broadcast the per-doc count table when disabled:\n$d03p")
+    assert(d03p.contains("SortMergeJoin") || d03p.contains("ShuffledHashJoin"),
+      d03p)
+    val d09p = formatted(SparkEntry.queries("d09_dedup_applied")(s2, sf0001))
+    assert(!d09p.contains("BroadcastHashJoin"),
+      s"d09 must not broadcast the drop list when disabled:\n$d09p")
+  }
+
   test("q12: top-k plans as TakeOrderedAndProject (no global sort)") {
     val p = formatted(SparkEntry.queries("q12_topk")(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)
