@@ -982,6 +982,106 @@ object Dedup {
            COUNT(*) AS n_dups
     FROM hits GROUP BY j"""
 
+  // ---------------------------------------------------------------- d17
+  // Maximal repeated-substring dedup — the variable-length refinement of
+  // d14/d15 (the Lee et al. 2022 production shape): instead of treating
+  // each fixed 8-token span independently, merge CONSECUTIVE spans with
+  // the same verdict into maximal runs by greedy extension. Dropped runs
+  // are the maximal repeated substrings (boilerplate that straddles
+  // fixed span boundaries shows up as one long repeat, not W-token
+  // fragments); retained runs are the contiguous clean-text chunks a
+  // training pipeline should emit as SEPARATE records — d15's whole-doc
+  // reconstruction stitches text across removed gaps, creating
+  // artificial adjacency between words that were never adjacent; the
+  // run-level output here is the shape that avoids it. Output: one row
+  // per maximal run with its verdict, word offset/length, and (for
+  // retained runs) the reconstructed chunk text.
+  //
+  // Scale shape: first-occurrence selection is d14's MIN(struct) hash
+  // aggregate (span text dropped before that exchange). The span text
+  // crosses exactly ONE exchange — the doc_id join — after which every
+  // step reuses that partitioning: the boundary/run-id windows are
+  // doc_id-partitioned (sort, no exchange), the run groupBy's
+  // (doc_id, run_id) clustering is satisfied by hash(doc_id), and
+  // run_id doubles as the output ordinal (a running sum of verdict
+  // changes), so no second window pass exists. Work stays linear in
+  // span count — never pairs².
+  val d17: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val W = 8
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w), $W),
+           |  i -> named_struct('idx', (i - 1) div $W,
+           |                    'sp', array_join(slice(w, i, $W), ' ')))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.idx").as("span_idx"), col("s.sp").as("sp"))
+    val keep = spans
+      .select(col("doc_id"), col("span_idx"), md5(col("sp")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("f"))
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(collect_set(col("f.span_idx")).as("keep_set"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("span_idx"))
+    val flagged = spans.join(keep, Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(
+        array_contains(col("keep_set"), col("span_idx")), lit(false)))
+      .withColumn("boundary",
+        when(lag(col("kept"), 1).over(wDoc).isNull ||
+          lag(col("kept"), 1).over(wDoc) =!= col("kept"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("boundary")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("doc_id"), col("run_id"), col("kept"))
+      .agg(min(col("span_idx")).as("start_span"),
+        count(lit(1)).as("n_spans"),
+        sum(size(split(col("sp"), " ")).cast("long")).as("n_words"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "named_struct('i', span_idx, 'sp', sp))), x -> x.sp)"), " ")
+          .as("txt"))
+      .select(col("doc_id"), col("run_id").as("run_idx"), col("kept"),
+        (col("start_span") * W).as("start_word"),
+        col("n_spans"), col("n_words"),
+        when(col("kept"), col("txt")).as("chunk_text"))
+  }
+
+  /** Oracle: d14's window first-occurrence verdicts, segmented into
+    * maximal runs by the textbook gaps-and-islands formulation (verdict
+    * change ⇒ boundary; running boundary sum ⇒ run id), reconstructed
+    * with an ordered string_agg for retained runs only. */
+  val d17Sql: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sp AS (SELECT doc_id, (i - 1) // 8 AS span_idx,
+                  array_to_string(w[i:i+7], ' ') AS sp
+           FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM t) x
+           WHERE (i - 1) % 8 = 0),
+    rn AS (SELECT doc_id, span_idx, sp,
+                  ROW_NUMBER() OVER (PARTITION BY md5(sp)
+                                     ORDER BY doc_id, span_idx) AS rn
+           FROM sp),
+    fl AS (SELECT doc_id, span_idx, sp, (rn = 1) AS kept FROM rn),
+    rb AS (SELECT doc_id, span_idx, sp, kept,
+                  CASE WHEN LAG(kept) OVER wd IS NULL
+                         OR LAG(kept) OVER wd <> kept
+                       THEN 1 ELSE 0 END AS boundary
+           FROM fl WINDOW wd AS (PARTITION BY doc_id ORDER BY span_idx)),
+    rid AS (SELECT doc_id, span_idx, sp, kept,
+                   CAST(SUM(boundary) OVER (PARTITION BY doc_id
+                     ORDER BY span_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS BIGINT) AS run_id
+            FROM rb),
+    runs AS (SELECT doc_id, run_id AS run_idx, kept,
+                    MIN(span_idx) AS start_span,
+                    COUNT(*) AS n_spans,
+                    CAST(SUM(len(string_split(sp, ' '))) AS BIGINT)
+                      AS n_words,
+                    string_agg(sp, ' ' ORDER BY span_idx) AS txt
+             FROM rid GROUP BY doc_id, run_id, kept)
+    SELECT doc_id, run_idx, kept, start_span * 8 AS start_word,
+           n_spans, n_words,
+           CASE WHEN kept THEN txt END AS chunk_text
+    FROM runs"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -998,7 +1098,8 @@ object Dedup {
     "d13_decontaminate" -> d13,
     "d14_dedup_spans" -> d14,
     "d15_dedup_reconstruct" -> d15,
-    "d16_dedup_semantic" -> d16)
+    "d16_dedup_semantic" -> d16,
+    "d17_dedup_substrings" -> d17)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -1016,5 +1117,6 @@ object Dedup {
     "d13_decontaminate" -> d13Sql,
     "d14_dedup_spans" -> d14Sql,
     "d15_dedup_reconstruct" -> d15Sql,
-    "d16_dedup_semantic" -> d16Sql)
+    "d16_dedup_semantic" -> d16Sql,
+    "d17_dedup_substrings" -> d17Sql)
 }

@@ -87,6 +87,19 @@ class PlanSpec extends SparkSpec {
       s"d09 must not broadcast the drop list when disabled:\n$d09p")
   }
 
+  test("d17: run groupBy reuses the window's doc_id partitioning") {
+    // The span text must cross exactly one exchange: the doc_id join /
+    // window shuffle. The run aggregation's (doc_id, run_id, kept)
+    // clustering is satisfied by hash(doc_id), so no exchange may sit
+    // between the output aggregate and the window below it.
+    val p = formatted(SparkEntry.queries("d17_dedup_substrings")(spark, sf0001))
+    val tree = p.linesIterator.takeWhile(l => !l.contains("(1) Scan")).toSeq
+    val firstWindow = tree.indexWhere(_.contains("Window"))
+    assert(firstWindow > 0, p)
+    assert(!tree.take(firstWindow).exists(_.contains("Exchange")),
+      s"exchange between run aggregation and window:\n$p")
+  }
+
   test("q12: top-k plans as TakeOrderedAndProject (no global sort)") {
     val p = formatted(SparkEntry.queries("q12_topk")(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -53,6 +53,38 @@ class QueriesSpec extends SparkSpec {
       s"LSH missed ground-truth pairs: ${truth -- lsh}")
   }
 
+  test("d17 runs tile each doc, alternate verdicts, and agree with d14/d15") {
+    val runs = SparkEntry.queries("d17_dedup_substrings")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("run_idx"),
+        r.getAs[Boolean]("kept"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_words"), r.getAs[String]("chunk_text")))
+    // adjacent runs within a doc must alternate verdicts (else they
+    // weren't maximal), run_idx must be dense from 1, dropped runs
+    // carry no text
+    runs.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length),
+        s"doc $doc run_idx not dense")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 != b._3,
+          s"doc $doc adjacent runs ${a._2}/${b._2} share verdict — not maximal")
+        case _ =>
+      }
+      sorted.filterNot(_._3).foreach(r =>
+        assert(r._6 == null, s"doc $doc dropped run ${r._2} has text"))
+    }
+    // per-doc span totals must reconcile with d14's accounting
+    val d14 = SparkEntry.queries("d14_dedup_spans")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_retained"))).toMap
+    runs.groupBy(_._1).foreach { case (doc, rs) =>
+      val (total, retained) = d14(doc)
+      assert(rs.map(_._4).sum == total, s"doc $doc spans don't tile")
+      assert(rs.filter(_._3).map(_._4).sum == retained,
+        s"doc $doc retained spans disagree with d14")
+    }
+  }
+
   test("jaccard maxDocFreq guard drops stopword-shingle-only pairs") {
     import spark.implicits._
     import graft.queries.Dedup
