@@ -1037,6 +1037,164 @@ object Text {
     GROUP BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- t21
+  // Batched BPE training — t16's answer to its own scale ceiling. t16
+  // is data-sublinear (merge rounds run on the word dictionary) but
+  // ROUND-bound: each merge costs a driver round-trip, and a real
+  // 32k–100k-merge tokenizer makes that a driver-bound sequential loop.
+  // t21 batches: each round fetches the top-C candidate pairs in ONE
+  // round-trip and applies the maximal CONFLICT-FREE PREFIX of that
+  // ranking — a pair joins the batch only while no earlier batch member
+  // shares a symbol with it (signature {lhs, rhs, lhs||rhs}; the merged
+  // symbol is included so a new symbol colliding with a later pattern
+  // stops the batch).
+  //
+  // Why the prefix rule preserves sequential BPE exactly: merging a
+  // pair can only change the frequency of pairs that SHARE one of its
+  // symbols (disjoint adjacencies are untouched), so within a
+  // conflict-free prefix every later pair's count — and therefore the
+  // greedy argmax order — is invariant under the earlier merges.
+  // Stopping at the FIRST conflict (rather than skipping it, the looser
+  // published batching) also keeps the emitted ORDER sequential, and
+  // bounds cascade risk (a freshly created symbol out-ranking the rest)
+  // to the next round's recount. The spec asserts t21's table equals
+  // t16's on the fixture; per-step tokens_after comes from prefix
+  // rewrite columns in one aggregate job, so a batch of m merges costs
+  // 2 driver round-trips instead of t16's 2m. Round-count ceiling and
+  // the remaining driver-bound regime are documented in SCALE.md.
+  private val bpeC = 4
+
+  private def trainBpeBatched(
+      s: SparkSession, d: String): Seq[(Int, String, String, Long, Long)] = {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var rep = wc.select(
+      concat(lit("~"),
+        array_join(expr("filter(split(w, ''), x -> x <> '')"), "~~"),
+        lit("~")).as("wstr"),
+      col("cnt")).localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var exhausted = false
+    while (merges.size < bpeK && !exhausted) {
+      val cands = rep
+        .select(bpeSymbols(col("wstr")).as("s"), col("cnt"))
+        .filter(size(col("s")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(s) - 1), i -> " +
+            "named_struct('lhs', element_at(s, i), 'rhs', element_at(s, i + 1)))"))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+        .limit(bpeC).collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var open = true
+        cands.foreach { row =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          val sig = Set(l, r, l + r)
+          if (open && sig.forall(!used.contains(_))) {
+            sel += ((l, r, row.getLong(2))); used ++= sig
+          } else open = false
+        }
+        val chosen = sel.take(bpeK - merges.size).toSeq
+        def folded(i: Int) = chosen.take(i + 1).foldLeft(col("wstr")) {
+          case (c, (l, r, _)) =>
+            replace(c, lit("~" + l + "~~" + r + "~"), lit("~" + l + r + "~"))
+        }
+        val prefixToks = chosen.indices.map(i =>
+          sum(col("cnt") * size(split(trim(folded(i), "~"), "~~")))
+            .cast("long").as(s"t$i"))
+        val toks = rep.agg(prefixToks.head, prefixToks.tail: _*).head()
+        chosen.zipWithIndex.foreach { case ((l, r, f), i) =>
+          merges += ((merges.size + 1, l, r, f, toks.getLong(i)))
+        }
+        rep = rep.withColumn("wstr", folded(chosen.size - 1)).localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  val t21: Q = (s, d) => {
+    val sess = s; import sess.implicits._
+    trainBpeBatched(s, d).toDF("step", "lhs", "rhs", "freq", "tokens_after")
+  }
+
+  /** Oracle: the batched algorithm replayed with static unrolling —
+    * bpeK rounds always suffice (the top candidate is always selected),
+    * trimmed to the first bpeK global steps. Selection is the
+    * conflict-free prefix: a candidate is IN while no higher-ranked
+    * candidate shares a signature symbol at or before it (first bad
+    * rank truncates). Each round applies its ≤C selected merges as an
+    * unrolled replace chain (chr(1) no-op when a slot is empty), and
+    * per-step token counts read the per-prefix dictionaries. */
+  val t21Sql: String = {
+    val C = bpeC
+    def pat(r: Int, i: Int) =
+      s"COALESCE((SELECT '~' || lhs || '~~' || rhs || '~' FROM selB$r WHERE rk = $i), chr(1))"
+    def rpl(r: Int, i: Int) =
+      s"COALESCE((SELECT '~' || lhs || rhs || '~' FROM selB$r WHERE rk = $i), chr(1))"
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and the per-round dictionary chain is referenced by
+    // the next round AND by each prefix token count — inlining would
+    // re-expand the whole upstream chain exponentially.
+    val init = """
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    repB0_p0 AS MATERIALIZED (
+      SELECT '~' || array_to_string(string_split(w, ''), '~~') || '~'
+             AS wstr, cnt FROM wc)"""
+    val rounds = (1 to bpeK).map { r =>
+      val prev = if (r == 1) "repB0_p0" else s"repB${r - 1}_p$C"
+      val prefixes = (1 to C).map { i =>
+        s""",
+    repB${r}_p$i AS MATERIALIZED (
+      SELECT replace(wstr, ${pat(r, i)}, ${rpl(r, i)}) AS wstr, cnt
+      FROM repB${r}_p${i - 1})"""
+      }.mkString
+      s""",
+    repB${r}_p0 AS MATERIALIZED (SELECT wstr, cnt FROM $prev),
+    pB$r AS MATERIALIZED (
+      SELECT s[i] AS lhs, s[i + 1] AS rhs,
+             CAST(SUM(cnt) AS BIGINT) AS freq
+      FROM (SELECT string_split(trim(wstr, '~'), '~~') AS s, cnt,
+                   generate_subscripts(
+                     string_split(trim(wstr, '~'), '~~'), 1) AS i
+            FROM repB${r}_p0) x
+      WHERE i < len(s)
+      GROUP BY 1, 2),
+    cB$r AS MATERIALIZED (
+      SELECT lhs, rhs, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, lhs, rhs) AS rk
+      FROM pB$r QUALIFY rk <= $C),
+    selB$r AS MATERIALIZED (
+      SELECT * FROM cB$r
+      WHERE rk < COALESCE(
+        (SELECT MIN(c.rk) FROM cB$r c JOIN cB$r h ON h.rk < c.rk
+         AND list_has_any([h.lhs, h.rhs, h.lhs || h.rhs],
+                          [c.lhs, c.rhs, c.lhs || c.rhs])),
+        ${C + 1}))$prefixes,
+    outB$r AS (SELECT $r AS rnd, s.rk, s.lhs, s.rhs, s.freq,
+                      CASE s.rk ${(1 to C).map(i =>
+        s"WHEN $i THEN (SELECT CAST(SUM(cnt * len(string_split(trim(wstr, '~'), '~~'))) AS BIGINT) FROM repB${r}_p$i)").mkString(" ")}
+                      END AS tokens_after
+               FROM selB$r s)"""
+    }.mkString
+    val union = (1 to bpeK).map(r => s"    SELECT * FROM outB$r")
+      .mkString("\n    UNION ALL\n")
+    init + rounds + s"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, rk) AS INTEGER) AS step,
+           lhs, rhs, freq, tokens_after
+    FROM (
+$union
+    ) QUALIFY step <= $bpeK"""
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -1057,7 +1215,8 @@ object Text {
     "t17_bpe_tokenize" -> t17,
     "t18_zipf_fit" -> t18,
     "t19_heaps_fit" -> t19,
-    "t20_quality_classifier" -> t20)
+    "t20_quality_classifier" -> t20,
+    "t21_bpe_batch" -> t21)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -1079,5 +1238,6 @@ object Text {
     "t17_bpe_tokenize" -> t17Sql,
     "t18_zipf_fit" -> t18Sql,
     "t19_heaps_fit" -> t19Sql,
-    "t20_quality_classifier" -> t20Sql)
+    "t20_quality_classifier" -> t20Sql,
+    "t21_bpe_batch" -> t21Sql)
 }

@@ -85,6 +85,20 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("t21 batched BPE reproduces t16's sequential merge table") {
+    // The conflict-free-prefix batching is exact for this corpus: the
+    // merge steps, frequencies and per-step token accounting must all
+    // equal the one-merge-per-round trainer's.
+    val key = Seq("step", "lhs", "rhs", "freq", "tokens_after")
+    val seqT = SparkEntry.queries("t16_bpe_merges")(spark, sf0001)
+      .select(key.map(col): _*).collect().map(_.toSeq).sortBy(_.toString)
+    val bat = SparkEntry.queries("t21_bpe_batch")(spark, sf0001)
+      .select(key.map(col): _*).collect().map(_.toSeq).sortBy(_.toString)
+    assert(seqT.nonEmpty)
+    assert(seqT.sameElements(bat),
+      s"batched != sequential:\n seq=${seqT.mkString("\n ")}\n bat=${bat.mkString("\n ")}")
+  }
+
   test("jaccard maxDocFreq guard drops stopword-shingle-only pairs") {
     import spark.implicits._
     import graft.queries.Dedup
