@@ -12,11 +12,18 @@ object Probe {
       .split(",").toSeq
     val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // dev probe: streaming queries use a memory sink, whose collect
+      // trips the 1g default at 100×-scale emission — not a finding
+      .config("spark.driver.maxResultSize", "0")
+    // SPARK_GRAFT_STREAM_LISTENER=graft.StateMetricsListener attaches
+    // per-micro-batch state telemetry; cloned state sessions inherit it.
+    sys.env.get("SPARK_GRAFT_STREAM_LISTENER").foreach(l =>
+      builder.config("spark.sql.streaming.streamingQueryListeners", l))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -1024,31 +1024,27 @@ object Relational {
     WHERE levenshtein(a.p_name, b.p_name) <= 4"""
 
   // ---------------------------------------------------------------- q42
-  // Exact distributed quantiles + approx contract. Exact percentiles are
-  // computed by explicit rank arithmetic (row_number vs ceil(p·n)) so
-  // both engines state the identical discrete-quantile definition — no
+  // Exact distributed quantiles + approx contract. Exact percentiles
+  // use explicit rank arithmetic (value at rank ceil(p·n)) so both
+  // engines state the identical discrete-quantile definition — no
   // reliance on engine quantile functions agreeing on interpolation
-  // conventions. One window sort per group key = one shuffle; that IS
-  // the scalable exact-quantile plan. approx_percentile (Greenwald-
-  // Khanna style sketch, constant memory, no sort) rides along under a
-  // contract bound: its rank error ≤ n/accuracy puts the estimate
-  // strictly inside [p25, p75] for p50 — asserted as a boolean the
-  // oracle states as TRUE.
+  // conventions. The plan is the SHARED two-pass histogram +
+  // rank-resolve helper (Num.bucketQuantiles): the original per-group
+  // window-sort formulation measured a real scale ceiling (SCALE.md
+  // round 5: parallelism bounded by the three l_returnflag values,
+  // 26.7× at 100×), q59 answered it in code (6.1× at 100×), and round
+  // 6 made that plan the default for every caller — q42's contract is
+  // unchanged (same oracle), only the physical shape moved.
+  // approx_percentile (Greenwald-Khanna style sketch, constant memory,
+  // no sort) rides along under a contract bound: its rank error
+  // ≤ n/accuracy puts the estimate strictly inside [p25, p75] for
+  // p50 — asserted as a boolean the oracle states as TRUE.
   val q42: Q = (s, d) => {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    val ranked = Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_quantity"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
-    val exact = ranked.groupBy(col("l_returnflag"))
-      .agg(
-        max(when(col("rn") === ceil(col("n") * 0.25), col("l_quantity")))
-          .as("p25"),
-        max(when(col("rn") === ceil(col("n") * 0.50), col("l_quantity")))
-          .as("p50"),
-        max(when(col("rn") === ceil(col("n") * 0.75), col("l_quantity")))
-          .as("p75"))
+    val exact = Num.bucketQuantiles(
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+      "l_returnflag", "l_quantity",
+      Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75"),
+      bucketWidth = 1.0)
     val approx = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
@@ -1738,36 +1734,15 @@ object Relational {
   // reduction recurses inside it (re-bucket at finer width) — each
   // level shrinks the sorted set ~100×. Bucket width is the knob: it
   // trades histogram size (rows/width keys) against pass-2 sort size.
-  val q59: Q = (s, d) => {
-    val ps = Seq(0.25, 0.50, 0.75)
-    val li = Tables.lineitem(s, d)
-      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
-      .withColumn("bucket", floor(col("v") / 1000.0))
-    val counts = li.groupBy(col("flag"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val wcum = Window.partitionBy(col("flag")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("cum", sum(col("c")).over(wcum))
-      .withColumn("cum_before", col("cum") - col("c"))
-    val targets = counts.groupBy(col("flag")).agg(sum(col("c")).as("n"))
-      .select(col("flag"), col("n"), explode(array(ps.map(lit): _*)).as("p"))
-      .withColumn("target", ceil(col("n") * col("p")).cast("long"))
-    // bucket-sized relations: locating the rank is a tiny range join
-    val hits = targets.join(cum, Seq("flag"))
-      .filter(col("target") > col("cum_before") && col("target") <= col("cum"))
-      .select(col("flag"), col("p"), col("bucket"),
-        (col("target") - col("cum_before")).as("r"))
-    val wsel = Window.partitionBy(col("flag"), col("p")).orderBy(col("v"))
-    li.join(broadcast(hits), Seq("flag", "bucket"))
-      .withColumn("rn", row_number().over(wsel))
-      .filter(col("rn") === col("r"))
-      .groupBy(col("flag"))
-      .agg(max(when(col("p") === 0.25, col("v"))).as("p25"),
-           max(when(col("p") === 0.50, col("v"))).as("p50"),
-           max(when(col("p") === 0.75, col("v"))).as("p75"))
-      .select(col("flag").as("l_returnflag"),
-        col("p25"), col("p50"), col("p75"))
-  }
+  // Round 6 factored the plan into Num.bucketQuantiles (shared with
+  // q42, which inherited it as its default physical shape).
+  val q59: Q = (s, d) =>
+    Num.bucketQuantiles(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice",
+      Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75"),
+      bucketWidth = 1000.0)
 
   /** Oracle: the straight rank definition — same fixpoint the bucketed
     * two-pass plan must land on. Bucket boundaries cannot split ties

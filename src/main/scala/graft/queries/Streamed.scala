@@ -59,7 +59,12 @@ object Streamed {
     * session (no global conf mutation). */
   private def stateSession(s: SparkSession, partitions: Int = 8): SparkSession = {
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // SPARK_GRAFT_STATE_PARTS overrides the state shard count — the
+    // dev knob SCALE.md's streaming 100× rows turn (state-store work
+    // per partition vs fixed commit cost per store per micro-batch).
+    val parts = sys.env.get("SPARK_GRAFT_STATE_PARTS")
+      .map(_.toInt).getOrElse(partitions)
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // Optional state-store provider override (e.g. RocksDB for state
     // that exceeds executor heap — the right provider at 100 TB key
     // cardinalities; the default in-memory provider wins while state
