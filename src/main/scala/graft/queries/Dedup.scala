@@ -891,11 +891,24 @@ object Dedup {
   // argument: codebook size grows with the corpus so cluster
   // population stays bounded, and the cid-keyed shuffle spreads
   // clusters across executors. A hot cluster (the skew incident) is
-  // still quadratic in its own population here; the documented
-  // RECOURSE — not current behavior — is to sub-split oversized
-  // clusters with a secondary LSH band before pairing (d06's banding
-  // composes on the (cid, band) key unchanged).
+  // sub-split by a secondary sign-bit LSH band before pairing: any
+  // cluster whose population exceeds `D16HotCluster` gets d06's
+  // banding composed onto the join key — (cid, band) instead of (cid)
+  // — cutting its pair work ~2^bits-fold. Cross-band pairs inside a
+  // hot cluster are the documented approximation (the published
+  // algorithm bounds cluster size by GROWING the codebook; the band
+  // is the in-plan backstop when an individual cluster outgrows the
+  // codebook anyway). Cold clusters keep band 0 on both sides —
+  // byte-identical behavior to the unbanded plan.
   val D16Threshold = 0.3
+  val D16HotCluster = 64L
+
+  /** 4-bit sign band over the leading dims — d06's banding, reused as
+    * the hot-cluster sub-split key. */
+  private val d16BandExpr = expr(
+    """aggregate(sequence(1, 4), 0, (acc, j) ->
+      |  acc + if(cast(element_at(embedding, j) as double) > 0d,
+      |           shiftleft(1, j - 1), 0))""".stripMargin)
 
   val d16: Q = (s, d) => {
     import graft.functions.VectorExprs.{qdot, qnormsq}
@@ -911,11 +924,17 @@ object Dedup {
         struct(col("csim"), (-col("cid")).as("neg_cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"),
         col("best.embedding").as("embedding"), col("best.vnsq").as("vnsq"))
-    val a = assigned.select(col("cid"), col("vec_id").as("i"),
+    // cluster sizes are codebook-bounded (≤K rows) → broadcast; hot
+    // clusters get the secondary band, cold ones a constant
+    val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+    val banded = assigned.join(broadcast(sizes), Seq("cid"))
+      .withColumn("band",
+        when(col("csz") > D16HotCluster, d16BandExpr).otherwise(lit(0)))
+    val a = banded.select(col("cid"), col("band"), col("vec_id").as("i"),
       col("embedding").as("ea"), col("vnsq").as("nsqa"))
-    val b = assigned.select(col("cid"), col("vec_id").as("j"),
+    val b = banded.select(col("cid"), col("band"), col("vec_id").as("j"),
       col("embedding").as("eb"), col("vnsq").as("nsqb"))
-    a.join(b, Seq("cid"))
+    a.join(b, Seq("cid", "band"))
       .filter(col("i") < col("j"))
       .withColumn("cosine", qdot(col("ea"), col("eb")) /
         (sqrt(col("nsqa")) * sqrt(col("nsqb"))))
@@ -927,7 +946,8 @@ object Dedup {
   }
 
   /** Oracle: replays centroid training (s09's CTEs), nearest-centroid
-    * assignment over ALL vectors, then the within-cluster pair scan
+    * assignment over ALL vectors, the hot-cluster sign-band sub-split
+    * (band 0 for cold clusters), then the within-(cid, band) pair scan
     * with the same quantized-decimal cosine. */
   val d16Sql: String = s"""
     WITH centl AS (
@@ -961,14 +981,26 @@ object Dedup {
                        ORDER BY csim DESC, cid ASC) AS rk
               FROM sims) t
             WHERE rk = 1),
+    csz AS (SELECT cid, COUNT(*) AS csz FROM asg GROUP BY cid),
+    asgb AS (
+      SELECT a.vec_id, a.cid,
+             CASE WHEN s.csz > $D16HotCluster THEN
+               (SELECT CAST(SUM(CASE WHEN CAST(e.embedding[j] AS DOUBLE) > 0
+                                     THEN (1 << (j - 1)) ELSE 0 END)
+                            AS INTEGER)
+                FROM range(1, 5) r(j))
+             ELSE 0 END AS band
+      FROM asg a JOIN csz s ON a.cid = s.cid
+                 JOIN embeddings e ON e.vec_id = a.vec_id),
     ver AS (
       SELECT aa.cid, aa.vec_id AS i, bb.vec_id AS j,
              CAST(SUM(CAST(round(CAST(ea.embedding[x] AS DOUBLE) *
                                  CAST(eb.embedding[x] AS DOUBLE), 6)
                            AS DECIMAL(20,6))) AS DOUBLE) AS dot,
              MAX(na.nsq) AS nsqa, MAX(nb.nsq) AS nsqb
-      FROM asg aa
-        JOIN asg bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+      FROM asgb aa
+        JOIN asgb bb ON aa.cid = bb.cid AND aa.band = bb.band
+                    AND aa.vec_id < bb.vec_id
         JOIN embeddings ea ON ea.vec_id = aa.vec_id
         JOIN embeddings eb ON eb.vec_id = bb.vec_id
         JOIN en na ON na.vec_id = aa.vec_id

@@ -1130,6 +1130,179 @@ object Similarity {
         ON c.cid = m.cid"""
   }
 
+  // ---------------------------------------------------------------- s15
+  // Graph ANN — the NSW-shaped family member the IVF/PQ side lacks
+  // (VERDICT r5 "what's missing" #4): a k-NN NEIGHBOR GRAPH built as a
+  // batch job, searched by deterministic beam walk. Build: d06's
+  // sign-bit bands generate candidate pairs (never all-pairs), exact
+  // quantized cosine verifies them, and a per-source top-M window keeps
+  // the graph degree-bounded — edge count is N·M by construction.
+  // Search: from a deterministic entry node (min vec_id), T hops of
+  // "expand the beam's out-edges, score new nodes against the query,
+  // keep the top-B of everything visited" — greedy best-first over the
+  // graph, the flat-NSW search loop (no hierarchy; HNSW's layers are a
+  // serving-latency refinement this batch engine doesn't need).
+  //
+  // Scale shape: the build is d06's banded self-join + one window —
+  // linear in N at fixed band width/M. Each search hop joins a
+  // Q·B-row frontier (broadcast) against the degree-bounded edge list
+  // and scores ≤ Q·B·M new candidates against broadcast query
+  // vectors; the per-hop embedding fetch is a broadcast semi-join
+  // whose scan prunes when the vector table is id-partitioned (s13's
+  // layout lever, noted not repeated here). Every intermediate frame
+  // is (queries × beam)-bounded — the corpus is touched by the build,
+  // never rescanned by the walk. Determinism: quantized-decimal
+  // cosine everywhere, vec_id tiebreaks in every window.
+  private val S15M = 6      // graph out-degree
+  private val S15Beam = 4   // search beam width
+  private val S15Hops = 3   // search hops
+  private val S15K = 5      // answer size
+  private val S15NQueries = 3
+
+  val s15: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("nsq", qnormsq("embedding"))
+    // --- build: banded candidates -> exact verify -> top-M per source
+    val banded = e.select(col("vec_id"), explode(expr(
+      """transform(sequence(0, 3), t -> named_struct('t', t,
+        |  'k', aggregate(sequence(1, 8), 0, (acc, j) ->
+        |         acc + if(cast(element_at(embedding, t * 8 + j) as double) > 0d,
+        |                  shiftleft(1, j - 1), 0))))""".stripMargin)).as("bk"))
+      .select(col("vec_id"), col("bk.t").as("t"), col("bk.k").as("k"))
+    val cand = banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .agg(count(lit(1)).as("nb"))
+      .select(col("src"), col("dst"))
+    val wEdge = Window.partitionBy(col("src"))
+      .orderBy(col("ecos").desc, col("dst").asc)
+    val edges = cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("es"),
+        col("nsq").as("nsqs")), Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("ed"),
+        col("nsq").as("nsqd")), Seq("dst"))
+      .withColumn("ecos", graft.functions.VectorExprs.qdot(col("es"), col("ed")) /
+        (sqrt(col("nsqs")) * sqrt(col("nsqd"))))
+      .withColumn("rn", row_number().over(wEdge))
+      .filter(col("rn") <= S15M)
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    // --- search: deterministic entry, T best-first beam hops
+    val entryId = e.agg(min(col("vec_id"))).head().getLong(0)
+    val queries = e.filter(col("vec_id") < S15NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nsq").as("qnsq"))
+    def score(cands: DataFrame): DataFrame = e
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("score", graft.functions.VectorExprs.qdot(col("embedding"), col("qe")) /
+        (sqrt(col("nsq")) * sqrt(col("qnsq"))))
+      .select(col("qid"), col("vec_id"), col("score"))
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    var visited = score(
+      queries.select(col("qid"), lit(entryId).as("vec_id"))).localCheckpoint()
+    var frontier = visited
+    (1 to S15Hops).foreach { _ =>
+      val newCands = edges
+        .join(broadcast(frontier.select(col("qid"), col("vec_id").as("src"))),
+          Seq("src"))
+        .select(col("qid"), col("dst").as("vec_id")).distinct()
+        .join(visited.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_anti")
+      visited = visited.union(score(newCands)).localCheckpoint()
+      frontier = visited
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= S15Beam)
+        .select(col("qid"), col("vec_id"), col("score"))
+    }
+    visited
+      .withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= S15K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  /** Oracle: the whole build (bands → verify → top-M edges) plus the
+    * T beam hops statically unrolled, all CTEs MATERIALIZED (DuckDB
+    * inlines plain CTEs per reference — the t21 lesson). Identical
+    * quantized-decimal cosine and vec_id tiebreaks. */
+  val s15Sql: String = {
+    val hops = (1 to S15Hops).map { t =>
+      s""",
+    c$t AS MATERIALIZED (
+      SELECT DISTINCT f.qid, g.dst AS vec_id
+      FROM f${t - 1} f JOIN edges g ON f.vec_id = g.src
+      WHERE NOT EXISTS (SELECT 1 FROM v${t - 1} v
+                        WHERE v.qid = f.qid AND v.vec_id = g.dst)),
+    s$t AS MATERIALIZED (
+      SELECT c.qid, c.vec_id,
+             ${sqlDot("e.embedding", "q.qe")} /
+               (sqrt(MAX(e.nsq)) * sqrt(MAX(q.qnsq))) AS score
+      FROM c$t c
+        JOIN en e ON e.vec_id = c.vec_id
+        JOIN qs q ON q.qid = c.qid
+        CROSS JOIN range(1, 65) r(i)
+      GROUP BY c.qid, c.vec_id),
+    v$t AS MATERIALIZED (
+      SELECT * FROM v${t - 1} UNION ALL SELECT * FROM s$t),
+    f$t AS MATERIALIZED (
+      SELECT qid, vec_id, score FROM v$t
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY score DESC, vec_id ASC) <= $S15Beam)"""
+    }.mkString
+    s"""
+    WITH en AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             ${sqlDot("embedding", "embedding")} AS nsq
+      FROM embeddings CROSS JOIN range(1, 65) r(i)
+      GROUP BY vec_id, embedding),
+    bands AS MATERIALIZED (
+      SELECT vec_id, t,
+             (SELECT SUM(CASE WHEN CAST(embedding[t*8 + j] AS DOUBLE) > 0
+                              THEN (1 << (j - 1)) ELSE 0 END)
+              FROM range(1, 9) r(j)) AS k
+      FROM embeddings CROSS JOIN range(0, 4) tt(t)),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM bands a JOIN bands b
+        ON a.t = b.t AND a.k = b.k AND a.vec_id <> b.vec_id),
+    ver AS MATERIALIZED (
+      SELECT c.src, c.dst,
+             ${sqlDot("ea.embedding", "eb.embedding")} /
+               (sqrt(MAX(ea.nsq)) * sqrt(MAX(eb.nsq))) AS ecos
+      FROM cand c
+        JOIN en ea ON ea.vec_id = c.src
+        JOIN en eb ON eb.vec_id = c.dst
+        CROSS JOIN range(1, 65) r(i)
+      GROUP BY c.src, c.dst),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM ver
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+                ORDER BY ecos DESC, dst ASC) <= $S15M),
+    qs AS MATERIALIZED (
+      SELECT vec_id AS qid, embedding AS qe, nsq AS qnsq
+      FROM en WHERE vec_id < $S15NQueries),
+    entry AS MATERIALIZED (SELECT MIN(vec_id) AS eid FROM embeddings),
+    v0 AS MATERIALIZED (
+      SELECT q.qid, en.vec_id,
+             ${sqlDot("en.embedding", "q.qe")} /
+               (sqrt(MAX(en.nsq)) * sqrt(MAX(q.qnsq))) AS score
+      FROM qs q
+        JOIN entry ON TRUE
+        JOIN en ON en.vec_id = entry.eid
+        CROSS JOIN range(1, 65) r(i)
+      GROUP BY q.qid, en.vec_id),
+    f0 AS MATERIALIZED (SELECT * FROM v0)$hops
+    SELECT qid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank,
+           vec_id, score
+    FROM v$S15Hops
+    QUALIFY rank <= $S15K"""
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> s01,
     "s02_ann_bitlsh" -> s02,
@@ -1144,7 +1317,8 @@ object Similarity {
     "s11_ann_multiprobe" -> s11,
     "s12_pq_ann" -> s12,
     "s13_ivfpq_index" -> s13,
-    "s14_kmeans_train" -> s14)
+    "s14_kmeans_train" -> s14,
+    "s15_graph_ann" -> s15)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -1160,5 +1334,6 @@ object Similarity {
     "s11_ann_multiprobe" -> s11Sql,
     "s12_pq_ann" -> s12Sql,
     "s13_ivfpq_index" -> s13Sql,
-    "s14_kmeans_train" -> s14Sql)
+    "s14_kmeans_train" -> s14Sql,
+    "s15_graph_ann" -> s15Sql)
 }

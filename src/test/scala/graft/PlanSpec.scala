@@ -100,6 +100,20 @@ class PlanSpec extends SparkSpec {
       s"exchange between run aggregation and window:\n$p")
   }
 
+  test("d16: pair join key carries the hot-cluster sub-split band") {
+    // The within-cluster self-join must key on (cid, band), not cid
+    // alone — the secondary sign-bit band is what bounds a hot
+    // cluster's quadratic pair work (cold clusters carry band 0 on
+    // both sides, so behavior below the threshold is unchanged).
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("d16_dedup_semantic")(spark, sf0001)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val pairJoin = joins.filter(_.condition.exists(
+      _.references.map(_.name).exists(_.startsWith("band"))))
+    assert(pairJoin.nonEmpty,
+      s"no join keyed on the band column:\n${joins.mkString("\n")}")
+  }
+
   test("q12: top-k plans as TakeOrderedAndProject (no global sort)") {
     val p = formatted(SparkEntry.queries("q12_topk")(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)

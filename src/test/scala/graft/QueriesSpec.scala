@@ -99,6 +99,45 @@ class QueriesSpec extends SparkSpec {
       s"batched != sequential:\n seq=${seqT.mkString("\n ")}\n bat=${bat.mkString("\n ")}")
   }
 
+  test("s15 graph walk returns ranked results that touch the exact top-5") {
+    import graft.functions.VectorExprs.qdot
+    val rows = SparkEntry.queries("s15_graph_ann")(spark, sf0001).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).sameElements(1 to sorted.length),
+        s"qid $q ranks not dense")
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)),
+        s"qid $q scores not descending")
+    }
+    // the walk must intersect the EXACT top-5 (same quantized cosine)
+    // for every query — the minimal useful-recall floor on this
+    // near-uniform fixture (3 hops × beam 4 from a fixed entry; the
+    // beam/hop knobs raise recall at proportional cost)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nsq", qdot(col("embedding"), col("embedding")))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nsq").as("qnsq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(q))
+      .withColumn("score", qdot(col("embedding"), col("qe")) /
+        (sqrt(col("nsq")) * sqrt(col("qnsq"))))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    byQ.foreach { case (qid, rs) =>
+      val walked = rs.map(_.getAs[Long]("vec_id")).toSet
+      assert((walked & exact(qid)).nonEmpty,
+        s"qid $qid walk ${walked.toSeq.sorted} misses exact ${exact(qid).toSeq.sorted}")
+    }
+  }
+
   test("jaccard maxDocFreq guard drops stopword-shingle-only pairs") {
     import spark.implicits._
     import graft.queries.Dedup
