@@ -1195,6 +1195,73 @@ $union
     ) QUALIFY step <= $bpeK"""
   }
 
+  // ---------------------------------------------------------------- t22
+  // Bigram-LM fluency scoring — the CCNet/KenLM-style perplexity
+  // filter (Wenzek '20 trains a 5-gram LM and drops the worst-scoring
+  // tail; the bigram case is the same pipeline shape). Train an
+  // add-one-smoothed bigram model on the corpus itself, then score
+  // every document by its MEAN INVERSE CONDITIONAL PROBABILITY
+  // avg((c(ctx)+V) / (c(ctx,w)+1)) — monotone in the same
+  // per-transition surprisal geometric-mean perplexity ranks by, but
+  // every term is an integer ratio, so both engines compute the same
+  // doubles and the oracle needs no ln()/exp() (t15's libm-free
+  // trick, lifted from unigrams to transitions). n_novel counts
+  // corpus-unique transitions (c==1) — the noise/garble indicator a
+  // unigram model cannot see (every word common, the SEQUENCE wrong).
+  // Scale shape: the model is the corpus's bigram count table —
+  // Zipf-bounded but quadratically wider than t15's vocab, so both
+  // model joins go through Hints.broadcastIfSmall (beyond the
+  // threshold they degrade to shuffle joins on gram keys; the final
+  // agg is per-doc-keyed, skew-free). Context counts derive from the
+  // bigram table (sum over w2), not a second corpus pass: the corpus
+  // is scanned twice (V + bigrams), shuffled three times, at any size.
+  val t22: Q = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 1), i ->
+          |  struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgCnt = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val ctxCnt = bgCnt.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cc"))
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.join(Hints.broadcastIfSmall(bgCnt), Seq("w1", "w2"))
+      .join(Hints.broadcastIfSmall(ctxCnt), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cb") === 1, 1).otherwise(0)).cast("long")
+          .as("n_novel"),
+        Num.davg((col("cc") + col("v")).cast("double") / (col("cb") + 1))
+          .as("ppx_proxy"))
+  }
+
+  val t22Sql: String = s"""
+    WITH arr AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
+                 FROM arr) x
+           WHERE i <= len(w) - 1),
+    bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+    cx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cc FROM bc GROUP BY w1),
+    vv AS (SELECT COUNT(DISTINCT tok) AS v
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents))
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ${Num.sqlDavg("CAST(cc + v AS DOUBLE) / (cb + 1)")}
+             AS ppx_proxy
+    FROM bg JOIN bc USING (w1, w2) JOIN cx USING (w1) CROSS JOIN vv
+    GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -1216,7 +1283,8 @@ $union
     "t18_zipf_fit" -> t18,
     "t19_heaps_fit" -> t19,
     "t20_quality_classifier" -> t20,
-    "t21_bpe_batch" -> t21)
+    "t21_bpe_batch" -> t21,
+    "t22_bigram_fluency" -> t22)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -1239,5 +1307,6 @@ $union
     "t18_zipf_fit" -> t18Sql,
     "t19_heaps_fit" -> t19Sql,
     "t20_quality_classifier" -> t20Sql,
-    "t21_bpe_batch" -> t21Sql)
+    "t21_bpe_batch" -> t21Sql,
+    "t22_bigram_fluency" -> t22Sql)
 }

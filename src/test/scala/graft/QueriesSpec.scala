@@ -138,6 +138,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("t22: scrambled word salad scores worse than a repeated fluent doc") {
+    import spark.implicits._
+    import graft.queries.Text
+    // 9 copies of one sentence (every transition seen 9×) + one doc of
+    // the same words in a never-repeated order (every transition unique)
+    val fluent = "the quick brown fox jumps over the lazy dog"
+    val salad = "dog the over quick lazy fox brown jumps the"
+    val docs = ((1L to 9L).map(i => (i, fluent)) :+ (10L, salad))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("graft-bigramlm-")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.queries("t22_bigram_fluency")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_novel"), r.getAs[Double]("ppx_proxy"))).toMap
+    val (fluentNovel, fluentPpx) = rows(1L)
+    val (saladNovel, saladPpx) = rows(10L)
+    assert(fluentNovel == 0L, s"repeated doc has novel transitions: $fluentNovel")
+    assert(saladNovel > 0L, "salad doc shows no novel transitions")
+    assert(saladPpx > fluentPpx,
+      s"salad ppx $saladPpx not worse than fluent $fluentPpx")
+    // inverse conditional probability is >= 1 by construction
+    rows.values.foreach { case (_, p) => assert(p >= 1.0) }
+  }
+
   test("jaccard maxDocFreq guard drops stopword-shingle-only pairs") {
     import spark.implicits._
     import graft.queries.Dedup
