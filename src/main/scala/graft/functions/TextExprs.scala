@@ -279,6 +279,68 @@ object StrPairs {
   }
 }
 
+/** 32-bit perceptual hash (aHash shape) of a media payload, with the
+  * document text standing in for the decoded pixel stream (the same
+  * stub convention as [[graft.multimodal.FakeCodec]]): code points are
+  * the "pixel" intensities, interleaved into 32 buckets
+  * (bucket = index % 32 — the stub's fixed sampling grid), and bit b is
+  * set iff bucket b's mean intensity exceeds the global mean. The
+  * comparison is exact integer cross-multiplication
+  * (sum_b · n > total · cnt_b) — no floating point, so any engine
+  * replays it bit-for-bit. One compiled pass per row; near-identical
+  * payloads (a few changed "pixels") land in the same bucket means and
+  * collide — the perceptual-dedup property. Empty input hashes to 0.
+  */
+case class PHash32(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash32"
+
+  override def nullSafeEval(input: Any): Any =
+    PHash32.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PHash32.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PHash32 =
+    copy(child = newChild)
+}
+
+object PHash32 {
+  private val Buckets = 32
+
+  def compute(text: UTF8String): Long = {
+    val s = text.toString
+    val sums = new Array[Long](Buckets)
+    val cnts = new Array[Long](Buckets)
+    var total = 0L
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val b = (n % Buckets).toInt
+      sums(b) += cp
+      cnts(b) += 1
+      total += cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) return 0L
+    var hash = 0L
+    var b = 0
+    while (b < Buckets) {
+      if (sums(b) * n > total * cnts(b)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+}
+
 /** Column-level entry points for native text expressions. */
 object TextExprs {
   /** Distinct word-n-gram shingles of a string column. */
@@ -301,6 +363,10 @@ object TextExprs {
   /** All (i < j) pairs from a sorted array<string> (co-occurrence). */
   def strPairs(toks: Column): Column =
     GraftSqlBridge.column(StrPairs(GraftSqlBridge.expression(toks)))
+
+  /** 32-bit perceptual hash (aHash) of a payload-stand-in string. */
+  def phash32(text: Column): Column =
+    GraftSqlBridge.column(PHash32(GraftSqlBridge.expression(text)))
 
   /** Register the text expressions on an EXISTING session's function
     * registry (idempotent) — the runtime alternative to wiring

@@ -396,6 +396,78 @@ object Corpus {
     FROM census LEFT JOIN leaked l ON census.doc_id = l.k
     GROUP BY split"""
 
+  // ---------------------------------------------------------------- c08
+  // Quality-binned curriculum sampling — the data-mixing stage that
+  // turns a scored corpus into a quality-weighted training mix (the
+  // DoReMi/phi-style "sample good data more" recipe, with c03's
+  // reproducible hash membership instead of rand()). Documents are
+  // scored by lexical diversity (distinct-token ratio — an
+  // integer-exact proxy; any per-doc score slots in), split into
+  // quartile bins at EXACT corpus quantiles, and each bin keeps a
+  // curriculum rate (10/25/50/90% — rarer low-quality data, most of
+  // the high tail).
+  // Scale shape: the quartile cutoffs come from Num.bucketQuantiles —
+  // the histogram + rank-resolve two-pass q59 proved at 100× —
+  // never a global sort or single-task window; the 3-value cutoff row
+  // is a broadcast; bin assignment + hash membership are row-local
+  // scan expressions; one final 4-group aggregate. Two bounded
+  // shuffles at any corpus size.
+  val c08: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks"))).as("q"))
+      .withColumn("g", lit(1))
+    val cuts = Num.bucketQuantiles(scored, "g", "q",
+      Seq((0.25, "q1"), (0.5, "q2"), (0.75, "q3")), 0.01).drop("g")
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        when(col("q") <= col("q1"), 1)
+          .when(col("q") <= col("q2"), 2)
+          .when(col("q") <= col("q3"), 3).otherwise(4))
+      .withColumn("rate",
+        element_at(array(lit(10), lit(25), lit(50), lit(90)), col("bin")))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .groupBy(col("bin"), col("rate"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(pmod(col("h"), lit(100)) < col("rate"), 1).otherwise(0))
+          .cast("long").as("n_kept"),
+        Num.davg(col("q")).as("avg_quality"))
+  }
+
+  val c08Sql: String = s"""
+    WITH sc AS (SELECT doc_id,
+                       CAST(len(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE) / len(string_split(text, ' ')) AS q
+                FROM documents),
+    rk AS (SELECT doc_id, q, ROW_NUMBER() OVER (ORDER BY q) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM sc),
+    cut AS (SELECT
+              MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN q END)
+                AS q1,
+              MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN q END)
+                AS q2,
+              MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN q END)
+                AS q3
+            FROM rk),
+    b AS (SELECT doc_id, q,
+                 CASE WHEN q <= q1 THEN 1 WHEN q <= q2 THEN 2
+                      WHEN q <= q3 THEN 3 ELSE 4 END AS bin,
+                 CASE WHEN q <= q1 THEN 10 WHEN q <= q2 THEN 25
+                      WHEN q <= q3 THEN 50 ELSE 90 END AS rate,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 AS hb
+          FROM sc CROSS JOIN cut)
+    SELECT bin, rate, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN hb < rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ${Num.sqlDavg("q")} AS avg_quality
+    FROM b GROUP BY bin, rate"""
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
     "c02_curate_sql" -> c02,
@@ -403,7 +475,8 @@ object Corpus {
     "c04_pack_sequences" -> c04,
     "c05_shard_shuffle" -> c05,
     "c06_tokenize_pack" -> c06,
-    "c07_split_leakage" -> c07)
+    "c07_split_leakage" -> c07,
+    "c08_curriculum_sample" -> c08)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
     "c02_curate_sql" -> c01Sql,
@@ -411,5 +484,6 @@ object Corpus {
     "c04_pack_sequences" -> c04Sql,
     "c05_shard_shuffle" -> c05Sql,
     "c06_tokenize_pack" -> c06Sql,
-    "c07_split_leakage" -> c07Sql)
+    "c07_split_leakage" -> c07Sql,
+    "c08_curriculum_sample" -> c08Sql)
 }

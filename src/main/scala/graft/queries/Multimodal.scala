@@ -270,6 +270,50 @@ object Multimodal {
            COALESCE(MAX(jump), 0) AS max_jump
     FROM jumps GROUP BY doc_id"""
 
+  // ---------------------------------------------------------------- m08
+  // Perceptual-hash image dedup — the content-addressed dedup stage of
+  // an image pipeline (aHash family: bucket the pixel stream, bit =
+  // bucket mean above global mean), with the payload stand-in as the
+  // "pixel" stream per the stub convention. The hash itself is a
+  // native one-pass codegen expression (graft.functions.PHash32,
+  // integer-exact — the oracle replays it digit-for-digit); dedup is
+  // d02's shape on the 8-byte hash: one hash aggregate, min-doc_id
+  // canonical pick, group census. Near-identical payloads collide —
+  // byte-identical re-encodes and small crops dedup where sha256
+  // (m01) cannot.
+  // Scale shape: hashing is row-local scan work inside whole-stage
+  // codegen; the only shuffle moves (phash, count, min) partials —
+  // map-side combine collapses duplicates before the exchange. Works
+  // at any corpus size; the 32-bit hash space is the deliberate
+  // collision/recall knob of the aHash family.
+  val m08: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.phash32(col("text")).as("phash"))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
+
+  val m08Sql: String = """
+    WITH px AS (
+      SELECT doc_id, unicode(c[i]) AS v, (i - 1) % 32 AS b
+      FROM (SELECT doc_id, string_split(text, '') AS c,
+                   generate_subscripts(string_split(text, ''), 1) AS i
+            FROM documents) x),
+    bs AS (SELECT doc_id, b, CAST(SUM(v) AS BIGINT) AS sb,
+                  COUNT(*) AS cb
+           FROM px GROUP BY doc_id, b),
+    tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS tv, COUNT(*) AS tc
+            FROM px GROUP BY doc_id),
+    hashes AS (
+      SELECT bs.doc_id,
+             CAST(SUM(CASE WHEN sb * tc > tv * cb
+                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS phash
+      FROM bs JOIN tot ON bs.doc_id = tot.doc_id
+      GROUP BY bs.doc_id)
+    SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical
+    FROM hashes GROUP BY phash"""
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
@@ -277,7 +321,8 @@ object Multimodal {
     "m04_resize" -> m04,
     "m05_patch_grid" -> m05,
     "m06_aspect_buckets" -> m06,
-    "m07_scene_cuts" -> m07)
+    "m07_scene_cuts" -> m07,
+    "m08_phash_dedup" -> m08)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
@@ -286,5 +331,6 @@ object Multimodal {
     "m04_resize" -> m04Sql,
     "m05_patch_grid" -> m05Sql,
     "m06_aspect_buckets" -> m06Sql,
-    "m07_scene_cuts" -> m07Sql)
+    "m07_scene_cuts" -> m07Sql,
+    "m08_phash_dedup" -> m08Sql)
 }

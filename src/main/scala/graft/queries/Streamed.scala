@@ -629,6 +629,86 @@ object Streamed {
       FROM scored) t
     WHERE rn = 1"""
 
+  // --------------------------------------------------------------- st12
+  // Streaming near-dup admission control — d04's MinHash-LSH
+  // candidates + exact-verify, recast as the gate a continuous
+  // ingestion pipeline runs on every incoming document against the
+  // HISTORICAL corpus: the static side's banded signature index and
+  // hashed shingle sets are fixed relations (built once per plan; in
+  // production, a maintained index table), the stream side computes
+  // its signature + shingle hashes in the scan stage, and candidates
+  // surface through two STATELESS stream-static equi-joins. The only
+  // stateful operator is the per-pair collision dedup (one state row
+  // per verified near-dup pair — a vanishing fraction of the stream).
+  // The stream row carries its hashed shingle set on each of its NT
+  // signature rows into the candidate join (payload bounded by
+  // NT × doc size — the price of stateless verification; the corpus
+  // index side stays slim). Output is the exact ≥0.5 cross-set pair
+  // set, so the oracle is plain exact-Jaccard SQL (d04's discipline:
+  // a banding recall miss fails the row-count compare).
+  val st12: Q = (s, d) => {
+    val ss = stateSession(s)
+    import graft.functions.TextExprs
+    val NT = 16
+    def withShingles(df: DataFrame): DataFrame = df
+      .withColumn("shingles", TextExprs.shingles(col("text"), 3))
+      .filter(size(col("shingles")) > 0)
+    val corpus = withShingles(
+      graft.sources.Tables.documents(ss, d).filter(col("doc_id") % 5 =!= 0))
+    val corpusSig = corpus.select(col("doc_id").as("j"),
+      posexplode(TextExprs.minhashSig(col("shingles"), NT)).as(Seq("t", "v")))
+    val corpusHashed = corpus.select(col("doc_id").as("j"),
+      expr("transform(shingles, x -> xxhash64(x))").as("shb"))
+    val stream = withShingles(ss.readStream
+        .schema(docSchema)
+        .parquet(stageDocsDir(d))
+        .filter(col("doc_id") % 5 === 0))
+      .withColumn("sha", expr("transform(shingles, x -> xxhash64(x))"))
+      .select(col("doc_id").as("i"), col("sha"),
+        posexplode(TextExprs.minhashSig(col("shingles"), NT))
+          .as(Seq("t", "v")))
+    val verified = stream
+      .join(corpusSig, Seq("t", "v"))
+      .join(corpusHashed, Seq("j"))
+      .withColumn("c", size(array_intersect(col("sha"), col("shb")))
+        .cast("long"))
+      .withColumn("ni", size(col("sha")).cast("long"))
+      .withColumn("nj", size(col("shb")).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("ni") + col("nj") - col("c")))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy(col("i"), col("j"))
+      .agg(max(col("c")).as("c"), max(col("ni")).as("ni"),
+        max(col("nj")).as("nj"), max(col("jaccard")).as("jaccard"))
+    val name = "st12_mem"
+    val q = verified.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
+  val st12Sql: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM t) g
+           WHERE i <= len(w) - 2),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s
+               WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+               GROUP BY 1, 2)
+    SELECT i, j, c, ca.n AS ni, cb.n AS nj,
+           CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+    FROM common
+      JOIN counts ca ON i = ca.doc_id
+      JOIN counts cb ON j = cb.doc_id
+    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5"""
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -640,7 +720,8 @@ object Streamed {
     "st08_stream_curate" -> st08,
     "st09_stream_decontaminate" -> st09,
     "st10_stream_tokens" -> st10,
-    "st11_stream_ann" -> st11)
+    "st11_stream_ann" -> st11,
+    "st12_stream_neardup" -> st12)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -653,5 +734,6 @@ object Streamed {
     // shared oracle: streaming output must equal d13's batch fixpoint
     "st09_stream_decontaminate" -> Dedup.d13Sql,
     "st10_stream_tokens" -> Text.t17Sql,
-    "st11_stream_ann" -> st11Sql)
+    "st11_stream_ann" -> st11Sql,
+    "st12_stream_neardup" -> st12Sql)
 }

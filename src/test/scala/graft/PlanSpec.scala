@@ -190,6 +190,17 @@ class PlanSpec extends SparkSpec {
     assert(m02p.contains("MapPartitions"), m02p)
   }
 
+  test("m08: perceptual hashing stays row-local codegen with ONE shuffle") {
+    val df = SparkEntry.queries("m08_phash_dedup")(spark, sf0001)
+    val p = formatted(df)
+    assert(!p.contains("MapPartitions") && !p.contains("DeserializeToObject"),
+      s"phash must be an expression, not a typed boundary:\n$p")
+    val exchanges = "(?m)^\\s*\\+?-? ?Exchange \\(".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one hash-agg shuffle, got $exchanges:\n$p")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("), p)
+  }
+
   test("d13: decontamination probes a broadcast semi-join (corpus grams never shuffle)") {
     val p = formatted(SparkEntry.queries("d13_decontaminate")(spark, sf0001))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),

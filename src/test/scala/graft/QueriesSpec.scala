@@ -162,6 +162,50 @@ class QueriesSpec extends SparkSpec {
     rows.values.foreach { case (_, p) => assert(p >= 1.0) }
   }
 
+  test("m08: phash collides on near-identical payloads, separates disjoint ones") {
+    import spark.implicits._
+    import graft.queries.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                            // exact copy
+      (3L, base.replaceFirst("quick", "quicc")), // one-"pixel" edit
+      // 32-periodic bright/dark halves → bits 0-15 only, a hash no
+      // word-soup text (spaces interleaved through every bucket) hits
+      (4L, ("~" * 16 + " " * 16) * 10))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("graft-phash-")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val groups = Multimodal.queries("m08_phash_dedup")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("phash"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("canonical")))).toMap
+    // docs 1-3 share one hash (the perceptual property sha256 lacks);
+    // doc 4's hash differs
+    assert(groups.values.toSet == Set((3L, 1L), (1L, 4L)),
+      s"groups: $groups")
+    assert(groups.contains(0x0000FFFFL), s"half-bright hash: $groups")
+  }
+
+  test("c08: quartile bins are balanced and quality-ordered") {
+    val rows = SparkEntry.queries("c08_curriculum_sample")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Int]("bin"),
+        (r.getAs[Int]("rate"), r.getAs[Long]("n_total"),
+          r.getAs[Long]("n_kept"), r.getAs[Double]("avg_quality"))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array(1, 2, 3, 4)))
+    assert(rows.map(_._2._1).sameElements(Array(10, 25, 50, 90)))
+    val totals = rows.map(_._2._2)
+    val n = totals.sum
+    // exact-quantile cuts keep every bin within one tie-run of n/4
+    assert(totals.forall(t => t >= n / 8 && t <= 3 * n / 8),
+      s"bins unbalanced: ${totals.mkString(",")}")
+    val quality = rows.map(_._2._4)
+    assert(quality.sameElements(quality.sorted),
+      s"avg quality not increasing across bins: ${quality.mkString(",")}")
+    rows.foreach { case (_, (_, t, k, _)) => assert(k <= t) }
+  }
+
   test("jaccard maxDocFreq guard drops stopword-shingle-only pairs") {
     import spark.implicits._
     import graft.queries.Dedup
