@@ -1158,6 +1158,16 @@ object Similarity {
   private val S15Hops = 3   // search hops
   private val S15K = 5      // answer size
   private val S15NQueries = 3
+  /** Build-side band width (bits per sign band) — the occupancy lever
+    * the build turns as the corpus grows: candidate pairs inside one
+    * bucket are quadratic in occupancy ≈ N / 2^bits, so bits rides
+    * log2(N). Default 8 (256 buckets/table — right for the 5k-50k
+    * fixtures); SPARK_GRAFT_S15_BITS=16 gives 65k buckets/table for
+    * the 100× scale probe. Query and oracle SQL derive from the SAME
+    * constant, so verify and probe stay aligned at any setting (4
+    * tables × bits dims must fit the 64-dim embedding: bits ≤ 16). */
+  private val S15Bits = sys.env.get("SPARK_GRAFT_S15_BITS")
+    .map(_.toInt).getOrElse(8)
 
   val s15: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -1165,10 +1175,10 @@ object Similarity {
       .withColumn("nsq", qnormsq("embedding"))
     // --- build: banded candidates -> exact verify -> top-M per source
     val banded = e.select(col("vec_id"), explode(expr(
-      """transform(sequence(0, 3), t -> named_struct('t', t,
-        |  'k', aggregate(sequence(1, 8), 0, (acc, j) ->
-        |         acc + if(cast(element_at(embedding, t * 8 + j) as double) > 0d,
-        |                  shiftleft(1, j - 1), 0))))""".stripMargin)).as("bk"))
+      s"""transform(sequence(0, 3), t -> named_struct('t', t,
+         |  'k', aggregate(sequence(1, $S15Bits), 0, (acc, j) ->
+         |         acc + if(cast(element_at(embedding, t * $S15Bits + j) as double) > 0d,
+         |                  shiftleft(1, j - 1), 0))))""".stripMargin)).as("bk"))
       .select(col("vec_id"), col("bk.t").as("t"), col("bk.k").as("k"))
     val cand = banded.as("a").hint("shuffle_hash")
       .join(banded.as("b"),
@@ -1261,9 +1271,9 @@ object Similarity {
       GROUP BY vec_id, embedding),
     bands AS MATERIALIZED (
       SELECT vec_id, t,
-             (SELECT SUM(CASE WHEN CAST(embedding[t*8 + j] AS DOUBLE) > 0
+             (SELECT SUM(CASE WHEN CAST(embedding[t*$S15Bits + j] AS DOUBLE) > 0
                               THEN (1 << (j - 1)) ELSE 0 END)
-              FROM range(1, 9) r(j)) AS k
+              FROM range(1, ${S15Bits + 1}) r(j)) AS k
       FROM embeddings CROSS JOIN range(0, 4) tt(t)),
     cand AS MATERIALIZED (
       SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
