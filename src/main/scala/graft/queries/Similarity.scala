@@ -438,8 +438,14 @@ object Similarity {
     * always broadcastable. Shared by s09 (trained IVF) and Dedup.d16
     * (semantic dedup). */
   private[queries] def trainedCentroids(s: SparkSession,
-                                        d: String): DataFrame = {
-    val centLong = Tables.embeddings(s, d)
+                                        d: String): DataFrame =
+    centroidsFrom(Tables.embeddings(s, d))
+
+  /** s09's label-mean coarse quantizer, trained on an arbitrary vector
+    * relation — factored out so s16 can freeze quantizers on the BASE
+    * corpus while s09/s13 keep their full-corpus behavior. */
+  private def centroidsFrom(e: DataFrame): DataFrame = {
+    val centLong = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
       .select(col("label"), (col("p") + 1).as("dim"),
         round(col("v").cast("double"), 6)
@@ -1313,6 +1319,191 @@ object Similarity {
     QUALIFY rank <= $S15K"""
   }
 
+  // ---------------------------------------------------------------- s16
+  // Incremental IVF-PQ index maintenance — the lifecycle step s13's
+  // persisted index needs in production: a DELTA batch arrives after
+  // the base build, and rebuilding the whole index per batch is the
+  // thing you must not do at 100 TB. The maintenance contract (FAISS's
+  // add-after-train): quantizers are FROZEN at base-build time — the
+  // coarse centroids and PQ codebooks are trained on the BASE corpus
+  // only — the delta assigns + encodes through those frozen
+  // quantizers, and its rows APPEND into the cid-partitioned index
+  // table. Only the touched list partitions gain files; base lists
+  // are never rewritten; readers see list-local additions.
+  //
+  // The correctness contract the oracle proves: append-merge under
+  // frozen quantizers is EQUIVALENT to a full rebuild over base+delta
+  // with the same frozen quantizers — so the post-merge probe must
+  // match SQL that trains on the base subset and assigns/encodes the
+  // whole corpus. (Quantizer drift — when the delta shifts the data
+  // distribution enough to warrant retraining — is the monitored
+  // retrain trigger in production, s10's recall-audit territory.)
+  //
+  // Scale shape: the delta pass touches delta rows only (assign +
+  // encode against broadcast frozen quantizers — K- and M×K-bounded);
+  // the append writes |delta| code rows into ≤K partition dirs. Probe
+  // cost is unchanged from s13: partition-pruned codes scan + ADC
+  // broadcast. Nothing reprocesses the base corpus.
+  val s16: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val san = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tbl = s"g16_ivfinc_$san"
+    def corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    def base = corpus.filter(col("vec_id") % 10 =!= 9)
+    def delta = corpus.filter(col("vec_id") % 10 === 9)
+    val cents = centroidsFrom(base)
+    def subOf(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("label"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+      .withColumn("sub", expr(s"slice(embedding, m * $PqSub + 1, $PqSub)"))
+      .drop("embedding")
+    val cb = pqCodebook(subOf(base))
+    def indexRows(df: DataFrame): DataFrame = {
+      val coarse = df
+        .withColumn("vnsq", qnormsq("embedding"))
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", qdot("embedding", "ce") /
+          (sqrt(col("vnsq")) * sqrt(col("cnsq"))))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"),
+          struct(col("csim"), (-col("cid")).as("neg_cid"))).as("cid"))
+      val codes = subOf(df)
+        .withColumn("snsq",
+          graft.functions.VectorExprs.qdot(col("sub"), col("sub")))
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("dist",
+          col("snsq") - lit(2) *
+            graft.functions.VectorExprs.qdot(col("sub"), col("ce")) +
+            col("cnsq"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist"), col("code"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.code").as("code"))
+      coarse.join(codes, Seq("vec_id"))
+        .select(col("vec_id"), col("m"), col("code"), col("cid"))
+    }
+    Relational.freshManagedTable(s, tbl) {
+      indexRows(base)
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("cid").saveAsTable(tbl)
+      // the delta merge: frozen quantizers, position-aligned append —
+      // only the touched list partitions gain files
+      indexRows(delta)
+        .select(s.table(tbl).columns.map(col): _*)
+        .write.mode("append").insertInto(tbl)
+    }
+    // probe the MERGED index — identical query path to s13, frozen
+    // (base-trained) quantizers
+    val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+    val probeCids = q0
+      .withColumn("vnsq", qnormsq("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", qdot("embedding", "ce") /
+        (sqrt(col("vnsq")) * sqrt(col("cnsq"))))
+      .orderBy(col("csim").desc, col("cid").asc)
+      .limit(3).select(col("cid"))
+      .collect().map(_.getAs[Int]("cid"))
+    val dtab = cb
+      .join(subOf(q0).select(col("m"), col("sub").as("qs")), Seq("m"))
+      .select(col("m"), col("code"),
+        graft.functions.VectorExprs.qdot(col("qs"), col("ce")).as("pdot"))
+    s.table(tbl)
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+      .join(broadcast(dtab), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cid")).as("cid"),
+        sum(round(col("pdot"), 6).cast(DecimalType(20, 6)))
+          .cast("double").as("approx_dot"))
+      .orderBy(col("approx_dot").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  /** Oracle: s13's CTE chain with every TRAINING relation (centroids,
+    * PQ codebooks) restricted to the base subset (vec_id % 10 <> 9)
+    * and assignment/encoding over the full corpus — the frozen-
+    * quantizer rebuild the append-merge must equal. */
+  val s16Sql: String = s"""
+    WITH basev AS (SELECT * FROM embeddings
+                   WHERE vec_id <> 0 AND vec_id % 10 <> 9),
+    centl AS (
+      SELECT label AS cid, CAST(i AS INTEGER) AS dim,
+             CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cv
+      FROM basev CROSS JOIN range(1, 65) r(i)
+      GROUP BY label, i),
+    cn AS (SELECT cid,
+                  CAST(SUM(CAST(round(cv * cv, 6) AS DECIMAL(20,6)))
+                       AS DOUBLE) AS cnsq
+           FROM centl GROUP BY cid),
+    en AS (SELECT vec_id, ${sqlDot("embedding", "embedding")} AS nsq
+           FROM embeddings CROSS JOIN range(1, 65) r(i) GROUP BY vec_id),
+    cdots AS (SELECT e.vec_id, c.cid,
+                     CAST(SUM(CAST(round(
+                       CAST(e.embedding[c.dim] AS DOUBLE) * c.cv, 6)
+                       AS DECIMAL(20,6))) AS DOUBLE) AS dot
+              FROM embeddings e JOIN centl c ON TRUE
+              GROUP BY e.vec_id, c.cid),
+    csims AS (SELECT d2.vec_id, d2.cid,
+                     d2.dot / (sqrt(en.nsq) * sqrt(cn.cnsq)) AS csim
+              FROM cdots d2 JOIN en ON d2.vec_id = en.vec_id
+                            JOIN cn ON d2.cid = cn.cid),
+    cranked AS (SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY csim DESC, cid ASC) AS crank
+                FROM csims),
+    coarse AS (SELECT vec_id, cid FROM cranked
+               WHERE crank = 1 AND vec_id <> 0),
+    probes AS (SELECT cid FROM cranked
+               WHERE crank <= 3 AND vec_id = 0),
+    sub AS (
+      SELECT vec_id, label, CAST(m AS INTEGER) AS m,
+             embedding[m * $PqSub + 1 : (m + 1) * $PqSub] AS sub
+      FROM embeddings CROSS JOIN range(0, $PqM) mm(m)),
+    bsub AS (SELECT * FROM sub WHERE vec_id <> 0 AND vec_id % 10 <> 9),
+    cb AS (SELECT m, label AS code, CAST(i AS INTEGER) AS i,
+                  CAST(SUM(CAST(round(CAST(sub[i] AS DOUBLE), 6)
+                                AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cv
+           FROM bsub CROSS JOIN range(1, ${PqSub + 1}) r(i)
+           GROUP BY m, label, i),
+    cbn AS (SELECT m, code,
+                   CAST(SUM(CAST(round(cv * cv, 6) AS DECIMAL(20,6)))
+                        AS DOUBLE) AS cnsq
+            FROM cb GROUP BY m, code),
+    sn AS (SELECT vec_id, m,
+                  CAST(SUM(CAST(round(CAST(sub[i] AS DOUBLE) *
+                                      CAST(sub[i] AS DOUBLE), 6)
+                                AS DECIMAL(20,6))) AS DOUBLE) AS snsq
+           FROM sub CROSS JOIN range(1, ${PqSub + 1}) r(i)
+           GROUP BY vec_id, m),
+    pdots AS (SELECT s.vec_id, s.m, cb.code,
+                     CAST(SUM(CAST(round(CAST(s.sub[cb.i] AS DOUBLE) * cb.cv, 6)
+                                   AS DECIMAL(20,6))) AS DOUBLE) AS dot
+              FROM sub s JOIN cb ON s.m = cb.m
+              GROUP BY s.vec_id, s.m, cb.code),
+    enc AS (SELECT vec_id, m, code FROM (
+              SELECT d.vec_id, d.m, d.code,
+                     ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                       ORDER BY (sn.snsq - 2 * d.dot + cbn.cnsq) ASC,
+                                d.code ASC) AS rn
+              FROM pdots d
+                JOIN sn ON d.vec_id = sn.vec_id AND d.m = sn.m
+                JOIN cbn ON d.m = cbn.m AND d.code = cbn.code) t
+            WHERE rn = 1),
+    dtab AS (SELECT cb.m, cb.code,
+                    CAST(SUM(CAST(round(CAST(q.sub[cb.i] AS DOUBLE) * cb.cv, 6)
+                                  AS DECIMAL(20,6))) AS DOUBLE) AS pdot
+             FROM sub q JOIN cb ON q.m = cb.m
+             WHERE q.vec_id = 0
+             GROUP BY cb.m, cb.code)
+    SELECT c.vec_id, MAX(c.cid) AS cid,
+           CAST(SUM(CAST(round(t.pdot, 6) AS DECIMAL(20,6))) AS DOUBLE)
+             AS approx_dot
+    FROM coarse c
+      JOIN probes p ON c.cid = p.cid
+      JOIN enc e ON e.vec_id = c.vec_id
+      JOIN dtab t ON e.m = t.m AND e.code = t.code
+    GROUP BY c.vec_id
+    ORDER BY approx_dot DESC, c.vec_id ASC LIMIT 5"""
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> s01,
     "s02_ann_bitlsh" -> s02,
@@ -1328,7 +1519,8 @@ object Similarity {
     "s12_pq_ann" -> s12,
     "s13_ivfpq_index" -> s13,
     "s14_kmeans_train" -> s14,
-    "s15_graph_ann" -> s15)
+    "s15_graph_ann" -> s15,
+    "s16_ivf_incremental" -> s16)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -1345,5 +1537,6 @@ object Similarity {
     "s12_pq_ann" -> s12Sql,
     "s13_ivfpq_index" -> s13Sql,
     "s14_kmeans_train" -> s14Sql,
-    "s15_graph_ann" -> s15Sql)
+    "s15_graph_ann" -> s15Sql,
+    "s16_ivf_incremental" -> s16Sql)
 }

@@ -162,6 +162,20 @@ class QueriesSpec extends SparkSpec {
     rows.values.foreach { case (_, p) => assert(p >= 1.0) }
   }
 
+  test("s16: merged index holds base + delta exactly once, delta reachable") {
+    SparkEntry.queries("s16_ivf_incremental")(spark, sf0001).collect()
+    val san = sf0001.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val t = spark.table(s"g16_ivfinc_$san")
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter("vec_id <> 0").count()
+    // 4 PQ code rows per indexed vector; append added the delta without
+    // duplicating (or rewriting) any base row
+    assert(t.count() == n * 4, s"expected ${n * 4} code rows, got ${t.count()}")
+    assert(t.select("vec_id", "m").distinct().count() == n * 4)
+    assert(t.filter("vec_id % 10 = 9").count() > 0,
+      "delta batch missing from merged index")
+  }
+
   test("m08: phash collides on near-identical payloads, separates disjoint ones") {
     import spark.implicits._
     import graft.queries.Multimodal
