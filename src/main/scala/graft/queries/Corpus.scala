@@ -468,6 +468,65 @@ object Corpus {
            ${Num.sqlDavg("q")} AS avg_quality
     FROM b GROUP BY bin, rate"""
 
+  // ---------------------------------------------------------------- c09
+  // Token-budget epoch planning — the arithmetic between "here is the
+  // curated corpus" and "here is the training run": given a total
+  // token budget and per-source mixture weights (c03's deterministic
+  // rate rule), compute what the run actually consumes per source —
+  // target tokens, epochs over the source's unique tokens (the repeat
+  // factor data-constrained scaling work warns about), and whether
+  // the source is repeated (>1 epoch) or subsampled (<1). Pure
+  // integer/rational arithmetic end to end: budget and weights are
+  // exact, epochs is one double division per source — bit-portable.
+  // Scale shape: ONE token-count aggregate over the corpus (t01's
+  // shuffle, source-keyed) and a ~|sources|-row projection after it.
+  // The planning math is free at any corpus size; the corpus is
+  // scanned once.
+  private val C09Budget = 10_000_000L // total training-token budget
+  val c09: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("src_tokens"))
+      // c03's deterministic weight rule: 1/2/3 shares by source suffix
+      .withColumn("share",
+        (lit(1) + expr("substring(source, 4)").try_cast("int") % 3)
+          .cast("long"))
+    val tot = counts.agg(sum(col("share")).as("share_total"))
+    counts.crossJoin(broadcast(tot))
+      // explicit integral division (DIV / //): Spark's `/` promotes to
+      // double and its long cast truncates while DuckDB's rounds —
+      // floor-division is the semantics both engines share exactly
+      .withColumn("target_tokens",
+        expr(s"$C09Budget * share div share_total").cast("long"))
+      .select(col("source"), col("src_tokens"), col("target_tokens"),
+        (col("target_tokens").cast("double") / col("src_tokens"))
+          .as("epochs"),
+        when(col("target_tokens") > col("src_tokens"), lit("repeat"))
+          .when(col("target_tokens") < col("src_tokens"), lit("subsample"))
+          .otherwise(lit("exact")).as("regime"))
+  }
+
+  val c09Sql: String = s"""
+    WITH counts AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens,
+             CAST(1 + TRY_CAST(substr(source, 4) AS INTEGER) % 3 AS BIGINT)
+               AS share
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(share) AS BIGINT) AS share_total FROM counts),
+    plan AS (
+      SELECT source, src_tokens,
+             CAST($C09Budget * share // share_total AS BIGINT)
+               AS target_tokens
+      FROM counts CROSS JOIN tot)
+    SELECT source, src_tokens, target_tokens,
+           CAST(target_tokens AS DOUBLE) / src_tokens AS epochs,
+           CASE WHEN target_tokens > src_tokens THEN 'repeat'
+                WHEN target_tokens < src_tokens THEN 'subsample'
+                ELSE 'exact' END AS regime
+    FROM plan"""
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
     "c02_curate_sql" -> c02,
@@ -476,7 +535,8 @@ object Corpus {
     "c05_shard_shuffle" -> c05,
     "c06_tokenize_pack" -> c06,
     "c07_split_leakage" -> c07,
-    "c08_curriculum_sample" -> c08)
+    "c08_curriculum_sample" -> c08,
+    "c09_epoch_plan" -> c09)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
     "c02_curate_sql" -> c01Sql,
@@ -485,5 +545,6 @@ object Corpus {
     "c05_shard_shuffle" -> c05Sql,
     "c06_tokenize_pack" -> c06Sql,
     "c07_split_leakage" -> c07Sql,
-    "c08_curriculum_sample" -> c08Sql)
+    "c08_curriculum_sample" -> c08Sql,
+    "c09_epoch_plan" -> c09Sql)
 }

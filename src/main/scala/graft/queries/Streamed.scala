@@ -709,6 +709,44 @@ object Streamed {
       JOIN counts cb ON j = cb.doc_id
     WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5"""
 
+  // --------------------------------------------------------------- st13
+  // Streaming model-scored quality gating — t20's trained classifier
+  // serving a document stream: the naive-Bayes log-odds model is
+  // TRAINED on the static corpus (Text.qualityModel — the exact
+  // relation t20 builds) and each incoming document's tokens probe it
+  // through a broadcast stream-static join; the per-doc score is the
+  // only stateful operator. This is the curation-pipeline serving
+  // pattern between st09 (static SET probe) and st10 (K-bounded
+  // literal model): a VOCABULARY-sized model relation — too big for
+  // literals, fine as a broadcast (size-guard territory at web-corpus
+  // vocabularies; the join degrades to shuffle exactly like t20's
+  // batch apply does via broadcastIfSmall).
+  // Oracle: t20's SQL — the stream over the same corpus must converge
+  // to the batch classifier's fixpoint, score for score.
+  val st13: Q = (s, d) => {
+    val ss = stateSession(s)
+    import org.apache.spark.sql.types.DecimalType
+    val model = Text.qualityModel(ss, d)
+    val scored = ss.readStream
+      .schema(docSchema)
+      .parquet(stageDocsDir(d))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(model), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lo").cast(DecimalType(20, 6))).cast("double").as("score"))
+      .withColumn("pred", col("score") > 0)
+    val name = "st13_mem"
+    val q = scored.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -721,7 +759,8 @@ object Streamed {
     "st09_stream_decontaminate" -> st09,
     "st10_stream_tokens" -> st10,
     "st11_stream_ann" -> st11,
-    "st12_stream_neardup" -> st12)
+    "st12_stream_neardup" -> st12,
+    "st13_stream_quality" -> st13)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -735,5 +774,7 @@ object Streamed {
     "st09_stream_decontaminate" -> Dedup.d13Sql,
     "st10_stream_tokens" -> Text.t17Sql,
     "st11_stream_ann" -> st11Sql,
-    "st12_stream_neardup" -> st12Sql)
+    "st12_stream_neardup" -> st12Sql,
+    // shared oracle: streaming scoring must equal t20's batch fixpoint
+    "st13_stream_quality" -> Text.t20Sql)
 }

@@ -973,10 +973,11 @@ object Text {
   // aggregate. Determinism: class counts are exact integers, log-odds
   // are rounded to 6 decimals before the decimal-quantized sum (t18's
   // discipline), so the score is partitioning-independent.
-  val t20: Q = (s, d) => {
-    import org.apache.spark.sql.types.DecimalType
+  /** t20's weak-labeled token stream: every (doc_id, token) with the
+    * doc's rule-derived quality label. */
+  private def weakLabeledToks(s: SparkSession, d: String): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
-    val toks = Tables.documents(s, d)
+    Tables.documents(s, d)
       .withColumn("tk", split(col("text"), " "))
       .withColumn("is_q",
         size(col("tk")) >= 20 &&
@@ -985,11 +986,18 @@ object Text {
           (size(filter(col("tk"), t => array_contains(stopArr, t)))
             .cast("double") / size(col("tk"))) >= 0.08)
       .select(col("doc_id"), col("is_q"), explode(col("tk")).as("w"))
+  }
+
+  /** t20's trained naive-Bayes log-odds model (w → lo) as a standalone
+    * relation — factored out so st13 can train on the static corpus
+    * and serve the SAME model against a document stream. */
+  private[queries] def qualityModel(s: SparkSession, d: String): DataFrame = {
+    val toks = weakLabeledToks(s, d)
     val cls = toks.agg(
       sum(when(col("is_q"), 1L).otherwise(0L)).as("n1"),
       sum(when(col("is_q"), 0L).otherwise(1L)).as("n0"),
       countDistinct(col("w")).as("v"))
-    val model = toks.groupBy(col("w"))
+    toks.groupBy(col("w"))
       .agg(sum(when(col("is_q"), 1L).otherwise(0L)).as("c1"),
         sum(when(col("is_q"), 0L).otherwise(1L)).as("c0"))
       .crossJoin(broadcast(cls))
@@ -998,6 +1006,12 @@ object Text {
           log10((col("n0") + col("v")).cast("double")) -
           log10((col("c0") + 1).cast("double")) -
           log10((col("n1") + col("v")).cast("double")), 6).as("lo"))
+  }
+
+  val t20: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = weakLabeledToks(s, d)
+    val model = qualityModel(s, d)
     toks.join(Hints.broadcastIfSmall(model), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -1262,6 +1276,75 @@ $union
     FROM bg JOIN bc USING (w1, w2) JOIN cx USING (w1) CROSS JOIN vv
     GROUP BY doc_id"""
 
+  // ---------------------------------------------------------------- t23
+  // Source-drift audit — the distribution-shift monitor a multi-source
+  // corpus pipeline runs before mixing (and re-runs per crawl
+  // snapshot): each source's unigram distribution scored against the
+  // corpus-wide distribution by χ² divergence, Σ_w (p_s(w) − p(w))²
+  // / p(w). χ² instead of KL because every term is plain IEEE
+  // arithmetic on exact integer ratios — subtract, multiply, divide —
+  // identical bit-for-bit across engines, no ln() (the t15/t22
+  // libm-free discipline); terms are decimal-quantized before the sum
+  // (Num.dsum) so partial-aggregation order can't flap the total.
+  // Absent tokens contribute (0 − p)²/p = p — the full corpus vocab
+  // domain per source, not just the intersection (the term a naive
+  // inner join silently drops, understating drift of narrow sources).
+  // Scale shape: three vocabulary-keyed aggregates + one
+  // vocab × sources domain expansion (sources are a bounded
+  // dimension; the distinct-source relation broadcasts) + one final
+  // agg on source keys. Never shuffles the raw token stream twice.
+  val t23: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val bySrc = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cs"))
+    val allTok = toks.groupBy(col("w")).agg(count(lit(1)).as("ca"))
+    val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("ts"))
+    val ta = toks.agg(count(lit(1)).as("ta"))
+    val dom = allTok
+      .crossJoin(broadcast(srcTot))
+      .join(bySrc, Seq("source", "w"), "left")
+      .withColumn("cs", coalesce(col("cs"), lit(0L)))
+      .crossJoin(broadcast(ta))
+      .withColumn("ps", col("cs").cast("double") / col("ts"))
+      .withColumn("pa", col("ca").cast("double") / col("ta"))
+      .withColumn("term",
+        (col("ps") - col("pa")) * (col("ps") - col("pa")) / col("pa"))
+    // χ² terms sit at p-scale (~1e-5 on real vocabularies) — far below
+    // Num's decimal(18,4) quantile — so the sum runs in micro-units to
+    // keep 4 live decimals per term on both engines.
+    dom.groupBy(col("source"))
+      .agg(max(col("ts")).as("n_tokens"),
+        sum(when(col("cs") > 0, 1).otherwise(0)).cast("long")
+          .as("n_vocab"),
+        Num.dsum(col("term") * lit(1e6)).as("chi2_micro"))
+  }
+
+  val t23Sql: String = s"""
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    bysrc AS (SELECT source, w, COUNT(*) AS cs FROM toks GROUP BY 1, 2),
+    alltok AS (SELECT w, COUNT(*) AS ca FROM toks GROUP BY w),
+    srctot AS (SELECT source, COUNT(*) AS ts FROM toks GROUP BY source),
+    tot AS (SELECT COUNT(*) AS ta FROM toks),
+    dom AS (
+      SELECT st.source, a.w, a.ca, st.ts, COALESCE(b.cs, 0) AS cs, t.ta
+      FROM alltok a
+        CROSS JOIN srctot st
+        LEFT JOIN bysrc b ON b.source = st.source AND b.w = a.w
+        CROSS JOIN tot t),
+    terms AS (
+      SELECT source, ts, cs,
+             (CAST(cs AS DOUBLE) / ts - CAST(ca AS DOUBLE) / ta) *
+             (CAST(cs AS DOUBLE) / ts - CAST(ca AS DOUBLE) / ta) /
+             (CAST(ca AS DOUBLE) / ta) AS term
+      FROM dom)
+    SELECT source, MAX(ts) AS n_tokens,
+           CAST(SUM(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_vocab,
+           ${Num.sqlDsum("term * 1e6")} AS chi2_micro
+    FROM terms GROUP BY source"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -1284,7 +1367,8 @@ $union
     "t19_heaps_fit" -> t19,
     "t20_quality_classifier" -> t20,
     "t21_bpe_batch" -> t21,
-    "t22_bigram_fluency" -> t22)
+    "t22_bigram_fluency" -> t22,
+    "t23_source_drift" -> t23)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -1308,5 +1392,6 @@ $union
     "t19_heaps_fit" -> t19Sql,
     "t20_quality_classifier" -> t20Sql,
     "t21_bpe_batch" -> t21Sql,
-    "t22_bigram_fluency" -> t22Sql)
+    "t22_bigram_fluency" -> t22Sql,
+    "t23_source_drift" -> t23Sql)
 }

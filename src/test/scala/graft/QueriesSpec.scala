@@ -162,6 +162,26 @@ class QueriesSpec extends SparkSpec {
     rows.values.foreach { case (_, p) => assert(p >= 1.0) }
   }
 
+  test("t23: a vocabulary-disjoint source drifts further than same-vocab peers") {
+    import spark.implicits._
+    import graft.queries.Text
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, shared, "en", "srcA", 8L),
+      (2L, shared, "en", "srcA", 8L),
+      (3L, shared, "en", "srcB", 8L),
+      (4L, "omega psi chi phi upsilon tau sigma rho", "en", "srcC", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("graft-drift-")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.queries("t23_source_drift")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("chi2_micro"))
+      .toMap
+    assert(rows.values.forall(_ >= 0.0), s"negative chi2: $rows")
+    assert(rows("srcC") > rows("srcA") && rows("srcC") > rows("srcB"),
+      s"disjoint-vocab source must drift most: $rows")
+  }
+
   test("s16: merged index holds base + delta exactly once, delta reachable") {
     SparkEntry.queries("s16_ivf_incremental")(spark, sf0001).collect()
     val san = sf0001.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
