@@ -1344,55 +1344,62 @@ object Similarity {
   // the append writes |delta| code rows into ≤K partition dirs. Probe
   // cost is unchanged from s13: partition-pruned codes scan + ADC
   // broadcast. Nothing reprocesses the base corpus.
-  val s16: Q = (s, d) => {
+  /** The s16/st14 split rule: base corpus vs the arriving delta. */
+  private[queries] def ivfBase(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= 0 && col("vec_id") % 10 =!= 9)
+  private[queries] def ivfDelta(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 9)
+
+  private def subOfPq(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), col("label"),
+      explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+    .withColumn("sub", expr(s"slice(embedding, m * $PqSub + 1, $PqSub)"))
+    .drop("embedding")
+
+  /** Frozen quantizers of the incremental-index family: coarse
+    * centroids + PQ codebooks, trained on the BASE corpus only. */
+  private[queries] def frozenQuantizers(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = ivfBase(s, d)
+    (centroidsFrom(base), pqCodebook(subOfPq(base)))
+  }
+
+  /** Assign + PQ-encode a vector relation through frozen quantizers —
+    * one (vec_id, m, code, cid) row per vector per subspace. Shared by
+    * s16 (batch delta merge) and st14 (streaming delta ingestion). */
+  private[queries] def ivfIndexRows(df: DataFrame, cents: DataFrame,
+                                    cb: DataFrame): DataFrame = {
+    val coarse = df
+      .withColumn("vnsq", qnormsq("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", qdot("embedding", "ce") /
+        (sqrt(col("vnsq")) * sqrt(col("cnsq"))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"),
+        struct(col("csim"), (-col("cid")).as("neg_cid"))).as("cid"))
+    val codes = subOfPq(df)
+      .withColumn("snsq",
+        graft.functions.VectorExprs.qdot(col("sub"), col("sub")))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("dist",
+        col("snsq") - lit(2) *
+          graft.functions.VectorExprs.qdot(col("sub"), col("ce")) +
+          col("cnsq"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("code"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.code").as("code"))
+    coarse.join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("m"), col("code"), col("cid"))
+  }
+
+  /** Probe a merged incremental index table with frozen quantizers —
+    * s13's query path (top-3 list pruning + broadcast ADC). */
+  private[queries] def ivfProbe(s: SparkSession, d: String, tbl: String,
+                                cents: DataFrame,
+                                cb: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val san = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
-    val tbl = s"g16_ivfinc_$san"
-    def corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-    def base = corpus.filter(col("vec_id") % 10 =!= 9)
-    def delta = corpus.filter(col("vec_id") % 10 === 9)
-    val cents = centroidsFrom(base)
-    def subOf(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), col("label"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
-      .withColumn("sub", expr(s"slice(embedding, m * $PqSub + 1, $PqSub)"))
-      .drop("embedding")
-    val cb = pqCodebook(subOf(base))
-    def indexRows(df: DataFrame): DataFrame = {
-      val coarse = df
-        .withColumn("vnsq", qnormsq("embedding"))
-        .crossJoin(broadcast(cents))
-        .withColumn("csim", qdot("embedding", "ce") /
-          (sqrt(col("vnsq")) * sqrt(col("cnsq"))))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"),
-          struct(col("csim"), (-col("cid")).as("neg_cid"))).as("cid"))
-      val codes = subOf(df)
-        .withColumn("snsq",
-          graft.functions.VectorExprs.qdot(col("sub"), col("sub")))
-        .join(broadcast(cb), Seq("m"))
-        .withColumn("dist",
-          col("snsq") - lit(2) *
-            graft.functions.VectorExprs.qdot(col("sub"), col("ce")) +
-            col("cnsq"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("dist"), col("code"))).as("b"))
-        .select(col("vec_id"), col("m"), col("b.code").as("code"))
-      coarse.join(codes, Seq("vec_id"))
-        .select(col("vec_id"), col("m"), col("code"), col("cid"))
-    }
-    Relational.freshManagedTable(s, tbl) {
-      indexRows(base)
-        .write.mode("overwrite").format("parquet")
-        .partitionBy("cid").saveAsTable(tbl)
-      // the delta merge: frozen quantizers, position-aligned append —
-      // only the touched list partitions gain files
-      indexRows(delta)
-        .select(s.table(tbl).columns.map(col): _*)
-        .write.mode("append").insertInto(tbl)
-    }
-    // probe the MERGED index — identical query path to s13, frozen
-    // (base-trained) quantizers
     val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
     val probeCids = q0
       .withColumn("vnsq", qnormsq("embedding"))
@@ -1403,7 +1410,7 @@ object Similarity {
       .limit(3).select(col("cid"))
       .collect().map(_.getAs[Int]("cid"))
     val dtab = cb
-      .join(subOf(q0).select(col("m"), col("sub").as("qs")), Seq("m"))
+      .join(subOfPq(q0).select(col("m"), col("sub").as("qs")), Seq("m"))
       .select(col("m"), col("code"),
         graft.functions.VectorExprs.qdot(col("qs"), col("ce")).as("pdot"))
     s.table(tbl)
@@ -1415,6 +1422,25 @@ object Similarity {
           .cast("double").as("approx_dot"))
       .orderBy(col("approx_dot").desc, col("vec_id").asc)
       .limit(5)
+  }
+
+  val s16: Q = (s, d) => {
+    val san = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tbl = s"g16_ivfinc_$san"
+    val (cents, cb) = frozenQuantizers(s, d)
+    Relational.freshManagedTable(s, tbl) {
+      ivfIndexRows(ivfBase(s, d), cents, cb)
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("cid").saveAsTable(tbl)
+      // the delta merge: frozen quantizers, position-aligned append —
+      // only the touched list partitions gain files
+      ivfIndexRows(ivfDelta(s, d), cents, cb)
+        .select(s.table(tbl).columns.map(col): _*)
+        .write.mode("append").insertInto(tbl)
+    }
+    // probe the MERGED index — identical query path to s13, frozen
+    // (base-trained) quantizers
+    ivfProbe(s, d, tbl, cents, cb)
   }
 
   /** Oracle: s13's CTE chain with every TRAINING relation (centroids,

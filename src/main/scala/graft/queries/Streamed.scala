@@ -747,6 +747,49 @@ object Streamed {
     ss.table(name)
   }
 
+  // --------------------------------------------------------------- st14
+  // Streaming index ingestion — s16's frozen-quantizer delta merge
+  // driven by a STREAM instead of a batch: the base index is built
+  // once (registration guard), then the delta vectors arrive as a
+  // stream and a foreachBatch appender assigns + PQ-encodes each
+  // micro-batch through the frozen quantizers and appends into the
+  // cid-partitioned index table — the continuous-ingestion form of
+  // FAISS add-after-train. foreachBatch is the right sink because the
+  // write is a partitioned-table append (no streaming parquet-sink
+  // state needed); exactly-once comes from the checkpoint + the
+  // append's micro-batch granularity, the same contract
+  // WarehouseLoad.continuous pins for the warehouse leg.
+  // Oracle: s16's SQL — once the stream drains, the merged index must
+  // serve the probe identically to the batch merge (and to a full
+  // frozen rebuild, s16's contract), transitively proving
+  // stream-merge == batch-merge == rebuild.
+  val st14: Q = (s, d) => {
+    val ss = stateSession(s)
+    val san = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tbl = s"g14st_ivfstream_$san"
+    val (cents, cb) = Similarity.frozenQuantizers(ss, d)
+    Relational.freshManagedTable(ss, tbl) {
+      Similarity.ivfIndexRows(Similarity.ivfBase(ss, d), cents, cb)
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("cid").saveAsTable(tbl)
+      val cols = ss.table(tbl).columns.map(col)
+      val q = ss.readStream
+        .schema(embSchema)
+        .parquet(stageEmbDir(d))
+        .filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 9)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Similarity.ivfIndexRows(batch, cents, cb)
+            .select(cols: _*)
+            .write.mode("append").insertInto(tbl)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Similarity.ivfProbe(ss, d, tbl, cents, cb)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -760,7 +803,8 @@ object Streamed {
     "st10_stream_tokens" -> st10,
     "st11_stream_ann" -> st11,
     "st12_stream_neardup" -> st12,
-    "st13_stream_quality" -> st13)
+    "st13_stream_quality" -> st13,
+    "st14_stream_index" -> st14)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -776,5 +820,7 @@ object Streamed {
     "st11_stream_ann" -> st11Sql,
     "st12_stream_neardup" -> st12Sql,
     // shared oracle: streaming scoring must equal t20's batch fixpoint
-    "st13_stream_quality" -> Text.t20Sql)
+    "st13_stream_quality" -> Text.t20Sql,
+    // shared oracle: stream-merge must equal s16's batch merge == rebuild
+    "st14_stream_index" -> Similarity.s16Sql)
 }
