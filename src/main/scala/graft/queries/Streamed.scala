@@ -790,6 +790,93 @@ object Streamed {
     Similarity.ivfProbe(ss, d, tbl, cents, cb)
   }
 
+  // --------------------------------------------------------------- st15
+  // Streaming source-drift monitor — t23's χ² audit running
+  // continuously over the ingest stream: the REFERENCE distribution
+  // (corpus-wide token frequencies + totals) is a static relation the
+  // monitor is anchored to (in production: the last accepted corpus
+  // snapshot), incoming documents update per-source token counts, and
+  // every trigger re-emits each source's divergence from the
+  // reference. The full-vocab absent-token mass (the term t23 keeps
+  // and naive joins drop) is folded in CLOSED FORM instead of by
+  // domain expansion — Σ_{w∉S}(0−p)²/p = Σ_{w∉S} p telescopes to
+  // (1 − Σ_{w∈S} pa) + Σ_{w∈S}(term − pa), so the stream only ever
+  // touches tokens it has actually seen: state = observed (source,
+  // token) pairs, not vocab × sources. Algebraically identical to t23
+  // — but the quantize-then-sum discipline runs on per-token DELTAS
+  // here, so the decimal rounding boundaries differ from t23's
+  // full-domain sum and the op carries its own oracle replaying the
+  // same closed form. The rewrite is what makes the op streamable —
+  // and is the cheaper batch plan at sparse-source corpora too.
+  val st15: Q = (s, d) => {
+    val ss = stateSession(s)
+    import org.apache.spark.sql.types.DecimalType
+    val refToks = graft.sources.Tables.documents(ss, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val ref = refToks.groupBy(col("w")).agg(count(lit(1)).as("ca"))
+      .crossJoin(broadcast(refToks.agg(count(lit(1)).as("ta"))))
+      .withColumn("pa", col("ca").cast("double") / col("ta"))
+      .select(col("w"), col("pa"))
+    val srcTot = graft.sources.Tables.documents(ss, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source")).agg(count(lit(1)).as("ts"))
+    // the stream's ONLY stateful operator: observed (source, token)
+    // counts — the monitor's state (chained stateful aggregations are
+    // a streaming no-go, and the rollup doesn't need to be one: it
+    // reads the state SNAPSHOT per trigger; here, after the drain)
+    val counts = ss.readStream
+      .schema(docSchema)
+      .parquet(stageDocsDir(d))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cs"))
+    val name = "st15_mem"
+    val q = counts.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // divergence rollup over the state snapshot: per observed token,
+    // its χ² term MINUS the absent-mass term pa it replaces; the
+    // constant Σ_all pa = 1 is added back in micro-units
+    ss.table(name)
+      .join(broadcast(ref), Seq("w"))
+      .join(broadcast(srcTot), Seq("source"))
+      .withColumn("ps", col("cs").cast("double") / col("ts"))
+      .withColumn("term",
+        (col("ps") - col("pa")) * (col("ps") - col("pa")) / col("pa"))
+      .withColumn("delta", (col("term") - col("pa")) * lit(1e6))
+      .groupBy(col("source"))
+      .agg(max(col("ts")).as("n_tokens"),
+        count(lit(1)).cast("long").as("n_vocab"),
+        (sum(col("delta").cast(DecimalType(18, 4))).cast("double") +
+          lit(1e6)).as("chi2_micro"))
+  }
+
+  val st15Sql: String = """
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    ref AS (SELECT w, CAST(COUNT(*) AS DOUBLE) /
+                      (SELECT COUNT(*) FROM toks) AS pa
+            FROM toks GROUP BY w),
+    srctot AS (SELECT source, COUNT(*) AS ts FROM toks GROUP BY source),
+    obs AS (SELECT t.source, t.w, COUNT(*) AS cs,
+                   MAX(r.pa) AS pa, MAX(st.ts) AS ts
+            FROM toks t JOIN ref r ON t.w = r.w
+                        JOIN srctot st ON t.source = st.source
+            GROUP BY t.source, t.w),
+    deltas AS (
+      SELECT source, ts,
+             ((CAST(cs AS DOUBLE) / ts - pa) * (CAST(cs AS DOUBLE) / ts - pa)
+                / pa - pa) * 1e6 AS delta
+      FROM obs)
+    SELECT source, MAX(ts) AS n_tokens, COUNT(*) AS n_vocab,
+           CAST(SUM(CAST(delta AS DECIMAL(18,4))) AS DOUBLE) + 1e6
+             AS chi2_micro
+    FROM deltas GROUP BY source"""
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -804,7 +891,8 @@ object Streamed {
     "st11_stream_ann" -> st11,
     "st12_stream_neardup" -> st12,
     "st13_stream_quality" -> st13,
-    "st14_stream_index" -> st14)
+    "st14_stream_index" -> st14,
+    "st15_stream_drift" -> st15)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -822,5 +910,6 @@ object Streamed {
     // shared oracle: streaming scoring must equal t20's batch fixpoint
     "st13_stream_quality" -> Text.t20Sql,
     // shared oracle: stream-merge must equal s16's batch merge == rebuild
-    "st14_stream_index" -> Similarity.s16Sql)
+    "st14_stream_index" -> Similarity.s16Sql,
+    "st15_stream_drift" -> st15Sql)
 }
