@@ -634,10 +634,12 @@ object Streamed {
   // candidates + exact-verify, recast as the gate a continuous
   // ingestion pipeline runs on every incoming document against the
   // HISTORICAL corpus: the static side's banded signature index and
-  // hashed shingle sets are fixed relations (built once per plan; in
-  // production, a maintained index table), the stream side computes
-  // its signature + shingle hashes in the scan stage, and candidates
-  // surface through two STATELESS stream-static equi-joins. The only
+  // hashed shingle sets are PERSISTED managed tables (built once
+  // behind the registration guard — the maintained-index pattern s13
+  // set; micro-batches reread the compact index, never re-shingle the
+  // corpus), the stream side computes its signature + shingle hashes
+  // in the scan stage, and candidates surface through two STATELESS
+  // stream-static equi-joins. The only
   // stateful operator is the per-pair collision dedup (one state row
   // per verified near-dup pair — a vanishing fraction of the stream).
   // The stream row carries its hashed shingle set on each of its NT
@@ -653,12 +655,22 @@ object Streamed {
     def withShingles(df: DataFrame): DataFrame = df
       .withColumn("shingles", TextExprs.shingles(col("text"), 3))
       .filter(size(col("shingles")) > 0)
-    val corpus = withShingles(
-      graft.sources.Tables.documents(ss, d).filter(col("doc_id") % 5 =!= 0))
-    val corpusSig = corpus.select(col("doc_id").as("j"),
-      posexplode(TextExprs.minhashSig(col("shingles"), NT)).as(Seq("t", "v")))
-    val corpusHashed = corpus.select(col("doc_id").as("j"),
-      expr("transform(shingles, x -> xxhash64(x))").as("shb"))
+    val san = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val sigTbl = s"g12st_sigidx_$san"
+    val hashTbl = s"g12st_hashidx_$san"
+    Relational.freshManagedTable(ss, sigTbl) {
+      val corpus = withShingles(
+        graft.sources.Tables.documents(ss, d).filter(col("doc_id") % 5 =!= 0))
+      corpus.select(col("doc_id").as("j"),
+          posexplode(TextExprs.minhashSig(col("shingles"), NT))
+            .as(Seq("t", "v")))
+        .write.mode("overwrite").format("parquet").saveAsTable(sigTbl)
+      corpus.select(col("doc_id").as("j"),
+          expr("transform(shingles, x -> xxhash64(x))").as("shb"))
+        .write.mode("overwrite").format("parquet").saveAsTable(hashTbl)
+    }
+    val corpusSig = ss.table(sigTbl)
+    val corpusHashed = ss.table(hashTbl)
     val stream = withShingles(ss.readStream
         .schema(docSchema)
         .parquet(stageDocsDir(d))
@@ -731,7 +743,7 @@ object Streamed {
       .schema(docSchema)
       .parquet(stageDocsDir(d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .join(broadcast(model), Seq("w"))
+      .join(Hints.broadcastIfSmall(model), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("lo").cast(DecimalType(20, 6))).cast("double").as("score"))
@@ -842,7 +854,7 @@ object Streamed {
     // its χ² term MINUS the absent-mass term pa it replaces; the
     // constant Σ_all pa = 1 is added back in micro-units
     ss.table(name)
-      .join(broadcast(ref), Seq("w"))
+      .join(Hints.broadcastIfSmall(ref), Seq("w"))
       .join(broadcast(srcTot), Seq("source"))
       .withColumn("ps", col("cs").cast("double") / col("ts"))
       .withColumn("term",
