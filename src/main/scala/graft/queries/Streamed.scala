@@ -658,13 +658,17 @@ object Streamed {
     val san = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val sigTbl = s"g12st_sigidx_$san"
     val hashTbl = s"g12st_hashidx_$san"
+    // one guard per table: the guard also clears a stale warehouse dir
+    // left by a previous JVM, and each table needs that sweep
+    def corpus = withShingles(
+      graft.sources.Tables.documents(ss, d).filter(col("doc_id") % 5 =!= 0))
     Relational.freshManagedTable(ss, sigTbl) {
-      val corpus = withShingles(
-        graft.sources.Tables.documents(ss, d).filter(col("doc_id") % 5 =!= 0))
       corpus.select(col("doc_id").as("j"),
           posexplode(TextExprs.minhashSig(col("shingles"), NT))
             .as(Seq("t", "v")))
         .write.mode("overwrite").format("parquet").saveAsTable(sigTbl)
+    }
+    Relational.freshManagedTable(ss, hashTbl) {
       corpus.select(col("doc_id").as("j"),
           expr("transform(shingles, x -> xxhash64(x))").as("shb"))
         .write.mode("overwrite").format("parquet").saveAsTable(hashTbl)
