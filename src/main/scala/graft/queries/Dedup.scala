@@ -137,6 +137,65 @@ object Dedup {
   val d03: Q = (s, d) =>
     nearDupJaccard(s, d, threshold = 0.5, maxDocFreq = Some(D03MaxDocFreq))
 
+  // ---------------------------------------------------------------- d18
+  // Containment dedup — the one-sided measure symmetric Jaccard
+  // systematically misses: a short document embedded verbatim in a
+  // long one (quotation, mirror-with-boilerplate, concatenated dump)
+  // has |A∩B|/|A| ≈ 1 while Jaccard = |A∩B|/|A∪B| stays far below any
+  // near-dup threshold. Containment ≥ 0.8 flags the CONTAINED side
+  // for dropping and keeps the container — the asymmetric verdict the
+  // pair-symmetric d03/d04 family cannot express. Same inverted-index
+  // machinery as d03 (shared plan up to the per-pair intersection
+  // counts, df≤50 cap and all); the measure and the orientation
+  // decision are the only additions — both exact integer-ratio
+  // doubles, deterministic tie to the smaller doc_id.
+  val D18Containment = 0.8
+
+  val d18: Q = (s, d) =>
+    nearDupJaccard(s, d, threshold = 0.0, maxDocFreq = Some(D03MaxDocFreq))
+      .withColumn("ci", col("c").cast("double") / col("ni"))
+      .withColumn("cj", col("c").cast("double") / col("nj"))
+      .withColumn("containment", greatest(col("ci"), col("cj")))
+      .filter(col("containment") >= D18Containment)
+      .select(
+        when(col("ci") >= col("cj"), col("i")).otherwise(col("j"))
+          .as("contained"),
+        when(col("ci") >= col("cj"), col("j")).otherwise(col("i"))
+          .as("container"),
+        col("c"),
+        when(col("ci") >= col("cj"), col("ni")).otherwise(col("nj"))
+          .as("n_contained"),
+        when(col("ci") >= col("cj"), col("nj")).otherwise(col("ni"))
+          .as("n_container"),
+        col("containment"), col("jaccard"))
+
+  val d18Sql: String = s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM t) g
+           WHERE i <= len(w) - 2),
+    kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $D03MaxDocFreq),
+    shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+               FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    base AS (SELECT i, j, c, ca.n AS ni, cb.n AS nj,
+                    CAST(c AS DOUBLE) / ca.n AS ci,
+                    CAST(c AS DOUBLE) / cb.n AS cj,
+                    CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+             FROM common
+               JOIN counts ca ON i = ca.doc_id
+               JOIN counts cb ON j = cb.doc_id)
+    SELECT CASE WHEN ci >= cj THEN i ELSE j END AS contained,
+           CASE WHEN ci >= cj THEN j ELSE i END AS container,
+           c,
+           CASE WHEN ci >= cj THEN ni ELSE nj END AS n_contained,
+           CASE WHEN ci >= cj THEN nj ELSE ni END AS n_container,
+           GREATEST(ci, cj) AS containment, jaccard
+    FROM base
+    WHERE GREATEST(ci, cj) >= $D18Containment"""
+
   /** Shared oracle-SQL CTE: distinct word-3-gram shingles per document
     * (`generate_subscripts` derives positions from each document's own
     * token count — no fixed length cap). */
@@ -1131,7 +1190,8 @@ object Dedup {
     "d14_dedup_spans" -> d14,
     "d15_dedup_reconstruct" -> d15,
     "d16_dedup_semantic" -> d16,
-    "d17_dedup_substrings" -> d17)
+    "d17_dedup_substrings" -> d17,
+    "d18_dedup_containment" -> d18)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -1150,5 +1210,6 @@ object Dedup {
     "d14_dedup_spans" -> d14Sql,
     "d15_dedup_reconstruct" -> d15Sql,
     "d16_dedup_semantic" -> d16Sql,
-    "d17_dedup_substrings" -> d17Sql)
+    "d17_dedup_substrings" -> d17Sql,
+    "d18_dedup_containment" -> d18Sql)
 }
