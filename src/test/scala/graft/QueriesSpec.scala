@@ -162,6 +162,31 @@ class QueriesSpec extends SparkSpec {
     rows.values.foreach { case (_, p) => assert(p >= 1.0) }
   }
 
+  test("d18: flags a short doc embedded in a long one that Jaccard misses") {
+    import spark.implicits._
+    import graft.queries.Dedup
+    val quote = "one two three four five six seven eight nine ten"
+    val host = ("alpha beta gamma delta " * 10) + quote +
+      (" epsilon zeta eta theta" * 10)
+    val docs = Seq(
+      (1L, quote, "en", "srcA", quote.length.toLong),
+      (2L, host, "en", "srcA", host.length.toLong),
+      (3L, "unrelated words entirely different content here now",
+        "en", "srcB", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("graft-contain-")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.queries("d18_dedup_containment")(spark, dir).collect()
+    assert(rows.length == 1, s"expected one containment pair: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Long]("contained") == 1L &&
+      r.getAs[Long]("container") == 2L,
+      s"orientation wrong: $r")
+    assert(r.getAs[Double]("containment") == 1.0)
+    // the symmetric measure would never have flagged this pair
+    assert(r.getAs[Double]("jaccard") < 0.5, s"jaccard: $r")
+  }
+
   test("t23: a vocabulary-disjoint source drifts further than same-vocab peers") {
     import spark.implicits._
     import graft.queries.Text
