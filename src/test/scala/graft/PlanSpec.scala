@@ -87,6 +87,23 @@ class PlanSpec extends SparkSpec {
       s"d09 must not broadcast the drop list when disabled:\n$d09p")
   }
 
+  test("t22/t20/st13: gram-keyed model broadcasts are size-guarded") {
+    // t22's bigram count/context tables and t20/st13's log-odds model
+    // are vocabulary-scale relations (t22's quadratically wider than a
+    // unigram vocab) — the guard must let every model join degrade to
+    // a shuffle join when the session threshold disqualifies the
+    // broadcast. (The 1-row scalar broadcasts — vocab size, corpus
+    // total — stay broadcast by construction; only equi-joins on gram
+    // keys are in scope.)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Seq("t22_bigram_fluency", "t20_quality_classifier").foreach { name =>
+      val p = formatted(SparkEntry.queries(name)(s2, sf0001))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"$name must shuffle-join the model when broadcast is off:\n$p")
+    }
+  }
+
   test("d17: run groupBy reuses the window's doc_id partitioning") {
     // The span text must cross exactly one exchange: the doc_id join /
     // window shuffle. The run aggregation's (doc_id, run_id, kept)
