@@ -314,6 +314,63 @@ object Multimodal {
     SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical
     FROM hashes GROUP BY phash"""
 
+  // ---------------------------------------------------------------- m09
+  // Keyframe selection — the frame-subsampling stage a vision-language
+  // training pipeline runs after shot detection: per video, keep the
+  // frames with the LARGEST signature jump from their predecessor
+  // (scene boundaries carry the novel visual content; adjacent frames
+  // are redundant). Builds directly on m07's per-frame signature and
+  // lag window; the top-k cut per doc is a ranking window the
+  // optimizer collapses to WindowGroupLimit (t09/t18's lever) — no
+  // full per-doc sort survives the plan. Stub signature, real
+  // plumbing: fan-out → lag → rank → cut, all partitioned by doc_id,
+  // one exchange total, millions of independent small partitions at
+  // corpus scale.
+  private val M09Keep = 2
+
+  val m09: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val frames = metaCols(s, d)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(1), col("n_frames"))).as("frame_idx"))
+      .withColumn("fsig",
+        pmod(conv(substring(md5(concat_ws(":", col("doc_id"),
+          col("frame_idx"))), 1, 4), 16, 10).cast("long"), lit(1000)))
+    val wLag = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jump").desc, col("frame_idx").asc)
+    frames
+      .withColumn("jump", abs(col("fsig") - lag(col("fsig"), 1).over(wLag)))
+      .filter(col("jump").isNotNull)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= M09Keep)
+      .select(col("doc_id"), col("rank"), col("frame_idx"), col("jump"))
+  }
+
+  val m09Sql: String = s"""
+    WITH meta AS (
+      SELECT doc_id, CAST(1 + octet_length(CAST(text AS BLOB)) % 7 AS INTEGER)
+               AS n_frames
+      FROM documents),
+    frames AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             ('0x' || substring(md5(doc_id || ':' || i), 1, 4))::BIGINT % 1000
+               AS fsig
+      FROM meta CROSS JOIN range(1, 8) r(i)
+      WHERE i <= n_frames),
+    jumps AS (
+      SELECT doc_id, frame_idx,
+             abs(fsig - lag(fsig) OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx)) AS jump
+      FROM frames)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY jump DESC, frame_idx ASC) AS INTEGER) AS rank,
+           frame_idx, jump
+    FROM jumps
+    WHERE jump IS NOT NULL
+    QUALIFY rank <= $M09Keep"""
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
@@ -322,7 +379,8 @@ object Multimodal {
     "m05_patch_grid" -> m05,
     "m06_aspect_buckets" -> m06,
     "m07_scene_cuts" -> m07,
-    "m08_phash_dedup" -> m08)
+    "m08_phash_dedup" -> m08,
+    "m09_keyframes" -> m09)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
@@ -332,5 +390,6 @@ object Multimodal {
     "m05_patch_grid" -> m05Sql,
     "m06_aspect_buckets" -> m06Sql,
     "m07_scene_cuts" -> m07Sql,
-    "m08_phash_dedup" -> m08Sql)
+    "m08_phash_dedup" -> m08Sql,
+    "m09_keyframes" -> m09Sql)
 }

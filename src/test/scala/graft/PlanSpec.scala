@@ -159,6 +159,9 @@ class PlanSpec extends SparkSpec {
     // between O(n log k) and O(n log n) per group at scale.
     val p = formatted(SparkEntry.queries("t09_tfidf_topk")(spark, sf0001))
     assert(p.contains("WindowGroupLimit"), p)
+    // m09's per-doc keyframe cut rides the same lever
+    val m9 = formatted(SparkEntry.queries("m09_keyframes")(spark, sf0001))
+    assert(m9.contains("WindowGroupLimit"), m9)
   }
 
   test("d11: bloom probe guards the batch side before the verify join") {
