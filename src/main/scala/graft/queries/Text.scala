@@ -862,25 +862,39 @@ object Text {
   // itself outgrows one task. The log-log least squares reuses t18's
   // decimal-quantized discipline.
   //
-  // Cross-engine determinism: B must give the fixture MANY fit points.
-  // At B=500 the sf0.01 corpus (500 docs) produced exactly ONE point,
-  // so the least-squares denominator n·Σx²−(Σx)² collapsed to a
-  // rounding residual (~3e-7) and beta became a ratio of residuals —
-  // any environment-level last-ulp difference (libm log10, a round()
-  // implementation detail) was amplified to O(1) and hashed red in the
-  // driver's gate (CORRECTNESS_r05: t19 hash_match=false) even while
-  // the same code compared green locally. B=25 yields 20 points at
-  // sf0.01, an O(50) denominator, and empirically ≥1e-3-scaled-unit
-  // margins between every rounded quantity and its nearest 6-decimal
-  // rounding boundary (vs ~1e-9 scaled-unit libm noise) — so both
-  // engines quantize identically with 6 orders of slack. The final
-  // beta/log_k are additionally rounded to 6 decimals so sub-1e-7
-  // cross-engine noise cannot reach the hash.
+  // Cross-engine determinism (round-7 restatement after TWO rounds of
+  // driver-side hash_match=false that passed bit-exact locally — the
+  // divergence is environment-level, so the fix removes the divergent
+  // substrate entirely): the plan now contains exactly ONE libm call
+  // per point — round(log10(x)·1000, 0) → an integer MILLI-log10 —
+  // and every operation after that quantization is EXACT integer /
+  // decimal arithmetic, identical on any engine:
+  //   · qxm/qym are BIGINT milli-units. Measured margins between
+  //     log10(cum_n)·1000 and its nearest half-integer rounding
+  //     boundary at the driver fixtures: ≥9.1e-3 at sf0.01, ≥1.0e-3
+  //     at sf0.1 — vs ~1e-12 libm last-ulp noise, 9 orders of slack,
+  //     so both engines round to the SAME integer unconditionally.
+  //   · the least-squares num/den are integer products/sums
+  //     (DECIMAL(38,0) on Spark, HUGEINT in the oracle — both exact).
+  //   · beta/log_k are emitted as exact MICRO-unit integers via floor
+  //     division implemented as (a − pmod(a,b)) div b, where
+  //     pmod(a,b) = ((a % b) + b) % b: `%` keeps the dividend's sign
+  //     in both engines, so pmod and hence the floored quotient are
+  //     engine-independent for any sign of a (den > 0 whenever ≥2
+  //     distinct x points exist — guaranteed by B giving ≥20 blocks).
+  // No double ever reaches the output columns.
+  // B=25 yields 20 points at sf0.01 (the round-6 sizing: an O(50)
+  // integer denominator, not a rounding residual). Overflow bound:
+  // the 128-bit intermediates hold to n_points ≤ ~1e6 with
+  // milli-log10 ≤ 15000 (cum_n ≤ 1e15) — size B so docs/B stays
+  // ~1e4–1e6, the same knob that keeps the cumulative window cheap.
   private val HeapsBlock = 25L
 
-  val t19: Q = (s, d) => {
+  /** t19's fit-point relation: per-block cumulative corpus size and
+    * vocabulary with exact milli-log10 quantized coordinates. Shared
+    * by t19 (the fit) and t19d (the per-point diagnostic dump). */
+  private def heapsPoints(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
     val toks = Tables.documents(s, d)
       .select(expr(s"doc_id DIV $HeapsBlock").as("block"),
         explode(split(col("text"), " ")).as("w"))
@@ -889,32 +903,52 @@ object Text {
     val blockToks = toks.groupBy(col("block")).agg(count(lit(1)).as("n_tok"))
     val wb = Window.orderBy(col("block"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pts = blockToks
+    blockToks
       .join(firstB, col("block") === col("fb"), "left")
       .select(col("block"), col("n_tok"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
       .withColumn("cum_v", sum(col("n_new")).over(wb))
       .withColumn("cum_n", sum(col("n_tok")).over(wb))
-      .withColumn("qx", round(log10(col("cum_n").cast("double")), 6))
-      .withColumn("qy", round(log10(col("cum_v").cast("double")), 6))
-    def dsum6(c: org.apache.spark.sql.Column) =
-      sum(c.cast(DecimalType(20, 6))).cast("double")
-    pts.agg(
+      .withColumn("qxm",
+        round(log10(col("cum_n").cast("double")) * 1000, 0).cast("long"))
+      .withColumn("qym",
+        round(log10(col("cum_v").cast("double")) * 1000, 0).cast("long"))
+  }
+
+  val t19: Q = (s, d) => {
+    val dec = "decimal(38,0)"
+    heapsPoints(s, d).agg(
       count(lit(1)).as("n_points"),
       max(col("cum_n")).as("total_tokens"),
       max(col("cum_v")).as("vocab"),
-      dsum6(col("qx")).as("sx"),
-      dsum6(col("qy")).as("sy"),
-      dsum6(round(col("qx") * col("qy"), 6)).as("sxy"),
-      dsum6(round(col("qx") * col("qx"), 6)).as("sxx"))
+      sum(col("qxm")).as("sx"),
+      sum(col("qym")).as("sy"),
+      sum(col("qxm") * col("qym")).as("sxy"),
+      sum(col("qxm") * col("qxm")).as("sxx"))
+      // exact 128-bit integer tail: numerator/denominator of the
+      // least-squares slope, then micro-unit floor division (see the
+      // portability note above — no doubles from here down).
+      .withColumn("num", expr(
+        s"cast(n_points as $dec) * cast(sxy as $dec)" +
+          s" - cast(sx as $dec) * cast(sy as $dec)"))
+      .withColumn("den", expr(
+        s"cast(n_points as $dec) * cast(sxx as $dec)" +
+          s" - cast(sx as $dec) * cast(sx as $dec)"))
+      // beta_micro = floor(1e6 · num / den)
+      .withColumn("ba", expr(s"num * cast(1000000 as $dec)"))
+      .withColumn("heaps_beta_micro", expr(
+        "cast((ba - ((ba % den + den) % den)) div den as bigint)"))
+      // log_k_micro = floor(1000 · (sy·den − num·sx) / (n·den))
+      // (sy, sx are milli-units: ·1000 rescales the exact rational
+      //  (sy/1000 − beta·sx/1000)/n to micro-log10 units)
+      .withColumn("ka", expr(
+        s"(cast(sy as $dec) * den - num * cast(sx as $dec))" +
+          s" * cast(1000 as $dec)"))
+      .withColumn("kb", expr(s"cast(n_points as $dec) * den"))
+      .withColumn("heaps_log_k_micro", expr(
+        "cast((ka - ((ka % kb + kb) % kb)) div kb as bigint)"))
       .select(col("n_points"), col("total_tokens"), col("vocab"),
-        round((col("n_points") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_points") * col("sxx") - col("sx") * col("sx")), 6)
-          .as("heaps_beta"),
-        round((col("sy") -
-          ((col("n_points") * col("sxy") - col("sx") * col("sy")) /
-            (col("n_points") * col("sxx") - col("sx") * col("sx"))) *
-            col("sx")) / col("n_points"), 6).as("heaps_log_k"))
+        col("heaps_beta_micro"), col("heaps_log_k_micro"))
   }
 
   val t19Sql: String = s"""
@@ -934,26 +968,70 @@ object Text {
                      AS cum_n
             FROM bt LEFT JOIN fb ON bt.block = fb.fb),
     q AS (SELECT cum_n, cum_v,
-                 round(log10(CAST(cum_n AS DOUBLE)), 6) AS qx,
-                 round(log10(CAST(cum_v AS DOUBLE)), 6) AS qy
+                 CAST(round(log10(CAST(cum_n AS DOUBLE)) * 1000, 0)
+                      AS BIGINT) AS qxm,
+                 CAST(round(log10(CAST(cum_v AS DOUBLE)) * 1000, 0)
+                      AS BIGINT) AS qym
           FROM pts),
     f AS (SELECT COUNT(*) AS n_points,
                  MAX(cum_n) AS total_tokens,
                  MAX(cum_v) AS vocab,
-                 CAST(SUM(CAST(qx AS DECIMAL(20,6))) AS DOUBLE) AS sx,
-                 CAST(SUM(CAST(qy AS DECIMAL(20,6))) AS DOUBLE) AS sy,
-                 CAST(SUM(CAST(round(qx * qy, 6) AS DECIMAL(20,6)))
-                      AS DOUBLE) AS sxy,
-                 CAST(SUM(CAST(round(qx * qx, 6) AS DECIMAL(20,6)))
-                      AS DOUBLE) AS sxx
-          FROM q)
+                 CAST(SUM(qxm) AS HUGEINT) AS sx,
+                 CAST(SUM(qym) AS HUGEINT) AS sy,
+                 CAST(SUM(qxm * qym) AS HUGEINT) AS sxy,
+                 CAST(SUM(qxm * qxm) AS HUGEINT) AS sxx
+          FROM q),
+    nd AS (SELECT n_points, total_tokens, vocab,
+                  n_points * sxy - sx * sy AS num,
+                  n_points * sxx - sx * sx AS den,
+                  sx, sy
+           FROM f),
+    m AS (SELECT n_points, total_tokens, vocab, num, den, sx, sy,
+                 num * 1000000 AS ba,
+                 (sy * den - num * sx) * 1000 AS ka,
+                 n_points * den AS kb
+          FROM nd)
     SELECT n_points, total_tokens, vocab,
-           round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 6)
-             AS heaps_beta,
-           round((sy - ((n_points * sxy - sx * sy)
-                          / (n_points * sxx - sx * sx))
-             * sx) / n_points, 6) AS heaps_log_k
-    FROM f"""
+           CAST((ba - ((ba % den + den) % den)) // den AS BIGINT)
+             AS heaps_beta_micro,
+           CAST((ka - ((ka % kb + kb) % kb)) // kb AS BIGINT)
+             AS heaps_log_k_micro
+    FROM m"""
+
+  // t19d — the t19 DIAGNOSTIC dump (VERDICT r6 demand #2): the raw fit
+  // points with their quantized coordinates, so that if t19 ever
+  // hashes red again the driver's own CORRECTNESS artifact pinpoints
+  // the diverging stage — cum_n/cum_v red ⇒ tokenization or the
+  // cumulative sums; qxm/qym red ⇒ the log10 quantization; all green
+  // with t19 red ⇒ the (pure-integer) least-squares tail. Delete once
+  // t19 is green in the driver's gate.
+  val t19d: Q = (s, d) =>
+    heapsPoints(s, d)
+      .select(col("block"), col("cum_n"), col("cum_v"),
+        col("qxm"), col("qym"))
+
+  val t19dSql: String = s"""
+    WITH toks AS (SELECT doc_id // $HeapsBlock AS block,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    fb AS (SELECT fb, COUNT(*) AS n_new FROM (
+             SELECT w, MIN(block) AS fb FROM toks GROUP BY w) t
+           GROUP BY fb),
+    bt AS (SELECT block, COUNT(*) AS n_tok FROM toks GROUP BY block),
+    pts AS (SELECT block,
+                   SUM(COALESCE(n_new, 0)) OVER (ORDER BY block
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_v,
+                   SUM(n_tok) OVER (ORDER BY block
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_n
+            FROM bt LEFT JOIN fb ON bt.block = fb.fb)
+    SELECT block, cum_n, cum_v,
+           CAST(round(log10(CAST(cum_n AS DOUBLE)) * 1000, 0) AS BIGINT)
+             AS qxm,
+           CAST(round(log10(CAST(cum_v AS DOUBLE)) * 1000, 0) AS BIGINT)
+             AS qym
+    FROM pts"""
 
   // ---------------------------------------------------------------- t20
   // Model-based quality classification — the fastText-classifier stage
@@ -1365,6 +1443,7 @@ $union
     "t17_bpe_tokenize" -> t17,
     "t18_zipf_fit" -> t18,
     "t19_heaps_fit" -> t19,
+    "t19d_heaps_points" -> t19d,
     "t20_quality_classifier" -> t20,
     "t21_bpe_batch" -> t21,
     "t22_bigram_fluency" -> t22,
@@ -1390,6 +1469,7 @@ $union
     "t17_bpe_tokenize" -> t17Sql,
     "t18_zipf_fit" -> t18Sql,
     "t19_heaps_fit" -> t19Sql,
+    "t19d_heaps_points" -> t19dSql,
     "t20_quality_classifier" -> t20Sql,
     "t21_bpe_batch" -> t21Sql,
     "t22_bigram_fluency" -> t22Sql,

@@ -26,6 +26,26 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("t19: output schema is pure-integer (no doubles can reach the hash)") {
+    // The round-7 portability fix: after the single milli-log10
+    // quantization point, every t19/t19d column is exact integer
+    // arithmetic. A double creeping back into the schema would
+    // reintroduce the cross-engine divergence that hashed red in
+    // rounds 5 and 6 — lock the discipline in.
+    for (name <- Seq("t19_heaps_fit", "t19d_heaps_points")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val nonIntegral = df.schema.fields.filterNot(f =>
+        f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType)
+      assert(nonIntegral.isEmpty,
+        s"$name has non-integral columns: ${nonIntegral.mkString(", ")}")
+    }
+    // and the fixture must give the fit a well-conditioned denominator
+    val fit = SparkEntry.queries("t19_heaps_fit")(spark, sf0001).head()
+    assert(fit.getAs[Long]("n_points") >= 10L,
+      "HeapsBlock mis-sized: too few fit points for a stable fit")
+  }
+
   test("q01 aggregates are exact: sum_qty equals integer-summed quantity") {
     val q1 = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
     val got = q1.agg(sum("sum_qty")).collect().head.getDouble(0)
