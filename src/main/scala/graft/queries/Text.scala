@@ -1423,6 +1423,89 @@ $union
            ${Num.sqlDsum("term * 1e6")} AS chi2_micro
     FROM terms GROUP BY source"""
 
+  // ---------------------------------------------------------------- t24
+  // Trained-tokenizer application at production vocabulary size — the
+  // scale-safe rework of t17's apply path. t17 fuses the K trained
+  // merges into the scan as K literal `replace` plan nodes: the
+  // fastest plan at fixture K, but a codegen bomb at a real 32k-merge
+  // vocabulary (K nested expression nodes → Janino's 64 KB method
+  // ceiling, O(K)-deep plan trees, analysis time superlinear in K).
+  // Here the merge table stays a RELATION end to end — the shape a
+  // production tokenizer artifact ships in: collapsed to ONE
+  // array<string> row in step order ("pattern<U+0001>replacement" —
+  // U+0001 is a code point no document or symbol contains),
+  // broadcast-cross-joined into the scan (the repo's scalar-join
+  // pattern), and applied by a single aggregate() higher-order fold.
+  // The plan carries ONE expression node regardless of K, so plan
+  // size, codegen size, and compile time are flat in vocabulary size,
+  // while execution performs the same K in-order replaces per row —
+  // byte-identical output to t17 (spec-asserted), so the paths swap
+  // freely. SCALE.md round 7 quantifies the crossover vs the literal
+  // chain at K = 10 / 1k / 4k.
+  private val MergeUS = "\u0001"
+
+  /** The trained merge table as a one-row broadcastable relation:
+    * `marr: array<string>` of "pattern<U+0001>replacement" in step
+    * order. At 32k merges this is a ~1 MB broadcast — nothing. */
+  private def mergeArray(s: SparkSession, d: String): DataFrame = {
+    val sess = s; import sess.implicits._
+    trainedMerges(s, d)
+      .map { case (step, l, r, _, _) =>
+        (step, s"~$l~~$r~$MergeUS~$l$r~") }
+      .toDF("step", "m")
+      .groupBy()
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(step, m))), x -> x.m)")
+        .as("marr"))
+  }
+
+  val t24: Q = (s, d) => {
+    val enc0 = expr(
+      """array_join(transform(split(text, ' '),
+        |  w -> '~' || array_join(filter(split(w, ''), x -> x <> ''), '~~')
+        |       || '~'), ' ')""".stripMargin)
+    Tables.documents(s, d)
+      .crossJoin(broadcast(mergeArray(s, d)))
+      .withColumn("enc0", enc0)
+      .withColumn("enc", expr(
+        "aggregate(marr, enc0, (acc, m) -> " +
+          "replace(acc, split_part(m, chr(1), 1), split_part(m, chr(1), 2)))"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("ws_tokens"),
+        sum(expr("(length(enc) - length(replace(enc, '~', ''))) div 2"))
+          .cast("long").as("bpe_tokens"))
+  }
+
+  /** Oracle: identical shape — merge rows from the b_k CTEs collapsed
+    * to one step-ordered list, applied by list_reduce with the encoded
+    * text prepended as the fold seed (all VARCHAR, so the homogeneous-
+    * list trick is exact). */
+  val t24Sql: String = {
+    val mt = (1 to bpeK).map(k =>
+      s"SELECT $k AS step, lhs, rhs FROM b$k").mkString("\n    UNION ALL\n    ")
+    s"""$bpeCtes,
+    mt AS ($mt),
+    ma AS (SELECT list('~' || lhs || '~~' || rhs || '~' || chr(1) ||
+                       '~' || lhs || rhs || '~' ORDER BY step) AS marr
+           FROM mt),
+    enc0 AS (SELECT source, text,
+                    array_to_string(list_transform(string_split(text, ' '),
+                      w -> '~' || array_to_string(string_split(w, ''), '~~')
+                           || '~'), ' ') AS enc
+             FROM documents),
+    encf AS (SELECT source, text,
+                    list_reduce(list_prepend(enc, marr),
+                      (acc, m) -> replace(acc, split_part(m, chr(1), 1),
+                                          split_part(m, chr(1), 2))) AS enc2
+             FROM enc0, ma)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM((length(enc2) - length(replace(enc2, '~', ''))) // 2)
+                AS BIGINT) AS bpe_tokens
+    FROM encf GROUP BY source"""
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -1447,7 +1530,8 @@ $union
     "t20_quality_classifier" -> t20,
     "t21_bpe_batch" -> t21,
     "t22_bigram_fluency" -> t22,
-    "t23_source_drift" -> t23)
+    "t23_source_drift" -> t23,
+    "t24_bpe_apply" -> t24)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -1473,5 +1557,6 @@ $union
     "t20_quality_classifier" -> t20Sql,
     "t21_bpe_batch" -> t21Sql,
     "t22_bigram_fluency" -> t22Sql,
-    "t23_source_drift" -> t23Sql)
+    "t23_source_drift" -> t23Sql,
+    "t24_bpe_apply" -> t24Sql)
 }

@@ -46,6 +46,17 @@ class QueriesSpec extends SparkSpec {
       "HeapsBlock mis-sized: too few fit points for a stable fit")
   }
 
+  test("t24 (broadcast merge-table apply) is byte-identical to t17 (literal fusion)") {
+    // The two apply paths must be swappable: same trained merges, same
+    // encode, same counts — only the plan shape differs (one
+    // aggregate() node vs K literal replace nodes).
+    val a = SparkEntry.queries("t17_bpe_tokenize")(spark, sf0001)
+      .orderBy("source").collect().toSeq
+    val b = SparkEntry.queries("t24_bpe_apply")(spark, sf0001)
+      .orderBy("source").collect().toSeq
+    assert(a == b, "t24 diverged from t17")
+  }
+
   test("q01 aggregates are exact: sum_qty equals integer-summed quantity") {
     val q1 = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
     val got = q1.agg(sum("sum_qty")).collect().head.getDouble(0)
