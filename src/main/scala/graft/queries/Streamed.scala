@@ -21,14 +21,31 @@ import Num._
 object Streamed {
   type Q = (SparkSession, String) => DataFrame
 
-  /** events schema with ts as raw nanosecond ticks (see sources.Events). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Streaming file sources need an upfront schema; hard-coding one is
+    * exactly the brittleness that broke round 8 (the testdata's `ts`
+    * physical encoding changed under a fixed LongType schema, so reads
+    * silently returned 1000×-compressed timestamps). The schema is
+    * instead derived from a one-off batch footer read of the same
+    * directory — the streaming analog of crawler re-inference
+    * (reference: modules/glue.py:87-97) — and cached per dir: footers
+    * are static within a run, and a long-lived driver must not re-read
+    * them per query. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+  private def eventsSchema(s: SparkSession, d: String): StructType =
+    schemaCache.getOrElseUpdate(d, {
+      graft.sources.Events.ensureNanosCompat(s)
+      s.read.parquet(s"$d/events.parquet").schema
+    })
+
+  /** The single streaming events source for st01–st07: footer-derived
+    * schema + [[graft.sources.Events.normalizeTs]]. One shared read
+    * path, zero per-query encoding assumptions. */
+  private def eventsStream(ss: SparkSession, d: String): DataFrame = {
+    graft.sources.Events.ensureNanosCompat(ss)
+    graft.sources.Events.normalizeTs(
+      ss.readStream.schema(eventsSchema(ss, d)).parquet(stageDir(d)))
+  }
 
   /** The streaming file source wants a *directory*; the testdata ships a
     * single parquet file. Stage a temp dir with a symlink to it (no data
@@ -77,11 +94,7 @@ object Streamed {
   // --------------------------------------------------------------- st01
   val st01: Q = (s, d) => {
     val ss = stateSession(s)
-    graft.sources.Events.ensureNanosCompat(ss)
-    val agg = ss.readStream
-      .schema(rawSchema)
-      .parquet(stageDir(d))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = eventsStream(ss, d)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
@@ -115,11 +128,7 @@ object Streamed {
   // microsecond timestamps make exact-gap ties a measure-zero case.)
   val st02: Q = (s, d) => {
     val ss = stateSession(s)
-    graft.sources.Events.ensureNanosCompat(ss)
-    val agg = ss.readStream
-      .schema(rawSchema)
-      .parquet(stageDir(d))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = eventsStream(ss, d)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
@@ -170,11 +179,7 @@ object Streamed {
   // must produce the identical session set.
   val st03: Q = (s, d) => {
     val ss = stateSession(s)
-    graft.sources.Events.ensureNanosCompat(ss)
-    val events = ss.readStream
-      .schema(rawSchema)
-      .parquet(stageDir(d))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = eventsStream(ss, d)
       .withWatermark("ts", "1 hour")
     val out = graft.streaming.StatefulSessions.sessions(events)
     val name = "st03_mem"
@@ -195,11 +200,7 @@ object Streamed {
   // per event.
   val st04: Q = (s, d) => {
     val ss = stateSession(s)
-    graft.sources.Events.ensureNanosCompat(ss)
-    val agg = ss.readStream
-      .schema(rawSchema)
-      .parquet(stageDir(d))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = eventsStream(ss, d)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
@@ -234,10 +235,7 @@ object Streamed {
       ("click", "low"), ("view", "low"), ("signup", "medium"),
       ("purchase", "high"), ("error", "critical"))
       .toDF("event_type", "severity")
-    val agg = ss.readStream
-      .schema(rawSchema)
-      .parquet(stageDir(d))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = eventsStream(ss, d)
       .join(broadcast(dim), Seq("event_type"))
       .groupBy(col("severity"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
@@ -272,16 +270,12 @@ object Streamed {
   // oracle is the identical join stated over the static table.
   val st06: Q = (s, d) => {
     val ss = stateSession(s)
-    graft.sources.Events.ensureNanosCompat(ss)
     // ONE streaming source, two filtered legs (streaming self-join):
     // the source is scanned and offset-tracked once per micro-batch
     // instead of twice — measured ~2× cheaper than two independent
     // readStreams of the same feed, and the natural shape when both
     // funnel stages arrive on one stream.
-    val evs = ss.readStream
-      .schema(rawSchema)
-      .parquet(stageDir(d))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val evs = eventsStream(ss, d)
       .filter(col("event_type").isin("view", "purchase"))
       .withWatermark("ts", "1 hour")
     val views = evs.filter(col("event_type") === "view")
@@ -325,11 +319,7 @@ object Streamed {
   // dependent and never observable here); the oracle is plain DISTINCT.
   val st07: Q = (s, d) => {
     val ss = stateSession(s)
-    graft.sources.Events.ensureNanosCompat(ss)
-    val dedup = ss.readStream
-      .schema(rawSchema)
-      .parquet(stageDir(d))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val dedup = eventsStream(ss, d)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicates("user_id", "event_type")
