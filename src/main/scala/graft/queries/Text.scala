@@ -862,37 +862,122 @@ object Text {
   // itself outgrows one task. The log-log least squares reuses t18's
   // decimal-quantized discipline.
   //
-  // Cross-engine determinism (round-7 restatement after TWO rounds of
+  // Cross-engine determinism (round-9 restatement after FOUR rounds of
   // driver-side hash_match=false that passed bit-exact locally — the
-  // divergence is environment-level, so the fix removes the divergent
-  // substrate entirely): the plan now contains exactly ONE libm call
-  // per point — round(log10(x)·1000, 0) → an integer MILLI-log10 —
-  // and every operation after that quantization is EXACT integer /
-  // decimal arithmetic, identical on any engine:
-  //   · qxm/qym are BIGINT milli-units. Measured margins between
-  //     log10(cum_n)·1000 and its nearest half-integer rounding
-  //     boundary at the driver fixtures: ≥9.1e-3 at sf0.01, ≥1.0e-3
-  //     at sf0.1 — vs ~1e-12 libm last-ulp noise, 9 orders of slack,
-  //     so both engines round to the SAME integer unconditionally.
-  //   · the least-squares num/den are integer products/sums
+  // divergence is environment-level libm, so the fix removes libm
+  // entirely): the plan now contains ZERO floating-point operations.
+  // The former single libm call per point — round(log10(x)·1000) — is
+  // replaced by an exact fixed-point integer milli-log10 (see
+  // [[withMilliLog10]]): digit count for the integer part, 24
+  // binary-digit extractions by fixed-point integer squaring for the
+  // fraction, round-half-up to milli units. Every operation is
+  // integer/decimal arithmetic with identical truncation semantics in
+  // Spark (DECIMAL(38,0), `div`) and the oracle (HUGEINT, `//`), so
+  // the quantized coordinates agree digit-for-digit on both engines BY
+  // CONSTRUCTION — no rounding-margin analysis, no fixture-specific
+  // assumptions a testdata regeneration can invalidate. The computed
+  // value can differ from libm's rounding by one milli-unit on
+  // boundary-adjacent inputs; that is fine — the DEFINITION of the
+  // coordinate is this algorithm, stated identically in both engines.
+  //   · the least-squares num/den stay integer products/sums
   //     (DECIMAL(38,0) on Spark, HUGEINT in the oracle — both exact).
-  //   · beta/log_k are emitted as exact MICRO-unit integers via floor
-  //     division implemented as (a − pmod(a,b)) div b, where
+  //   · beta/log_k stay exact MICRO-unit integers via floor division
+  //     implemented as (a − pmod(a,b)) div b, where
   //     pmod(a,b) = ((a % b) + b) % b: `%` keeps the dividend's sign
   //     in both engines, so pmod and hence the floored quotient are
   //     engine-independent for any sign of a (den > 0 whenever ≥2
   //     distinct x points exist — guaranteed by B giving ≥20 blocks).
-  // No double ever reaches the output columns.
+  // No double exists anywhere in the t19 family's plans.
   // B=25 yields 20 points at sf0.01 (the round-6 sizing: an O(50)
   // integer denominator, not a rounding residual). Overflow bound:
-  // the 128-bit intermediates hold to n_points ≤ ~1e6 with
-  // milli-log10 ≤ 15000 (cum_n ≤ 1e15) — size B so docs/B stays
-  // ~1e4–1e6, the same knob that keeps the cumulative window cheap.
+  // the fixed-point squaring holds for cum_n < 10^17 (y < 10^17,
+  // y² < 10^34 inside 128-bit; the post-shift t < 10^18 fits BIGINT)
+  // — size B so docs/B stays ~1e4–1e6, the same knob that keeps the
+  // cumulative window cheap.
   private val HeapsBlock = 25L
+
+  /** Exact integer milli-log10: appends, for each `(x, out)` pair, a
+    * column `out` = round-half-up(log10(x)·1000) of the positive
+    * bigint column `x` (domain x < 10^17), with no libm anywhere:
+    *   d   = length(cast(x as string)) − 1        (= floor(log10 x))
+    *   y   = x·10^(16−d)  — fixed point at scale 10^16, y ∈ [10^16, 10^17)
+    *   24×: t = y² div 10^16; bit = [t ≥ 10^17]; y = bit ? t div 10 : t
+    *        (log10(y²) = 2·log10 y, so each squaring emits one binary
+    *         digit of the log10 fraction; truncation error stays below
+    *         2^24·10^−16 relative — three orders under the milli quantum)
+    *   out = 1000·d + (F·1000 + 2^23) div 2^24,   F = Σ bitᵢ·2^(24−i)
+    * The Spark side builds one Project per step (withColumn chain);
+    * CollapseProject keeps `t` un-inlined (it is referenced three
+    * times), so codegen sees a linear chain, not an exponentially
+    * substituted expression tree. */
+  private val MilliLogBits = 24
+  private def withMilliLog10(df0: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    val dec = "decimal(38,0)"
+    val init = cols.foldLeft(df0) { case (df, (x, o)) =>
+      df.withColumn(s"${o}_d", expr(s"length(cast($x as string)) - 1"))
+        .withColumn(s"${o}_y", expr(
+          s"cast(concat('1', repeat('0', 16 - ${o}_d)) as $dec) * cast($x as $dec)"))
+        .withColumn(s"${o}_f", lit(0L))
+    }
+    val stepped = (1 to MilliLogBits).foldLeft(init) { case (df, _) =>
+      cols.foldLeft(df) { case (df2, (_, o)) =>
+        df2.withColumn(s"${o}_t", expr(
+            s"(cast(${o}_y as $dec) * cast(${o}_y as $dec)) div 10000000000000000"))
+          .withColumn(s"${o}_f", expr(
+            s"${o}_f * 2 + (case when ${o}_t >= 100000000000000000 then 1 else 0 end)"))
+          .withColumn(s"${o}_y", expr(
+            s"case when ${o}_t >= 100000000000000000 then ${o}_t div 10 else ${o}_t end"))
+      }
+    }
+    cols.foldLeft(stepped) { case (df, (_, o)) =>
+      df.withColumn(o, expr(
+        s"cast(${o}_d as bigint) * 1000 + " +
+          s"(${o}_f * 1000 + ${1 << (MilliLogBits - 1)}) div ${1 << MilliLogBits}"))
+    }.drop(cols.flatMap { case (_, o) =>
+      Seq(s"${o}_d", s"${o}_y", s"${o}_f", s"${o}_t") }: _*)
+  }
+
+  /** The oracle-side statement of the SAME algorithm, as a chain of
+    * CTEs m0..m24,mq over `base` (which must expose `block` plus each
+    * input column). One CTE per squaring step — lateral column aliases
+    * would make the oracle engine substitute the expression tree
+    * exponentially. */
+  private def milliLog10Ctes(base: String, cols: Seq[(String, String)]): String = {
+    val pass = cols.map(_._1).mkString(", ")
+    val init = cols.map { case (x, o) =>
+      val d = s"length(cast($x as string)) - 1"
+      s"$d as ${o}_d,\n           " +
+        s"cast(concat('1', repeat('0', 16 - ($d))) as hugeint)" +
+        s" * cast($x as hugeint) as ${o}_y,\n           " +
+        s"cast(0 as hugeint) as ${o}_f"
+    }.mkString(",\n           ")
+    val steps = (1 to MilliLogBits).map { i =>
+      val body = cols.map { case (_, o) =>
+        val t = s"(cast(${o}_y as hugeint) * cast(${o}_y as hugeint))" +
+          s" // 10000000000000000"
+        s"${o}_d,\n           " +
+          s"case when $t >= 100000000000000000 then ($t) // 10" +
+          s" else $t end as ${o}_y,\n           " +
+          s"${o}_f * 2 + (case when $t >= 100000000000000000" +
+          s" then 1 else 0 end) as ${o}_f"
+      }.mkString(",\n           ")
+      s"m$i AS (SELECT block, $pass,\n           $body\n         FROM m${i - 1})"
+    }
+    val fin = cols.map { case (_, o) =>
+      s"cast(${o}_d as bigint) * 1000 + (cast(${o}_f as bigint) * 1000" +
+        s" + ${1 << (MilliLogBits - 1)}) // ${1 << MilliLogBits} as $o"
+    }.mkString(",\n           ")
+    (Seq(s"m0 AS (SELECT block, $pass,\n           $init\n         FROM $base)") ++
+      steps :+
+      s"mq AS (SELECT block, $pass,\n           $fin\n         FROM m$MilliLogBits)")
+      .mkString(",\n    ")
+  }
 
   /** t19's fit-point relation: per-block cumulative corpus size and
     * vocabulary with exact milli-log10 quantized coordinates. Shared
-    * by t19 (the fit) and t19d (the per-point diagnostic dump). */
+    * by t19 (the fit) and the t19e/t19f diagnostic dumps. Column
+    * pruning drops the whole quantization chain when a caller (t19e)
+    * selects only the count columns. */
   private def heapsPoints(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
@@ -903,17 +988,36 @@ object Text {
     val blockToks = toks.groupBy(col("block")).agg(count(lit(1)).as("n_tok"))
     val wb = Window.orderBy(col("block"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    blockToks
+    val pts = blockToks
       .join(firstB, col("block") === col("fb"), "left")
       .select(col("block"), col("n_tok"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
       .withColumn("cum_v", sum(col("n_new")).over(wb))
       .withColumn("cum_n", sum(col("n_tok")).over(wb))
-      .withColumn("qxm",
-        round(log10(col("cum_n").cast("double")) * 1000, 0).cast("long"))
-      .withColumn("qym",
-        round(log10(col("cum_v").cast("double")) * 1000, 0).cast("long"))
+    withMilliLog10(pts, Seq("cum_n" -> "qxm", "cum_v" -> "qym"))
+      .select("block", "cum_n", "cum_v", "qxm", "qym")
   }
+
+  /** Shared oracle CTE prefix: the Heaps fit-point relation `pts`
+    * (block, cum_n, cum_v) plus the exact milli-log10 quantization
+    * chain ending in `mq` (block, cum_n, cum_v, qxm, qym). */
+  private lazy val heapsPtsSqlCtes: String = s"""
+    toks AS (SELECT doc_id // $HeapsBlock AS block,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    fb AS (SELECT fb, COUNT(*) AS n_new FROM (
+             SELECT w, MIN(block) AS fb FROM toks GROUP BY w) t
+           GROUP BY fb),
+    bt AS (SELECT block, COUNT(*) AS n_tok FROM toks GROUP BY block),
+    pts AS (SELECT block,
+                   SUM(COALESCE(n_new, 0)) OVER (ORDER BY block
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_v,
+                   SUM(n_tok) OVER (ORDER BY block
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_n
+            FROM bt LEFT JOIN fb ON bt.block = fb.fb),
+    ${milliLog10Ctes("pts", Seq("cum_n" -> "qxm", "cum_v" -> "qym"))}"""
 
   val t19: Q = (s, d) => {
     val dec = "decimal(38,0)"
@@ -952,27 +1056,8 @@ object Text {
   }
 
   val t19Sql: String = s"""
-    WITH toks AS (SELECT doc_id // $HeapsBlock AS block,
-                         unnest(string_split(text, ' ')) AS w
-                  FROM documents),
-    fb AS (SELECT fb, COUNT(*) AS n_new FROM (
-             SELECT w, MIN(block) AS fb FROM toks GROUP BY w) t
-           GROUP BY fb),
-    bt AS (SELECT block, COUNT(*) AS n_tok FROM toks GROUP BY block),
-    pts AS (SELECT block,
-                   SUM(COALESCE(n_new, 0)) OVER (ORDER BY block
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS cum_v,
-                   SUM(n_tok) OVER (ORDER BY block
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS cum_n
-            FROM bt LEFT JOIN fb ON bt.block = fb.fb),
-    q AS (SELECT cum_n, cum_v,
-                 CAST(round(log10(CAST(cum_n AS DOUBLE)) * 1000, 0)
-                      AS BIGINT) AS qxm,
-                 CAST(round(log10(CAST(cum_v AS DOUBLE)) * 1000, 0)
-                      AS BIGINT) AS qym
-          FROM pts),
+    WITH $heapsPtsSqlCtes,
+    q AS (SELECT cum_n, cum_v, qxm, qym FROM mq),
     f AS (SELECT COUNT(*) AS n_points,
                  MAX(cum_n) AS total_tokens,
                  MAX(cum_v) AS vocab,
@@ -998,40 +1083,27 @@ object Text {
              AS heaps_log_k_micro
     FROM m"""
 
-  // t19d — the t19 DIAGNOSTIC dump (VERDICT r6 demand #2): the raw fit
-  // points with their quantized coordinates, so that if t19 ever
+  // t19e/t19f — the t19 DIAGNOSTIC dumps, split by column family
+  // (VERDICT r7 demand #1, superseding the combined t19d): if t19 ever
   // hashes red again the driver's own CORRECTNESS artifact pinpoints
-  // the diverging stage — cum_n/cum_v red ⇒ tokenization or the
-  // cumulative sums; qxm/qym red ⇒ the log10 quantization; all green
-  // with t19 red ⇒ the (pure-integer) least-squares tail. Delete once
-  // t19 is green in the driver's gate.
-  val t19d: Q = (s, d) =>
-    heapsPoints(s, d)
-      .select(col("block"), col("cum_n"), col("cum_v"),
-        col("qxm"), col("qym"))
+  // the diverging stage — t19e red ⇒ tokenization or the cumulative
+  // sums (pure integer counts, no quantization involved); t19f red ⇒
+  // the milli-log10 quantization; both green with t19 red ⇒ the
+  // (pure-integer) least-squares tail. Delete once t19 is green in the
+  // driver's gate.
+  val t19e: Q = (s, d) =>
+    heapsPoints(s, d).select(col("block"), col("cum_n"), col("cum_v"))
 
-  val t19dSql: String = s"""
-    WITH toks AS (SELECT doc_id // $HeapsBlock AS block,
-                         unnest(string_split(text, ' ')) AS w
-                  FROM documents),
-    fb AS (SELECT fb, COUNT(*) AS n_new FROM (
-             SELECT w, MIN(block) AS fb FROM toks GROUP BY w) t
-           GROUP BY fb),
-    bt AS (SELECT block, COUNT(*) AS n_tok FROM toks GROUP BY block),
-    pts AS (SELECT block,
-                   SUM(COALESCE(n_new, 0)) OVER (ORDER BY block
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS cum_v,
-                   SUM(n_tok) OVER (ORDER BY block
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS cum_n
-            FROM bt LEFT JOIN fb ON bt.block = fb.fb)
-    SELECT block, cum_n, cum_v,
-           CAST(round(log10(CAST(cum_n AS DOUBLE)) * 1000, 0) AS BIGINT)
-             AS qxm,
-           CAST(round(log10(CAST(cum_v AS DOUBLE)) * 1000, 0) AS BIGINT)
-             AS qym
-    FROM pts"""
+  val t19eSql: String = s"""
+    WITH $heapsPtsSqlCtes
+    SELECT block, cum_n, cum_v FROM pts"""
+
+  val t19f: Q = (s, d) =>
+    heapsPoints(s, d).select(col("block"), col("qxm"), col("qym"))
+
+  val t19fSql: String = s"""
+    WITH $heapsPtsSqlCtes
+    SELECT block, qxm, qym FROM mq"""
 
   // ---------------------------------------------------------------- t20
   // Model-based quality classification — the fastText-classifier stage
@@ -1526,7 +1598,8 @@ $union
     "t17_bpe_tokenize" -> t17,
     "t18_zipf_fit" -> t18,
     "t19_heaps_fit" -> t19,
-    "t19d_heaps_points" -> t19d,
+    "t19e_heaps_counts" -> t19e,
+    "t19f_heaps_quant" -> t19f,
     "t20_quality_classifier" -> t20,
     "t21_bpe_batch" -> t21,
     "t22_bigram_fluency" -> t22,
@@ -1553,7 +1626,8 @@ $union
     "t17_bpe_tokenize" -> t17Sql,
     "t18_zipf_fit" -> t18Sql,
     "t19_heaps_fit" -> t19Sql,
-    "t19d_heaps_points" -> t19dSql,
+    "t19e_heaps_counts" -> t19eSql,
+    "t19f_heaps_quant" -> t19fSql,
     "t20_quality_classifier" -> t20Sql,
     "t21_bpe_batch" -> t21Sql,
     "t22_bigram_fluency" -> t22Sql,

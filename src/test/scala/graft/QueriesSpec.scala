@@ -27,12 +27,13 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("t19: output schema is pure-integer (no doubles can reach the hash)") {
-    // The round-7 portability fix: after the single milli-log10
-    // quantization point, every t19/t19d column is exact integer
-    // arithmetic. A double creeping back into the schema would
-    // reintroduce the cross-engine divergence that hashed red in
-    // rounds 5 and 6 — lock the discipline in.
-    for (name <- Seq("t19_heaps_fit", "t19d_heaps_points")) {
+    // The round-9 portability fix: the milli-log10 quantization is now
+    // itself exact integer arithmetic (fixed-point squaring — zero
+    // libm), so every column in the t19 family is integral end to end.
+    // A double creeping back into the schema would reintroduce the
+    // cross-engine divergence that hashed red in rounds 5–8 — lock the
+    // discipline in.
+    for (name <- Seq("t19_heaps_fit", "t19e_heaps_counts", "t19f_heaps_quant")) {
       val df = SparkEntry.queries(name)(spark, sf0001)
       val nonIntegral = df.schema.fields.filterNot(f =>
         f.dataType == org.apache.spark.sql.types.LongType ||
