@@ -358,6 +358,18 @@ class QueriesSpec extends SparkSpec {
     assert(comp.size == 10)
   }
 
+  test("d19 (incremental cluster merge) equals d08 (full recompute)") {
+    // The whole contract of incremental CC maintenance: contracting the
+    // persisted components, CC-ing the delta-sized contracted graph,
+    // and relabeling must reproduce the full recompute row for row —
+    // components, canonicals, and sizes alike.
+    val full = SparkEntry.queries("d08_dedup_clusters")(spark, sf0001)
+      .orderBy("doc_id").collect().toSeq
+    val inc = SparkEntry.queries("d19_dedup_cluster_incremental")(spark, sf0001)
+      .orderBy("doc_id").collect().toSeq
+    assert(full == inc, "incremental merge diverged from full recompute")
+  }
+
   test("chunking covers every token and overlaps by window-stride") {
     import org.apache.spark.sql.Row
     val rows = SparkEntry.queries("t10_chunking")(spark, sf0001).collect()
