@@ -44,8 +44,73 @@ object FakeCodec {
     * the arithmetic stub, keeping [[decode]]'s deterministic contract
     * for the fixture corpus. */
   def decodeReal(id: Long, bytes: Array[Byte]): MediaMeta =
-    parsePpm(id, bytes).orElse(parseWav(id, bytes))
+    parsePng(id, bytes).orElse(parsePpm(id, bytes)).orElse(parseWav(id, bytes))
       .getOrElse(decode(id, bytes))
+
+  /** REAL image decode via `javax.imageio` (PNG ships in every JRE —
+    * no external codec needed): signature-sniffed, then fully decoded
+    * through ImageIO's PNGImageReader. This is the one genuinely
+    * compressed format the engine decodes for real; width/height come
+    * from the decoded raster, not the header arithmetic. A payload
+    * with the PNG signature that fails to decode is corrupt media —
+    * fall back to the stub rather than poison the partition (the
+    * dirty-row posture of the CSV source applied to pixels). */
+  private[multimodal] def parsePng(id: Long,
+                                   bytes: Array[Byte]): Option[MediaMeta] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    if (bytes.length < 8 ||
+        !sig.indices.forall(k => bytes(k) == sig(k).toByte)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else Some(MediaMeta(id, img.getWidth, img.getHeight, 1,
+        bytes.length.toLong))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Decode a PNG payload FULLY — dimensions plus a pixel checksum
+    * (sum of the red channel over the raster) from one ImageIO.read —
+    * the lossless-roundtrip witness m10's oracle recomputes
+    * arithmetically. Returns (width, height, sum). */
+  def pngPixelSum(bytes: Array[Byte]): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        s += (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth, img.getHeight, s)
+  }
+
+  /** Encode a deterministic grayscale test card as a REAL PNG:
+    * dimensions and every pixel derive from `id` alone, so any engine
+    * can state the expected decode output in closed form. */
+  def encodeTestPng(id: Long): Array[Byte] = {
+    val w = (1 + id % 16).toInt
+    val h = (1 + (id * 7) % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 31 + y * 17 + id) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   /** `P6` + whitespace-separated width/height/maxval (with `#` comment
     * support), then raw pixels. Returns width×height, 1 frame. */

@@ -57,6 +57,25 @@ class MultimodalCodecSpec extends SparkSpec {
       FakeCodec.decode(4L, "P6".getBytes("US-ASCII")))
   }
 
+  test("PNG roundtrip decodes REAL compressed images exactly") {
+    // encodeTestPng writes a real PNG through javax.imageio; decodeReal
+    // must sniff the signature and recover the exact raster — the one
+    // genuinely compressed codec path in the engine.
+    val bytes = FakeCodec.encodeTestPng(42L)
+    val m = FakeCodec.decodeReal(42L, bytes)
+    assert(m.width == (1 + 42 % 16) && m.height == (1 + (42 * 7) % 16) &&
+      m.n_frames == 1, s"png decoded as $m")
+    // pixel-exact roundtrip: the decoded checksum equals the closed form
+    val (w, h, sum) = FakeCodec.pngPixelSum(bytes)
+    val expected = (for { x <- 0 until w; y <- 0 until h }
+      yield (x * 31 + y * 17 + 42L) % 256).sum
+    assert(sum == expected, s"pixel checksum $sum != $expected")
+    // a payload with the PNG magic but corrupt body falls back to the
+    // stub instead of throwing mid-partition
+    val corrupt = bytes.take(20)
+    assert(FakeCodec.decodeReal(5L, corrupt) == FakeCodec.decode(5L, corrupt))
+  }
+
   test("MB-scale payloads stream through the mapPartitions decode stage") {
     // 24 images, ~2.4 MB each (~57 MB total), plus interleaved audio:
     // realistic media row sizes through the m02 batch shape. Dimensions
