@@ -63,6 +63,41 @@ object Streamed {
     dir.toString
   })
 
+  /** Measured round-6 crossover (SCALE.md "Streaming at 100×"): the
+    * default in-memory (HDFSBacked) provider wins while state fits the
+    * heap, and dies GC-bound near ~10M state rows / multi-GB committed
+    * state; RocksDB completes the same workload holding ~23 MB of JVM
+    * heap. The switchover is placed at 1M expected state rows — an
+    * order of magnitude under the measured wall, where RocksDB's
+    * per-batch overhead is already amortized. */
+  private[graft] val StateRowsCrossover = 1000000L
+
+  /** Auto-selection of the state-store provider from the expected
+    * state cardinality (round-9, closing the carried round-6 demand:
+    * the env var was a knob, not a policy). Explicit
+    * SPARK_GRAFT_STATE_STORE still overrides both ways. */
+  private[graft] def chooseStateStore(expectedStateRows: Long): Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_STORE").orElse {
+      if (expectedStateRows > StateRowsCrossover)
+        Some("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      else None
+    }
+
+  /** Parquet footer row count (metadata only — no data scan), cached
+    * per file: provider auto-selection needs the corpus cardinality
+    * BEFORE the stream starts, and the footer answers in ~1 ms what a
+    * count() job would answer with a scan. */
+  private val rowCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def parquetRowCount(s: SparkSession, file: String): Long =
+    rowCountCache.getOrElseUpdate(file, {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), s.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    })
+
   /** Isolated session clone with shuffle partitions sized for STATE, not
     * for batch shuffle width. Every stateful operator commits one state
     * store (four, for a stream-stream join) per shuffle partition per
@@ -73,8 +108,16 @@ object Streamed {
     * cluster this knob scales with stateful-key cardinality — the point
     * is that it's sized to the state, independently of the session-wide
     * shuffle width. A clone keeps the setting out of the caller's
-    * session (no global conf mutation). */
-  private def stateSession(s: SparkSession, partitions: Int = 8): SparkSession = {
+    * session (no global conf mutation).
+    *
+    * `corpusKeyedStateRows`: pass the source cardinality when the
+    * query's state rides the corpus (one state row per user-session /
+    * distinct document / verified pair — st02/st03/st08/st12); 0 for
+    * watermark-bounded shapes (interval joins, tumbling windows) whose
+    * state the eviction keeps small regardless of input volume. Above
+    * [[StateRowsCrossover]] the session selects RocksDB. */
+  private def stateSession(s: SparkSession, partitions: Int = 8,
+                           corpusKeyedStateRows: Long = 0L): SparkSession = {
     val ss = s.newSession()
     // SPARK_GRAFT_STATE_PARTS overrides the state shard count — the
     // dev knob SCALE.md's streaming 100× rows turn (state-store work
@@ -82,11 +125,7 @@ object Streamed {
     val parts = sys.env.get("SPARK_GRAFT_STATE_PARTS")
       .map(_.toInt).getOrElse(partitions)
     ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    // Optional state-store provider override (e.g. RocksDB for state
-    // that exceeds executor heap — the right provider at 100 TB key
-    // cardinalities; the default in-memory provider wins while state
-    // fits, measured in SCALE.md).
-    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach(cls =>
+    chooseStateStore(corpusKeyedStateRows).foreach(cls =>
       ss.conf.set("spark.sql.streaming.stateStore.providerClass", cls))
     ss
   }
@@ -127,7 +166,8 @@ object Streamed {
   // predicate. (Session merge uses a strict > gap test; the fixture's
   // microsecond timestamps make exact-gap ties a measure-zero case.)
   val st02: Q = (s, d) => {
-    val ss = stateSession(s)
+    val ss = stateSession(s,
+      corpusKeyedStateRows = parquetRowCount(s, s"$d/events.parquet"))
     val agg = eventsStream(ss, d)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -178,7 +218,8 @@ object Streamed {
   // implementations (built-in session_window vs custom state machine)
   // must produce the identical session set.
   val st03: Q = (s, d) => {
-    val ss = stateSession(s)
+    val ss = stateSession(s,
+      corpusKeyedStateRows = parquetRowCount(s, s"$d/events.parquet"))
     val events = eventsStream(ss, d)
       .withWatermark("ts", "1 hour")
     val out = graft.streaming.StatefulSessions.sessions(events)
@@ -381,7 +422,8 @@ object Streamed {
   private def stageEmbDir(d: String): String = stageFileDir(d, "embeddings")
 
   val st08: Q = (s, d) => {
-    val ss = stateSession(s)
+    val ss = stateSession(s,
+      corpusKeyedStateRows = parquetRowCount(s, s"$d/documents.parquet"))
     val stopArr = array(Corpus.stopwords.map(lit): _*)
     val gated = ss.readStream
       .schema(docSchema)
@@ -639,7 +681,8 @@ object Streamed {
   // set, so the oracle is plain exact-Jaccard SQL (d04's discipline:
   // a banding recall miss fails the row-count compare).
   val st12: Q = (s, d) => {
-    val ss = stateSession(s)
+    val ss = stateSession(s,
+      corpusKeyedStateRows = parquetRowCount(s, s"$d/documents.parquet"))
     import graft.functions.TextExprs
     val NT = 16
     def withShingles(df: DataFrame): DataFrame = df

@@ -63,6 +63,24 @@ class StreamingSpec extends SparkSpec {
     assert(r2.map(_.getAs[Long]("n_events")).sum == 2)
   }
 
+  test("state-store provider auto-selects by expected state cardinality") {
+    import graft.queries.Streamed
+    // Below the measured crossover the default in-memory provider wins
+    // (SCALE.md round-6 measurement) — no override is set.
+    assert(Streamed.chooseStateStore(0L).isEmpty)
+    assert(Streamed.chooseStateStore(Streamed.StateRowsCrossover).isEmpty)
+    // Above it, corpus-keyed state must land in RocksDB: the in-memory
+    // provider measured DNF at ~10M state rows.
+    assert(Streamed.chooseStateStore(Streamed.StateRowsCrossover + 1)
+      .contains("org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"))
+    // The cardinality estimate reads parquet footers, no data scan —
+    // it must agree with the real row count.
+    val n = Streamed.parquetRowCount(spark, s"$sf0001/events.parquet")
+    assert(n == spark.read.parquet(s"$sf0001/events.parquet").count())
+    assert(n > 0)
+  }
+
   test("stream-stream interval join matches across checkpointed restarts") {
     val src = tmpDir("graft-ssj-src-")
     val out = tmpDir("graft-ssj-out-") + "/p"
