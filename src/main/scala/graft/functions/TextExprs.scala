@@ -334,10 +334,24 @@ object PHash32 {
     var hash = 0L
     var b = 0
     while (b < Buckets) {
-      if (sums(b) * n > total * cnts(b)) hash |= 1L << b
+      if (gt128(sums(b), n, total, cnts(b))) hash |= 1L << b
       b += 1
     }
     hash
+  }
+
+  /** a·b > c·d over non-negative longs in exact 128-bit arithmetic.
+    * The naive 64-bit products overflow once sum(codepoints)·n exceeds
+    * 2^63 — reachable for documents past ~3M characters (sums ≈
+    * n·~1e6/32 per bucket), i.e. real web-document sizes, and the
+    * oracle's HUGEINT arithmetic would silently diverge from the
+    * wrapped product. multiplyHigh + unsigned-low compare removes the
+    * bound entirely (the true bucket sums cannot reach 2^64). */
+  private[graft] def gt128(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(lo1, lo2) > 0
   }
 }
 

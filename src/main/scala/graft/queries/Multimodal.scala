@@ -293,16 +293,22 @@ object Multimodal {
       .groupBy(col("phash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
 
+  /** The bucket-mean compare is stated in HUGEINT (matching the Scala
+    * side's 128-bit multiplyHigh compare — BIGINT products overflow
+    * for multi-MB documents), and empty documents are restored via a
+    * left join so both engines emit the same phash=0 group the Scala
+    * expression produces (the px fan-out drops zero-char docs). */
   val m08Sql: String = """
     WITH px AS (
       SELECT doc_id, unicode(c[i]) AS v, (i - 1) % 32 AS b
       FROM (SELECT doc_id, string_split(text, '') AS c,
                    generate_subscripts(string_split(text, ''), 1) AS i
             FROM documents) x),
-    bs AS (SELECT doc_id, b, CAST(SUM(v) AS BIGINT) AS sb,
-                  COUNT(*) AS cb
+    bs AS (SELECT doc_id, b, CAST(SUM(v) AS HUGEINT) AS sb,
+                  CAST(COUNT(*) AS HUGEINT) AS cb
            FROM px GROUP BY doc_id, b),
-    tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS tv, COUNT(*) AS tc
+    tot AS (SELECT doc_id, CAST(SUM(v) AS HUGEINT) AS tv,
+                   CAST(COUNT(*) AS HUGEINT) AS tc
             FROM px GROUP BY doc_id),
     hashes AS (
       SELECT bs.doc_id,
@@ -310,9 +316,12 @@ object Multimodal {
                            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
                   AS BIGINT) AS phash
       FROM bs JOIN tot ON bs.doc_id = tot.doc_id
-      GROUP BY bs.doc_id)
+      GROUP BY bs.doc_id),
+    all_docs AS (
+      SELECT d.doc_id, COALESCE(h.phash, 0) AS phash
+      FROM documents d LEFT JOIN hashes h ON d.doc_id = h.doc_id)
     SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical
-    FROM hashes GROUP BY phash"""
+    FROM all_docs GROUP BY phash"""
 
   // ---------------------------------------------------------------- m09
   // Keyframe selection — the frame-subsampling stage a vision-language

@@ -1226,6 +1226,24 @@ object Text {
   // rewrite columns in one aggregate job, so a batch of m merges costs
   // 2 driver round-trips instead of t16's 2m. Round-count ceiling and
   // the remaining driver-bound regime are documented in SCALE.md.
+  //
+  // Known tie caveat (exactness is up to equal-frequency tie ORDER,
+  // not merge SET): a merge (A,B) in the prefix creates pairs whose
+  // lhs is the new symbol 'AB', and 'AB' can sort lexicographically
+  // BEFORE a not-yet-applied batch member at the SAME frequency
+  // ('AB' < 'AC'), in which case sequential BPE would have taken the
+  // derived pair first while the batch takes its pre-selected member —
+  // the signature check only inspects the top-C candidate list, not
+  // symbols created mid-batch. Frequencies and the merge set stay
+  // exact (a derived pair's count cannot EXCEED a prefix member's —
+  // that is the conflict-free invariant); only the emission order
+  // between exact ties can differ from one-at-a-time training. The
+  // oracle replays the batched algorithm, so query==oracle is
+  // unaffected; t16-equality is asserted on the fixture, where no such
+  // tie occurs. Closing the gap entirely would mean stopping the batch
+  // whenever a selected merge's derived symbol could tie the next
+  // member's frequency — a stricter stop rule documented, not taken
+  // (it reverts to ~1 merge per round on tie-dense character stages).
   private val bpeC = 4
 
   private def trainBpeBatched(

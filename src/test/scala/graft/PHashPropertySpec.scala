@@ -49,6 +49,36 @@ class PHashPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("PHash32 bucket-mean compare stays exact past 64-bit overflow") {
+    // The quantities in the real loop: a = bucket codepoint sum,
+    // b = total codepoints, c = global sum, d = bucket count. Past
+    // ~60M high-code-point chars a·b wraps Long (a document size the
+    // 100 TB corpus contains); the 128-bit compare must agree with
+    // BigInt on exactly that regime, where the wrapped 64-bit product
+    // flips the comparison.
+    val gen = for {
+      n <- Gen.choose(60000000L, 4000000000L)            // total codepoints
+      meanCp <- Gen.choose(60000L, 1114111L)             // high planes
+      skew <- Gen.choose(-500L, 500L)
+    } yield {
+      val d = n / 32
+      val a = d * (meanCp + skew)                        // bucket sum
+      val c = n * meanCp / 32 * 32                       // ~global sum
+      (a, n, c, d)
+    }
+    val prop = Prop.forAll(gen) { case (a, b, c, d) =>
+      graft.functions.PHash32.gt128(a, b, c, d) ==
+        (BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+    // and the overflow regime is actually reached: a·b wraps for the
+    // canonical worst case
+    val (a0, b0) = (2000000000L / 32 * 1000000L, 2000000000L)
+    assert(BigInt(a0) * BigInt(b0) > BigInt(Long.MaxValue))
+  }
+
   test("PHash32 is stable under 32-aligned self-concatenation") {
     // repeating a 32-codepoint-aligned block leaves every bucket's
     // mean (and so the hash) unchanged — the property that makes the
