@@ -355,8 +355,76 @@ object PHash32 {
   }
 }
 
+/** Exact integer milli-log10 of a positive bigint — the quantization
+  * point of the t19 Heaps-law fit, with ZERO libm anywhere:
+  *   d   = decimal digit count − 1                (= floor(log10 x))
+  *   y   = x·10^(16−d)  — fixed point at scale 10^16, y ∈ [10^16, 10^17)
+  *   24×: t = y² div 10^16; bit = [t ≥ 10^17]; y = bit ? t div 10 : t
+  *        (log10(y²) = 2·log10 y — each squaring emits one binary digit
+  *         of the log10 fraction)
+  *   out = 1000·d + (F·1000 + 2^23) div 2^24,   F = Σ bitᵢ·2^(24−i)
+  * The DuckDB oracle states the IDENTICAL algorithm as a chain of
+  * HUGEINT CTEs (Text.milliLog10Ctes), so the quantized value agrees
+  * digit-for-digit across engines by construction — no rounding-margin
+  * analysis, no libm. The 24-step loop runs over BigInteger (y² needs
+  * 113 bits); it executes only on block-aggregate relations (docs/B
+  * rows), so arithmetic cost is irrelevant — the native expression
+  * exists to keep the PLAN one projection instead of a 48-Project
+  * lateral chain (measured ~1.5 s of pure plan/codegen overhead on a
+  * 200-row input). Domain: 0 < x < 10^17; out-of-domain input throws
+  * (a count of zero reaching a log is a bug upstream, not a value). */
+case class MilliLog10(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint input, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_milli_log10"
+
+  override def nullSafeEval(input: Any): Any =
+    MilliLog10.compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MilliLog10.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MilliLog10 =
+    copy(child = newChild)
+}
+
+object MilliLog10 {
+  import java.math.BigInteger
+  private val Scale = BigInteger.TEN.pow(16)
+  private val Ten17 = BigInteger.TEN.pow(17)
+  private val Bits = 24
+
+  def compute(x: Long): Long = {
+    if (x <= 0L || x >= 100000000000000000L)
+      throw new IllegalArgumentException(
+        s"graft_milli_log10: input $x outside (0, 10^17)")
+    var d = 0
+    var t = x
+    while (t >= 10L) { t /= 10L; d += 1 }
+    var y = BigInteger.valueOf(x).multiply(BigInteger.TEN.pow(16 - d))
+    var f = 0L
+    var i = 0
+    while (i < Bits) {
+      val sq = y.multiply(y).divide(Scale)
+      if (sq.compareTo(Ten17) >= 0) { y = sq.divide(BigInteger.TEN); f = f * 2 + 1 }
+      else { y = sq; f = f * 2 }
+      i += 1
+    }
+    d.toLong * 1000L + (f * 1000L + (1L << (Bits - 1))) / (1L << Bits)
+  }
+}
+
 /** Column-level entry points for native text expressions. */
 object TextExprs {
+  /** Exact integer milli-log10 (see [[MilliLog10]]). */
+  def milliLog10(x: Column): Column =
+    GraftSqlBridge.column(MilliLog10(GraftSqlBridge.expression(x)))
+
   /** Distinct word-n-gram shingles of a string column. */
   def shingles(text: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), n))

@@ -896,46 +896,11 @@ object Text {
   // cumulative window cheap.
   private val HeapsBlock = 25L
 
-  /** Exact integer milli-log10: appends, for each `(x, out)` pair, a
-    * column `out` = round-half-up(log10(x)·1000) of the positive
-    * bigint column `x` (domain x < 10^17), with no libm anywhere:
-    *   d   = length(cast(x as string)) − 1        (= floor(log10 x))
-    *   y   = x·10^(16−d)  — fixed point at scale 10^16, y ∈ [10^16, 10^17)
-    *   24×: t = y² div 10^16; bit = [t ≥ 10^17]; y = bit ? t div 10 : t
-    *        (log10(y²) = 2·log10 y, so each squaring emits one binary
-    *         digit of the log10 fraction; truncation error stays below
-    *         2^24·10^−16 relative — three orders under the milli quantum)
-    *   out = 1000·d + (F·1000 + 2^23) div 2^24,   F = Σ bitᵢ·2^(24−i)
-    * The Spark side builds one Project per step (withColumn chain);
-    * CollapseProject keeps `t` un-inlined (it is referenced three
-    * times), so codegen sees a linear chain, not an exponentially
-    * substituted expression tree. */
+  /** Spark-side quantization is the native codegen expression
+    * [[graft.functions.MilliLog10]] — one projection, exact integer
+    * arithmetic, zero libm; the algorithm and the cross-engine
+    * determinism argument are documented there. */
   private val MilliLogBits = 24
-  private def withMilliLog10(df0: DataFrame, cols: Seq[(String, String)]): DataFrame = {
-    val dec = "decimal(38,0)"
-    val init = cols.foldLeft(df0) { case (df, (x, o)) =>
-      df.withColumn(s"${o}_d", expr(s"length(cast($x as string)) - 1"))
-        .withColumn(s"${o}_y", expr(
-          s"cast(concat('1', repeat('0', 16 - ${o}_d)) as $dec) * cast($x as $dec)"))
-        .withColumn(s"${o}_f", lit(0L))
-    }
-    val stepped = (1 to MilliLogBits).foldLeft(init) { case (df, _) =>
-      cols.foldLeft(df) { case (df2, (_, o)) =>
-        df2.withColumn(s"${o}_t", expr(
-            s"(cast(${o}_y as $dec) * cast(${o}_y as $dec)) div 10000000000000000"))
-          .withColumn(s"${o}_f", expr(
-            s"${o}_f * 2 + (case when ${o}_t >= 100000000000000000 then 1 else 0 end)"))
-          .withColumn(s"${o}_y", expr(
-            s"case when ${o}_t >= 100000000000000000 then ${o}_t div 10 else ${o}_t end"))
-      }
-    }
-    cols.foldLeft(stepped) { case (df, (_, o)) =>
-      df.withColumn(o, expr(
-        s"cast(${o}_d as bigint) * 1000 + " +
-          s"(${o}_f * 1000 + ${1 << (MilliLogBits - 1)}) div ${1 << MilliLogBits}"))
-    }.drop(cols.flatMap { case (_, o) =>
-      Seq(s"${o}_d", s"${o}_y", s"${o}_f", s"${o}_t") }: _*)
-  }
 
   /** The oracle-side statement of the SAME algorithm, as a chain of
     * CTEs m0..m24,mq over `base` (which must expose `block` plus each
@@ -988,13 +953,14 @@ object Text {
     val blockToks = toks.groupBy(col("block")).agg(count(lit(1)).as("n_tok"))
     val wb = Window.orderBy(col("block"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pts = blockToks
+    blockToks
       .join(firstB, col("block") === col("fb"), "left")
       .select(col("block"), col("n_tok"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
       .withColumn("cum_v", sum(col("n_new")).over(wb))
       .withColumn("cum_n", sum(col("n_tok")).over(wb))
-    withMilliLog10(pts, Seq("cum_n" -> "qxm", "cum_v" -> "qym"))
+      .withColumn("qxm", graft.functions.TextExprs.milliLog10(col("cum_n")))
+      .withColumn("qym", graft.functions.TextExprs.milliLog10(col("cum_v")))
       .select("block", "cum_n", "cum_v", "qxm", "qym")
   }
 

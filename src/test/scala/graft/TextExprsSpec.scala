@@ -69,4 +69,36 @@ class TextExprsSpec extends SparkSpec {
       graft.functions.NormalizeText.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString("café")))
   }
+
+  test("milliLog10: exact-algorithm reference match and log10 accuracy") {
+    import graft.functions.MilliLog10
+    // Independent restatement of the fixed-point-squaring definition
+    // (the same CTE algorithm the oracle runs) over BigInt.
+    def ref(x: Long): Long = {
+      val d = x.toString.length - 1
+      var y = BigInt(x) * BigInt(10).pow(16 - d)
+      var f = 0L
+      for (_ <- 1 to 24) {
+        val sq = y * y / BigInt(10).pow(16)
+        if (sq >= BigInt(10).pow(17)) { y = sq / 10; f = f * 2 + 1 }
+        else { y = sq; f = f * 2 }
+      }
+      d.toLong * 1000L + (f * 1000L + (1L << 23)) / (1L << 24)
+    }
+    val fixtures = Seq(1L, 2L, 9L, 10L, 11L, 99L, 100L, 101L, 999L, 1000L,
+      123456L, 999999L, 48232L, 86170L, 314159L,
+      99999999999999999L /* 10^17 - 1: domain ceiling */)
+    fixtures.foreach { x =>
+      val got = MilliLog10.compute(x)
+      assert(got == ref(x), s"x=$x: $got != ${ref(x)}")
+      // the quantization must stay a faithful milli-log10 (within one
+      // half-unit plus the 2^-24 fraction quantum)
+      assert(math.abs(got - math.log10(x.toDouble) * 1000) <= 0.51,
+        s"x=$x drifted from log10")
+    }
+    // out-of-domain input fails loudly, not numerically
+    intercept[IllegalArgumentException](MilliLog10.compute(0L))
+    intercept[IllegalArgumentException](MilliLog10.compute(-5L))
+    intercept[IllegalArgumentException](MilliLog10.compute(100000000000000000L))
+  }
 }
