@@ -179,7 +179,8 @@ object VectorExprs {
   * Registered: `graft_qdot(a, b)`, `graft_shingles(text, n)`,
   * `graft_minhash_sig(shingles, numTables)`,
   * `graft_normalize_text(text)`, `graft_doc_pairs(docs)`,
-  * `graft_int8_stats(vec)`.
+  * `graft_int8_stats(vec)`, `graft_phash32(text)`,
+  * `graft_milli_log10(x)`.
   * Integer parameters must be foldable literals (they parameterize the
   * generated code). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -215,6 +216,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_int8_stats", classOf[Int8QuantStats], { args =>
       require(args.length == 1, "graft_int8_stats expects (vec)")
       Int8QuantStats(args.head)
+    })
+    inject("graft_phash32", classOf[PHash32], { args =>
+      require(args.length == 1, "graft_phash32 expects (text)")
+      PHash32(args.head)
+    })
+    inject("graft_milli_log10", classOf[MilliLog10], { args =>
+      require(args.length == 1, "graft_milli_log10 expects (bigint)")
+      MilliLog10(args.head)
     })
   }
 }

@@ -41,10 +41,11 @@ object Events {
   def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case TimestampType    => df
     case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case DateType         => df.withColumn("ts", col("ts").cast(TimestampType))
     case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     case other => throw new IllegalArgumentException(
       s"events.ts: unsupported physical type $other " +
-      "(expected timestamp, timestamp_ntz, or int64 nanosecond ticks)")
+      "(expected timestamp, timestamp_ntz, date, or int64 nanosecond ticks)")
   }
 
   def read(spark: SparkSession, sfDir: String): DataFrame = {

@@ -35,6 +35,14 @@ class ExtensionsSpec extends SparkSpec {
         .selectExpr("st.scale6", "st.n_sat", "st.max_err4").head()
       assert(i8.getDouble(0) == 127.0 && i8.getInt(1) == 2 &&
         i8.getDouble(2) == 0.0)
+      // identical strings collide; the hash is 32-bit-ranged
+      val ph = s2.sql(
+        "SELECT graft_phash32('abcd efgh'), graft_phash32('abcd efgh')")
+        .head()
+      assert(ph.getLong(0) == ph.getLong(1) &&
+        ph.getLong(0) >= 0L && ph.getLong(0) <= 0xFFFFFFFFL)
+      assert(s2.sql("SELECT graft_milli_log10(1000L) AS m")
+        .head().getLong(0) == 3000L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
