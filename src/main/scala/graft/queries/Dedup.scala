@@ -1211,31 +1211,44 @@ object Dedup {
       .select(col("i"), col("j"))
     // The persisted label store stand-in: CC over the historical corpus
     // only. Checkpointed — the incremental merge below must not replay
-    // its lineage (a real run reads this from the label table).
+    // its lineage (a real run reads this from the label table). The
+    // checkpoint also erases size statistics, so every delta-bounded
+    // side below carries an EXPLICIT broadcast hint: the bound is
+    // structural (nothing below exceeds the delta edge count), which is
+    // exactly when hinting beats estimation.
     val oldLabels = connectedComponents(oldEdges, "i", "j").localCheckpoint()
-    // 1. contract: endpoint -> representative
-    val repI = oldLabels.select(col("id").as("i"), col("comp").as("ri"))
-    val repJ = oldLabels.select(col("id").as("j"), col("comp").as("rj"))
+    val deltaNodes = deltaEdges.select(col("i").as("id"))
+      .union(deltaEdges.select(col("j").as("id"))).distinct()
+    // 1. contract: endpoint -> representative. d10's two-way broadcast
+    // shape: the (delta-bounded) touched-key set broadcasts INTO the
+    // label scan, and the resulting (delta-bounded) representative set
+    // broadcasts back over the delta edges — the corpus-sized label
+    // relation is scanned map-side, never shuffled.
+    val touchedReps = oldLabels
+      .join(broadcast(deltaNodes), Seq("id"), "left_semi")
     val contracted = deltaEdges
-      .join(repI, Seq("i"), "left")
-      .join(repJ, Seq("j"), "left")
+      .join(broadcast(touchedReps
+        .select(col("id").as("i"), col("comp").as("ri"))), Seq("i"), "left")
+      .join(broadcast(touchedReps
+        .select(col("id").as("j"), col("comp").as("rj"))), Seq("j"), "left")
       .select(coalesce(col("ri"), col("i")).as("ci"),
         coalesce(col("rj"), col("j")).as("cj"))
     // 2. CC on the contracted (delta-sized) graph
     val mergedReps = connectedComponents(contracted, "ci", "cj")
     // 3a. relabel affected old components; unaffected pass through
     val updatedOld = oldLabels
-      .join(mergedReps.select(col("id").as("comp"), col("comp").as("mc")),
-        Seq("comp"), "left")
+      .join(broadcast(mergedReps
+        .select(col("id").as("comp"), col("comp").as("mc"))), Seq("comp"),
+        "left")
       .select(col("id"), coalesce(col("mc"), col("comp")).as("comp"))
     // 3b. label the endpoints the old store has never seen (the new
-    // batch, plus old docs whose first-ever pair is a delta edge)
-    val newNodes = deltaEdges.select(col("i").as("id"))
-      .union(deltaEdges.select(col("j").as("id"))).distinct()
-      .join(oldLabels.select(col("id")), Seq("id"), "left_anti")
-    val newLabels = newNodes
-      .join(mergedReps.select(col("id"), col("comp").as("mc")), Seq("id"),
-        "left")
+    // batch, plus old docs whose first-ever pair is a delta edge):
+    // deltaNodes minus the touched representatives' keys — both sides
+    // delta-bounded.
+    val newLabels = deltaNodes
+      .join(broadcast(touchedReps.select(col("id"))), Seq("id"), "left_anti")
+      .join(broadcast(mergedReps.select(col("id"), col("comp").as("mc"))),
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("mc"), col("id")).as("comp"))
     val allLabels = updatedOld.unionByName(newLabels)
     // d08-shaped report over the merged labels

@@ -426,4 +426,17 @@ class PlanSpec extends SparkSpec {
           s"$name plans a CartesianProduct")
       }
   }
+
+  test("d19: the incremental merge broadcasts into the label relation") {
+    // The 100 TB contract: the corpus-sized label relation is scanned,
+    // never shuffled — the delta->representative lookup and the
+    // merged-label relabel must both plan as broadcast joins (the
+    // delta/merged side is the broadcast), and no CartesianProduct
+    // may appear anywhere.
+    val p = formatted(
+      SparkEntry.queries("d19_dedup_cluster_incremental")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("""BroadcastHashJoin""".r.findAllIn(p).length >= 2,
+      s"expected the contraction + relabel joins to broadcast:\n${p.take(3000)}")
+  }
 }
