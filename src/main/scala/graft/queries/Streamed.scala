@@ -926,6 +926,72 @@ object Streamed {
              AS chi2_micro
     FROM deltas GROUP BY source"""
 
+  // --------------------------------------------------------------- st16
+  // Sessionization via Spark 4's transformWithState — the THIRD
+  // independent implementation of the 30-minute-gap session contract
+  // (built-in session_window → st02; flatMapGroupsWithState → st03;
+  // the successor arbitrary-state API → here). Same oracle as both:
+  // three implementations across three state APIs must produce the
+  // identical session set, which is what certifies a migration to the
+  // new API. transformWithState mandates the RocksDB state backend, so
+  // the session sets it explicitly regardless of state size.
+  val st16: Q = (s, d) => {
+    val ss = stateSession(s)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val events = eventsStream(ss, d)
+      .withWatermark("ts", "1 hour")
+    val out = graft.streaming.TwsSessions.sessions(events)
+    val name = "st16_mem"
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
+  // --------------------------------------------------------------- st17
+  // Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps
+  // a key in state only until the watermark passes its event time —
+  // the production answer to st07's open question of UNBOUNDED key
+  // domains (st07's plain dropDuplicates holds every key forever; at a
+  // 100 TB corpus-keyed stream that state never stops growing, while
+  // here state is rate×delay-bounded like st06's join buffer). The
+  // semantic trade is documented Spark behavior: a duplicate arriving
+  // after its key aged out re-emits. The fixture's duplicate
+  // (user_id, event_type) pairs recur across the whole 30-day range —
+  // far beyond the 1-hour delay — so the oracle states exactly that
+  // re-emission semantic: one row per (user, type, 1-hour-bucketed
+  // arrival run) would overfit internals; instead the CONTRACT we pin
+  // is the bounded-state lower/upper envelope, stated exactly for the
+  // AvailableNow single-batch execution the driver runs: all data
+  // arrives in one micro-batch where the watermark is still the epoch
+  // (watermark advances only BETWEEN batches), so nothing has aged out
+  // and the emitted set equals plain DISTINCT — st07's oracle —
+  // while the state bound is what the 100× SCALE measurement and the
+  // StreamingSpec restart test exercise.
+  val st17: Q = (s, d) => {
+    val ss = stateSession(s)
+    val dedup = eventsStream(ss, d)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = "st17_mem"
+    val q = dedup.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -941,7 +1007,9 @@ object Streamed {
     "st12_stream_neardup" -> st12,
     "st13_stream_quality" -> st13,
     "st14_stream_index" -> st14,
-    "st15_stream_drift" -> st15)
+    "st15_stream_drift" -> st15,
+    "st16_tws_session" -> st16,
+    "st17_stream_dedup_bounded" -> st17)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -960,5 +1028,11 @@ object Streamed {
     "st13_stream_quality" -> Text.t20Sql,
     // shared oracle: stream-merge must equal s16's batch merge == rebuild
     "st14_stream_index" -> Similarity.s16Sql,
-    "st15_stream_drift" -> st15Sql)
+    "st15_stream_drift" -> st15Sql,
+    // shared oracle: the third session implementation answers to the
+    // same contract as st02/st03
+    "st16_tws_session" -> st02Sql,
+    // single-batch AvailableNow execution: watermark still at epoch
+    // during the batch, nothing ages out, emitted set == DISTINCT
+    "st17_stream_dedup_bounded" -> st07Sql)
 }

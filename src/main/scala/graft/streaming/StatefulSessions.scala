@@ -62,6 +62,13 @@ object StatefulSessions {
     }.reverse
   }
 
+  /** Closed-session output row — shared with the transformWithState
+    * restatement ([[TwsSessions]]) so both emit identically. */
+  private[streaming] def toOut(userId: Long, s: OpenSession): SessionOut =
+    SessionOut(tsOf(s.start), tsOf(s.last + GapMicros), userId, s.n,
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(s.sumScaled), 4)
+        .doubleValue())
+
   private def step(userId: Long, it: Iterator[SEvent],
                    state: GroupState[UserSessions]): Iterator[SessionOut] = {
     val open = state.getOption.map(_.sessions).getOrElse(Seq.empty)
@@ -79,10 +86,7 @@ object StatefulSessions {
         state.getCurrentWatermarkMs() + 1)
       state.setTimeoutTimestamp(wakeMs)
     }
-    closed.iterator.map(s => SessionOut(
-      tsOf(s.start), tsOf(s.last + GapMicros), userId, s.n,
-      new java.math.BigDecimal(java.math.BigInteger.valueOf(s.sumScaled), 4)
-        .doubleValue()))
+    closed.iterator.map(s => toOut(userId, s))
   }
 
   /** events (user_id, ts timestamp with watermark applied, value) →

@@ -81,6 +81,18 @@ class StreamingSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("transformWithState sessions equal flatMapGroupsWithState sessions") {
+    // Two state APIs, one contract: any divergence isolates to the
+    // state/timer plumbing (the shared merge/emit logic is the same
+    // code). The driver's oracle checks both against st02's SQL; this
+    // pins them against each other directly.
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf0001)
+        .orderBy("session_start", "user_id").collect().toSeq
+    assert(rows("st16_tws_session") == rows("st03_stateful_session"),
+      "transformWithState diverged from flatMapGroupsWithState")
+  }
+
   test("stream-stream interval join matches across checkpointed restarts") {
     val src = tmpDir("graft-ssj-src-")
     val out = tmpDir("graft-ssj-out-") + "/p"
