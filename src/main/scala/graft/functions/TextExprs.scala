@@ -468,5 +468,17 @@ object TextExprs {
         require(args.length == 2, "graft_shingles expects (text, n)")
         WordShingles(args.head, GraftExtensions.intLitArg(args(1), "n"))
       })
+    GraftSqlBridge.registerFunction(spark, "graft_phash32",
+      new ExpressionInfo(classOf[PHash32].getName, "graft_phash32"),
+      { args =>
+        require(args.length == 1, "graft_phash32 expects (text)")
+        PHash32(args.head)
+      })
+    GraftSqlBridge.registerFunction(spark, "graft_milli_log10",
+      new ExpressionInfo(classOf[MilliLog10].getName, "graft_milli_log10"),
+      { args =>
+        require(args.length == 1, "graft_milli_log10 expects (bigint)")
+        MilliLog10(args.head)
+      })
   }
 }

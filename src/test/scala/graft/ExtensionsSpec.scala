@@ -57,6 +57,9 @@ class ExtensionsSpec extends SparkSpec {
     assert(s2.sql(
       "SELECT graft_qdot(array(1.0f, 1.0f), array(2.0f, 2.0f)) AS d")
       .head().getDouble(0) == 4.0)
+    assert(s2.sql("SELECT graft_milli_log10(100L) AS m")
+      .head().getLong(0) == 2000L)
+    assert(s2.sql("SELECT graft_phash32('') AS p").head().getLong(0) == 0L)
     // idempotent
     GraftSession.attach(s2)
   }
