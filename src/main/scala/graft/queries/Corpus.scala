@@ -175,10 +175,13 @@ object Corpus {
   // block-offset relation is corpus/64 rows of two longs; if even that
   // outgrows one task the same reduction applies recursively (blocks of
   // blocks) — each level shrinks the single-task window another 64×.
-  val c04: Q = (s, d) => {
+  /** Shared c04/c10 relation: each document's global token offset
+    * (`st`) via the two-level distributed prefix sum — per-block local
+    * windows plus a broadcast block-offset relation (see c04's scale
+    * commentary). */
+  private def packedOffsets(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val L = 512L // tokens per packed sequence
-    val B = 64L  // docs per prefix-sum block
+    val B = 64L // docs per prefix-sum block
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -196,6 +199,12 @@ object Corpus {
       .select(col("block"), col("block_start"))
     withLocal.join(Hints.broadcastIfSmall(blockOffsets), Seq("block"))
       .withColumn("st", col("block_start") + col("local_start"))
+      .select(col("doc_id"), col("n_tokens"), col("st"))
+  }
+
+  val c04: Q = (s, d) => {
+    val L = 512L // tokens per packed sequence
+    packedOffsets(s, d)
       .select(col("doc_id"), col("n_tokens"),
         expr(s"st DIV $L").as("seq_first"),
         expr(s"(st + n_tokens - 1) DIV $L").as("seq_last"),
@@ -527,6 +536,55 @@ object Corpus {
                 ELSE 'exact' END AS regime
     FROM plan"""
 
+  // ---------------------------------------------------------------- c10
+  // Packed-sequence ATTENTION SPANS — the inverse of c04's doc→sequence
+  // index and the other half a training loader actually consumes: for
+  // every packed sequence, the (doc_id, span_start, span_len) segments
+  // that tile it, which is exactly the relation block-diagonal
+  // attention masks and document-boundary loss masking are built from
+  // (tokens from different documents packed into one sequence must not
+  // attend to each other). Same two-level prefix-sum offsets as c04
+  // (one shared plan prefix), then a NARROW per-doc fan-out: each doc
+  // explodes across the [seq_first, seq_last] range it straddles —
+  // ⌈n_tokens/L⌉+1 rows per doc, no additional shuffle. The span
+  // arithmetic is closed-form integer (max/min against the L-grid), so
+  // the oracle restates it exactly.
+  // Scale shape: output is (total_tokens/L + docs)-proportional —
+  // the same order as the packed corpus itself; everything after the
+  // c04 offsets is row-local inside whole-stage codegen.
+  val c10: Q = (s, d) => {
+    val L = 512L
+    packedOffsets(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("st"),
+        explode(sequence(
+          expr(s"st DIV $L"),
+          expr(s"(st + n_tokens - 1) DIV $L"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        greatest(col("st") - col("seq_id") * L, lit(0L)).as("span_start"),
+        (least(col("st") + col("n_tokens"), (col("seq_id") + lit(1L)) * L) -
+          greatest(col("st"), col("seq_id") * L)).as("span_len"))
+  }
+
+  val c10Sql: String = """
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS st
+          FROM t),
+    sp AS (SELECT doc_id, n_tokens, st,
+                  unnest(generate_series(st // 512,
+                                         (st + n_tokens - 1) // 512))
+                    AS seq_id
+           FROM c)
+    SELECT seq_id, doc_id,
+           GREATEST(st - seq_id * 512, 0) AS span_start,
+           LEAST(st + n_tokens, (seq_id + 1) * 512)
+             - GREATEST(st, seq_id * 512) AS span_len
+    FROM sp"""
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
     "c02_curate_sql" -> c02,
@@ -536,7 +594,8 @@ object Corpus {
     "c06_tokenize_pack" -> c06,
     "c07_split_leakage" -> c07,
     "c08_curriculum_sample" -> c08,
-    "c09_epoch_plan" -> c09)
+    "c09_epoch_plan" -> c09,
+    "c10_pack_spans" -> c10)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
     "c02_curate_sql" -> c01Sql,
@@ -546,5 +605,6 @@ object Corpus {
     "c06_tokenize_pack" -> c06Sql,
     "c07_split_leakage" -> c07Sql,
     "c08_curriculum_sample" -> c08Sql,
-    "c09_epoch_plan" -> c09Sql)
+    "c09_epoch_plan" -> c09Sql,
+    "c10_pack_spans" -> c10Sql)
 }

@@ -370,6 +370,33 @@ class QueriesSpec extends SparkSpec {
     assert(full == inc, "incremental merge diverged from full recompute")
   }
 
+  test("c10 spans tile every packed sequence exactly (mask invariant)") {
+    // The property attention masking depends on: per sequence, spans
+    // are disjoint, contiguous from offset 0, and sum to the sequence
+    // length (the final partial sequence excepted); globally the span
+    // mass equals the corpus token count.
+    val spans = SparkEntry.queries("c10_pack_spans")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_len")))
+    val total = SparkEntry.queries("c04_pack_sequences")(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    assert(spans.map(_._3).sum == total, "span mass != corpus tokens")
+    val lastSeq = spans.map(_._1).max
+    spans.groupBy(_._1).foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"seq $seq does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, a, l), (_, b, _)) =>
+          assert(a + l == b, s"seq $seq has a gap/overlap at $b")
+        case _ =>
+      }
+      val mass = ss.map(_._3).sum
+      if (seq != lastSeq) assert(mass == 512L, s"seq $seq mass $mass")
+      else assert(mass <= 512L)
+    }
+  }
+
   test("chunking covers every token and overlaps by window-stride") {
     import org.apache.spark.sql.Row
     val rows = SparkEntry.queries("t10_chunking")(spark, sf0001).collect()
