@@ -585,6 +585,38 @@ object Corpus {
              - GREATEST(st, seq_id * 512) AS span_len
     FROM sp"""
 
+  // ---------------------------------------------------------------- c11
+  // Token-proportional weighted sampling — c03 samples at per-SOURCE
+  // rates; mixture recipes are usually stated in TOKENS, so the
+  // per-document inclusion probability should ride the document's
+  // token mass (long docs carry more of the budget; sampling docs
+  // uniformly over-weights short ones token-wise). Weighted Bernoulli
+  // via the same portable-hash device as c03: keep doc_id iff
+  // md5-derived hash mod 2000 < min(n_chars, 2000) — inclusion
+  // probability min(n_chars/2000, 1), deterministic, reproducible
+  // across engines and layouts, no rand(). Output is the kept set with
+  // its weights (strong row/hash check), not just an audit aggregate.
+  //
+  // Scale shape: the weight and the hash are row-local expressions
+  // fused into the scan — the sampled corpus falls out of ONE filter
+  // with zero shuffles; at 100 TB this is a pure map stage whose
+  // output is the sample itself.
+  val c11: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("w", least(col("n_chars"), lit(2000L)))
+    docs.filter(pmod(col("h"), lit(2000L)) < col("w"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("w"))
+  }
+
+  val c11Sql: String = """
+    SELECT doc_id, source, n_chars, LEAST(n_chars, 2000) AS w
+    FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 2000 < LEAST(n_chars, 2000)"""
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
     "c02_curate_sql" -> c02,
@@ -595,7 +627,8 @@ object Corpus {
     "c07_split_leakage" -> c07,
     "c08_curriculum_sample" -> c08,
     "c09_epoch_plan" -> c09,
-    "c10_pack_spans" -> c10)
+    "c10_pack_spans" -> c10,
+    "c11_weighted_sample" -> c11)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
     "c02_curate_sql" -> c01Sql,
@@ -606,5 +639,6 @@ object Corpus {
     "c07_split_leakage" -> c07Sql,
     "c08_curriculum_sample" -> c08Sql,
     "c09_epoch_plan" -> c09Sql,
-    "c10_pack_spans" -> c10Sql)
+    "c10_pack_spans" -> c10Sql,
+    "c11_weighted_sample" -> c11Sql)
 }

@@ -992,6 +992,67 @@ object Streamed {
     ss.table(name)
   }
 
+  // --------------------------------------------------------------- st18
+  // Stream-stream LEFT OUTER interval join — attribution's other half:
+  // st06 answers "which views led to this purchase", st18 also emits
+  // the purchases with NO qualifying view (organic conversions), which
+  // an inner join silently drops. The outer semantics is where the
+  // watermark earns its keep: a purchase can only be declared
+  // view-less once the watermark proves no view with v_ts ≤ p_ts can
+  // still arrive — i.e. when the state store evicts it (watermark past
+  // p_ts). Matched rows emit as they join, exactly like st06;
+  // null-extended rows emit on eviction. The batch oracle states both
+  // halves: a plain LEFT JOIN, with the null-extended rows restricted
+  // to purchases the final watermark (max view/purchase ts − 1h)
+  // released — purchases in the last hour of event time are withheld
+  // by design, the same retention contract st02 pins for sessions.
+  // State bound is identical to st06's (rate × interval), so the
+  // outer variant scales exactly as far.
+  val st18: Q = (s, d) => {
+    val ss = stateSession(s)
+    val evs = eventsStream(ss, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withWatermark("ts", "1 hour")
+    val views = evs.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+              col("ts").as("v_ts"))
+    val purchases = evs.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    val name = "st18_mem"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+              col("view_id"), col("p_ts"), col("v_ts"))
+  }
+
+  val st18Sql: String = """
+    WITH vp AS (SELECT * FROM events
+                WHERE event_type IN ('view', 'purchase')),
+    p AS (SELECT user_id, event_id, ts FROM vp
+          WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id, ts FROM vp
+          WHERE event_type = 'view'),
+    j AS (SELECT p.user_id, p.event_id AS purchase_id,
+                 v.event_id AS view_id, p.ts AS p_ts, v.ts AS v_ts
+          FROM p LEFT JOIN v
+            ON p.user_id = v.user_id
+               AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR)
+    SELECT user_id, purchase_id, view_id, p_ts, v_ts FROM j
+    WHERE view_id IS NOT NULL
+       OR p_ts < (SELECT MAX(ts) - INTERVAL 1 HOUR FROM vp)"""
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -1009,7 +1070,8 @@ object Streamed {
     "st14_stream_index" -> st14,
     "st15_stream_drift" -> st15,
     "st16_tws_session" -> st16,
-    "st17_stream_dedup_bounded" -> st17)
+    "st17_stream_dedup_bounded" -> st17,
+    "st18_stream_outer_join" -> st18)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -1034,5 +1096,6 @@ object Streamed {
     "st16_tws_session" -> st02Sql,
     // single-batch AvailableNow execution: watermark still at epoch
     // during the batch, nothing ages out, emitted set == DISTINCT
-    "st17_stream_dedup_bounded" -> st07Sql)
+    "st17_stream_dedup_bounded" -> st07Sql,
+    "st18_stream_outer_join" -> st18Sql)
 }

@@ -1583,6 +1583,71 @@ $union
     FROM encf GROUP BY source"""
   }
 
+  // ---------------------------------------------------------------- t25
+  // Robust length-outlier detection per source — the curation gate that
+  // flags truncated fragments and concatenation blobs without being
+  // fooled by the outliers themselves (mean/stddev gates move with the
+  // contamination; median/MAD have a 50% breakdown point — the robust-
+  // statistics standard for web-scale corpora). Flag a doc when
+  // |n_chars − median| > 3 × MAD, both statistics per source.
+  //
+  // Exactness: n_chars is integral, so the rank-definition median (value
+  // at ceil(n/2)), the absolute deviations, the MAD, and the 3×
+  // comparison are ALL integer arithmetic — bit-identical across
+  // engines by construction (no quantile interpolation conventions in
+  // play).
+  //
+  // Scale shape: both quantile passes run through the shared
+  // Num.bucketQuantiles histogram + rank-resolve plan (the q59 answer
+  // to per-group window sorts: parallelism rides executors, not group
+  // counts — 6.1× vs 26.7× at 100×, SCALE.md round 5); the deviation
+  // relation reuses the first join's source partitioning, and the
+  // final flag is a row-local compare against two broadcast per-source
+  // scalars. Nothing corpus-sized is ever globally sorted.
+  val t25: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val med = Num.bucketQuantiles(docs, "source", "n_chars",
+      Seq(0.5 -> "med"), bucketWidth = 64.0)
+    val dev = docs.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val mad = Num.bucketQuantiles(
+      dev.select(col("source"), col("dev")), "source", "dev",
+      Seq(0.5 -> "mad"), bucketWidth = 64.0)
+    dev.join(broadcast(mad), Seq("source"))
+      .filter(col("dev") > lit(3) * col("mad"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("med"), col("mad"))
+  }
+
+  /** Oracle: the identical rank-defined median/MAD (value at
+    * ceil(n*0.5), ranks ordered by value) stated twice, then the same
+    * integer 3×MAD flag. */
+  val t25Sql: String = """
+    WITH m AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents),
+    med AS (SELECT source,
+                   MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                       THEN n_chars END) AS med
+            FROM m GROUP BY source),
+    dv AS (SELECT d.doc_id, d.source, d.n_chars, med.med,
+                  ABS(d.n_chars - med.med) AS dev
+           FROM documents d JOIN med USING (source)),
+    m2 AS (SELECT source, dev,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS n
+           FROM dv),
+    mad AS (SELECT source,
+                   MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                       THEN dev END) AS mad
+            FROM m2 GROUP BY source)
+    SELECT v.doc_id, v.source, v.n_chars, v.med, mad.mad
+    FROM dv v JOIN mad USING (source)
+    WHERE v.dev > 3 * mad.mad"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -1609,7 +1674,8 @@ $union
     "t21_bpe_batch" -> t21,
     "t22_bigram_fluency" -> t22,
     "t23_source_drift" -> t23,
-    "t24_bpe_apply" -> t24)
+    "t24_bpe_apply" -> t24,
+    "t25_robust_outliers" -> t25)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -1637,5 +1703,6 @@ $union
     "t21_bpe_batch" -> t21Sql,
     "t22_bigram_fluency" -> t22Sql,
     "t23_source_drift" -> t23Sql,
-    "t24_bpe_apply" -> t24Sql)
+    "t24_bpe_apply" -> t24Sql,
+    "t25_robust_outliers" -> t25Sql)
 }
