@@ -1898,6 +1898,52 @@ object Relational {
     WHERE d_tag = 'current'
     GROUP BY 1"""
 
+  // ---------------------------------------------------------------- q63
+  // Native recursive CTE (Spark 4's UnionLoop) — a clamped token-bucket
+  // replay per user: bal_n = LEAST(bal_{n-1} + v_n, cap). The clamp
+  // makes the recurrence NON-ASSOCIATIVE — no window frame or running
+  // aggregate can state it (a window sum can't "forget" the overflow a
+  // past clamp discarded) — so this is the one operator class that
+  // genuinely needs the engine's recursion, not a rewrite. Both engines
+  // run the SAME recursive SQL text (Spark only supports UNION ALL
+  // recursion, and the per-user event chain is a forest — each row has
+  // exactly one successor — so UNION ALL terminates without cycle
+  // blowup at exactly depth = chain length).
+  //
+  // Exactness: v quantizes value to integer cents (floor(value*100) —
+  // one deterministic IEEE op each side), so bal is BIGINT arithmetic
+  // throughout. Depth is capped at 50 steps per user (inside Spark's
+  // default 100-level recursion budget): the cap IS the scale contract
+  // — each UnionLoop iteration is one frontier join (users-sized
+  // frontier × rn-indexed chain relation), so cost is depth ×
+  // user-count, independent of total event volume past the cap.
+  val q63: Q = (s, d) => {
+    Events.read(s, d).createOrReplaceTempView("events_v")
+    s.sql(q63Text("events_v"))
+  }
+
+  private def q63Text(tbl: String): String = s"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, rn, v FROM (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               CAST(floor(value * 100) AS BIGINT) AS v
+        FROM $tbl) r
+      WHERE rn <= 50),
+    chain AS (
+      SELECT user_id, rn, LEAST(v, 100000) AS bal
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, LEAST(c.bal + e.v, 100000) AS bal
+      FROM ev e JOIN chain c
+        ON e.user_id = c.user_id AND e.rn = c.rn + 1)
+    SELECT user_id, rn, bal FROM chain"""
+
+  /** Oracle: the identical recursive SQL — DuckDB's recursive CTE and
+    * Spark's UnionLoop must agree step for step. */
+  val q63Sql: String = q63Text("events")
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1960,7 +2006,8 @@ object Relational {
     "q59_bucket_quantiles" -> q59,
     "q60_bucketed_join" -> q60,
     "q61_partition_prune" -> q61,
-    "q62_dynamic_prune" -> q62)
+    "q62_dynamic_prune" -> q62,
+    "q63_recursive_cte" -> q63)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2024,5 +2071,6 @@ object Relational {
     "q59_bucket_quantiles" -> q59Sql,
     "q60_bucketed_join" -> q60Sql,
     "q61_partition_prune" -> q61Sql,
-    "q62_dynamic_prune" -> q62Sql)
+    "q62_dynamic_prune" -> q62Sql,
+    "q63_recursive_cte" -> q63Sql)
 }
