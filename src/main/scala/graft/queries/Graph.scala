@@ -190,11 +190,252 @@ object Graph {
            COALESCE(p.tri_cnt, 0) AS tri_cnt
     FROM deg d LEFT JOIN pernode p ON d.id = p.id"""
 
+  // ---------------------------------------------------------------- g03
+  // Label-propagation communities (2 synchronous rounds) — the
+  // finer-than-connected-components grouping: CC (d08) merges everything
+  // reachable, LPA splits a weakly-bridged component into its dense
+  // sub-communities (template family A chained to family B through one
+  // borderline pair stays two labels). Deterministic variant: every node
+  // starts labeled with its own id; each round it adopts the label most
+  // frequent among its neighbors, ties broken by smallest label — a
+  // plurality vote with a total tie order, so both engines replay it
+  // exactly (integer counts only; no randomized visit order, which is
+  // what makes textbook async LPA non-reproducible).
+  //
+  // Scale shape per round: one edge-keyed join (edges × node-sized label
+  // relation) + one (node, label) count aggregate + one per-node argmax
+  // window — the same partitioning reused across both rounds, all keys
+  // node- or edge-bounded. No corpus scan; the edge relation is the
+  // banded pair set. Fixed 2 rounds bound the plan tree (LPA plateaus in
+  // 2–3 rounds on near-dup graphs: labels only travel the graph
+  // diameter, and dedup clusters are shallow).
+  val g03: Q = (s, d) => {
+    val sym = symEdges(s, d)
+    val init = sym.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    var lab = init
+    for (_ <- 1 to 2) {
+      val votes = sym
+        .join(lab.select(col("id").as("v"), col("lab")), col("src") === col("v"))
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("cnt").desc, col("lab").asc)
+      lab = votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("id"), col("lab"))
+    }
+    val sizes = lab.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("csize"))
+    lab.join(sizes, col("lab") === col("community"))
+      .select(col("id").as("doc_id"), col("community"), col("csize"))
+  }
+
+  /** Oracle: the identical two plurality-vote rounds unrolled — same
+    * (cnt DESC, lab ASC) tie order via ROW_NUMBER in both engines. */
+  val g03Sql: String = s"""
+    WITH ${Dedup.JaccardPairsCte},
+    sym AS (SELECT i AS src, j AS dst FROM pairs
+            UNION ALL SELECT j, i FROM pairs),
+    l0 AS (SELECT DISTINCT src AS id, src AS lab FROM sym),
+    v1 AS (SELECT s.dst AS id, l.lab, COUNT(*) AS cnt
+           FROM sym s JOIN l0 l ON s.src = l.id GROUP BY 1, 2),
+    l1 AS (SELECT id, lab FROM (
+             SELECT id, lab,
+                    ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY cnt DESC, lab ASC) AS rn
+             FROM v1) WHERE rn = 1),
+    v2 AS (SELECT s.dst AS id, l.lab, COUNT(*) AS cnt
+           FROM sym s JOIN l1 l ON s.src = l.id GROUP BY 1, 2),
+    l2 AS (SELECT id, lab FROM (
+             SELECT id, lab,
+                    ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY cnt DESC, lab ASC) AS rn
+             FROM v2) WHERE rn = 1),
+    sizes AS (SELECT lab AS community, COUNT(*) AS csize
+              FROM l2 GROUP BY 1)
+    SELECT l.id AS doc_id, s.community, s.csize
+    FROM l2 l JOIN sizes s ON l.lab = s.community"""
+
+  // ---------------------------------------------------------------- g04
+  // k-core peeling (k=2, 3 unrolled rounds) — density stratification of
+  // the near-dup graph: pendant docs (one borderline edge) fall out in
+  // round 1, chains unravel in later rounds, and what survives is the
+  // 2-core — the mutually-corroborated cluster interior a curation
+  // pipeline can trust for aggressive dedup (vs the peeled fringe, which
+  // deserves the conservative keep-both treatment). Output per node:
+  // the round it was peeled (1–3) or 0 = still in the core after 3
+  // rounds, plus its residual degree in the surviving subgraph.
+  //
+  // Scale shape per round: one node-sized degree aggregate + one
+  // edge-vs-removed-set filter (two semi-join-shaped anti joins on the
+  // node key). The edge relation only shrinks; the removed set is
+  // fringe-sized. 3 fixed rounds = bounded plan; full coreness would
+  // iterate to fixpoint (graph-diameter rounds) with the d08
+  // localCheckpoint pattern — the per-round shape is identical.
+  val g04: Q = (s, d) => {
+    val sym0 = symEdges(s, d)
+    val all = sym0.select(col("src").as("id")).distinct()
+    var sym = sym0
+    var active = all            // nodes not yet peeled
+    var removed = all.limit(0).withColumn("rround", lit(0))
+    for (r <- 1 to 3) {
+      val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= 2).select(col("id"))
+      // anti vs keep (not deg<2): a node isolated by the previous peel
+      // has NO surviving edges, so it is absent from deg entirely —
+      // it must still leave this round (induced degree 0 < 2)
+      val peel = active.join(keep, Seq("id"), "left_anti")
+        .select(col("id"), lit(r).as("rround"))
+      removed = removed.unionByName(peel)
+      active = keep
+      sym = sym.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+    }
+    val finalDeg = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("core_deg"))
+    all.join(removed, Seq("id"), "left")
+      .join(finalDeg, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("rround"), lit(0)).as("peel_round"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+  }
+
+  /** Oracle: 3 unrolled peel rounds — nodes with induced degree < 2
+    * leave; isolated-by-peeling nodes (all neighbors removed) have no
+    * surviving edges, so they appear via the degree-0 branch of the
+    * next round's NOT IN, same as Spark's left-semi filtered edge set. */
+  val g04Sql: String = s"""
+    WITH ${Dedup.JaccardPairsCte},
+    sym0 AS (SELECT i AS src, j AS dst FROM pairs
+             UNION ALL SELECT j, i FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM sym0),
+    d1 AS (SELECT src AS id, COUNT(*) AS deg FROM sym0 GROUP BY 1),
+    p1 AS (SELECT id FROM d1 WHERE deg < 2),
+    s1 AS (SELECT src, dst FROM sym0
+           WHERE src NOT IN (SELECT id FROM p1)
+             AND dst NOT IN (SELECT id FROM p1)),
+    d2 AS (SELECT src AS id, COUNT(*) AS deg FROM s1 GROUP BY 1),
+    p2 AS (SELECT id FROM nodes
+           WHERE id NOT IN (SELECT id FROM p1)
+             AND (id NOT IN (SELECT id FROM d2)
+                  OR id IN (SELECT id FROM d2 WHERE deg < 2))),
+    s2 AS (SELECT src, dst FROM s1
+           WHERE src NOT IN (SELECT id FROM p2)
+             AND dst NOT IN (SELECT id FROM p2)),
+    d3 AS (SELECT src AS id, COUNT(*) AS deg FROM s2 GROUP BY 1),
+    p3 AS (SELECT id FROM nodes
+           WHERE id NOT IN (SELECT id FROM p1)
+             AND id NOT IN (SELECT id FROM p2)
+             AND (id NOT IN (SELECT id FROM d3)
+                  OR id IN (SELECT id FROM d3 WHERE deg < 2))),
+    s3 AS (SELECT src, dst FROM s2
+           WHERE src NOT IN (SELECT id FROM p3)
+             AND dst NOT IN (SELECT id FROM p3)),
+    fd AS (SELECT src AS id, COUNT(*) AS core_deg FROM s3 GROUP BY 1)
+    SELECT n.id AS doc_id,
+           CASE WHEN n.id IN (SELECT id FROM p1) THEN 1
+                WHEN n.id IN (SELECT id FROM p2) THEN 2
+                WHEN n.id IN (SELECT id FROM p3) THEN 3
+                ELSE 0 END AS peel_round,
+           COALESCE(fd.core_deg, 0) AS core_deg
+    FROM nodes n LEFT JOIN fd ON n.id = fd.id"""
+
+  // ---------------------------------------------------------------- g05
+  // Common-neighbor link prediction — the recall-miss audit for the
+  // near-dup graph. The ≥0.5 Jaccard pair set is transitively closed in
+  // practice (near-dup clusters are cliques), so predicting inside it
+  // finds nothing; the signal lives one layer down. Mediation graph =
+  // WEAK-evidence pairs (≥2 shared df-capped shingles — d03's candidate
+  // relation before the Jaccard bar); prediction = two docs with ≥2
+  // common weak neighbors that are NOT a strong (≥0.5) pair. Exactly
+  // the candidate set a pipeline routes to the expensive exact
+  // re-verify pass: corroborated by multiple independent weak overlaps
+  // yet missed (or barely rejected) by the threshold.
+  //
+  // Scale shape: wedge work is Σ deg(center)², which hubs make
+  // quadratic — so centers above HubCap weak-degree are excluded from
+  // mediation (part of the operator's semantics, mirrored in the
+  // oracle, same move as the df≤50 shingle cap upstream: a
+  // shared-by-everything mediator is weak pair evidence). With the cap,
+  // wedges ≤ HubCap × |E| — linear in the (already df-capped,
+  // pair-bounded) weak edge set at any corpus size. Then one
+  // (b, c)-keyed count aggregate + one anti join against the strong
+  // pair set — no corpus scan beyond d03's own shingle build, which is
+  // computed ONCE (localCheckpoint) and sliced into both layers.
+  private val HubCap = 64
+
+  val g05: Q = (s, d) => {
+    val allp = Dedup.nearDupJaccard(s, d, threshold = 0.0,
+      maxDocFreq = Some(Dedup.D03MaxDocFreq)).localCheckpoint()
+    val weak = allp.where(col("c") >= 2).select(col("i"), col("j"))
+    val strong = allp.where(col("jaccard") >= 0.5).select(col("i"), col("j"))
+    val sym = weak.select(col("i").as("src"), col("j").as("dst"))
+      .union(weak.select(col("j").as("src"), col("i").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val centers = deg.where(col("deg") <= HubCap).select(col("id"))
+    val medEdges = sym
+      .join(centers.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+    val wedges = medEdges.as("e1")
+      .join(medEdges.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("i"), col("e2.dst").as("j"))
+    val cn = wedges.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("common_cnt"))
+      .where(col("common_cnt") >= 2)
+    cn.join(strong, Seq("i", "j"), "left_anti")
+      .select(col("i"), col("j"), col("common_cnt"))
+  }
+
+  /** Oracle: identical two-layer slice of the df-capped candidate
+    * relation, capped wedge count + anti join (NOT EXISTS). Wedge
+    * (i, j) is canonical by i < j, so no dedup step is needed. */
+  val g05Sql: String = s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM t) g
+           WHERE i <= len(w) - 2),
+    kept AS (SELECT s FROM sh GROUP BY s
+             HAVING COUNT(*) BETWEEN 2 AND ${Dedup.D03MaxDocFreq}),
+    shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+               FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    allp AS (SELECT i, j, c,
+                    CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+             FROM common
+               JOIN counts ca ON i = ca.doc_id
+               JOIN counts cb ON j = cb.doc_id),
+    weak AS (SELECT i, j FROM allp WHERE c >= 2),
+    strong AS (SELECT i, j FROM allp WHERE jaccard >= 0.5),
+    sym AS (SELECT i AS src, j AS dst FROM weak
+            UNION ALL SELECT j, i FROM weak),
+    deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),
+    med AS (SELECT s.src, s.dst FROM sym s
+            JOIN deg d ON s.src = d.id AND d.deg <= $HubCap),
+    cn AS (SELECT e1.dst AS i, e2.dst AS j, COUNT(*) AS common_cnt
+           FROM med e1 JOIN med e2
+             ON e1.src = e2.src AND e1.dst < e2.dst
+           GROUP BY 1, 2
+           HAVING COUNT(*) >= 2)
+    SELECT c.i, c.j, c.common_cnt
+    FROM cn c
+    WHERE NOT EXISTS (SELECT 1 FROM strong s
+                      WHERE s.i = c.i AND s.j = c.j)"""
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank" -> g01,
-    "g02_triangles" -> g02)
+    "g02_triangles" -> g02,
+    "g03_label_prop" -> g03,
+    "g04_kcore" -> g04,
+    "g05_link_pred" -> g05)
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
-    "g02_triangles" -> g02Sql)
+    "g02_triangles" -> g02Sql,
+    "g03_label_prop" -> g03Sql,
+    "g04_kcore" -> g04Sql,
+    "g05_link_pred" -> g05Sql)
 }

@@ -1944,6 +1944,47 @@ object Relational {
     * Spark's UnionLoop must agree step for step. */
   val q63Sql: String = q63Text("events")
 
+  // ---------------------------------------------------------------- q64
+  // Unpivot (wide → long, `Dataset.unpivot` = melt): q38's pivoted
+  // per-status quantity columns back into (status, flag, qty) rows.
+  // Spark plans unpivot as Expand — a ROW-LOCAL projection that emits
+  // one output row per value column, no shuffle, no join: the only
+  // exchange in the whole query is q38's underlying aggregate. Unlike
+  // SQL-dialect UNPIVOT (which drops NULL measures), Dataset.unpivot
+  // RETAINS null-valued rows — the oracle states that semantic
+  // explicitly as a three-arm UNION ALL, which is also exactly the
+  // rewrite a user would hand-write in an engine without melt.
+  val q64: Q = (s, d) => {
+    val wide = Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+    wide.unpivot(
+      ids = Array(col("l_linestatus")),
+      values = Array(col("A"), col("N"), col("R")),
+      variableColumnName = "flag",
+      valueColumnName = "qty")
+  }
+
+  val q64Sql: String = """
+    WITH wide AS (
+      SELECT l_linestatus,
+             CAST(SUM(CASE WHEN l_returnflag = 'A'
+                      THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+               AS qty_a,
+             CAST(SUM(CASE WHEN l_returnflag = 'N'
+                      THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+               AS qty_n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+               AS qty_r
+      FROM lineitem GROUP BY l_linestatus)
+    SELECT l_linestatus, 'A' AS flag, qty_a AS qty FROM wide
+    UNION ALL
+    SELECT l_linestatus, 'N', qty_n FROM wide
+    UNION ALL
+    SELECT l_linestatus, 'R', qty_r FROM wide"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2007,7 +2048,8 @@ object Relational {
     "q60_bucketed_join" -> q60,
     "q61_partition_prune" -> q61,
     "q62_dynamic_prune" -> q62,
-    "q63_recursive_cte" -> q63)
+    "q63_recursive_cte" -> q63,
+    "q64_unpivot" -> q64)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2072,5 +2114,6 @@ object Relational {
     "q60_bucketed_join" -> q60Sql,
     "q61_partition_prune" -> q61Sql,
     "q62_dynamic_prune" -> q62Sql,
-    "q63_recursive_cte" -> q63Sql)
+    "q63_recursive_cte" -> q63Sql,
+    "q64_unpivot" -> q64Sql)
 }
