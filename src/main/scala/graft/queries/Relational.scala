@@ -1985,6 +1985,46 @@ object Relational {
     UNION ALL
     SELECT l_linestatus, 'R', qty_r FROM wide"""
 
+  // ---------------------------------------------------------------- q65
+  // Markov transition matrix over the event stream: for every user,
+  // order events by time and count (previous type → type) transitions,
+  // then normalize each row of the matrix to probabilities. This is
+  // the classic clickstream/user-journey model (and the base relation
+  // for next-event prediction). Plan: lag() over a user-partitioned
+  // time-ordered window — ONE shuffle on user_id plus a per-partition
+  // sort, identical to sessionization (q20) — then a hash aggregate
+  // down to the |types|² transition matrix, which is tiny at any
+  // scale, so the row-total window over it is free. Tie-break on
+  // event_id makes the per-user order total, so both engines see the
+  // same predecessor at equal timestamps; the probability is one
+  // exact-integer division.
+  val q65: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Events.read(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("row_tot",
+        sum(col("c")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("p", col("c").cast("double") / col("row_tot"))
+  }
+
+  val q65Sql: String = """
+    WITH tr AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    c AS (SELECT prev_type, event_type, COUNT(*) AS c
+          FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, event_type, c,
+           CAST(SUM(c) OVER (PARTITION BY prev_type) AS BIGINT) AS row_tot,
+           CAST(c AS DOUBLE) /
+             CAST(SUM(c) OVER (PARTITION BY prev_type) AS BIGINT) AS p
+    FROM c"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2049,7 +2089,8 @@ object Relational {
     "q61_partition_prune" -> q61,
     "q62_dynamic_prune" -> q62,
     "q63_recursive_cte" -> q63,
-    "q64_unpivot" -> q64)
+    "q64_unpivot" -> q64,
+    "q65_markov" -> q65)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2115,5 +2156,6 @@ object Relational {
     "q61_partition_prune" -> q61Sql,
     "q62_dynamic_prune" -> q62Sql,
     "q63_recursive_cte" -> q63Sql,
-    "q64_unpivot" -> q64Sql)
+    "q64_unpivot" -> q64Sql,
+    "q65_markov" -> q65Sql)
 }

@@ -1530,6 +1530,114 @@ object Similarity {
     GROUP BY c.vec_id
     ORDER BY approx_dot DESC, c.vec_id ASC LIMIT 5"""
 
+  // ---------------------------------------------------------------- s17
+  // LSH-DBSCAN density clustering over the embedding space — the
+  // density-based complement to s06/s14's centroid clustering (finds
+  // arbitrarily-shaped clusters, labels sparse points noise instead of
+  // force-assigning them). The neighborhood relation is DEFINED over
+  // the LSH candidate pairs (same 6-sign-bit bucket AND cosine ≥ 0.2),
+  // which makes the operator deterministic and engine-portable:
+  //   core   = point with ≥ 2 such neighbors
+  //   cluster = connected component (min reachable id) of core–core
+  //             edges; singleton cores are their own cluster
+  //   border = non-core with ≥ 1 core neighbor → that core's cluster
+  //            (min across candidates, so the pick is total)
+  //   noise  = everything else (cluster NULL)
+  // Plan shape at 100 TB: candidate pairs come from a self-join on the
+  // bucket key — one shuffle, bucket-bounded work, never all-pairs
+  // (more bits at bigger corpora keep bucket population constant);
+  // degrees and roles are two hash aggregates; components run Dedup's
+  // iterative min-label CC (log-diameter rounds, localCheckpoint-ed)
+  // over the core-core edge subset, which real corpora keep sparse.
+  val s17: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketExpr("embedding"))
+      .withColumn("nsq", qnormsq("embedding"))
+    val pairs = e.select(col("vec_id").as("i"), col("embedding").as("ea"),
+        col("bucket"), col("nsq").as("na"))
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("eb"),
+        col("bucket"), col("nsq").as("nb")), Seq("bucket"))
+      .filter(col("i") < col("j"))
+      .withColumn("cosine",
+        qdot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cosine") >= 0.2)
+      .select(col("i"), col("j"))
+    val sym = pairs.union(pairs.select(col("j").as("i"), col("i").as("j")))
+    val deg = e.select(col("vec_id"))
+      .join(sym.groupBy(col("i").as("vec_id")).agg(count(lit(1)).as("deg")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"))
+    val core = deg.filter(col("deg") >= 2).select(col("vec_id"))
+    val coreEdges = pairs
+      .join(core.select(col("vec_id").as("i")), Seq("i"), "left_semi")
+      .join(core.select(col("vec_id").as("j")), Seq("j"), "left_semi")
+    val comp = Dedup.connectedComponents(coreEdges, "i", "j")
+    val coreC = core
+      .join(comp.select(col("id").as("vec_id"), col("comp")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("cl"))
+    val borderC = sym
+      .join(coreC.select(col("vec_id").as("j"), col("cl")), Seq("j"))
+      .join(core.select(col("vec_id").as("i")), Seq("i"), "left_anti")
+      .groupBy(col("i").as("vec_id")).agg(min(col("cl")).as("cl"))
+    deg
+      .join(coreC.select(col("vec_id"), col("cl").as("core_cl")),
+        Seq("vec_id"), "left")
+      .join(borderC.select(col("vec_id"), col("cl").as("border_cl")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg"),
+        when(col("core_cl").isNotNull, "core")
+          .when(col("border_cl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cl"), col("border_cl")).as("cluster"))
+  }
+
+  val s17Sql: String = s"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding,
+             (SELECT CAST(SUM(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                                   THEN (1 << (i - 1)) ELSE 0 END) AS INTEGER)
+              FROM range(1, 7) r(i)) AS bucket,
+             (SELECT SUM(CAST(embedding[i] AS DOUBLE) *
+                         CAST(embedding[i] AS DOUBLE))
+              FROM range(1, 65) r(i)) AS nsq
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS i, c.vec_id AS j
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) *
+                        CAST(c.embedding[i] AS DOUBLE))
+             FROM range(1, 65) r(i)) / (sqrt(a.nsq) * sqrt(c.nsq)) >= 0.2),
+    sym AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
+    deg AS (SELECT e.vec_id, CAST(COALESCE(dd.deg, 0) AS BIGINT) AS deg
+            FROM embeddings e LEFT JOIN
+              (SELECT i AS vec_id, COUNT(*) AS deg FROM sym GROUP BY i) dd
+              USING (vec_id)),
+    core AS (SELECT vec_id FROM deg WHERE deg >= 2),
+    ce AS (SELECT i, j FROM pairs
+           WHERE i IN (SELECT vec_id FROM core)
+             AND j IN (SELECT vec_id FROM core)),
+    cesym AS (SELECT i AS a, j AS b FROM ce UNION ALL SELECT j, i FROM ce),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM cesym
+      UNION
+      SELECT s.a, reach.r FROM cesym s JOIN reach ON s.b = reach.id),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    corec AS (SELECT c.vec_id, COALESCE(m.comp, c.vec_id) AS cl
+              FROM core c LEFT JOIN comp m ON c.vec_id = m.id),
+    borderc AS (SELECT s.i AS vec_id, MIN(k.cl) AS cl
+                FROM sym s JOIN corec k ON s.j = k.vec_id
+                WHERE s.i NOT IN (SELECT vec_id FROM core)
+                GROUP BY s.i)
+    SELECT d.vec_id, d.deg,
+           CASE WHEN cc.vec_id IS NOT NULL THEN 'core'
+                WHEN bc.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cc.cl, bc.cl) AS cluster
+    FROM deg d
+      LEFT JOIN corec cc USING (vec_id)
+      LEFT JOIN borderc bc USING (vec_id)"""
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> s01,
     "s02_ann_bitlsh" -> s02,
@@ -1546,7 +1654,8 @@ object Similarity {
     "s13_ivfpq_index" -> s13,
     "s14_kmeans_train" -> s14,
     "s15_graph_ann" -> s15,
-    "s16_ivf_incremental" -> s16)
+    "s16_ivf_incremental" -> s16,
+    "s17_dbscan" -> s17)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -1564,5 +1673,6 @@ object Similarity {
     "s13_ivfpq_index" -> s13Sql,
     "s14_kmeans_train" -> s14Sql,
     "s15_graph_ann" -> s15Sql,
-    "s16_ivf_incremental" -> s16Sql)
+    "s16_ivf_incremental" -> s16Sql,
+    "s17_dbscan" -> s17Sql)
 }

@@ -1648,6 +1648,77 @@ $union
     FROM dv v JOIN mad USING (source)
     WHERE v.dev > 3 * mad.mad"""
 
+  // ---------------------------------------------------------------- t26
+  // BM25 salient terms — t09's TF-IDF with the document-length
+  // normalization real retrieval stacks use (Robertson/Sparck-Jones,
+  // k1=6/5, b=3/4). Both factors stay exact integer ratios so the
+  // score is two correctly-rounded IEEE divisions and one
+  // multiplication — identical bit-for-bit in any engine, zero libm:
+  //   idf  = (2N - 2df + 1) / (2df + 1)          [≡ (N-df+.5)/(df+.5)]
+  //   core = 22·tf·L / (10·L·tf + 3·L + 9·dl·N)  [num/den × 10L of the
+  //          textbook tf·(k1+1)/(tf + k1(1-b+b·dl/avgdl)), avgdl=L/N]
+  // log(idf) is monotone, so rankings match the classic form. Scored
+  // docs are capped (doc_id < 200) like t09; df/dl/L/N come from the
+  // FULL corpus. Plan: one tokenize + three hash aggregates; df rides
+  // the size-guarded broadcast (Heaps-law sublinear), L and N join as
+  // scalar broadcasts, and the per-doc top-5 window shuffles only the
+  // capped scored slice. At 100 TB the uncapped variant is the same
+  // plan — map-side score against the broadcast vocabulary, then a
+  // per-doc top-k. Integer bound: 10·L·tf stays under 2^63 up to
+  // ~10^15 corpus tokens × tf 1000 — beyond that, lift to DECIMAL(38).
+  val t26: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.filter(col("doc_id") < 200)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tok.distinct().groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    val tot = tok.agg(count(lit(1)).as("big_l"))
+      .crossJoin(Tables.documents(s, d).agg(count(lit(1)).as("n_docs")))
+    val scored = tf
+      .join(dl, Seq("doc_id"))
+      .join(Hints.broadcastIfSmall(df), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bm25",
+        ((lit(2) * col("n_docs") - lit(2) * col("dfc") + lit(1)).cast("double") /
+          (lit(2) * col("dfc") + lit(1)).cast("double")) *
+        ((lit(22) * col("tf") * col("big_l")).cast("double") /
+          (lit(10) * col("big_l") * col("tf") + lit(3) * col("big_l") +
+            lit(9) * col("dl") * col("n_docs")).cast("double")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("bm25").desc, col("w").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("dl"),
+        col("dfc"), col("bm25"), col("rk").cast("int").as("rk"))
+  }
+
+  val t26Sql: String = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+           WHERE doc_id < 200 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    df AS (SELECT w, COUNT(*) AS dfc FROM (SELECT DISTINCT doc_id, w FROM tok) t
+           GROUP BY w),
+    tot AS (SELECT (SELECT COUNT(*) FROM tok) AS big_l,
+                   (SELECT COUNT(*) FROM documents) AS n_docs),
+    scored AS (
+      SELECT tf.doc_id, tf.w, tf.tf, dl.dl, df.dfc,
+             (CAST(2 * n_docs - 2 * dfc + 1 AS DOUBLE) /
+              CAST(2 * dfc + 1 AS DOUBLE)) *
+             (CAST(22 * tf * big_l AS DOUBLE) /
+              CAST(10 * big_l * tf + 3 * big_l + 9 * dl * n_docs AS DOUBLE))
+               AS bm25
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN tot)
+    SELECT doc_id, w AS term, tf, dl, dfc, bm25, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY bm25 DESC, w ASC) AS rk
+          FROM scored) r
+    WHERE rk <= 5"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -1675,7 +1746,8 @@ $union
     "t22_bigram_fluency" -> t22,
     "t23_source_drift" -> t23,
     "t24_bpe_apply" -> t24,
-    "t25_robust_outliers" -> t25)
+    "t25_robust_outliers" -> t25,
+    "t26_bm25" -> t26)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -1704,5 +1776,6 @@ $union
     "t22_bigram_fluency" -> t22Sql,
     "t23_source_drift" -> t23Sql,
     "t24_bpe_apply" -> t24Sql,
-    "t25_robust_outliers" -> t25Sql)
+    "t25_robust_outliers" -> t25Sql,
+    "t26_bm25" -> t26Sql)
 }

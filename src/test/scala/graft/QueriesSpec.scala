@@ -494,6 +494,47 @@ class QueriesSpec extends SparkSpec {
       s"multi-probe bought no recall: $multi vs $single")
   }
 
+  test("s17 DBSCAN roles are density-consistent") {
+    val rows = SparkEntry.queries("s17_dbscan")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, role) = (r.getAs[Long]("deg"), r.getAs[String]("role"))
+      role match {
+        case "core"  => assert(deg >= 2 && !r.isNullAt(r.fieldIndex("cluster")))
+        case "border" =>
+          assert(deg < 2 && !r.isNullAt(r.fieldIndex("cluster")))
+        case "noise" => assert(r.isNullAt(r.fieldIndex("cluster")))
+      }
+    }
+    // every labeled cluster id is itself a core point's vec_id
+    val coreIds = rows.filter(_.getAs[String]("role") == "core")
+      .map(_.getAs[Long]("vec_id")).toSet
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(coreIds.contains(r.getAs[Long]("cluster")))
+    }
+  }
+
+  test("q65 Markov rows are probability-normalized per predecessor") {
+    val rows = SparkEntry.queries("q65_markov")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (_, rs) =>
+      val tot = rs.head.getAs[Long]("row_tot")
+      assert(rs.map(_.getAs[Long]("c")).sum == tot)
+      assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("t26 BM25 length normalization penalizes long documents") {
+    val rows = SparkEntry.queries("t26_bm25")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // top-5 per doc, ranked, positive scores
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rs.length))
+    }
+    assert(rows.forall(_.getAs[Double]("bm25") > 0))
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
