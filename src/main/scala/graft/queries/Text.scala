@@ -1719,6 +1719,160 @@ $union
           FROM scored) r
     WHERE rk <= 5"""
 
+  // ---------------------------------------------------------------- t27
+  // Trigram stupid-backoff language-model scoring — the CCNet/KenLM
+  // quality-filter shape: train n-gram counts on a held-out corpus
+  // slice (doc_id ≥ 100), score each eval document (doc_id < 100) by
+  // summed log-probability under stupid backoff (Brants et al. 2007):
+  //   P(w3|w1 w2) = c3/c2(w1,w2)            if the trigram was seen
+  //               = 0.4 · c2(w2,w3)/c1(w2)  else if the bigram was
+  //               = 0.4² · (c1(w3)+1)/(T+V) else (add-one unigram)
+  // The entire score lives in EXACT milli-log10 integer space via the
+  // same libm-free fixed-point expression t19 uses (log(a/b) =
+  // mlog(a) − mlog(b); the 0.4 factor is mlog(2) − mlog(5)), so the
+  // per-document sum is a bigint both engines agree on bit-for-bit.
+  // Plan at 100 TB: n-gram counting is three hash aggregates over the
+  // training shard; the eval join rides size-guarded broadcasts (c3
+  // grows ~linearly with training tokens, so it degrades gracefully to
+  // a shuffle join exactly when broadcast would die); scoring itself
+  // is codegen'd projection — no UDF, no driver loop. The oracle
+  // computes milli-log10 once per DISTINCT count value (a Heaps-law-
+  // small relation), not per trigram row.
+  val t27: Q = (s, d) => {
+    import graft.functions.TextExprs.milliLog10
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+    def ngrams(df: DataFrame, n: Int): DataFrame = {
+      val ws = (1 to n).map(k =>
+        element_at(col("a"), col("i") + lit(k - 1)).as(s"w$k"))
+      df.filter(size(col("a")) >= n)
+        .select(col("doc_id"),
+          explode(expr(s"sequence(1, size(a) - ${n - 1})")).as("i"), col("a"))
+        .select(col("doc_id") +: ws: _*)
+    }
+    val train = docs.filter(col("doc_id") >= 100)
+    val trTok = train.select(explode(col("a")).as("w"))
+    val c1 = trTok.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val c2 = ngrams(train, 2).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c3 = ngrams(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val tot = trTok.agg((count(lit(1)) + countDistinct(col("w"))).as("tv"))
+    val ev = ngrams(docs.filter(col("doc_id") < 100), 3)
+    val j = ev
+      .join(Hints.broadcastIfSmall(c3), Seq("w1", "w2", "w3"), "left")
+      .join(Hints.broadcastIfSmall(c2
+        .select(col("w1"), col("w2"), col("c2").as("cp"))),
+        Seq("w1", "w2"), "left")
+      .join(Hints.broadcastIfSmall(c2
+        .select(col("w1").as("w2"), col("w2").as("w3"), col("c2").as("cs"))),
+        Seq("w2", "w3"), "left")
+      .join(Hints.broadcastIfSmall(c1
+        .select(col("w").as("w2"), col("c1").as("cu2"))), Seq("w2"), "left")
+      .join(Hints.broadcastIfSmall(c1
+        .select(col("w").as("w3"), col("c1").as("cu3"))), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+    val bk = milliLog10(lit(2L)) - milliLog10(lit(5L)) // mlog(0.4) < 0
+    j.withColumn("lvl",
+        when(col("c3").isNotNull, 3)
+          .when(col("cs").isNotNull, 2).otherwise(1))
+      .withColumn("sm",
+        when(col("c3").isNotNull, milliLog10(col("c3")) - milliLog10(col("cp")))
+          .when(col("cs").isNotNull,
+            bk + milliLog10(col("cs")) - milliLog10(col("cu2")))
+          .otherwise(bk + bk +
+            milliLog10(coalesce(col("cu3"), lit(0L)) + lit(1L)) -
+            milliLog10(col("tv"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_hit2"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_backoff"),
+        sum(col("sm")).as("score_milli"))
+  }
+
+  /** Oracle-side milli-log10 chain over the DISTINCT count values
+    * relation `vals(v)` → `ml(v, mlog)`: the same 24-squaring exact
+    * fixed-point algorithm as [[milliLog10Ctes]], keyed by the value
+    * itself instead of a passthrough block column. */
+  private def milliLogValsCtes: String = {
+    val t = "(cast(y as hugeint) * cast(y as hugeint)) // 10000000000000000"
+    val init = "ml0 AS (SELECT v,\n" +
+      "      length(cast(v as string)) - 1 AS d,\n" +
+      "      cast(concat('1', repeat('0', 16 - (length(cast(v as string)) - 1)))" +
+      " as hugeint) * cast(v as hugeint) AS y,\n" +
+      "      cast(0 as hugeint) AS f FROM vals)"
+    val steps = (1 to MilliLogBits).map { i =>
+      s"ml$i AS (SELECT v, d,\n" +
+        s"      case when $t >= 100000000000000000 then ($t) // 10" +
+        s" else $t end AS y,\n" +
+        s"      f * 2 + (case when $t >= 100000000000000000 then 1 else 0 end)" +
+        s" AS f\n    FROM ml${i - 1})"
+    }
+    val fin = s"ml AS (SELECT v, cast(d as bigint) * 1000 + " +
+      s"(cast(f as bigint) * 1000 + ${1 << (MilliLogBits - 1)}) // " +
+      s"${1 << MilliLogBits} AS mlog FROM ml$MilliLogBits)"
+    (Seq(init) ++ steps :+ fin).mkString(",\n    ")
+  }
+
+  val t27Sql: String = s"""
+    WITH RECURSIVE
+    tr AS (SELECT doc_id, string_split(text, ' ') AS a
+           FROM documents WHERE doc_id >= 100),
+    trpos AS (SELECT a, generate_subscripts(a, 1) AS i FROM tr),
+    trtok AS (SELECT a[i] AS w FROM trpos),
+    c1 AS (SELECT w, COUNT(*) AS c1 FROM trtok GROUP BY w),
+    c2 AS (SELECT a[i] AS w1, a[i + 1] AS w2, COUNT(*) AS c2
+           FROM trpos WHERE i <= len(a) - 1 GROUP BY 1, 2),
+    c3 AS (SELECT a[i] AS w1, a[i + 1] AS w2, a[i + 2] AS w3, COUNT(*) AS c3
+           FROM trpos WHERE i <= len(a) - 2 GROUP BY 1, 2, 3),
+    tot AS (SELECT (SELECT COUNT(*) FROM trtok) +
+                   (SELECT COUNT(DISTINCT w) FROM trtok) AS tv),
+    evpos AS (SELECT doc_id, a, generate_subscripts(a, 1) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents WHERE doc_id < 100) e),
+    ev AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2, a[i + 2] AS w3
+           FROM evpos WHERE i <= len(a) - 2),
+    j AS (SELECT ev.doc_id, c3.c3, cp.c2 AS cp, cs.c2 AS cs,
+                 u2.c1 AS cu2, u3.c1 AS cu3, tot.tv
+          FROM ev
+            LEFT JOIN c3 ON ev.w1 = c3.w1 AND ev.w2 = c3.w2 AND ev.w3 = c3.w3
+            LEFT JOIN c2 cp ON ev.w1 = cp.w1 AND ev.w2 = cp.w2
+            LEFT JOIN c2 cs ON ev.w2 = cs.w1 AND ev.w3 = cs.w2
+            LEFT JOIN c1 u2 ON ev.w2 = u2.w
+            LEFT JOIN c1 u3 ON ev.w3 = u3.w
+            CROSS JOIN tot),
+    vals AS (SELECT c3 AS v FROM c3
+             UNION SELECT c2 FROM c2
+             UNION SELECT c1 FROM c1
+             UNION SELECT c1 + 1 FROM c1
+             UNION SELECT 1 UNION SELECT 2 UNION SELECT 5
+             UNION SELECT tv FROM tot),
+    ${milliLogValsCtes},
+    bkc AS (SELECT (SELECT mlog FROM ml WHERE v = 2) -
+                   (SELECT mlog FROM ml WHERE v = 5) AS bk),
+    sc AS (SELECT j.doc_id,
+             CASE WHEN j.c3 IS NOT NULL THEN 3
+                  WHEN j.cs IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+             CASE WHEN j.c3 IS NOT NULL THEN m3.mlog - mp.mlog
+                  WHEN j.cs IS NOT NULL THEN bk + ms.mlog - m2w.mlog
+                  ELSE bk + bk + mu.mlog - mt.mlog END AS sm
+           FROM j
+             LEFT JOIN ml m3 ON m3.v = j.c3
+             LEFT JOIN ml mp ON mp.v = j.cp
+             LEFT JOIN ml ms ON ms.v = j.cs
+             LEFT JOIN ml m2w ON m2w.v = j.cu2
+             JOIN ml mu ON mu.v = COALESCE(j.cu3, 0) + 1
+             JOIN ml mt ON mt.v = j.tv
+             CROSS JOIN bkc)
+    SELECT doc_id, COUNT(*) AS n_tri,
+           CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff,
+           CAST(SUM(sm) AS BIGINT) AS score_milli
+    FROM sc GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -1747,7 +1901,8 @@ $union
     "t23_source_drift" -> t23,
     "t24_bpe_apply" -> t24,
     "t25_robust_outliers" -> t25,
-    "t26_bm25" -> t26)
+    "t26_bm25" -> t26,
+    "t27_lm_backoff" -> t27)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -1777,5 +1932,6 @@ $union
     "t23_source_drift" -> t23Sql,
     "t24_bpe_apply" -> t24Sql,
     "t25_robust_outliers" -> t25Sql,
-    "t26_bm25" -> t26Sql)
+    "t26_bm25" -> t26Sql,
+    "t27_lm_backoff" -> t27Sql)
 }

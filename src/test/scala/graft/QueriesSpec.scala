@@ -535,6 +535,18 @@ class QueriesSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("bm25") > 0))
   }
 
+  test("t27 backoff levels partition every trigram; log-probs are negative") {
+    val rows = SparkEntry.queries("t27_lm_backoff")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit3") + r.getAs[Long]("n_hit2") +
+        r.getAs[Long]("n_backoff") == r.getAs[Long]("n_tri"))
+      // every conditional probability is ≤ 1, so the summed log is ≤ 0
+      assert(r.getAs[Long]("score_milli") <= 0L)
+    }
+    assert(rows.exists(_.getAs[Long]("score_milli") < 0L))
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
