@@ -1900,15 +1900,18 @@ object Relational {
 
   // ---------------------------------------------------------------- q63
   // Native recursive CTE (Spark 4's UnionLoop) — a clamped token-bucket
-  // replay per user: bal_n = LEAST(bal_{n-1} + v_n, cap). The clamp
-  // makes the recurrence NON-ASSOCIATIVE — no window frame or running
-  // aggregate can state it (a window sum can't "forget" the overflow a
-  // past clamp discarded) — so this is the one operator class that
-  // genuinely needs the engine's recursion, not a rewrite. Both engines
-  // run the SAME recursive SQL text (Spark only supports UNION ALL
-  // recursion, and the per-user event chain is a forest — each row has
-  // exactly one successor — so UNION ALL terminates without cycle
-  // blowup at exactly depth = chain length).
+  // replay per user: bal_n = LEAST(bal_{n-1} + v_n, cap). The
+  // row-at-a-time recurrence is not a plain associative running
+  // aggregate (a window SUM can't "forget" the overflow a past clamp
+  // discarded; this one-sided clamp DOES admit the prefix-sum/
+  // running-max closed form min(S_n, cap + S_n − max_{k≤n} S_k), and a
+  // two-sided clamp would need a sequential fold), so it is the
+  // natural verifiable instance for the engine's general recursion
+  // mechanism — the operator class this query exists to cover. Both
+  // engines run the SAME recursive semantics (Spark only supports
+  // UNION ALL recursion, and the per-user event chain is a forest —
+  // each row has exactly one successor — so UNION ALL terminates
+  // without cycle blowup at exactly depth = chain length).
   //
   // Exactness: v quantizes value to integer cents (floor(value*100) —
   // one deterministic IEEE op each side), so bal is BIGINT arithmetic
@@ -1917,9 +1920,39 @@ object Relational {
   // — each UnionLoop iteration is one frontier join (users-sized
   // frontier × rn-indexed chain relation), so cost is depth ×
   // user-count, independent of total event volume past the cap.
+  // The windowed rn-indexed chain relation is MATERIALIZED (eager
+  // localCheckpoint) before entering the recursion: UnionLoop inlines
+  // non-recursive CTEs into every iteration, so without this each of
+  // the 50 steps would re-scan events and re-run the row_number sort —
+  // 50× the window cost for identical results. After checkpointing,
+  // each iteration is one hash join of the user-sized frontier against
+  // an in-memory users×50 relation.
   val q63: Q = (s, d) => {
-    Events.read(s, d).createOrReplaceTempView("events_v")
-    s.sql(q63Text("events_v"))
+    import org.apache.spark.sql.expressions.Window
+    val ev = Events.read(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= 50)
+      .select(col("user_id"), col("rn"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .localCheckpoint()
+    ev.createOrReplaceTempView("ev_chain_v")
+    // Size-guarded broadcast of the static chain side: the frontier
+    // join then runs shuffle-free in every iteration (the dominant
+    // cost at small scale is 50× shuffle scheduling, not work). Past
+    // the guard (billions of users) the hint drops out and each step
+    // is the plain shuffled equi-join — the correct plan there.
+    val hint =
+      if (ev.count() <= 500000) "/*+ BROADCAST(e) */ " else ""
+    s.sql(s"""
+      WITH RECURSIVE chain AS (
+        SELECT user_id, rn, LEAST(v, 100000) AS bal
+        FROM ev_chain_v WHERE rn = 1
+        UNION ALL
+        SELECT $hint e.user_id, e.rn, LEAST(c.bal + e.v, 100000) AS bal
+        FROM ev_chain_v e JOIN chain c
+          ON e.user_id = c.user_id AND e.rn = c.rn + 1)
+      SELECT user_id, rn, bal FROM chain""")
   }
 
   private def q63Text(tbl: String): String = s"""
