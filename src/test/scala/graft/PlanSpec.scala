@@ -427,6 +427,33 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("s17: DBSCAN candidate generation is bucket-banded, never all-pairs") {
+    val p = formatted(SparkEntry.queries("s17_dbscan")(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH-DBSCAN neighbor join must stay an equi-join on the bucket:\n" +
+        p.take(3000))
+  }
+
+  test("t26/t27: n-gram count relations ride size-guarded broadcasts") {
+    // BM25's df table and the backoff LM's c1/c2/c3 tables are the
+    // Heaps-bounded small sides — under the guard they broadcast, so
+    // the scored/eval side never shuffles for the lookup joins.
+    Seq("t26_bm25", "t27_lm_backoff").foreach { name =>
+      val p = formatted(SparkEntry.queries(name)(spark, sf0001))
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian\n")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: expected broadcast count-table joins:\n${p.take(3000)}")
+    }
+  }
+
+  test("q65: transition matrix shuffles once on user_id, then row-local") {
+    val p = formatted(SparkEntry.queries("q65_markov")(spark, sf0001))
+    // lag window shuffle + count aggregate + tiny row-total window:
+    // the |types|^2 matrix relation must not fan out further
+    assert(exchanges(p) <= 3, s"q65 shuffles more than the contract:\n$p")
+  }
+
   test("d19: the incremental merge broadcasts into the label relation") {
     // The 100 TB contract: the corpus-sized label relation is scanned,
     // never shuffled — the delta->representative lookup and the
