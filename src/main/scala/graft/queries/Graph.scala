@@ -210,10 +210,20 @@ object Graph {
   // 2–3 rounds on near-dup graphs: labels only travel the graph
   // diameter, and dedup clusters are shallow).
   val g03: Q = (s, d) => {
+    val lab = lpaLabels(s, d)
+    val sizes = lab.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("csize"))
+    lab.join(sizes, col("lab") === col("community"))
+      .select(col("id").as("doc_id"), col("community"), col("csize"))
+  }
+
+  /** The two deterministic plurality-vote rounds shared by g03 (the
+    * community report) and g06 (the modularity audit of those same
+    * communities): (id, lab) for every node of the near-dup graph. */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
     val sym = symEdges(s, d)
-    val init = sym.select(col("src").as("id")).distinct()
+    var lab = sym.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
-    var lab = init
     for (_ <- 1 to 2) {
       val votes = sym
         .join(lab.select(col("id").as("v"), col("lab")), col("src") === col("v"))
@@ -225,16 +235,13 @@ object Graph {
       lab = votes.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1).select(col("id"), col("lab"))
     }
-    val sizes = lab.groupBy(col("lab").as("community"))
-      .agg(count(lit(1)).as("csize"))
-    lab.join(sizes, col("lab") === col("community"))
-      .select(col("id").as("doc_id"), col("community"), col("csize"))
+    lab
   }
 
-  /** Oracle: the identical two plurality-vote rounds unrolled — same
-    * (cnt DESC, lab ASC) tie order via ROW_NUMBER in both engines. */
-  val g03Sql: String = s"""
-    WITH ${Dedup.JaccardPairsCte},
+  /** Oracle-side statement of the same two LPA rounds, ending in
+    * `l2(id, lab)` — shared CTE text for g03Sql and g06Sql. Assumes
+    * `pairs` (the d03 pair CTE) is already in scope. */
+  private val LpaCtes: String = """
     sym AS (SELECT i AS src, j AS dst FROM pairs
             UNION ALL SELECT j, i FROM pairs),
     l0 AS (SELECT DISTINCT src AS id, src AS lab FROM sym),
@@ -251,7 +258,13 @@ object Graph {
              SELECT id, lab,
                     ROW_NUMBER() OVER (PARTITION BY id
                                        ORDER BY cnt DESC, lab ASC) AS rn
-             FROM v2) WHERE rn = 1),
+             FROM v2) WHERE rn = 1)"""
+
+  /** Oracle: the identical two plurality-vote rounds unrolled — same
+    * (cnt DESC, lab ASC) tie order via ROW_NUMBER in both engines. */
+  val g03Sql: String = s"""
+    WITH ${Dedup.JaccardPairsCte},
+    $LpaCtes,
     sizes AS (SELECT lab AS community, COUNT(*) AS csize
               FROM l2 GROUP BY 1)
     SELECT l.id AS doc_id, s.community, s.csize
@@ -425,17 +438,88 @@ object Graph {
     WHERE NOT EXISTS (SELECT 1 FROM strong s
                       WHERE s.i = c.i AND s.j = c.j)"""
 
+  // ---------------------------------------------------------------- g06
+  // Modularity audit of the LPA communities — the quality gate on g03's
+  // partition before a pipeline trusts it for aggressive dedup: per
+  // community, Newman's Q contribution e_c/m − (d_c/2m)², kept as an
+  // EXACT integer numerator q_num = 4·m·e_c − d_c² over the common
+  // denominator 4m² (one final IEEE division for the reported ratio —
+  // deterministic in both engines, everything upstream BIGINT). A
+  // community whose q_num ≤ 0 has no more internal edges than the
+  // degree-random null model predicts — a bridge artifact to keep
+  // conservative, not a template family to collapse.
+  //
+  // Scale shape: two label-keyed joins of the pair relation against
+  // the node-sized label relation (edge-bounded), one degree
+  // aggregate, one per-community rollup — nothing touches the corpus,
+  // and m (the scalar edge count) joins as a broadcast literal.
+  val g06: Q = (s, d) => {
+    val pairs = Dedup.jaccardPairs(s, d).select(col("i"), col("j"))
+    val lab = lpaLabels(s, d)
+    val deg = symEdges(s, d).groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val ein = pairs
+      .join(lab.select(col("id").as("i"), col("lab").as("li")), Seq("i"))
+      .join(lab.select(col("id").as("j"), col("lab").as("lj")), Seq("j"))
+      .filter(col("li") === col("lj"))
+      .groupBy(col("li").as("community")).agg(count(lit(1)).as("e_in"))
+    val dc = lab.join(deg, Seq("id"))
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_tot"))
+    dc.join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+        (lit(4) * col("m") * coalesce(col("e_in"), lit(0L)) -
+          col("d_tot") * col("d_tot")).as("q_num"),
+        ((lit(4) * col("m") * coalesce(col("e_in"), lit(0L)) -
+          col("d_tot") * col("d_tot")).cast("double") /
+          (lit(4) * col("m") * col("m")).cast("double")).as("q_ratio"))
+  }
+
+  /** Oracle: identical label relation (shared LPA CTEs) and identical
+    * integer modularity numerator; the one division is stated with the
+    * same operand casts so the IEEE result matches bit-for-bit. */
+  val g06Sql: String = s"""
+    WITH ${Dedup.JaccardPairsCte},
+    $LpaCtes,
+    deg AS (SELECT src AS id, COUNT(*) AS deg
+            FROM (SELECT i AS src FROM pairs
+                  UNION ALL SELECT j FROM pairs) t
+            GROUP BY 1),
+    mm AS (SELECT COUNT(*) AS m FROM pairs),
+    ein AS (SELECT li.lab AS community, COUNT(*) AS e_in
+            FROM pairs p
+              JOIN l2 li ON p.i = li.id
+              JOIN l2 lj ON p.j = lj.id
+            WHERE li.lab = lj.lab
+            GROUP BY 1),
+    dc AS (SELECT l.lab AS community, COUNT(*) AS n_nodes,
+                  CAST(SUM(dg.deg) AS BIGINT) AS d_tot
+           FROM l2 l JOIN deg dg ON l.id = dg.id
+           GROUP BY 1)
+    SELECT dc.community, dc.n_nodes, COALESCE(ein.e_in, 0) AS e_in,
+           dc.d_tot,
+           4 * m * COALESCE(ein.e_in, 0) - dc.d_tot * dc.d_tot AS q_num,
+           CAST(4 * m * COALESCE(ein.e_in, 0) - dc.d_tot * dc.d_tot
+                AS DOUBLE) /
+             CAST(4 * m * m AS DOUBLE) AS q_ratio
+    FROM dc LEFT JOIN ein USING (community) CROSS JOIN mm"""
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank" -> g01,
     "g02_triangles" -> g02,
     "g03_label_prop" -> g03,
     "g04_kcore" -> g04,
-    "g05_link_pred" -> g05)
+    "g05_link_pred" -> g05,
+    "g06_modularity" -> g06)
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
     "g02_triangles" -> g02Sql,
     "g03_label_prop" -> g03Sql,
     "g04_kcore" -> g04Sql,
-    "g05_link_pred" -> g05Sql)
+    "g05_link_pred" -> g05Sql,
+    "g06_modularity" -> g06Sql)
 }

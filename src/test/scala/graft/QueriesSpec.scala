@@ -547,6 +547,19 @@ class QueriesSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("score_milli") < 0L))
   }
 
+  test("g06 modularity contributions are bounded and sum below 1") {
+    val rows = SparkEntry.queries("g06_modularity")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // Newman: each community contribution ≤ 1; the partition total < 1
+    val total = rows.map(_.getAs[Double]("q_ratio")).sum
+    assert(total < 1.0 && total > -1.0, s"modularity total $total")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("e_in") >= 0L)
+      assert(r.getAs[Long]("d_tot") >= r.getAs[Long]("n_nodes"),
+        "every clustered node has degree >= 1")
+    }
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
