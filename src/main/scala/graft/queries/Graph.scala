@@ -455,7 +455,10 @@ object Graph {
   // and m (the scalar edge count) joins as a broadcast literal.
   val g06: Q = (s, d) => {
     val pairs = Dedup.jaccardPairs(s, d).select(col("i"), col("j"))
-    val lab = lpaLabels(s, d)
+    // the label relation feeds three joins below — checkpoint the
+    // node-sized result once instead of replaying the two LPA rounds
+    // (join + aggregate + window each) per consumer
+    val lab = lpaLabels(s, d).localCheckpoint()
     val deg = symEdges(s, d).groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
     val m = pairs.agg(count(lit(1)).as("m"))

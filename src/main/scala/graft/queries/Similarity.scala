@@ -1562,6 +1562,11 @@ object Similarity {
         qdot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cosine") >= 0.2)
       .select(col("i"), col("j"))
+      // the neighbor relation feeds degree, core-edge, and border
+      // consumers plus the CC iterations — checkpoint the (banded,
+      // pair-bounded) result once instead of replaying the bucket
+      // self-join + 64-dim cosine per consumer
+      .localCheckpoint()
     val sym = pairs.union(pairs.select(col("j").as("i"), col("i").as("j")))
     val deg = e.select(col("vec_id"))
       .join(sym.groupBy(col("i").as("vec_id")).agg(count(lit(1)).as("deg")),
