@@ -617,6 +617,79 @@ object Corpus {
     WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
             % 2000 < LEAST(n_chars, 2000)"""
 
+  // ---------------------------------------------------------------- c12
+  // Temperature-scaled mixture targets (α = 0.5) — the multilingual-
+  // LLM resampling rule (sample source s with probability ∝ n_s^α):
+  // α < 1 flattens the size distribution so head sources stop drowning
+  // the tail. Weights are floor(√tokens · 10⁶) — ONE correctly-rounded
+  // IEEE sqrt + multiply + floor per source, deterministic in both
+  // engines — and everything downstream is exact integer arithmetic:
+  // target tokens = budget·w_s DIV Σw, realized per-doc keep rate in
+  // parts-per-million via the c03 portable-hash device. Output per
+  // source: the full plan (sizes, weight, target, rate) plus the
+  // realized sample audit (kept docs/tokens).
+  //
+  // Scale shape: one source-keyed token aggregate (the only shuffle —
+  // the source dimension is bounded, so the target math and the Σw
+  // window run on a dimension-sized relation); the realized-sample
+  // pass is a row-local hash filter joined against the broadcast
+  // dimension-sized rate table.
+  val c12: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val Budget = 50000L
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("src_tok"))
+      .withColumn("w", floor(sqrt(col("src_tok").cast("double")) * 1000000.0))
+      .withColumn("sum_w", sum(col("w")).over(Window.partitionBy()))
+      .withColumn("target_tok", expr(s"$Budget * w div sum_w"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("target_tok * 1000000 div src_tok")))
+    val kept = docs
+      .join(broadcast(stats.select(col("source"), col("rate_ppm"))),
+        Seq("source"))
+      .filter(pmod(col("h"), lit(1000000L)) < col("rate_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tok"))
+    stats.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("src_tok"), col("w"),
+        col("target_tok"), col("rate_ppm"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tok"), lit(0L)).as("kept_tok"))
+  }
+
+  val c12Sql: String = """
+    WITH dt AS (SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 1000000 AS hb
+                FROM documents),
+    st AS (SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(n_tok) AS BIGINT) AS src_tok,
+                  CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1000000.0)
+                       AS BIGINT) AS w
+           FROM dt GROUP BY source),
+    pl AS (SELECT source, n_docs, src_tok, w,
+                  50000 * w // SUM(w) OVER () AS target_tok
+           FROM st),
+    pl2 AS (SELECT *,
+                   LEAST(1000000, target_tok * 1000000 // src_tok)
+                     AS rate_ppm
+            FROM pl),
+    kept AS (SELECT dt.source, COUNT(*) AS kept_docs,
+                    CAST(SUM(dt.n_tok) AS BIGINT) AS kept_tok
+             FROM dt JOIN pl2 ON dt.source = pl2.source
+             WHERE dt.hb < pl2.rate_ppm
+             GROUP BY dt.source)
+    SELECT p.source, p.n_docs, p.src_tok, p.w, p.target_tok, p.rate_ppm,
+           COALESCE(k.kept_docs, 0) AS kept_docs,
+           COALESCE(k.kept_tok, 0) AS kept_tok
+    FROM pl2 p LEFT JOIN kept k ON p.source = k.source"""
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
     "c02_curate_sql" -> c02,
@@ -628,7 +701,8 @@ object Corpus {
     "c08_curriculum_sample" -> c08,
     "c09_epoch_plan" -> c09,
     "c10_pack_spans" -> c10,
-    "c11_weighted_sample" -> c11)
+    "c11_weighted_sample" -> c11,
+    "c12_temperature_mix" -> c12)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
     "c02_curate_sql" -> c01Sql,
@@ -640,5 +714,6 @@ object Corpus {
     "c08_curriculum_sample" -> c08Sql,
     "c09_epoch_plan" -> c09Sql,
     "c10_pack_spans" -> c10Sql,
-    "c11_weighted_sample" -> c11Sql)
+    "c11_weighted_sample" -> c11Sql,
+    "c12_temperature_mix" -> c12Sql)
 }

@@ -1053,6 +1053,39 @@ object Streamed {
     WHERE view_id IS NOT NULL
        OR p_ts < (SELECT MAX(ts) - INTERVAL 1 HOUR FROM vp)"""
 
+  // --------------------------------------------------------------- st19
+  // Streaming Markov transition matrix — q65's stateful twin through
+  // the custom-state API (flatMapGroupsWithState,
+  // graft.streaming.StreamTransitions): state per user is ONE row (the
+  // latest event), each micro-batch chains its (event-time, event_id)-
+  // sorted events onto that carry and emits one (prev_type, type)
+  // transition per event with a predecessor. The matrix aggregate runs
+  // batch-side over the emitted transition stream. Same oracle as q65
+  // — two independent implementations (lag window vs state machine)
+  // must produce the identical matrix. Scale: state = users × one row
+  // (the smallest corpus-keyed state in the suite — provider
+  // auto-selection still applies), emission is append-mode and
+  // shuffle-bounded by the user key.
+  val st19: Q = (s, d) => {
+    val ss = stateSession(s,
+      corpusKeyedStateRows = parquetRowCount(s, s"$d/events.parquet"))
+    val out = graft.streaming.StreamTransitions.transitions(eventsStream(ss, d))
+    val name = "st19_mem"
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("row_tot", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("prev_type"))))
+      .withColumn("p", col("c").cast("double") / col("row_tot"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -1071,7 +1104,8 @@ object Streamed {
     "st15_stream_drift" -> st15,
     "st16_tws_session" -> st16,
     "st17_stream_dedup_bounded" -> st17,
-    "st18_stream_outer_join" -> st18)
+    "st18_stream_outer_join" -> st18,
+    "st19_stream_markov" -> st19)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -1097,5 +1131,7 @@ object Streamed {
     // single-batch AvailableNow execution: watermark still at epoch
     // during the batch, nothing ages out, emitted set == DISTINCT
     "st17_stream_dedup_bounded" -> st07Sql,
-    "st18_stream_outer_join" -> st18Sql)
+    "st18_stream_outer_join" -> st18Sql,
+    // same transition semantics as the batch lag-window matrix
+    "st19_stream_markov" -> Relational.q65Sql)
 }

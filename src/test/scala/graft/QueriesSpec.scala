@@ -560,6 +560,35 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("st19 (stateful stream transitions) equals q65 (batch lag window)") {
+    def m(name: String): Set[(String, String, Long, Long, Double)] =
+      SparkEntry.queries(name)(spark, sf0001).collect().map(r =>
+        (r.getAs[String]("prev_type"), r.getAs[String]("event_type"),
+          r.getAs[Long]("c"), r.getAs[Long]("row_tot"),
+          r.getAs[Double]("p"))).toSet
+    assert(m("st19_stream_markov") == m("q65_markov"))
+  }
+
+  test("c12 temperature mix: targets respect the budget, tail flattens") {
+    val rows = SparkEntry.queries("c12_temperature_mix")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("target_tok")).sum <= 50000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rate_ppm") <= 1000000L)
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tok") <= r.getAs[Long]("src_tok"))
+    }
+    // α=0.5 flattening: sampled share of the SMALLEST source exceeds
+    // its raw token share (that is the whole point of temperature)
+    val bySize = rows.sortBy(_.getAs[Long]("src_tok"))
+    val (small, large) = (bySize.head, bySize.last)
+    def tokShare(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("target_tok").toDouble / r.getAs[Long]("src_tok")
+    assert(tokShare(small) >= tokShare(large),
+      s"temperature failed to flatten: $small vs $large")
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
