@@ -2063,6 +2063,57 @@ object Relational {
              CAST(SUM(c) OVER (PARTITION BY prev_type) AS BIGINT) AS p
     FROM c"""
 
+  // ---------------------------------------------------------------- q66
+  // Window VALUE functions over the full-partition frame — the
+  // first/nth/last family q10/q11/q35 don't cover: per customer order
+  // history, the first order's price, the third order's price (NULL
+  // for customers with fewer — nth_value's defining semantic), and the
+  // price of the LAST FINISHED order via last_value(… IGNORE NULLS)
+  // over a conditional projection (the standard "latest non-null
+  // attribute" collapse). One row per customer (the frame is the whole
+  // partition, so every row agrees — kept via rn = 1, which also pins
+  // determinism). Values pass through untouched — no float
+  // aggregation, so no decimal quantization is needed. Plan: ONE
+  // shuffle on o_custkey feeding one window sort shared by all four
+  // functions + the row_number.
+  val q66: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wo = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("first_price", first(col("o_totalprice")).over(w))
+      .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(w))
+      .withColumn("last_f_price",
+        last(when(col("o_orderstatus") === "F", col("o_totalprice")),
+          ignoreNulls = true).over(w))
+      .withColumn("n_orders", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wo))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("n_orders"), col("first_price"),
+        col("third_price"), col("last_f_price"))
+  }
+
+  val q66Sql: String = """
+    SELECT o_custkey, n_orders, first_price, third_price, last_f_price
+    FROM (
+      SELECT o_custkey,
+             COUNT(*) OVER w AS n_orders,
+             first_value(o_totalprice) OVER w AS first_price,
+             nth_value(o_totalprice, 3) OVER w AS third_price,
+             last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                        IGNORE NULLS) OVER w AS last_f_price,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)) t
+    WHERE rn = 1"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2128,7 +2179,8 @@ object Relational {
     "q62_dynamic_prune" -> q62,
     "q63_recursive_cte" -> q63,
     "q64_unpivot" -> q64,
-    "q65_markov" -> q65)
+    "q65_markov" -> q65,
+    "q66_window_values" -> q66)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2195,5 +2247,6 @@ object Relational {
     "q62_dynamic_prune" -> q62Sql,
     "q63_recursive_cte" -> q63Sql,
     "q64_unpivot" -> q64Sql,
-    "q65_markov" -> q65Sql)
+    "q65_markov" -> q65Sql,
+    "q66_window_values" -> q66Sql)
 }

@@ -1598,21 +1598,27 @@ object Similarity {
   }
 
   val s17Sql: String = s"""
-    WITH RECURSIVE b AS (
+    WITH RECURSIVE base AS (
       SELECT vec_id, embedding,
              (SELECT CAST(SUM(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
                                    THEN (1 << (i - 1)) ELSE 0 END) AS INTEGER)
-              FROM range(1, 7) r(i)) AS bucket,
-             (SELECT SUM(CAST(embedding[i] AS DOUBLE) *
-                         CAST(embedding[i] AS DOUBLE))
-              FROM range(1, 65) r(i)) AS nsq
+              FROM range(1, 7) r(i)) AS bucket
       FROM embeddings),
+    nrm AS (SELECT b.vec_id, ${sqlDot("b.embedding", "b.embedding")} AS nsq
+            FROM base b CROSS JOIN range(1, 65) r(i)
+            GROUP BY b.vec_id),
+    dots AS (SELECT a.vec_id AS pi, c.vec_id AS pj,
+                    ${sqlDot("a.embedding", "c.embedding")} AS dot
+             FROM base a JOIN base c
+               ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+             CROSS JOIN range(1, 65) r(i)
+             GROUP BY a.vec_id, c.vec_id),
     pairs AS (
-      SELECT a.vec_id AS i, c.vec_id AS j
-      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-      WHERE (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) *
-                        CAST(c.embedding[i] AS DOUBLE))
-             FROM range(1, 65) r(i)) / (sqrt(a.nsq) * sqrt(c.nsq)) >= 0.2),
+      SELECT d.pi AS i, d.pj AS j
+      FROM dots d
+        JOIN nrm na ON d.pi = na.vec_id
+        JOIN nrm nb ON d.pj = nb.vec_id
+      WHERE d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.2),
     sym AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
     deg AS (SELECT e.vec_id, CAST(COALESCE(dd.deg, 0) AS BIGINT) AS deg
             FROM embeddings e LEFT JOIN
@@ -1643,6 +1649,73 @@ object Similarity {
       LEFT JOIN corec cc USING (vec_id)
       LEFT JOIN borderc bc USING (vec_id)"""
 
+  // ---------------------------------------------------------------- s18
+  // Hard-negative mining — the contrastive-training data op (DPR/CLIP
+  // recipe): for each anchor, the top-3 candidates that are SIMILAR but
+  // wrong — same LSH bucket, cosine inside the [0.05, 0.35) "confusable"
+  // band (below the near-dup threshold), and a DIFFERENT class label.
+  // Random negatives are trivially separable; these bucket-collided
+  // near-misses are what sharpen an embedding model's margin. Anchors
+  // are capped (vec_id < 50) like s03's query set; the candidate side
+  // is the full table.
+  //
+  // Scale shape: identical to s02/s17 — candidates come from the
+  // bucket-keyed equi-join (never all-pairs; bit count grows with the
+  // corpus to hold bucket population constant), the band filter and
+  // label check are row-local, and the per-anchor top-3 is a
+  // WindowGroupLimit-prunable rank over the anchor-bounded result.
+  val s18: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketExpr("embedding"))
+      .withColumn("nsq", qnormsq("embedding"))
+    val anchors = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket"), col("nsq").as("qnsq"), col("label").as("qlabel"))
+    e.join(anchors, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("cosine",
+        qdot("qe", "embedding") / (sqrt(col("qnsq")) * sqrt(col("nsq"))))
+      .filter(col("cosine") >= 0.05 && col("cosine") < 0.35)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("cosine"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  val s18Sql: String = s"""
+    WITH base AS (
+      SELECT vec_id, embedding, label,
+             (SELECT CAST(SUM(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                                   THEN (1 << (i - 1)) ELSE 0 END) AS INTEGER)
+              FROM range(1, 7) r(i)) AS bucket
+      FROM embeddings),
+    nrm AS (SELECT b.vec_id, ${sqlDot("b.embedding", "b.embedding")} AS nsq
+            FROM base b CROSS JOIN range(1, 65) r(i)
+            GROUP BY b.vec_id),
+    cand AS (
+      SELECT a.vec_id AS qid, c.vec_id AS neg_id, c.label AS neg_label,
+             ${sqlDot("a.embedding", "c.embedding")} AS dot
+      FROM base a JOIN base c ON a.bucket = c.bucket
+      CROSS JOIN range(1, 65) r(i)
+      WHERE a.vec_id < 50 AND c.vec_id <> a.vec_id
+        AND c.label <> a.label
+      GROUP BY a.vec_id, c.vec_id, c.label),
+    banded AS (SELECT cd.qid, cd.neg_id, cd.neg_label,
+                      cd.dot / (sqrt(na.nsq) * sqrt(nc.nsq)) AS cosine
+               FROM cand cd
+                 JOIN nrm na ON cd.qid = na.vec_id
+                 JOIN nrm nc ON cd.neg_id = nc.vec_id
+               WHERE cd.dot / (sqrt(na.nsq) * sqrt(nc.nsq)) >= 0.05
+                 AND cd.dot / (sqrt(na.nsq) * sqrt(nc.nsq)) < 0.35)
+    SELECT qid, neg_id, neg_label, cosine, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, neg_id ASC) AS rank
+          FROM banded) t
+    WHERE rank <= 3"""
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> s01,
     "s02_ann_bitlsh" -> s02,
@@ -1660,7 +1733,8 @@ object Similarity {
     "s14_kmeans_train" -> s14,
     "s15_graph_ann" -> s15,
     "s16_ivf_incremental" -> s16,
-    "s17_dbscan" -> s17)
+    "s17_dbscan" -> s17,
+    "s18_hard_negatives" -> s18)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -1679,5 +1753,6 @@ object Similarity {
     "s14_kmeans_train" -> s14Sql,
     "s15_graph_ann" -> s15Sql,
     "s16_ivf_incremental" -> s16Sql,
-    "s17_dbscan" -> s17Sql)
+    "s17_dbscan" -> s17Sql,
+    "s18_hard_negatives" -> s18Sql)
 }
