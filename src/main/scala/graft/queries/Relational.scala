@@ -2114,6 +2114,44 @@ object Relational {
                             AND UNBOUNDED FOLLOWING)) t
     WHERE rn = 1"""
 
+  // ---------------------------------------------------------------- q67
+  // Correlated EXISTS / NOT EXISTS — the predicate-subquery surface
+  // q37 (correlated scalar) doesn't touch. Catalyst decorrelates the
+  // pair into a left-semi plus a left-anti join against the same scan
+  // (RewritePredicateSubquery), so the executed plan is exactly the
+  // q05+q06 composition a user would hand-write — stated here in the
+  // SQL form a reference-engine user would actually port. Suppliers
+  // with ≥1 shipment in 1995 and zero January-1995 returns; the
+  // de-duplicating semi/anti semantics (a supplier appears once no
+  // matter how many matches) is the point of the operator.
+  val q67: Q = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q67_v")
+    s.sql("""
+      SELECT s_suppkey, s_name
+      FROM supplier_v
+      WHERE EXISTS (SELECT 1 FROM lineitem_q67_v
+                    WHERE l_suppkey = s_suppkey
+                      AND year(l_shipdate) = 1995)
+        AND NOT EXISTS (SELECT 1 FROM lineitem_q67_v
+                        WHERE l_suppkey = s_suppkey
+                          AND l_returnflag = 'R'
+                          AND year(l_shipdate) = 1995
+                          AND month(l_shipdate) = 1)""")
+  }
+
+  val q67Sql: String = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey
+                    AND year(l_shipdate) = 1995)
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey
+                        AND l_returnflag = 'R'
+                        AND year(l_shipdate) = 1995
+                        AND month(l_shipdate) = 1)"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2180,7 +2218,8 @@ object Relational {
     "q63_recursive_cte" -> q63,
     "q64_unpivot" -> q64,
     "q65_markov" -> q65,
-    "q66_window_values" -> q66)
+    "q66_window_values" -> q66,
+    "q67_exists_subquery" -> q67)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2248,5 +2287,6 @@ object Relational {
     "q63_recursive_cte" -> q63Sql,
     "q64_unpivot" -> q64Sql,
     "q65_markov" -> q65Sql,
-    "q66_window_values" -> q66Sql)
+    "q66_window_values" -> q66Sql,
+    "q67_exists_subquery" -> q67Sql)
 }

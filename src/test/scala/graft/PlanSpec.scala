@@ -454,6 +454,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p) <= 3, s"q65 shuffles more than the contract:\n$p")
   }
 
+  test("q67: EXISTS pair decorrelates to semi + anti joins (no subplan loop)") {
+    val p = formatted(SparkEntry.queries("q67_exists_subquery")(spark, sf0001))
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d19: the incremental merge broadcasts into the label relation") {
     // The 100 TB contract: the corpus-sized label relation is scanned,
     // never shuffled — the delta->representative lookup and the
