@@ -510,13 +510,74 @@ object Graph {
              CAST(4 * m * m AS DOUBLE) AS q_ratio
     FROM dc LEFT JOIN ein USING (community) CROSS JOIN mm"""
 
+  // ---------------------------------------------------------------- g07
+  // Bounded BFS — 3-hop distance from the three highest-degree hubs of
+  // the near-dup graph (ties on degree broken by id, so the seed pick
+  // is total). The curation read: everything within k hops of a
+  // boilerplate hub inherits its suspicion, with the hop count as the
+  // decay. Classic frontier-expansion BFS: each round joins ONLY the
+  // new frontier (not the whole visited set) against the edge list,
+  // anti-joins out already-visited (seed, node) pairs, and
+  // localCheckpoints the visited relation so round r+1 replays no
+  // lineage. Per-round cost is frontier-edges-bounded; 3 fixed rounds
+  // bound the plan tree the same way g01/g04 do.
+  val g07: Q = (s, d) => {
+    val sym = symEdges(s, d)
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val seeds = deg.orderBy(col("deg").desc, col("id").asc).limit(3)
+      .select(col("id"))
+    var dist = seeds.select(col("id").as("seed"), col("id"),
+      lit(0).as("dist")).localCheckpoint()
+    for (r <- 1 to 3) {
+      val cand = dist.filter(col("dist") === r - 1)
+        .join(sym, col("id") === col("src"))
+        .select(col("seed"), col("dst").as("id")).distinct()
+        .join(dist.select(col("seed"), col("id")), Seq("seed", "id"),
+          "left_anti")
+        .withColumn("dist", lit(r))
+      dist = dist.unionByName(cand).localCheckpoint()
+    }
+    dist.select(col("seed"), col("id").as("doc_id"), col("dist"))
+  }
+
+  /** Oracle: the same three frontier expansions unrolled — each round
+    * joins only the previous round's NEW nodes and NOT-EXISTS-filters
+    * the visited set, exactly the Spark loop's anti-join. */
+  val g07Sql: String = s"""
+    WITH ${Dedup.JaccardPairsCte},
+    sym AS (SELECT i AS src, j AS dst FROM pairs
+            UNION ALL SELECT j, i FROM pairs),
+    deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),
+    seeds AS (SELECT id FROM deg ORDER BY deg DESC, id ASC LIMIT 3),
+    d0 AS (SELECT id AS seed, id, 0 AS dist FROM seeds),
+    n1 AS (SELECT DISTINCT d.seed, s.dst AS id
+           FROM d0 d JOIN sym s ON s.src = d.id),
+    e1 AS (SELECT n.seed, n.id, 1 AS dist FROM n1 n
+           WHERE NOT EXISTS (SELECT 1 FROM d0 p
+                             WHERE p.seed = n.seed AND p.id = n.id)),
+    d1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM e1),
+    n2 AS (SELECT DISTINCT e.seed, s.dst AS id
+           FROM e1 e JOIN sym s ON s.src = e.id),
+    e2 AS (SELECT n.seed, n.id, 2 AS dist FROM n2 n
+           WHERE NOT EXISTS (SELECT 1 FROM d1 p
+                             WHERE p.seed = n.seed AND p.id = n.id)),
+    d2 AS (SELECT * FROM d1 UNION ALL SELECT * FROM e2),
+    n3 AS (SELECT DISTINCT e.seed, s.dst AS id
+           FROM e2 e JOIN sym s ON s.src = e.id),
+    e3 AS (SELECT n.seed, n.id, 3 AS dist FROM n3 n
+           WHERE NOT EXISTS (SELECT 1 FROM d2 p
+                             WHERE p.seed = n.seed AND p.id = n.id))
+    SELECT seed, id AS doc_id, dist
+    FROM (SELECT * FROM d2 UNION ALL SELECT * FROM e3) f"""
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank" -> g01,
     "g02_triangles" -> g02,
     "g03_label_prop" -> g03,
     "g04_kcore" -> g04,
     "g05_link_pred" -> g05,
-    "g06_modularity" -> g06)
+    "g06_modularity" -> g06,
+    "g07_bfs_hops" -> g07)
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
@@ -524,5 +585,6 @@ object Graph {
     "g03_label_prop" -> g03Sql,
     "g04_kcore" -> g04Sql,
     "g05_link_pred" -> g05Sql,
-    "g06_modularity" -> g06Sql)
+    "g06_modularity" -> g06Sql,
+    "g07_bfs_hops" -> g07Sql)
 }

@@ -2152,6 +2152,37 @@ object Relational {
                         AND year(l_shipdate) = 1995
                         AND month(l_shipdate) = 1)"""
 
+  // ---------------------------------------------------------------- q68
+  // Correlated LATERAL subquery — "for each customer, its top-2 orders
+  // by price": the per-row table subquery SQL surface (OUTER APPLY in
+  // T-SQL dialects) that q37/q67 (scalar / predicate subqueries) don't
+  // cover. Catalyst's DecorrelateInnerQuery rewrites the correlated
+  // ORDER BY + LIMIT into a per-partition rank filter over ONE join —
+  // the same physical shape as a hand-written row_number() top-k
+  // (q10), which is exactly what "decorrelation" must guarantee: no
+  // per-customer re-execution of the inner query. Customers without
+  // orders drop out (inner lateral), matching the oracle's join
+  // semantics.
+  val q68: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_q68_v")
+    s.sql("""
+      SELECT c_custkey, c_name, o.o_orderkey, o.o_totalprice
+      FROM customer_v, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders_q68_v
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      WHERE c_custkey < 200""")
+  }
+
+  val q68Sql: String = """
+    SELECT c_custkey, c_name, o.o_orderkey, o.o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c_custkey < 200"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2219,7 +2250,8 @@ object Relational {
     "q64_unpivot" -> q64,
     "q65_markov" -> q65,
     "q66_window_values" -> q66,
-    "q67_exists_subquery" -> q67)
+    "q67_exists_subquery" -> q67,
+    "q68_lateral_topk" -> q68)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2288,5 +2320,6 @@ object Relational {
     "q64_unpivot" -> q64Sql,
     "q65_markov" -> q65Sql,
     "q66_window_values" -> q66Sql,
-    "q67_exists_subquery" -> q67Sql)
+    "q67_exists_subquery" -> q67Sql,
+    "q68_lateral_topk" -> q68Sql)
 }

@@ -461,6 +461,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q68: correlated LATERAL top-k decorrelates to one join + rank") {
+    val p = formatted(SparkEntry.queries("q68_lateral_topk")(spark, sf0001))
+    // DecorrelateInnerQuery must turn the per-customer ORDER BY+LIMIT
+    // into a window/group-limit over a single join — never a loop or
+    // cartesian re-execution of the inner query
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"),
+      s"expected the lateral LIMIT as a rank filter:\n${p.take(3000)}")
+  }
+
   test("d19: the incremental merge broadcasts into the label relation") {
     // The 100 TB contract: the corpus-sized label relation is scanned,
     // never shuffled — the delta->representative lookup and the
