@@ -2183,6 +2183,41 @@ object Relational {
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
     WHERE c_custkey < 200"""
 
+  // ---------------------------------------------------------------- q69
+  // Higher-order array functions — the lambda surface (transform /
+  // filter / aggregate / exists) over a per-group collected array,
+  // complementing q34's array aggregation and q39's explode. All
+  // lambdas stay in WholeStageCodegen (no UDF), and the array is
+  // value-sorted after collect_list so the result is independent of
+  // collection order — the only determinism hazard HOFs add. Integer
+  // element type keeps every lambda exact cross-engine.
+  // Scale: one hash-agg shuffle builds the per-order array (bounded by
+  // order line count, ≤7 in TPC-H shape); every HOF after that is
+  // row-local.
+  val q69: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity").cast("int").as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("q"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).as("n_items"),
+        expr("aggregate(qs, 0L, (acc, x) -> acc + x)").as("total_qty"),
+        expr("size(filter(qs, x -> x > 30))").as("n_heavy"),
+        expr("element_at(transform(qs, x -> x * 2), 1)").as("min_doubled"),
+        expr("exists(qs, x -> x = 1)").as("has_single"))
+
+  val q69Sql: String = """
+    WITH a AS (SELECT l_orderkey,
+                      list_sort(array_agg(CAST(l_quantity AS INTEGER))) AS qs
+               FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           CAST(len(qs) AS INTEGER) AS n_items,
+           CAST(list_aggregate(qs, 'sum') AS BIGINT) AS total_qty,
+           CAST(len(list_filter(qs, x -> x > 30)) AS INTEGER) AS n_heavy,
+           list_transform(qs, x -> x * 2)[1] AS min_doubled,
+           len(list_filter(qs, x -> x = 1)) > 0 AS has_single
+    FROM a"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2251,7 +2286,8 @@ object Relational {
     "q65_markov" -> q65,
     "q66_window_values" -> q66,
     "q67_exists_subquery" -> q67,
-    "q68_lateral_topk" -> q68)
+    "q68_lateral_topk" -> q68,
+    "q69_array_hof" -> q69)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2321,5 +2357,6 @@ object Relational {
     "q65_markov" -> q65Sql,
     "q66_window_values" -> q66Sql,
     "q67_exists_subquery" -> q67Sql,
-    "q68_lateral_topk" -> q68Sql)
+    "q68_lateral_topk" -> q68Sql,
+    "q69_array_hof" -> q69Sql)
 }
