@@ -429,6 +429,56 @@ object Multimodal {
     WHERE xs.x < d.width AND ys.y < d.height
     GROUP BY 1, 2, 3"""
 
+  // ---------------------------------------------------------------- m11
+  // WebDataset-style shard manifest — byte-bounded shard assignment for
+  // the media corpus: lay payloads end to end in doc_id order and
+  // assign each to the 256 KiB shard its START offset falls in (the
+  // documented rule: a sample never splits; straddlers belong to the
+  // shard they start in). This is c04's two-level distributed prefix
+  // sum over BYTES instead of tokens: per-block running sums in
+  // parallel windows (block = doc_id DIV 64), block totals cumsum'd on
+  // a 64×-smaller relation, joined back size-guarded — no global
+  // single-task window at any corpus size. All arithmetic exact
+  // integer.
+  val m11: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ShardBytes = 262144L
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .withColumn("block", expr("doc_id div 64"))
+    val wb = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBlock = docs.withColumn("bcum", sum(col("n_bytes")).over(wb))
+    val blockOff = docs.groupBy(col("block"))
+      .agg(sum(col("n_bytes")).as("btot"))
+      .withColumn("boff",
+        coalesce(sum(col("btot")).over(
+          Window.orderBy(col("block"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("block"), col("boff"))
+    inBlock.join(Hints.broadcastIfSmall(blockOff), Seq("block"))
+      .withColumn("start_off", col("boff") + col("bcum") - col("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        (col("start_off") / ShardBytes).cast("long").as("shard"),
+        pmod(col("start_off"), lit(ShardBytes)).as("shard_offset"))
+  }
+
+  val m11Sql: String = """
+    WITH b AS (SELECT doc_id,
+                      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                        AS n_bytes
+               FROM documents),
+    cum AS (SELECT doc_id, n_bytes,
+                   SUM(n_bytes) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_bytes AS start_off
+            FROM b)
+    SELECT doc_id, n_bytes,
+           start_off // 262144 AS shard,
+           start_off % 262144 AS shard_offset
+    FROM cum"""
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
@@ -439,7 +489,8 @@ object Multimodal {
     "m07_scene_cuts" -> m07,
     "m08_phash_dedup" -> m08,
     "m09_keyframes" -> m09,
-    "m10_png_roundtrip" -> m10)
+    "m10_png_roundtrip" -> m10,
+    "m11_shard_manifest" -> m11)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
@@ -451,5 +502,6 @@ object Multimodal {
     "m07_scene_cuts" -> m07Sql,
     "m08_phash_dedup" -> m08Sql,
     "m09_keyframes" -> m09Sql,
-    "m10_png_roundtrip" -> m10Sql)
+    "m10_png_roundtrip" -> m10Sql,
+    "m11_shard_manifest" -> m11Sql)
 }

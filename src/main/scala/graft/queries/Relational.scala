@@ -2218,6 +2218,62 @@ object Relational {
            len(list_filter(qs, x -> x = 1)) > 0 AS has_single
     FROM a"""
 
+  // ---------------------------------------------------------------- q70
+  // Time-grid resampling with LOCF gap fill — the "resample('15min')
+  // + ffill" every metrics pipeline runs: bucket events onto a 15-min
+  // grid (exact integer µs arithmetic — no timezone/rounding drift),
+  // generate the full per-type spine, and carry the last observed
+  // value forward across empty buckets via last_value(IGNORE NULLS)
+  // over the time order. The carried value is the bucket's LAST
+  // event's (max_by on (ts, event_id) — a total order, so both engines
+  // pick the same row), never an aggregate, so doubles pass through
+  // untouched. Scale: the grid is |types| × buckets (time-bounded, not
+  // data-bounded); the bucket collapse is one hash agg; the LOCF
+  // window partitions by type — no global sort.
+  val q70: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Events.read(s, d)
+      .withColumn("b", expr("unix_micros(ts) div 900000000"))
+    val rng = ev.agg(min(col("b")).as("bmin"), max(col("b")).as("bmax"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(rng))
+      .select(col("event_type"), explode(expr("sequence(bmin, bmax)")).as("b"))
+    val bucketLast = ev.groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("n"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("bval"))
+    spine.join(bucketLast, Seq("event_type", "b"), "left")
+      .select(col("event_type"),
+        expr("timestamp_micros(b * 900000000)").as("bucket_ts"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("bval"), ignoreNulls = true).over(
+          Window.partitionBy(col("event_type")).orderBy(col("b")))
+          .as("locf_value"))
+  }
+
+  val q70Sql: String = """
+    WITH ev AS (SELECT event_type, value, ts, event_id,
+                       epoch_us(ts) // 900000000 AS b
+                FROM events),
+    r AS (SELECT MIN(b) AS bmin, MAX(b) AS bmax FROM ev),
+    spine AS (SELECT t.event_type, u.b
+              FROM (SELECT DISTINCT event_type FROM ev) t
+              CROSS JOIN (SELECT unnest(generate_series(bmin, bmax)) AS b
+                          FROM r) u),
+    bl AS (SELECT event_type, b, cnt AS n, value AS bval
+           FROM (SELECT event_type, b, value,
+                        COUNT(*) OVER (PARTITION BY event_type, b) AS cnt,
+                        ROW_NUMBER() OVER (PARTITION BY event_type, b
+                                           ORDER BY ts DESC, event_id DESC)
+                          AS rn
+                 FROM ev) x
+           WHERE rn = 1)
+    SELECT s.event_type,
+           make_timestamp(s.b * 900000000) AS bucket_ts,
+           CAST(COALESCE(bl.n, 0) AS BIGINT) AS n,
+           last_value(bl.bval IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.b) AS locf_value
+    FROM spine s LEFT JOIN bl ON s.event_type = bl.event_type AND s.b = bl.b"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2287,7 +2343,8 @@ object Relational {
     "q66_window_values" -> q66,
     "q67_exists_subquery" -> q67,
     "q68_lateral_topk" -> q68,
-    "q69_array_hof" -> q69)
+    "q69_array_hof" -> q69,
+    "q70_resample_locf" -> q70)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2358,5 +2415,6 @@ object Relational {
     "q66_window_values" -> q66Sql,
     "q67_exists_subquery" -> q67Sql,
     "q68_lateral_topk" -> q68Sql,
-    "q69_array_hof" -> q69Sql)
+    "q69_array_hof" -> q69Sql,
+    "q70_resample_locf" -> q70Sql)
 }
