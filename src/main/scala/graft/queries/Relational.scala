@@ -2274,6 +2274,33 @@ object Relational {
              OVER (PARTITION BY s.event_type ORDER BY s.b) AS locf_value
     FROM spine s LEFT JOIN bl ON s.event_type = bl.event_type AND s.b = bl.b"""
 
+  // ---------------------------------------------------------------- q71
+  // The NATIVE as-of join (graft.plans.AsofJoin: custom LogicalPlan +
+  // SparkStrategy + SparkPlan — the whole-operator Catalyst extension
+  // rung) run against q25's exact semantics and the SAME oracle: per
+  // purchase, the last click at-or-before it. Two independent
+  // implementations (union + last-ignoreNulls window vs sorted
+  // streaming merge) must produce the identical relation — the
+  // strongest correctness statement available for a custom physical
+  // operator. EnsureRequirements plants the key-clustered exchanges
+  // and (key, time) sorts the exec declares; the merge itself is one
+  // forward scan per partition, no padded-union window
+  // materialization.
+  val q71: Q = (s, d) => {
+    val e = Events.read(s, d)
+    val targets = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("t_us"),
+        col("event_id"), col("ts"))
+    val markers = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("m_user"), expr("unix_micros(ts)").as("m_us"),
+        col("event_id").as("m_eid"), col("ts").as("mk_ts"),
+        col("value").as("mk_value"))
+    graft.plans.AsofJoin.join(targets, markers,
+        "user_id", "t_us", "m_user", "m_us", "m_eid")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("mk_ts").as("asof_ts"), col("mk_value").as("asof_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2344,7 +2371,8 @@ object Relational {
     "q67_exists_subquery" -> q67,
     "q68_lateral_topk" -> q68,
     "q69_array_hof" -> q69,
-    "q70_resample_locf" -> q70)
+    "q70_resample_locf" -> q70,
+    "q71_asof_native" -> q71)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2416,5 +2444,6 @@ object Relational {
     "q67_exists_subquery" -> q67Sql,
     "q68_lateral_topk" -> q68Sql,
     "q69_array_hof" -> q69Sql,
-    "q70_resample_locf" -> q70Sql)
+    "q70_resample_locf" -> q70Sql,
+    "q71_asof_native" -> q25Sql)
 }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{DataFrame => CDataFrame, Dataset, SparkSession => CSparkSession}
+
+/** The one `private[sql]` bridge this library uses: construct a
+  * DataFrame from a custom [[LogicalPlan]] node (`Dataset.ofRows` has
+  * no public equivalent). Planting a shim object inside the Spark
+  * namespace is the established extension-library pattern for this
+  * (Delta, Sedona, Frameless all ship one); everything else in graft
+  * sticks to the public API. */
+object GraftSqlShims {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+}

@@ -471,6 +471,17 @@ class PlanSpec extends SparkSpec {
       s"expected the lateral LIMIT as a rank filter:\n${p.take(3000)}")
   }
 
+  test("q71: custom AsofJoinExec plans with declared exchanges + sorts") {
+    val p = formatted(SparkEntry.queries("q71_asof_native")(spark, sf0001))
+    assert(p.contains("AsofJoin"), s"custom exec missing from plan:\n$p")
+    // EnsureRequirements must plant the clustered exchanges and the
+    // per-partition sorts the exec declares — not the operator itself
+    assert(exchanges(p) >= 2, p)
+    assert(p.contains("Sort"), p)
+    // and the padded-union window formulation must NOT appear
+    assert(!p.contains("Window"), s"native as-of must not plan a window:\n$p")
+  }
+
   test("d19: the incremental merge broadcasts into the label relation") {
     // The 100 TB contract: the corpus-sized label relation is scanned,
     // never shuffled — the delta->representative lookup and the

@@ -589,6 +589,15 @@ class QueriesSpec extends SparkSpec {
       s"temperature failed to flatten: $small vs $large")
   }
 
+  test("q71 (native AsofJoinExec) equals q25 (union + window as-of)") {
+    def rel(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(_.mkString("|")).toSet
+    val native = rel("q71_asof_native")
+    assert(native.nonEmpty)
+    assert(native == rel("q25_asof_join"))
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
