@@ -1267,6 +1267,56 @@ object Dedup {
     * maintenance. */
   val d19Sql: String = d08Sql
 
+  // ---------------------------------------------------------------- d20
+  // Jaccard decile histogram — the threshold-tuning relation every
+  // dedup deployment wants BEFORE committing to a cutoff: for all
+  // candidate pairs (≥1 shared kept shingle, same df≤50 guard as d03),
+  // the pair count, total intersection mass and total size mass per
+  // similarity decile, plus the descending-cumulative pair count
+  // ("pairs you would merge at threshold ≥ bin/10"). Bin assignment is
+  // floor(jaccard·10) clamped to 9 — one multiply + floor on the exact
+  // single-division double, deterministic in both engines. The
+  // histogram itself is 10 rows, so the cumulative window is free;
+  // upstream is exactly d03's banded inverted-index plan at
+  // threshold 0.
+  val d20: Q = (s, d) =>
+    nearDupJaccard(s, d, threshold = 0.0, maxDocFreq = Some(D03MaxDocFreq))
+      .withColumn("bin",
+        least(floor(col("jaccard") * 10).cast("int"), lit(9)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c")).as("sum_common"),
+        sum(col("ni") + col("nj")).as("sum_sizes"))
+      .withColumn("n_pairs_ge",
+        sum(col("n_pairs")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("bin").desc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+
+  val d20Sql: String = s"""
+    WITH $ShinglesCte,
+    kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $D03MaxDocFreq),
+    shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+               FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    base AS (SELECT c, ca.n AS ni, cb.n AS nj,
+                    CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+             FROM common
+               JOIN counts ca ON i = ca.doc_id
+               JOIN counts cb ON j = cb.doc_id),
+    h AS (SELECT LEAST(CAST(FLOOR(jaccard * 10) AS INTEGER), 9) AS bin,
+                 COUNT(*) AS n_pairs,
+                 CAST(SUM(c) AS BIGINT) AS sum_common,
+                 CAST(SUM(ni + nj) AS BIGINT) AS sum_sizes
+          FROM base GROUP BY 1)
+    SELECT bin, n_pairs, sum_common, sum_sizes,
+           CAST(SUM(n_pairs) OVER (ORDER BY bin DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_pairs_ge
+    FROM h"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -1286,7 +1336,8 @@ object Dedup {
     "d16_dedup_semantic" -> d16,
     "d17_dedup_substrings" -> d17,
     "d18_dedup_containment" -> d18,
-    "d19_dedup_cluster_incremental" -> d19)
+    "d19_dedup_cluster_incremental" -> d19,
+    "d20_jaccard_histogram" -> d20)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -1307,5 +1358,6 @@ object Dedup {
     "d16_dedup_semantic" -> d16Sql,
     "d17_dedup_substrings" -> d17Sql,
     "d18_dedup_containment" -> d18Sql,
-    "d19_dedup_cluster_incremental" -> d19Sql)
+    "d19_dedup_cluster_incremental" -> d19Sql,
+    "d20_jaccard_histogram" -> d20Sql)
 }
