@@ -690,6 +690,100 @@ object Corpus {
            COALESCE(k.kept_tok, 0) AS kept_tok
     FROM pl2 p LEFT JOIN kept k ON p.source = k.source"""
 
+  // ---------------------------------------------------------------- c13
+  // Dataset card — the per-source summary manifest a released corpus
+  // ships (HuggingFace dataset-card "Dataset Structure" numbers): doc/
+  // token/char volume, language spread with the dominant language and
+  // its share, duplicate-text rate, and length quantiles (p50/p90 as
+  // exact rank picks, the q59 discipline — no interpolation). One
+  // scan, three source-keyed aggregates and a rank window over the
+  // (source, n_chars) relation; every ratio is one exact-integer IEEE
+  // division. At 100 TB the card costs one corpus pass — the source
+  // dimension is bounded, so everything after the first aggregate is
+  // dimension-sized.
+  val c13: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(sha2(col("text"), 256)))
+          .as("n_dup_docs"))
+    val topLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("lc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("lc").desc, col("lang").asc)))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("lc").as("top_lang_docs"))
+    val ranked = docs.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").asc, col("doc_id").asc)))
+      .withColumn("nn", count(lit(1)).over(
+        Window.partitionBy(col("source"))))
+    val quant = ranked
+      .filter(col("rn") === expr("cast(ceil(nn * 0.5) as bigint)") ||
+        col("rn") === expr("cast(ceil(nn * 0.9) as bigint)"))
+      .groupBy(col("source"))
+      .agg(
+        min(when(col("rn") === expr("cast(ceil(nn * 0.5) as bigint)"),
+          col("n_chars"))).as("p50_chars"),
+        min(when(col("rn") === expr("cast(ceil(nn * 0.9) as bigint)"),
+          col("n_chars"))).as("p90_chars"))
+    base.join(topLang, Seq("source")).join(quant, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars_total"), col("n_langs"), col("top_lang"),
+        col("top_lang_docs"),
+        (col("top_lang_docs").cast("double") / col("n_docs"))
+          .as("top_lang_share"),
+        col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_rate"),
+        col("p50_chars"), col("p90_chars"))
+  }
+
+  val c13Sql: String = """
+    WITH docs AS (SELECT doc_id, source, lang, text, n_chars,
+                         CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tok
+                  FROM documents),
+    base AS (SELECT source, COUNT(*) AS n_docs,
+                    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                    CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+                    COUNT(DISTINCT lang) AS n_langs,
+                    COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dup_docs
+             FROM docs GROUP BY source),
+    tl AS (SELECT source, lang AS top_lang, lc AS top_lang_docs
+           FROM (SELECT source, lang, COUNT(*) AS lc,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY COUNT(*) DESC, lang ASC) AS rk
+                 FROM docs GROUP BY source, lang) t
+           WHERE rk = 1),
+    rk AS (SELECT source, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n_chars ASC, doc_id ASC) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS nn
+           FROM docs),
+    qs AS (SELECT source,
+                  MIN(CASE WHEN rn = CAST(ceil(nn * 0.5) AS BIGINT)
+                      THEN n_chars END) AS p50_chars,
+                  MIN(CASE WHEN rn = CAST(ceil(nn * 0.9) AS BIGINT)
+                      THEN n_chars END) AS p90_chars
+           FROM rk
+           WHERE rn = CAST(ceil(nn * 0.5) AS BIGINT)
+              OR rn = CAST(ceil(nn * 0.9) AS BIGINT)
+           GROUP BY source)
+    SELECT b.source, b.n_docs, b.n_tokens, b.n_chars_total, b.n_langs,
+           tl.top_lang, tl.top_lang_docs,
+           CAST(tl.top_lang_docs AS DOUBLE) / b.n_docs AS top_lang_share,
+           b.n_dup_docs,
+           CAST(b.n_dup_docs AS DOUBLE) / b.n_docs AS dup_rate,
+           qs.p50_chars, qs.p90_chars
+    FROM base b JOIN tl USING (source) JOIN qs USING (source)"""
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
     "c02_curate_sql" -> c02,
@@ -702,7 +796,8 @@ object Corpus {
     "c09_epoch_plan" -> c09,
     "c10_pack_spans" -> c10,
     "c11_weighted_sample" -> c11,
-    "c12_temperature_mix" -> c12)
+    "c12_temperature_mix" -> c12,
+    "c13_dataset_card" -> c13)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
     "c02_curate_sql" -> c01Sql,
@@ -715,5 +810,6 @@ object Corpus {
     "c09_epoch_plan" -> c09Sql,
     "c10_pack_spans" -> c10Sql,
     "c11_weighted_sample" -> c11Sql,
-    "c12_temperature_mix" -> c12Sql)
+    "c12_temperature_mix" -> c12Sql,
+    "c13_dataset_card" -> c13Sql)
 }
