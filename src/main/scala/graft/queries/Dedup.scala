@@ -1317,6 +1317,96 @@ object Dedup {
              AS n_pairs_ge
     FROM h"""
 
+  // ---------------------------------------------------------------- d21
+  // Rarity-weighted (generalized) Jaccard near-dup — the lexical
+  // complement of d06/d16's dense-embedding cosine: shingle Jaccard
+  // (d03) weighs every shingle equally, so two documents sharing a
+  // large block of rare technical vocabulary but differing in
+  // boilerplate score low, while docs sharing only stopword-heavy
+  // boilerplate can score high. Weighting each token by an idf-style
+  // rarity factor fixes both directions. The weights are EXACT
+  // integers — rarity r(t) = N div df(t) (floor division, ≥1) and
+  // w(d,t) = tf(d,t)·r(t) — so every partial sum is a long and the
+  // only floating-point step is the single final division, making the
+  // result bit-identical in any summation order (the q32/t19 decimal
+  // discipline; a real-log idf would reopen the libm divergence t19
+  // spent four rounds killing). Generalized Jaccard over weighted
+  // multisets: J_w = Σ_t min(w_a,w_b) / Σ_t max(w_a,w_b), and since
+  // max = w_a + w_b − min, the denominator is Wi + Wj − Σmin with
+  // per-doc norms Wi = Σ_t w(i,t) — exactly d03's count shape with
+  // weighted sums.
+  //
+  // Scale: identical posture to d03 — pairing runs through the df≤50
+  // inverted-index guard (candidate work Σ_t df(t)², linear in corpus
+  // size under the cap; rare-token pairs are precisely the ones the
+  // cap keeps), norms are one hash-agg shuffle, and the term self-join
+  // reuses one exchange on the token key. Terms above the cap
+  // contribute to norms but not to Σmin — mirrored in the oracle, and
+  // conservative: dropping common-term overlap only lowers scores.
+  val D21Threshold = 0.3
+
+  val d21: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nRel = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    // The weighted term relation feeds THREE consumers (norms, both
+    // sides of the pair join); materialize it once (the s17/g06
+    // multiply-consumed-relation discipline) instead of re-running the
+    // tokenize+tf+df cascade per consumer. On a cluster this is a
+    // persist-to-shuffle of one bounded row per (doc, distinct term).
+    val weighted = tf.join(dfRel, Seq("w"))
+      .crossJoin(broadcast(nRel))
+      .withColumn("wt", expr("tf * (n_docs div df)"))
+      .localCheckpoint()
+    val norms = weighted.groupBy(col("doc_id")).agg(sum(col("wt")).as("wnorm"))
+    val kept = weighted.filter(col("df") <= D03MaxDocFreq)
+      .select(col("doc_id"), col("w"), col("wt"))
+    val common = kept.as("a").join(kept.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(sum(least(col("a.wt"), col("b.wt"))).as("wmin"))
+    common
+      .join(norms.select(col("doc_id").as("i"), col("wnorm").as("wi")), Seq("i"))
+      .join(norms.select(col("doc_id").as("j"), col("wnorm").as("wj")), Seq("j"))
+      .withColumn("wjaccard",
+        col("wmin").cast("double") / (col("wi") + col("wj") - col("wmin")))
+      .filter(col("wjaccard") >= D21Threshold)
+      .select(col("i"), col("j"), col("wmin"), col("wi"), col("wj"),
+        col("wjaccard"))
+  }
+
+  val d21Sql: String = s"""
+    WITH tok AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents) u
+      WHERE len(w) > 0 GROUP BY 1, 2),
+    nrel AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfr AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+    wtd AS (SELECT doc_id, tok.w, tok.tf * (nrel.n_docs // dfr.df) AS wt,
+                   dfr.df AS df
+            FROM tok JOIN dfr ON tok.w = dfr.w CROSS JOIN nrel),
+    norms AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS wnorm
+              FROM wtd GROUP BY 1),
+    kept AS (SELECT doc_id, w, wt FROM wtd WHERE df <= $D03MaxDocFreq),
+    common AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                      CAST(SUM(LEAST(a.wt, b.wt)) AS BIGINT) AS wmin
+               FROM kept a JOIN kept b
+                 ON a.w = b.w AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    base AS (SELECT i, j, wmin, na.wnorm AS wi, nb.wnorm AS wj,
+                    CAST(wmin AS DOUBLE) / (na.wnorm + nb.wnorm - wmin)
+                      AS wjaccard
+             FROM common
+               JOIN norms na ON i = na.doc_id
+               JOIN norms nb ON j = nb.doc_id)
+    SELECT i, j, wmin, wi, wj, wjaccard
+    FROM base WHERE wjaccard >= $D21Threshold"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -1337,7 +1427,8 @@ object Dedup {
     "d17_dedup_substrings" -> d17,
     "d18_dedup_containment" -> d18,
     "d19_dedup_cluster_incremental" -> d19,
-    "d20_jaccard_histogram" -> d20)
+    "d20_jaccard_histogram" -> d20,
+    "d21_dedup_weighted" -> d21)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -1359,5 +1450,6 @@ object Dedup {
     "d17_dedup_substrings" -> d17Sql,
     "d18_dedup_containment" -> d18Sql,
     "d19_dedup_cluster_incremental" -> d19Sql,
-    "d20_jaccard_histogram" -> d20Sql)
+    "d20_jaccard_histogram" -> d20Sql,
+    "d21_dedup_weighted" -> d21Sql)
 }

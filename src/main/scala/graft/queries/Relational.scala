@@ -2301,6 +2301,67 @@ object Relational {
         col("mk_ts").as("asof_ts"), col("mk_value").as("asof_value"))
   }
 
+  // ---------------------------------------------------------------- q72
+  // Sweep-line peak concurrency — the interval-overlap aggregate every
+  // capacity/SLA analysis needs: treat each event as a 5-minute
+  // half-open interval [ts, ts+300s) and report, per event_type, the
+  // maximum number of simultaneously-open intervals and the earliest
+  // instant it is reached. Expressed as the classic distributed sweep:
+  // UNION the +1 (start) and −1 (end) boundary points, one running-sum
+  // window per event_type, then a max/argmin aggregate on the same key.
+  // Half-open semantics = ends sort before starts at the same instant
+  // (ORDER BY t, delta ASC); within a tie group all deltas are equal,
+  // so the multiset of running values — and hence the max and its
+  // earliest time — is order-independent and engine-portable.
+  //
+  // Scale: the union is shuffle-free; ONE exchange on event_type feeds
+  // both the window and the final aggregate (same key → the groupBy
+  // reuses the window's hash partitioning, asserted in PlanSpec). The
+  // within-partition sort is the only superlinear term; with few very
+  // hot types the same salting ladder as q31 applies (split the sweep
+  // by time range, prefix-sum the per-range totals — the c04 two-level
+  // pattern), which PlanSpec documents rather than codifies here.
+  // Timestamps are compared as exact microsecond longs.
+  val q72: Q = (s, d) => {
+    val e = Events.read(s, d)
+      .select(col("event_type"), col("ts").cast("long").as("sec"))
+    val pts = e.select(col("event_type"), col("sec").as("t"),
+        lit(1).as("delta"))
+      .unionAll(e.select(col("event_type"), (col("sec") + 300).as("t"),
+        lit(-1).as("delta")))
+    val sweep = Window.partitionBy(col("event_type"))
+      .orderBy(col("t").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("open", sum(col("delta")).over(sweep))
+      .withColumn("peak",
+        max(col("open")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("open")).as("peak_open"),
+        min(when(col("open") === col("peak"), col("t"))).as("peak_at_sec"))
+  }
+
+  val q72Sql: String = """
+    WITH pts AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS delta
+      FROM events
+      UNION ALL
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) + 300, -1
+      FROM events),
+    sweep AS (
+      SELECT event_type, t,
+             CAST(SUM(delta) OVER (PARTITION BY event_type
+               ORDER BY t ASC, delta ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS open
+      FROM pts),
+    wp AS (
+      SELECT event_type, t, open,
+             MAX(open) OVER (PARTITION BY event_type) AS peak
+      FROM sweep)
+    SELECT event_type, MAX(open) AS peak_open,
+           MIN(CASE WHEN open = peak THEN t END) AS peak_at_sec
+    FROM wp GROUP BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2372,7 +2433,8 @@ object Relational {
     "q68_lateral_topk" -> q68,
     "q69_array_hof" -> q69,
     "q70_resample_locf" -> q70,
-    "q71_asof_native" -> q71)
+    "q71_asof_native" -> q71,
+    "q72_interval_peak" -> q72)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2445,5 +2507,6 @@ object Relational {
     "q68_lateral_topk" -> q68Sql,
     "q69_array_hof" -> q69Sql,
     "q70_resample_locf" -> q70Sql,
-    "q71_asof_native" -> q25Sql)
+    "q71_asof_native" -> q25Sql,
+    "q72_interval_peak" -> q72Sql)
 }

@@ -1873,6 +1873,79 @@ $union
            CAST(SUM(sm) AS BIGINT) AS score_milli
     FROM sc GROUP BY doc_id"""
 
+  // ---------------------------------------------------------------- t28
+  // Content-defined chunking (CDC) — the storage-side dedup primitive
+  // (Gear/FastCDC family): cut each document wherever a rolling hash of
+  // a 4-char window hits 0 mod 64 (expected chunk ≈ 64 chars), hash
+  // every chunk, and aggregate chunk sharing across the corpus. Unlike
+  // fixed-width chunking, the cut points move WITH the content, so an
+  // insertion near the top of a mirrored document shifts every byte
+  // offset but leaves all downstream chunk hashes — and therefore the
+  // dedup verdict — intact; unlike the word-shingle family (d03/d14)
+  // it is tokenizer-free and works on arbitrary text. The rolling hash
+  // is a 4-term base-31 polynomial over code points — small exact
+  // integers in both engines; chunk identity is md5 (portable hex).
+  // Min/max chunk-size clamping (the sequential part of FastCDC) is
+  // deliberately omitted: the unguarded cut set is what keeps every
+  // position independently decidable, i.e. embarrassingly parallel.
+  //
+  // Scale: the boundary scan is a stateless per-row HOF (linear,
+  // perfectly parallel after the doc_id repartition); cuts get one
+  // per-doc window (tiny — ~len/64 cut rows per doc); the final
+  // aggregate shuffles fixed 32-hex-char keys, the d02 discipline.
+  // Expected-chunk tuning = the modulus; at 100 TB you'd raise it to
+  // the 4-8 KiB the storage layer wants — the plan is unchanged.
+  val t28: Q = (s, d) => {
+    val dl = Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val cut = "((((ascii(substr(text, i, 1)) * 31 " +
+      "+ ascii(substr(text, i + 1, 1))) * 31 " +
+      "+ ascii(substr(text, i + 2, 1))) * 31 " +
+      "+ ascii(substr(text, i + 3, 1))) % 64) = 0"
+    val bnd = dl.filter(col("len") >= 4)
+      .select(col("doc_id"),
+        explode(expr(s"filter(sequence(1, len - 3), i -> $cut)")).as("e"))
+    val cuts = bnd.unionAll(dl.select(col("doc_id"), col("len").as("e")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("e").asc)
+    cuts
+      .withColumn("st", coalesce(lag(col("e"), 1).over(byDoc), lit(0)) + 1)
+      .join(dl.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"),
+        md5(expr("substr(text, st, e - st + 1)")).as("chunk_hash"),
+        (col("e") - col("st") + 1).cast("long").as("chunk_len"))
+      .groupBy(col("chunk_hash"), col("chunk_len"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+  }
+
+  val t28Sql: String = """
+    WITH dl AS (SELECT doc_id, text, length(text) AS len FROM documents),
+    bnd AS (
+      SELECT doc_id, i AS e
+      FROM (SELECT doc_id, text, len, unnest(range(1, len - 2)) AS i
+            FROM dl WHERE len >= 4) p
+      WHERE ((((unicode(substr(text, i, 1)) * 31
+              + unicode(substr(text, i + 1, 1))) * 31
+              + unicode(substr(text, i + 2, 1))) * 31
+              + unicode(substr(text, i + 3, 1))) % 64) = 0),
+    cuts AS (SELECT doc_id, e FROM bnd
+             UNION ALL SELECT doc_id, len FROM dl),
+    ch AS (
+      SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+               AS st,
+             e
+      FROM cuts),
+    chunks AS (
+      SELECT ch.doc_id, md5(substr(dl.text, st, (e - st + 1))) AS chunk_hash,
+             CAST(e - st + 1 AS BIGINT) AS chunk_len
+      FROM ch JOIN dl ON ch.doc_id = dl.doc_id)
+    SELECT chunk_hash, chunk_len, COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occ
+    FROM chunks GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -1902,7 +1975,8 @@ $union
     "t24_bpe_apply" -> t24,
     "t25_robust_outliers" -> t25,
     "t26_bm25" -> t26,
-    "t27_lm_backoff" -> t27)
+    "t27_lm_backoff" -> t27,
+    "t28_cdc_chunks" -> t28)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -1933,5 +2007,6 @@ $union
     "t24_bpe_apply" -> t24Sql,
     "t25_robust_outliers" -> t25Sql,
     "t26_bm25" -> t26Sql,
-    "t27_lm_backoff" -> t27Sql)
+    "t27_lm_backoff" -> t27Sql,
+    "t28_cdc_chunks" -> t28Sql)
 }

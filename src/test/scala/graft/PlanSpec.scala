@@ -482,6 +482,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"native as-of must not plan a window:\n$p")
   }
 
+  test("q72: one exchange drives both the sweep window and the peak agg") {
+    // Sweep-line contract: the boundary-point union is shuffle-free,
+    // ONE hash exchange on event_type feeds the running-sum window,
+    // the whole-partition max window AND the final aggregate (all the
+    // same key — EnsureRequirements must not re-shuffle).
+    val p = formatted(SparkEntry.queries("q72_interval_peak")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(exchanges(p) == 1,
+      s"sweep should shuffle exactly once on event_type:\n${p.take(3000)}")
+  }
+
+  test("d21: weighted term relation materializes once for its 3 consumers") {
+    // The tokenize->tf->df cascade must not replay per consumer: the
+    // checkpointed relation shows up as ExistingRDD scans, and the
+    // pair join must never degrade to a cartesian.
+    val p = formatted(SparkEntry.queries("d21_dedup_weighted")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("ExistingRDD"),
+      s"expected the checkpointed weighted-term relation:\n${p.take(3000)}")
+  }
+
+  test("t28: rolling-hash scan parallelizes; chunk agg shuffles hash keys") {
+    // The boundary explode must run AFTER the doc_id repartition (the
+    // shingleArrays file-parallelism guard), and the only downstream
+    // shuffles are the per-doc cut window and the fixed-width
+    // chunk-hash aggregate — no cartesian anywhere.
+    val p = formatted(SparkEntry.queries("t28_cdc_chunks")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Generate"), s"expected the boundary explode:\n$p")
+    assert(exchanges(p) <= 4, s"t28 shuffles more than the contract:\n$p")
+  }
+
   test("d19: the incremental merge broadcasts into the label relation") {
     // The 100 TB contract: the corpus-sized label relation is scanned,
     // never shuffled — the delta->representative lookup and the
