@@ -2301,6 +2301,40 @@ object Relational {
         col("mk_ts").as("asof_ts"), col("mk_value").as("asof_value"))
   }
 
+  // ---------------------------------------------------------------- q73
+  // The q63 recurrence WITHOUT recursion — the 100 TB path. The
+  // one-sided clamp bal_n = min(bal_{n-1} + v_n, cap) admits the
+  // closed form bal_n = min(S_n, cap + S_n − max_{k≤n} S_k) (S = the
+  // inclusive prefix sum; induction: carrying the identity through
+  // one step folds the new clamp into the running max). q63 exists to
+  // cover the engine's GENERAL recursion operator (50 frontier-join
+  // iterations = 50 scheduled jobs, cost ∝ depth × users); when the
+  // recurrence algebra permits, this rewrite collapses all of it into
+  // TWO stacked windows over ONE exchange+sort — cost independent of
+  // depth, the plan you actually run at scale. QueriesSpec pins
+  // row-for-row equality with q63; the oracle is literally q63's
+  // recursive SQL, so the driver cross-checks the closed form against
+  // DuckDB's recursion too. All arithmetic stays in exact long cents.
+  val q73: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Events.read(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= 50)
+      .select(col("user_id"), col("rn"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .withColumn("s", sum(col("v")).over(run))
+      .withColumn("m", max(col("s")).over(run))
+      .select(col("user_id"), col("rn"),
+        least(col("s"), lit(100000L) + col("s") - col("m")).as("bal"))
+  }
+
+  /** Oracle: q63's recursive CTE — the closed form must reproduce the
+    * step-by-step recursion exactly. */
+  val q73Sql: String = q63Text("events")
+
   // ---------------------------------------------------------------- q72
   // Sweep-line peak concurrency — the interval-overlap aggregate every
   // capacity/SLA analysis needs: treat each event as a 5-minute
@@ -2434,7 +2468,8 @@ object Relational {
     "q69_array_hof" -> q69,
     "q70_resample_locf" -> q70,
     "q71_asof_native" -> q71,
-    "q72_interval_peak" -> q72)
+    "q72_interval_peak" -> q72,
+    "q73_clamp_closed_form" -> q73)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2508,5 +2543,6 @@ object Relational {
     "q69_array_hof" -> q69Sql,
     "q70_resample_locf" -> q70Sql,
     "q71_asof_native" -> q25Sql,
-    "q72_interval_peak" -> q72Sql)
+    "q72_interval_peak" -> q72Sql,
+    "q73_clamp_closed_form" -> q73Sql)
 }

@@ -514,6 +514,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p) <= 4, s"t28 shuffles more than the contract:\n$p")
   }
 
+  test("q73: the clamp closed form plans one exchange and zero recursion") {
+    // q63's 50 UnionLoop iterations collapse to stacked windows on a
+    // single user_id exchange — depth-independent cost is the contract.
+    val p = formatted(SparkEntry.queries("q73_clamp_closed_form")(spark, sf0001))
+    assert(!p.contains("UnionLoop"), s"closed form must not recurse:\n$p")
+    assert(exchanges(p) == 1,
+      s"expected one exchange on user_id:\n${p.take(3000)}")
+  }
+
   test("d19: the incremental merge broadcasts into the label relation") {
     // The 100 TB contract: the corpus-sized label relation is scanned,
     // never shuffled — the delta->representative lookup and the

@@ -598,6 +598,18 @@ class QueriesSpec extends SparkSpec {
     assert(native == rel("q25_asof_join"))
   }
 
+  test("q73 (closed-form clamp) equals q63 (native recursive CTE)") {
+    // The prefix-sum/running-max identity must reproduce the clamped
+    // token-bucket recursion row for row — the whole point of the
+    // rewrite is that it is NOT an approximation.
+    def rel(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(_.mkString("|")).toSet
+    val closed = rel("q73_clamp_closed_form")
+    assert(closed.nonEmpty)
+    assert(closed == rel("q63_recursive_cte"))
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
