@@ -419,6 +419,68 @@ object MilliLog10 {
   }
 }
 
+/** Content-defined-chunking cut positions (t28): 1-based character
+  * positions i where the base-31 polynomial over the 4-code-point
+  * window starting at i is ≡ 0 (mod 64) — one compiled pass over the
+  * decoded code points instead of an interpreted
+  * filter(sequence(...), 4× substr+ascii) lambda chain (the DocPairs
+  * hot-path discipline; ~len×4 interpreted substring allocations
+  * eliminated per document). Semantics match the SQL formulation both
+  * engines share: substr indexes characters, ascii()/unicode() read
+  * the code point. 32-bit wraparound only differs from the oracle for
+  * code points large enough to overflow (≥ U+10000 territory) — the
+  * corpus contract (and the oracle's) is BMP text.
+  */
+case class CdcCuts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_cuts"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcCuts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcCuts.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcCuts =
+    copy(child = newChild)
+}
+
+object CdcCuts {
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  def compute(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    if (len < 4) return Empty
+    // Decode once: code points, character-indexed like substr/ascii.
+    val cps = new Array[Int](s.codePointCount(0, len))
+    var i = 0
+    var k = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      cps(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    val n = cps.length
+    if (n < 4) return Empty
+    val buf = new java.util.ArrayList[Any](n / 32)
+    var p = 0
+    while (p + 3 < n) {
+      val h = ((cps(p) * 31 + cps(p + 1)) * 31 + cps(p + 2)) * 31 + cps(p + 3)
+      if (h % 64 == 0) buf.add(p + 1)
+      p += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+}
+
 /** Column-level entry points for native text expressions. */
 object TextExprs {
   /** Exact integer milli-log10 (see [[MilliLog10]]). */
@@ -449,6 +511,10 @@ object TextExprs {
   /** 32-bit perceptual hash (aHash) of a payload-stand-in string. */
   def phash32(text: Column): Column =
     GraftSqlBridge.column(PHash32(GraftSqlBridge.expression(text)))
+
+  /** Content-defined-chunking cut positions (see [[CdcCuts]]). */
+  def cdcCuts(text: Column): Column =
+    GraftSqlBridge.column(CdcCuts(GraftSqlBridge.expression(text)))
 
   /** Register the text expressions on an EXISTING session's function
     * registry (idempotent) — the runtime alternative to wiring

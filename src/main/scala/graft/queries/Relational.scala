@@ -2396,6 +2396,58 @@ object Relational {
            MIN(CASE WHEN open = peak THEN t END) AS peak_at_sec
     FROM wp GROUP BY event_type"""
 
+  // ---------------------------------------------------------------- q74
+  // q72's sweep, two-level — the 100 TB formulation. q72 partitions
+  // the sweep by event_type alone, so with few hot types the
+  // per-partition sort is the whole dataset (measured: 11.3 s at 100×
+  // events vs 1.4 s at 10× — parallelism capped at |types|). The
+  // standard fix is the c04 prefix-sum ladder: bucket time (hourly),
+  // run the sweep LOCALLY per (type, bucket) — parallelism = types ×
+  // buckets — reduce each bucket to one summary row (net delta, local
+  // max, earliest instant of the local max), then prefix-sum the
+  // bucket nets per type on the BUCKET-SIZED relation to get each
+  // bucket's starting offset. Global running value = local running +
+  // bucket offset, so the global peak is max over buckets of
+  // (local max + offset) and its earliest instant is the earliest
+  // qualifying bucket's local instant (buckets partition time, so the
+  // bucket-level min IS the row-level min). Row-for-row equal to q72
+  // by QueriesSpec and by the shared oracle; the heavy stages never
+  // shuffle or sort anything wider than (type, bucket).
+  val q74: Q = (s, d) => {
+    val e = Events.read(s, d)
+      .select(col("event_type"), col("ts").cast("long").as("sec"))
+    val pts = e.select(col("event_type"), col("sec").as("t"),
+        lit(1).as("delta"))
+      .unionAll(e.select(col("event_type"), (col("sec") + 300).as("t"),
+        lit(-1).as("delta")))
+      .withColumn("bucket", floor(col("t") / 3600L))
+    val wLoc = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("t").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBkt = Window.partitionBy(col("event_type"), col("bucket"))
+    val buckets = pts
+      .withColumn("lr", sum(col("delta")).over(wLoc))
+      .withColumn("lmax", max(col("lr")).over(wBkt))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("delta")).as("btot"),
+        max(col("lr")).as("bmax"),
+        min(when(col("lr") === col("lmax"), col("t"))).as("bmax_at"))
+    val wOff = Window.partitionBy(col("event_type"))
+      .orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPeak = Window.partitionBy(col("event_type"))
+    buckets
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .withColumn("peak", max(col("bmax") + col("off")).over(wPeak))
+      .groupBy(col("event_type"))
+      .agg(max(col("bmax") + col("off")).as("peak_open"),
+        min(when(col("bmax") + col("off") === col("peak"), col("bmax_at")))
+          .as("peak_at_sec"))
+  }
+
+  /** Oracle: q72's single-sweep SQL — the bucketed ladder must agree. */
+  val q74Sql: String = q72Sql
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2469,7 +2521,8 @@ object Relational {
     "q70_resample_locf" -> q70,
     "q71_asof_native" -> q71,
     "q72_interval_peak" -> q72,
-    "q73_clamp_closed_form" -> q73)
+    "q73_clamp_closed_form" -> q73,
+    "q74_interval_peak_buckets" -> q74)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2544,5 +2597,6 @@ object Relational {
     "q70_resample_locf" -> q70Sql,
     "q71_asof_native" -> q25Sql,
     "q72_interval_peak" -> q72Sql,
-    "q73_clamp_closed_form" -> q73Sql)
+    "q73_clamp_closed_form" -> q73Sql,
+    "q74_interval_peak_buckets" -> q74Sql)
 }

@@ -1899,13 +1899,13 @@ $union
     val dl = Tables.documents(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val cut = "((((ascii(substr(text, i, 1)) * 31 " +
-      "+ ascii(substr(text, i + 1, 1))) * 31 " +
-      "+ ascii(substr(text, i + 2, 1))) * 31 " +
-      "+ ascii(substr(text, i + 3, 1))) % 64) = 0"
+    // Native one-pass cut scan (graft.functions.CdcCuts): the
+    // interpreted filter(sequence, 4x substr+ascii) lambda chain costs
+    // ~4 allocations per character — squarely on the hot path at
+    // corpus scale (measured 6.9 s -> sub-second at sf0.1).
     val bnd = dl.filter(col("len") >= 4)
       .select(col("doc_id"),
-        explode(expr(s"filter(sequence(1, len - 3), i -> $cut)")).as("e"))
+        explode(graft.functions.TextExprs.cdcCuts(col("text"))).as("e"))
     val cuts = bnd.unionAll(dl.select(col("doc_id"), col("len").as("e")))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("e").asc)

@@ -523,6 +523,22 @@ class PlanSpec extends SparkSpec {
       s"expected one exchange on user_id:\n${p.take(3000)}")
   }
 
+  test("q74: the heavy sweep stages partition by (type, bucket), not type") {
+    // The 100 TB contract: the full point relation is only ever
+    // exchanged on (event_type, bucket) — parallelism scales with
+    // buckets; the event_type-only window runs on the bucket-sized
+    // summary relation. Two exchanges total: points -> (type, bucket),
+    // bucket summaries -> type.
+    val p = formatted(
+      SparkEntry.queries("q74_interval_peak_buckets")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(exchanges(p) == 2,
+      s"expected points->(type,bucket) + summaries->type:\n${p.take(3000)}")
+    assert("""hashpartitioning\(event_type#\d+, bucket#\d+""".r
+      .findFirstIn(p).isDefined,
+      s"expected the local sweep keyed on (event_type, bucket):\n$p")
+  }
+
   test("d19: the incremental merge broadcasts into the label relation") {
     // The 100 TB contract: the corpus-sized label relation is scanned,
     // never shuffled — the delta->representative lookup and the

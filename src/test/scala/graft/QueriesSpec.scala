@@ -610,6 +610,17 @@ class QueriesSpec extends SparkSpec {
     assert(closed == rel("q63_recursive_cte"))
   }
 
+  test("q74 (bucketed two-level sweep) equals q72 (single sweep)") {
+    // The prefix-sum ladder must reproduce the single-partition sweep
+    // exactly — peak AND earliest-peak-instant, per event type.
+    def rel(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(_.mkString("|")).toSet
+    val bucketed = rel("q74_interval_peak_buckets")
+    assert(bucketed.nonEmpty)
+    assert(bucketed == rel("q72_interval_peak"))
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))

@@ -38,6 +38,31 @@ class TextExprsSpec extends SparkSpec {
     assert(n == 0)
   }
 
+  test("cdcCuts matches the HOF rolling-hash formulation on real documents") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val hof = expr(
+      """filter(sequence(1, length(text) - 3),
+        |  i -> ((((ascii(substr(text, i, 1)) * 31
+        |        + ascii(substr(text, i + 1, 1))) * 31
+        |        + ascii(substr(text, i + 2, 1))) * 31
+        |        + ascii(substr(text, i + 3, 1))) % 64) = 0)""".stripMargin)
+    val n = docs.filter(length(col("text")) >= 4)
+      .select(TextExprs.cdcCuts(col("text")).as("a"), hof.as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
+  test("cdcCuts edge cases: short strings empty, boundary position exact") {
+    def cuts(t: String): Seq[Int] =
+      Seq(t).toDF("t").select(TextExprs.cdcCuts(col("t")).as("c"))
+        .collect().head.getSeq[Int](0)
+    assert(cuts("") == Seq())
+    assert(cuts("abc") == Seq())
+    // "@@@@" = 64,64,64,64: ((64*31+64)*31+64)*31+64 = 1970176 = 64*30784
+    // -> divisible by 64 -> position 1 is a cut.
+    assert(cuts("@@@@") == Seq(1))
+  }
+
   test("minhash signature: fixed width, deterministic, content-sensitive") {
     val df = Seq("p q r s t", "p q r s t", "entirely different words here")
       .toDF("t")
