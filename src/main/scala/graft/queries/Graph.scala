@@ -570,6 +570,35 @@ object Graph {
     SELECT seed, id AS doc_id, dist
     FROM (SELECT * FROM d2 UNION ALL SELECT * FROM e3) f"""
 
+  // ---------------------------------------------------------------- g08
+  // Local clustering coefficient — g02's triangle counts normalized to
+  // the [0,1] signal curation actually thresholds on: lcc(v) =
+  // 2·tri(v) / (deg(v)·(deg(v)−1)), ≈1 for a node inside a mutual
+  // near-dup clique (merge the whole family), ≈0 for a star hub
+  // (boilerplate overlapping many unrelated docs — do NOT merge its
+  // neighborhood transitively). The numerator and denominator are
+  // published as exact BIGINTs; the coefficient itself is the single
+  // final division (NULL when deg < 2, where it is undefined).
+  // Plan: a projection over g02's already-bounded relation — zero new
+  // shuffles beyond the triangle count it reuses.
+  val g08: Q = (s, d) =>
+    g02(s, d)
+      .withColumn("lcc_num", lit(2L) * col("tri_cnt"))
+      .withColumn("lcc_den", col("degree") * (col("degree") - 1))
+      .withColumn("lcc",
+        when(col("lcc_den") > 0,
+          col("lcc_num").cast("double") / col("lcc_den")))
+
+  val g08Sql: String = s"""
+    WITH base AS (${g02Sql})
+    SELECT doc_id, degree, tri_cnt,
+           2 * tri_cnt AS lcc_num,
+           degree * (degree - 1) AS lcc_den,
+           CASE WHEN degree * (degree - 1) > 0
+                THEN CAST(2 * tri_cnt AS DOUBLE) / (degree * (degree - 1))
+           END AS lcc
+    FROM base"""
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank" -> g01,
     "g02_triangles" -> g02,
@@ -577,7 +606,8 @@ object Graph {
     "g04_kcore" -> g04,
     "g05_link_pred" -> g05,
     "g06_modularity" -> g06,
-    "g07_bfs_hops" -> g07)
+    "g07_bfs_hops" -> g07,
+    "g08_clustering_coeff" -> g08)
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
@@ -586,5 +616,6 @@ object Graph {
     "g04_kcore" -> g04Sql,
     "g05_link_pred" -> g05Sql,
     "g06_modularity" -> g06Sql,
-    "g07_bfs_hops" -> g07Sql)
+    "g07_bfs_hops" -> g07Sql,
+    "g08_clustering_coeff" -> g08Sql)
 }

@@ -1946,6 +1946,61 @@ $union
            COUNT(*) AS n_occ
     FROM chunks GROUP BY 1, 2"""
 
+  // ---------------------------------------------------------------- t29
+  // Token-entropy quality scoring — the information-theoretic
+  // complement of t13's repetition ratios: Shannon entropy of each
+  // document's token distribution, low for boilerplate/keyword-stuffed
+  // spam and template dumps (mass concentrated on few tokens), high
+  // for diverse natural prose. H = Σ_t p_t·log(1/p_t) with
+  // p_t = cnt_t/n decomposes to (Σ_t cnt_t·(log n − log cnt_t)) / n,
+  // whose numerator is computed ENTIRELY in exact milli-log10 integer
+  // space via the t19/t27 fixed-point expression — every partial sum
+  // a bigint both engines agree on bit-for-bit, the single final
+  // division the only double. Plan: one tokenize + (doc, token) hash
+  // agg; the per-doc totals groupBy and the numerator groupBy both
+  // ride the same doc_id partitioning (no further exchanges); the
+  // oracle computes milli-log10 once per DISTINCT count value (a
+  // Heaps-small relation), the t27 discipline.
+  val t29: Q = (s, d) => {
+    import graft.functions.TextExprs.milliLog10
+    val tf = Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val n = tf.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_toks"), count(lit(1)).as("n_distinct"))
+    val e = tf.join(n.select(col("doc_id"), col("n_toks")), Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") *
+        (milliLog10(col("n_toks")) - milliLog10(col("cnt")))).as("h_num"))
+    n.join(e, Seq("doc_id"))
+      .select(col("doc_id"), col("n_toks"), col("n_distinct"), col("h_num"),
+        (col("h_num").cast("double") / col("n_toks")).as("entropy_milli"))
+  }
+
+  val t29Sql: String = s"""
+    WITH tok AS (
+      SELECT doc_id, w, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents) u
+      WHERE len(w) > 0 GROUP BY 1, 2),
+    nrel AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+                    COUNT(*) AS n_distinct
+             FROM tok GROUP BY 1),
+    vals AS (SELECT cnt AS v FROM tok UNION SELECT n_toks FROM nrel),
+    ${milliLogValsCtes},
+    e AS (SELECT tok.doc_id,
+                 CAST(SUM(tok.cnt * (mn.mlog - mc.mlog)) AS BIGINT) AS h_num
+          FROM tok
+            JOIN nrel ON tok.doc_id = nrel.doc_id
+            JOIN ml mc ON mc.v = tok.cnt
+            JOIN ml mn ON mn.v = nrel.n_toks
+          GROUP BY 1)
+    SELECT n.doc_id, n.n_toks, n.n_distinct, e.h_num,
+           CAST(e.h_num AS DOUBLE) / n.n_toks AS entropy_milli
+    FROM nrel n JOIN e ON n.doc_id = e.doc_id"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -1976,7 +2031,8 @@ $union
     "t25_robust_outliers" -> t25,
     "t26_bm25" -> t26,
     "t27_lm_backoff" -> t27,
-    "t28_cdc_chunks" -> t28)
+    "t28_cdc_chunks" -> t28,
+    "t29_token_entropy" -> t29)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -2008,5 +2064,6 @@ $union
     "t25_robust_outliers" -> t25Sql,
     "t26_bm25" -> t26Sql,
     "t27_lm_backoff" -> t27Sql,
-    "t28_cdc_chunks" -> t28Sql)
+    "t28_cdc_chunks" -> t28Sql,
+    "t29_token_entropy" -> t29Sql)
 }
