@@ -1086,6 +1086,51 @@ object Streamed {
       .withColumn("p", col("c").cast("double") / col("row_tot"))
   }
 
+  // --------------------------------------------------------------- st20
+  // Streaming content-defined dedup — t28's CDC chunking running
+  // in-flight: the storage-side dedup a streaming ingest layer runs
+  // BEFORE writing (suppress chunks it has already persisted). The
+  // batch formulation's per-doc lag window is not stream-legal, so the
+  // chunks are rebuilt ROW-LOCALLY from the native cut array
+  // (starts = 0 ∥ cuts, ends = cuts ∥ len, one zip_with substr) —
+  // same chunks, zero windows, stateless until the final
+  // dropDuplicates (one state row per distinct chunk; ~len/64 chunks
+  // per doc, so state rides the corpus × chunk rate — provider
+  // auto-selection sized accordingly). Oracle: DISTINCT over the
+  // batch chunk relation — which copy of a chunk "won" is
+  // arrival-order dependent and stays out of the columns (the st07
+  // determinism discipline).
+  val st20: Q = (s, d) => {
+    val ss = stateSession(s,
+      corpusKeyedStateRows =
+        parquetRowCount(s, s"$d/documents.parquet") * 9)
+    val chunks = ss.readStream
+      .schema(docSchema)
+      .parquet(stageDocsDir(d))
+      .withColumn("cuts", graft.functions.TextExprs.cdcCuts(col("text")))
+      .withColumn("starts", concat(array(lit(0)), col("cuts")))
+      .withColumn("ends", concat(col("cuts"), array(length(col("text")))))
+      .select(explode(expr(
+        "zip_with(starts, ends, (st, e) -> substr(text, st + 1, e - st))"))
+        .as("chunk"))
+      .select(md5(col("chunk")).as("chunk_hash"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .dropDuplicates("chunk_hash")
+    val name = "st20_mem"
+    val q = chunks.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
+  val st20Sql: String = s"""
+    WITH ${Text.CdcChunksCte}
+    SELECT DISTINCT chunk_hash, chunk_len FROM chunks"""
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -1105,7 +1150,8 @@ object Streamed {
     "st16_tws_session" -> st16,
     "st17_stream_dedup_bounded" -> st17,
     "st18_stream_outer_join" -> st18,
-    "st19_stream_markov" -> st19)
+    "st19_stream_markov" -> st19,
+    "st20_stream_cdc_dedup" -> st20)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -1133,5 +1179,6 @@ object Streamed {
     "st17_stream_dedup_bounded" -> st07Sql,
     "st18_stream_outer_join" -> st18Sql,
     // same transition semantics as the batch lag-window matrix
-    "st19_stream_markov" -> Relational.q65Sql)
+    "st19_stream_markov" -> Relational.q65Sql,
+    "st20_stream_cdc_dedup" -> st20Sql)
 }

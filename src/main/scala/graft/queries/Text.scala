@@ -1920,8 +1920,11 @@ $union
         count(lit(1)).as("n_occ"))
   }
 
-  val t28Sql: String = """
-    WITH dl AS (SELECT doc_id, text, length(text) AS len FROM documents),
+  /** t28's chunk relation as a reusable CTE chain ending in
+    * `chunks(doc_id, chunk_hash, chunk_len)` — st20's streaming CDC
+    * dedup oracle consumes the same chunks. */
+  private[queries] val CdcChunksCte: String = """
+    dl AS (SELECT doc_id, text, length(text) AS len FROM documents),
     bnd AS (
       SELECT doc_id, i AS e
       FROM (SELECT doc_id, text, len, unnest(range(1, len - 2)) AS i
@@ -1941,7 +1944,10 @@ $union
     chunks AS (
       SELECT ch.doc_id, md5(substr(dl.text, st, (e - st + 1))) AS chunk_hash,
              CAST(e - st + 1 AS BIGINT) AS chunk_len
-      FROM ch JOIN dl ON ch.doc_id = dl.doc_id)
+      FROM ch JOIN dl ON ch.doc_id = dl.doc_id)"""
+
+  val t28Sql: String = s"""
+    WITH $CdcChunksCte
     SELECT chunk_hash, chunk_len, COUNT(DISTINCT doc_id) AS n_docs,
            COUNT(*) AS n_occ
     FROM chunks GROUP BY 1, 2"""
