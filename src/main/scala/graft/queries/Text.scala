@@ -1969,11 +1969,14 @@ $union
   // Heaps-small relation), the t27 discipline.
   val t29: Q = (s, d) => {
     import graft.functions.TextExprs.milliLog10
+    // Consumed by both the totals agg and the numerator agg —
+    // materialize once (the d21/s17 multiply-consumed discipline).
     val tf = Tables.documents(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val n = tf.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_toks"), count(lit(1)).as("n_distinct"))
     val e = tf.join(n.select(col("doc_id"), col("n_toks")), Seq("doc_id"))

@@ -539,6 +539,22 @@ class PlanSpec extends SparkSpec {
       s"expected the local sweep keyed on (event_type, bucket):\n$p")
   }
 
+  test("q75: raw events feed ONE sketch pass; exact side explodes, no BNLJ") {
+    // The sketch ladder's contract: raw events are aggregated into
+    // per-hour sketches once; every window answer is sketch algebra on
+    // the hour-grain relation. The exact comparator must plan as an
+    // explode + equi-shuffle (Generate), never a pairs x hours range
+    // BNLJ over the event-pair relation.
+    val p = formatted(SparkEntry.queries("q75_sliding_distinct")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Generate"),
+      s"expected the 24-window explode on the exact side:\n${p.take(3000)}")
+    // the only BNLJ allowed is the hour-grain sketch self-join (both
+    // sides are checkpointed hour relations, not event relations)
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("ExistingRDD"), p.take(3000))
+  }
+
   test("d19: the incremental merge broadcasts into the label relation") {
     // The 100 TB contract: the corpus-sized label relation is scanned,
     // never shuffled — the delta->representative lookup and the
