@@ -720,6 +720,109 @@ object Similarity {
     FROM q LEFT JOIN acnt ON q.qid = acnt.qid
            LEFT JOIN hcnt ON q.qid = hcnt.qid"""
 
+  // ---------------------------------------------------------------- s19
+  // Recall-vs-probe-radius tuning curve — the d20 discipline applied to
+  // ANN: before committing a deployment to a probe budget, sweep the
+  // Hamming radius (0 = s02's own bucket, 1 = s11's bit-flip probes,
+  // 2 = two-bit flips) and report the cost axis (candidates scored)
+  // against aggregate recall@3 over the query sample. The audit scores
+  // the sample × corpus ONCE (the exact baseline's price — this is a
+  // measurement query, bounded by the broadcast sample exactly like
+  // s10) and derives every radius from the one scored relation by
+  // filtering popcount(bucket ⊕ qbucket) ≤ r — no per-radius rescans.
+  // Recall is monotone in the radius by construction (any candidate
+  // displacing an exact-top-3 member from a superset's top 3 has
+  // higher cosine, hence is exact-top-3 itself); QueriesSpec pins it.
+  val s19: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketExpr("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket").as("qbucket"), qnormsq("embedding").as("qnsq"))
+    // one scored sample×corpus relation, consumed by the exact top-3
+    // and all three radius slices
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("hd", expr("bit_count(bucket ^ qbucket)"))
+      .withColumn("dot", qdot("embedding", "qe"))
+      .withColumn("nsq", qnormsq("embedding"))
+      .withColumn("cosine",
+        col("dot") / (sqrt(col("nsq")) * sqrt(col("qnsq"))))
+      .select(col("qid"), col("vec_id"), col("hd"), col("cosine"))
+      .localCheckpoint()
+    val wAll = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val exact = scored.withColumn("rank", row_number().over(wAll))
+      .filter(col("rank") <= 3).select(col("qid"), col("vec_id"))
+    val radii = s.range(0, 3).select(col("id").cast("int").as("radius"))
+    val wR = Window.partitionBy(col("radius"), col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val cand = scored.crossJoin(broadcast(radii))
+      .filter(col("hd") <= col("radius"))
+    val candCnt = cand.groupBy(col("radius")).agg(count(lit(1)).as("n_cand"))
+    val ann = cand.withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= 3)
+      .select(col("radius"), col("qid"), col("vec_id"))
+    val hits = ann.join(exact, Seq("qid", "vec_id"))
+      .groupBy(col("radius")).agg(count(lit(1)).as("n_hits"))
+    radii.join(candCnt, Seq("radius"), "left")
+      .join(hits, Seq("radius"), "left")
+      .select(col("radius"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(30.0))
+          .as("recall"))
+  }
+
+  val s19Sql: String = s"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (SELECT CAST(SUM(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                                   THEN (1 << (i - 1))
+                                   ELSE 0 END) AS INTEGER)
+              FROM range(1, 7) r(i)) AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+          FROM b WHERE vec_id < 10),
+    qn AS (SELECT qid, ${sqlDot("qe", "qe")} AS qnsq
+           FROM q CROSS JOIN range(1, 65) r(i) GROUP BY qid),
+    dots AS (SELECT q.qid, e.vec_id,
+                    bit_count(CAST(xor(e.bucket, q.qbucket) AS INTEGER)) AS hd,
+                    ${sqlDot("e.embedding", "q.qe")} AS dot,
+                    ${sqlDot("e.embedding", "e.embedding")} AS nsq
+             FROM b e CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+             WHERE e.vec_id <> q.qid
+             GROUP BY q.qid, e.vec_id, e.bucket, q.qbucket),
+    scored AS (SELECT dots.qid, vec_id, hd,
+                      dot / (sqrt(nsq) * sqrt(qnsq)) AS cosine
+               FROM dots JOIN qn ON dots.qid = qn.qid),
+    radii AS (SELECT CAST(r AS INTEGER) AS radius FROM range(0, 3) t(r)),
+    exact AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, vec_id ASC) AS rn
+                FROM scored) t
+              WHERE rn <= 3),
+    cand AS (SELECT radius, qid, vec_id, cosine
+             FROM scored CROSS JOIN radii WHERE hd <= radius),
+    ccnt AS (SELECT radius, COUNT(*) AS n_cand FROM cand GROUP BY 1),
+    ann AS (SELECT radius, qid, vec_id FROM (
+              SELECT radius, qid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY radius, qid
+                       ORDER BY cosine DESC, vec_id ASC) AS rn
+              FROM cand) t
+            WHERE rn <= 3),
+    hcnt AS (SELECT a.radius, COUNT(*) AS n_hits
+             FROM ann a JOIN exact e
+               ON a.qid = e.qid AND a.vec_id = e.vec_id
+             GROUP BY 1)
+    SELECT r.radius,
+           CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(n_hits, 0) AS DOUBLE) / 30.0 AS recall
+    FROM radii r LEFT JOIN ccnt ON r.radius = ccnt.radius
+                 LEFT JOIN hcnt ON r.radius = hcnt.radius"""
+
   // ---------------------------------------------------------------- s12
   // Product-quantization ANN (the PQ/ADC shape, Jégou et al. 2011) —
   // the memory-side answer the IVF family (s05/s09) doesn't give: each
@@ -1734,7 +1837,8 @@ object Similarity {
     "s15_graph_ann" -> s15,
     "s16_ivf_incremental" -> s16,
     "s17_dbscan" -> s17,
-    "s18_hard_negatives" -> s18)
+    "s18_hard_negatives" -> s18,
+    "s19_recall_sweep" -> s19)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -1754,5 +1858,6 @@ object Similarity {
     "s15_graph_ann" -> s15Sql,
     "s16_ivf_incremental" -> s16Sql,
     "s17_dbscan" -> s17Sql,
-    "s18_hard_negatives" -> s18Sql)
+    "s18_hard_negatives" -> s18Sql,
+    "s19_recall_sweep" -> s19Sql)
 }

@@ -621,6 +621,17 @@ class QueriesSpec extends SparkSpec {
     assert(bucketed == rel("q72_interval_peak"))
   }
 
+  test("s19: recall is monotone in the probe radius and candidates grow") {
+    val rows = SparkEntry.queries("s19_recall_sweep")(spark, sf0001)
+      .orderBy(col("radius")).collect()
+    assert(rows.length == 3)
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    val cands = rows.map(_.getAs[Long]("n_cand"))
+    assert(hits.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall must not drop as the probe set widens: ${hits.toSeq}")
+    assert(cands.sliding(2).forall(p => p(0) <= p(1)), cands.toSeq.toString)
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
