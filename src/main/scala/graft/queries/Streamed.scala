@@ -1131,6 +1131,59 @@ object Streamed {
     WITH ${Text.CdcChunksCte}
     SELECT DISTINCT chunk_hash, chunk_len FROM chunks"""
 
+  // --------------------------------------------------------------- st21
+  // Streaming sliding-window DISTINCT counting — q75's question asked
+  // in-flight: per trailing-24h window (1-hour slide), how many
+  // distinct users? Exact distinct over sliding windows in a stream
+  // means 24 copies of every key in state; the production answer is a
+  // mergeable sketch per window (HLL++ registers, rsd 2%), which keeps
+  // state at one fixed-size sketch per open window and makes window
+  // results unionable downstream exactly like q75's stored sketches.
+  // Contract oracle (q27/q52 pattern): the Q runs the stream for the
+  // estimate, recomputes the exact count batch-side via the q75
+  // explode (each (hour, user) pair fans to its 24 grid windows), and
+  // the compared columns carry the exact count + a within-15% boolean
+  // (7.5σ at rsd 2%) — the estimate itself stays out of the hash.
+  val st21: Q = (s, d) => {
+    val ss = stateSession(s)
+    val agg = eventsStream(ss, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "24 hours", "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("est"))
+    val name = "st21_mem"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val est = ss.table(name)
+      .select(col("window.start").as("window_start"), col("est"))
+    val exact = graft.sources.Events.read(s, d)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .distinct()
+      .select(col("user_id"), explode(expr(
+        "sequence(hour - INTERVAL 23 HOURS, hour, INTERVAL 1 HOUR)"))
+        .as("window_start"))
+      .groupBy(col("window_start"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, Seq("window_start"))
+      .select(col("window_start"), col("n_exact"),
+        (abs(col("est").cast("double") - col("n_exact")) / col("n_exact")
+          <= 0.15).as("apx_ok"))
+  }
+
+  val st21Sql: String = """
+    WITH ev AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                       user_id
+                FROM events),
+    pairs AS (SELECT DISTINCT hour, user_id FROM ev)
+    SELECT hour - INTERVAL (k) HOUR AS window_start,
+           COUNT(DISTINCT user_id) AS n_exact, TRUE AS apx_ok
+    FROM pairs CROSS JOIN range(0, 24) t(k)
+    GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -1151,7 +1204,8 @@ object Streamed {
     "st17_stream_dedup_bounded" -> st17,
     "st18_stream_outer_join" -> st18,
     "st19_stream_markov" -> st19,
-    "st20_stream_cdc_dedup" -> st20)
+    "st20_stream_cdc_dedup" -> st20,
+    "st21_stream_sliding_distinct" -> st21)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -1180,5 +1234,6 @@ object Streamed {
     "st18_stream_outer_join" -> st18Sql,
     // same transition semantics as the batch lag-window matrix
     "st19_stream_markov" -> Relational.q65Sql,
-    "st20_stream_cdc_dedup" -> st20Sql)
+    "st20_stream_cdc_dedup" -> st20Sql,
+    "st21_stream_sliding_distinct" -> st21Sql)
 }
