@@ -112,6 +112,45 @@ object FakeCodec {
     out.toByteArray
   }
 
+  /** PNG container walk WITHOUT decode (m12): traverse the chunk table
+    * (8-byte signature, then length/type/data/CRC frames), parse the
+    * IHDR dimensions from raw bytes, recompute every chunk's CRC32 and
+    * check the stream terminates with IEND — the cheap corrupt-media
+    * triage a pipeline runs BEFORE spending decode cycles. Real
+    * format, real checksum (java.util.zip.CRC32 — the PNG spec's
+    * polynomial), no codec involved. Returns
+    * (ihdr_width, ihdr_height, all CRCs valid, IEND seen). */
+  def pngChunkAudit(bytes: Array[Byte]): (Int, Int, Boolean, Boolean) = {
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    var off = 8 // PNG signature
+    var w = 0
+    var h = 0
+    var crcOk = bytes.length >= 8
+    var sawEnd = false
+    var stop = false
+    while (!stop && off + 12 <= bytes.length) {
+      val len = be32(off).toInt
+      if (len < 0 || off + 12L + len > bytes.length) {
+        crcOk = false
+        stop = true // truncated chunk: stop, flag invalid
+      } else {
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        if (typ == "IHDR" && len >= 8) {
+          w = be32(off + 8).toInt
+          h = be32(off + 12).toInt
+        }
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes, off + 4, 4 + len)
+        if (crc.getValue != be32(off + 8 + len)) crcOk = false
+        if (typ == "IEND") { sawEnd = true; stop = true }
+        off += 12 + len
+      }
+    }
+    (w, h, crcOk, sawEnd)
+  }
+
   /** `P6` + whitespace-separated width/height/maxval (with `#` comment
     * support), then raw pixels. Returns width×height, 1 frame. */
   private[multimodal] def parsePpm(id: Long,

@@ -479,6 +479,41 @@ object Multimodal {
            start_off % 262144 AS shard_offset
     FROM cum"""
 
+  // ---------------------------------------------------------------- m12
+  // Container introspection WITHOUT decode — the triage pass a media
+  // pipeline runs before spending decode cycles: walk the real PNG
+  // chunk table (length/type/data/CRC frames), parse IHDR dimensions
+  // from raw bytes, recompute every chunk's CRC32, and check the
+  // stream terminates with IEND. Corrupt or truncated payloads are
+  // flagged by CHECKSUM, not by a decoder crash — and at a fraction of
+  // decode cost (the walk reads headers + checksums, no inflate, no
+  // raster). Same typed mapPartitions boundary as m02/m10; payloads
+  // are m10's real ImageIO-encoded PNGs, so the audit runs against
+  // genuine encoder output. Oracle: IHDR dims follow the test-card
+  // closed form, and both validity booleans must be TRUE for every
+  // payload — MultimodalCodecSpec proves the negative path (a flipped
+  // byte trips crc_ok) so the TRUEs are earned, not vacuous.
+  val m12: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.multimodal.FakeCodec.encodeTestPng(id)
+        val (w, h, crcOk, iendOk) =
+          graft.multimodal.FakeCodec.pngChunkAudit(bytes)
+        (id, w, h, crcOk, iendOk)
+      })
+      .toDF("doc_id", "width", "height", "crc_ok", "iend_ok")
+  }
+
+  val m12Sql: String = """
+    SELECT doc_id,
+           CAST(1 + doc_id % 16 AS INTEGER) AS width,
+           CAST(1 + (doc_id * 7) % 16 AS INTEGER) AS height,
+           TRUE AS crc_ok, TRUE AS iend_ok
+    FROM documents"""
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
@@ -490,7 +525,8 @@ object Multimodal {
     "m08_phash_dedup" -> m08,
     "m09_keyframes" -> m09,
     "m10_png_roundtrip" -> m10,
-    "m11_shard_manifest" -> m11)
+    "m11_shard_manifest" -> m11,
+    "m12_png_chunk_audit" -> m12)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
@@ -503,5 +539,6 @@ object Multimodal {
     "m08_phash_dedup" -> m08Sql,
     "m09_keyframes" -> m09Sql,
     "m10_png_roundtrip" -> m10Sql,
-    "m11_shard_manifest" -> m11Sql)
+    "m11_shard_manifest" -> m11Sql,
+    "m12_png_chunk_audit" -> m12Sql)
 }

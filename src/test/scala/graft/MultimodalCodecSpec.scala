@@ -76,6 +76,22 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(FakeCodec.decodeReal(5L, corrupt) == FakeCodec.decode(5L, corrupt))
   }
 
+  test("PNG chunk audit: valid stream passes; corruption trips the CRC") {
+    val bytes = FakeCodec.encodeTestPng(42L)
+    val (w, h, crcOk, iendOk) = FakeCodec.pngChunkAudit(bytes)
+    assert(w == (1 + 42 % 16) && h == (1 + (42 * 7) % 16),
+      s"IHDR parse got ${w}x$h")
+    assert(crcOk && iendOk)
+    // flip one data byte past the IHDR: the recomputed CRC must differ
+    val flipped = bytes.clone()
+    flipped(40) = (flipped(40) ^ 0x7f).toByte
+    val (_, _, crcOk2, _) = FakeCodec.pngChunkAudit(flipped)
+    assert(!crcOk2, "a flipped byte must trip the chunk CRC")
+    // truncation: IEND never seen, validity flagged
+    val (_, _, crcOk3, iendOk3) = FakeCodec.pngChunkAudit(bytes.dropRight(6))
+    assert(!crcOk3 || !iendOk3)
+  }
+
   test("MB-scale payloads stream through the mapPartitions decode stage") {
     // 24 images, ~2.4 MB each (~57 MB total), plus interleaved audio:
     // realistic media row sizes through the m02 batch shape. Dimensions
