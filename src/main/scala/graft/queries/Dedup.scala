@@ -1407,6 +1407,93 @@ object Dedup {
     SELECT i, j, wmin, wi, wj, wjaccard
     FROM base WHERE wjaccard >= $D21Threshold"""
 
+  // ---------------------------------------------------------------- d22
+  // MinHash-LSH banding tuning curve — the third tuning relation (d20:
+  // Jaccard threshold, s19: ANN probe radius): before committing a
+  // dedup deployment to a (bands b × rows r) configuration, sweep r
+  // over the divisors of the signature width and report candidate
+  // volume (the cost axis) against recall of the true ≥0.5 pair set
+  // (d03's registered semantics). The S-curve trade is P(candidate) =
+  // 1−(1−J^r)^b — more rows per band = sharper threshold, fewer
+  // candidates, lower recall — and this query makes it measurable on
+  // the actual corpus. ONE signature relation (16 portable md5-derived
+  // 60-bit minhashes per doc — the d05 engine-portability discipline,
+  // so the oracle replays the EXACT candidate sets, not just the
+  // verified output) feeds all five configurations; banding nests
+  // (1|2|4|8|16), so candidates and hits are provably non-increasing
+  // in r — spec-pinned. Candidate emission is the d03 inverted-index
+  // shape (bucket → sorted doc list → native pair explode), never a
+  // self-join blowup.
+  val D22Tables = 16
+
+  val d22: Q = (s, d) => {
+    import s.implicits._
+    val tabs = s.range(0, D22Tables).select(col("id").cast("int").as("t"))
+    val sig = shingles(s, d).crossJoin(broadcast(tabs))
+      .select(col("doc_id"), col("t"),
+        conv(substring(md5(concat_ws(":", col("t"), col("s"))), 1, 15),
+          16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"), col("t")).agg(min(col("h")).as("mh"))
+      .localCheckpoint() // one signature build for all five configs
+    val cfg = Seq(1, 2, 4, 8, 16).toDF("r")
+    val bands = sig.crossJoin(broadcast(cfg))
+      .withColumn("band", expr("int(t div r)"))
+      .groupBy(col("r"), col("doc_id"), col("band"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(t, mh))), x -> cast(x.mh as string)), ',')").as("bkey"))
+    val buckets = bands.groupBy(col("r"), col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+    val cand = buckets.select(col("r"),
+        explode(graft.functions.TextExprs.docPairs(col("docs"))).as("p"))
+      .select(col("r"), col("p.i").as("i"), col("p.j").as("j"))
+      .distinct()
+    val exact = jaccardPairs(s, d).select(col("i"), col("j"))
+    val nCand = cand.groupBy(col("r")).agg(count(lit(1)).as("n_cand"))
+    val nHit = cand.join(exact, Seq("i", "j"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_hit"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    cfg.join(nCand, Seq("r"), "left").join(nHit, Seq("r"), "left")
+      .crossJoin(broadcast(nExact))
+      .select(col("r"), expr(s"int($D22Tables div r)").as("b"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_exact"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+  }
+
+  val d22Sql: String = s"""
+    WITH $JaccardPairsCte,
+    tabs AS (SELECT CAST(z.tt AS INTEGER) AS t FROM range(0, $D22Tables) z(tt)),
+    hs AS (SELECT sh.doc_id, tabs.t,
+                  MIN(('0x' || substring(md5(tabs.t || ':' || sh.s), 1, 15))
+                    ::BIGINT) AS mh
+           FROM sh CROSS JOIN tabs GROUP BY 1, 2),
+    cfg AS (SELECT CAST(c.r AS INTEGER) AS r
+            FROM (VALUES (1), (2), (4), (8), (16)) c(r)),
+    bands AS (SELECT cfg.r, hs.doc_id, hs.t // cfg.r AS band,
+                     string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hs.t)
+                       AS bkey
+              FROM hs CROSS JOIN cfg GROUP BY 1, 2, 3),
+    cand AS (SELECT DISTINCT a.r, a.doc_id AS i, b.doc_id AS j
+             FROM bands a JOIN bands b
+               ON a.r = b.r AND a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id < b.doc_id),
+    ncand AS (SELECT r, COUNT(*) AS n_cand FROM cand GROUP BY 1),
+    nhit AS (SELECT c.r, COUNT(*) AS n_hit
+             FROM cand c JOIN pairs p ON c.i = p.i AND c.j = p.j
+             GROUP BY 1),
+    nexact AS (SELECT COUNT(*) AS n_exact FROM pairs)
+    SELECT cfg.r, CAST($D22Tables // cfg.r AS INTEGER) AS b,
+           CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_exact AS recall
+    FROM cfg LEFT JOIN ncand ON cfg.r = ncand.r
+             LEFT JOIN nhit ON cfg.r = nhit.r
+             CROSS JOIN nexact"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -1428,7 +1515,8 @@ object Dedup {
     "d18_dedup_containment" -> d18,
     "d19_dedup_cluster_incremental" -> d19,
     "d20_jaccard_histogram" -> d20,
-    "d21_dedup_weighted" -> d21)
+    "d21_dedup_weighted" -> d21,
+    "d22_lsh_tuning" -> d22)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -1451,5 +1539,6 @@ object Dedup {
     "d18_dedup_containment" -> d18Sql,
     "d19_dedup_cluster_incremental" -> d19Sql,
     "d20_jaccard_histogram" -> d20Sql,
-    "d21_dedup_weighted" -> d21Sql)
+    "d21_dedup_weighted" -> d21Sql,
+    "d22_lsh_tuning" -> d22Sql)
 }

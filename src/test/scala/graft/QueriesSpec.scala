@@ -632,6 +632,19 @@ class QueriesSpec extends SparkSpec {
     assert(cands.sliding(2).forall(p => p(0) <= p(1)), cands.toSeq.toString)
   }
 
+  test("d22: banding nests, so candidates and hits shrink as r grows") {
+    // Divisor-chain band configs nest (full agreement on an r-row band
+    // implies agreement on each contained r/2-row band), so the
+    // candidate set at larger r is a subset of the one at smaller r.
+    val rows = SparkEntry.queries("d22_lsh_tuning")(spark, sf0001)
+      .orderBy(col("r")).collect()
+    assert(rows.length == 5)
+    val cands = rows.map(_.getAs[Long]("n_cand"))
+    val hits = rows.map(_.getAs[Long]("n_hit"))
+    assert(cands.sliding(2).forall(p => p(0) >= p(1)), cands.toSeq.toString)
+    assert(hits.sliding(2).forall(p => p(0) >= p(1)), hits.toSeq.toString)
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
