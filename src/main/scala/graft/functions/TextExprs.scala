@@ -546,5 +546,11 @@ object TextExprs {
         require(args.length == 1, "graft_milli_log10 expects (bigint)")
         MilliLog10(args.head)
       })
+    GraftSqlBridge.registerFunction(spark, "graft_cdc_cuts",
+      new ExpressionInfo(classOf[CdcCuts].getName, "graft_cdc_cuts"),
+      { args =>
+        require(args.length == 1, "graft_cdc_cuts expects (text)")
+        CdcCuts(args.head)
+      })
   }
 }

@@ -180,7 +180,7 @@ object VectorExprs {
   * `graft_minhash_sig(shingles, numTables)`,
   * `graft_normalize_text(text)`, `graft_doc_pairs(docs)`,
   * `graft_int8_stats(vec)`, `graft_phash32(text)`,
-  * `graft_milli_log10(x)`.
+  * `graft_milli_log10(x)`, `graft_cdc_cuts(text)`.
   * Integer parameters must be foldable literals (they parameterize the
   * generated code). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -224,6 +224,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_milli_log10", classOf[MilliLog10], { args =>
       require(args.length == 1, "graft_milli_log10 expects (bigint)")
       MilliLog10(args.head)
+    })
+    inject("graft_cdc_cuts", classOf[CdcCuts], { args =>
+      require(args.length == 1, "graft_cdc_cuts expects (text)")
+      CdcCuts(args.head)
     })
   }
 }

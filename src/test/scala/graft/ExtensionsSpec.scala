@@ -43,6 +43,9 @@ class ExtensionsSpec extends SparkSpec {
         ph.getLong(0) >= 0L && ph.getLong(0) <= 0xFFFFFFFFL)
       assert(s2.sql("SELECT graft_milli_log10(1000L) AS m")
         .head().getLong(0) == 3000L)
+      // '@@@@' hits the cut condition at position 1 (see TextExprsSpec)
+      assert(s2.sql("SELECT graft_cdc_cuts('@@@@') AS c")
+        .head().getSeq[Int](0) == Seq(1))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
