@@ -784,6 +784,83 @@ object Corpus {
            qs.p50_chars, qs.p90_chars
     FROM base b JOIN tl USING (source) JOIN qs USING (source)"""
 
+  // ---------------------------------------------------------------- c14
+  // Curation funnel report — the per-source observability relation for
+  // c01's gate cascade: how many documents each source feeds in, how
+  // many survive the quality/language gates, how many of the survivors
+  // are distinct after canonical hashing, and the token mass at each
+  // stage. This is what a curation run publishes next to its output so
+  // a reviewer can see WHERE each source's volume went (gates vs
+  // dedup) before anyone trains on it — c13's dataset card describes
+  // the survivors; c14 accounts for the casualties. One corpus pass,
+  // one source-keyed aggregate; every rate is a single division of
+  // exact longs (NULL where the denominator is 0, identically in both
+  // engines via nullif).
+  val c14: Q = (s, d) => {
+    val stopArr = array(stopwords.map(lit): _*)
+    val canon = Tables.documents(s, d)
+      .withColumn("norm", graft.functions.TextExprs.normalizeText(col("text")))
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("gate_ok",
+        col("n_tokens") >= 20 &&
+          size(array_distinct(col("toks"))).cast("double") /
+            col("n_tokens") >= 0.3 &&
+          size(filter(col("toks"), t => array_contains(stopArr, t)))
+            .cast("double") / col("n_tokens") >= 0.08)
+    canon.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("gate_ok"), 1L).otherwise(0L)).as("n_gated"),
+        countDistinct(when(col("gate_ok"), sha2(col("norm"), 256)))
+          .as("n_unique"),
+        sum(col("n_tokens").cast("long")).as("tok_raw"),
+        sum(when(col("gate_ok"), col("n_tokens").cast("long"))
+          .otherwise(0L)).as("tok_gated"))
+      .select(col("source"), col("n_raw"), col("n_gated"), col("n_unique"),
+        col("tok_raw"), col("tok_gated"),
+        (col("n_gated").cast("double") / col("n_raw")).as("gate_rate"),
+        ((col("n_gated") - col("n_unique")).cast("double") /
+          nullif(col("n_gated"), lit(0L))).as("dup_rate"))
+  }
+
+  val c14Sql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    raw"""
+    WITH canon AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(nfc_normalize(text)),
+                                 '\s+', ' ', 'g')) AS norm
+      FROM documents),
+    stats AS (
+      SELECT doc_id, source, norm, string_split(norm, ' ') AS toks
+      FROM canon),
+    flagged AS (
+      SELECT source, norm, CAST(len(toks) AS BIGINT) AS n_tokens,
+             (len(toks) >= 20
+              AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+              AND CAST(len(list_filter(toks,
+                    t -> list_contains($stopList, t)))
+                  AS DOUBLE) / len(toks) >= 0.08) AS gate_ok
+      FROM stats)
+    SELECT source,
+           COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN gate_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gated,
+           CAST(COUNT(DISTINCT CASE WHEN gate_ok THEN sha256(norm) END)
+             AS BIGINT) AS n_unique,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_raw,
+           CAST(SUM(CASE WHEN gate_ok THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tok_gated,
+           CAST(SUM(CASE WHEN gate_ok THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS gate_rate,
+           CAST(SUM(CASE WHEN gate_ok THEN 1 ELSE 0 END)
+                - COUNT(DISTINCT CASE WHEN gate_ok THEN sha256(norm) END)
+             AS DOUBLE)
+             / nullif(SUM(CASE WHEN gate_ok THEN 1 ELSE 0 END), 0)
+             AS dup_rate
+    FROM flagged GROUP BY source"""
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
     "c02_curate_sql" -> c02,
@@ -797,7 +874,8 @@ object Corpus {
     "c10_pack_spans" -> c10,
     "c11_weighted_sample" -> c11,
     "c12_temperature_mix" -> c12,
-    "c13_dataset_card" -> c13)
+    "c13_dataset_card" -> c13,
+    "c14_curation_funnel" -> c14)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
     "c02_curate_sql" -> c01Sql,
@@ -811,5 +889,6 @@ object Corpus {
     "c10_pack_spans" -> c10Sql,
     "c11_weighted_sample" -> c11Sql,
     "c12_temperature_mix" -> c12Sql,
-    "c13_dataset_card" -> c13Sql)
+    "c13_dataset_card" -> c13Sql,
+    "c14_curation_funnel" -> c14Sql)
 }
