@@ -1424,15 +1424,40 @@ object Dedup {
   // in r — spec-pinned. Candidate emission is the d03 inverted-index
   // shape (bucket → sorted doc list → native pair explode), never a
   // self-join blowup.
+  //
+  // Cost honesty: the r=1 row IS the quadratic cautionary point the
+  // curve exists to expose — one shared minhash value per band means
+  // every pair sharing any frequent shingle collides (sf0.01: 1,609
+  // candidates at r=1 vs 33 at r=2 for the same 25 true pairs), and
+  // that row dominates the query's own runtime. Capping bucket sizes
+  // would bound it but break the nested-config subset property the
+  // monotonicity spec pins; at corpus scale you simply start the
+  // sweep at r=2 (or band-sample), which drops the quadratic point
+  // and leaves the plan linear in candidates.
   val D22Tables = 16
+  /** 2^57 — Kirsch–Mitzenmacher modulus: a + 15·(b mod M) stays inside
+    * signed 64-bit with a < 2^56 (14 hex digits). */
+  val D22Mod = 144115188075855872L
 
   val d22: Q = (s, d) => {
     import s.implicits._
     val tabs = s.range(0, D22Tables).select(col("id").cast("int").as("t"))
-    val sig = shingles(s, d).crossJoin(broadcast(tabs))
+    // ONE md5 per (doc, shingle); the 16 per-table hashes derive from
+    // its two halves via Kirsch–Mitzenmacher (h_t = (a + t·b) mod M):
+    // 16× fewer digests on the hot path (measured 5.1 s → the md5 pass
+    // was the whole cost), still engine-portable — the oracle replays
+    // the identical arithmetic. M = 2^57 keeps a + 15·(b mod M) inside
+    // signed 64-bit; all values non-negative, so % agrees across
+    // engines.
+    val sig = shingles(s, d)
+      .select(col("doc_id"), md5(col("s")).as("hx"))
+      .select(col("doc_id"),
+        conv(substring(col("hx"), 1, 14), 16, 10).cast("long").as("a"),
+        expr("conv(substring(hx, 15, 14), 16, 10)").cast("long")
+          .as("b"))
+      .crossJoin(broadcast(tabs))
       .select(col("doc_id"), col("t"),
-        conv(substring(md5(concat_ws(":", col("t"), col("s"))), 1, 15),
-          16, 10).cast("long").as("h"))
+        expr(s"(a + t * (b % ${D22Mod}L)) % ${D22Mod}L").as("h"))
       .groupBy(col("doc_id"), col("t")).agg(min(col("h")).as("mh"))
       .localCheckpoint() // one signature build for all five configs
     val cfg = Seq(1, 2, 4, 8, 16).toDF("r")
@@ -1466,10 +1491,14 @@ object Dedup {
   val d22Sql: String = s"""
     WITH $JaccardPairsCte,
     tabs AS (SELECT CAST(z.tt AS INTEGER) AS t FROM range(0, $D22Tables) z(tt)),
-    hs AS (SELECT sh.doc_id, tabs.t,
-                  MIN(('0x' || substring(md5(tabs.t || ':' || sh.s), 1, 15))
-                    ::BIGINT) AS mh
-           FROM sh CROSS JOIN tabs GROUP BY 1, 2),
+    hsrc AS (SELECT doc_id,
+                    ('0x' || substring(md5(s), 1, 14))::BIGINT AS a,
+                    ('0x' || substring(md5(s), 15, 14))::BIGINT AS b
+             FROM sh),
+    hs AS (SELECT hsrc.doc_id, tabs.t,
+                  MIN((hsrc.a + tabs.t * (hsrc.b % $D22Mod)) % $D22Mod)
+                    AS mh
+           FROM hsrc CROSS JOIN tabs GROUP BY 1, 2),
     cfg AS (SELECT CAST(c.r AS INTEGER) AS r
             FROM (VALUES (1), (2), (4), (8), (16)) c(r)),
     bands AS (SELECT cfg.r, hs.doc_id, hs.t // cfg.r AS band,
