@@ -49,6 +49,28 @@ case class AsofJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule (the extension rung the operator ladder was missing:
+  * expression → SQL function → strategy → exec → OPTIMIZER RULE):
+  * limit pushdown through the as-of join's left side. The operator is
+  * left-outer and exactly 1:1 — every target row produces exactly one
+  * output row — so `LIMIT n` over the join can take ANY n target rows
+  * before the join instead of joining everything and discarding:
+  * `GlobalLimit(n, LocalLimit(n, Asof(l, r)))` rewrites to keep the
+  * outer limits and plant `LocalLimit(n, l)` under the join. Spark's
+  * own LimitPushDown does exactly this for left-outer joins; a custom
+  * logical node has to bring its own rule. Registered idempotently via
+  * the PUBLIC `spark.experimental.extraOptimizations` hook in
+  * [[AsofJoin.join]]. */
+object AsofLimitPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case g @ GlobalLimit(_, ll @ LocalLimit(n, a: AsofJoinPlan))
+        if !a.left.isInstanceOf[LocalLimit] =>
+      g.copy(child = ll.copy(child = a.copy(left = LocalLimit(n, a.left))))
+  }
+}
+
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinPlan(l, r, lk, lt, rk, rt, tie) =>
@@ -160,6 +182,10 @@ object AsofJoin {
     if (!spark.experimental.extraStrategies.contains(AsofStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(AsofLimitPushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofLimitPushdown
     }
     val lPlan = targets.queryExecution.analyzed
     val rPlan = markers.queryExecution.analyzed

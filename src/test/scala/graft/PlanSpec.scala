@@ -555,6 +555,39 @@ class PlanSpec extends SparkSpec {
       p.contains("ExistingRDD"), p.take(3000))
   }
 
+  test("asof limit pushdown: LIMIT plants a LocalLimit under the join") {
+    // The as-of join is 1:1 left-outer, so LIMIT n may take any n
+    // target rows BEFORE the join — the custom optimizer rule
+    // (AsofLimitPushdown) must fire, and the limited output must be a
+    // subset of the full join keyed identically.
+    import graft.sources.Events
+    import org.apache.spark.sql.functions.col
+    val e = Events.read(spark, sf0001)
+      .withColumn("us", col("ts").cast("long"))
+    val t = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("us"))
+    val m = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("m_user"), col("event_id").as("m_eid"),
+        col("us").as("m_us"))
+    val joined = graft.plans.AsofJoin.join(t, m,
+      "user_id", "us", "m_user", "m_us", "m_eid")
+    val limited = joined.limit(7)
+    val opt = limited.queryExecution.optimizedPlan
+    // the limit must appear BELOW the AsofJoinPlan node
+    val asof = opt.collect {
+      case a: graft.plans.AsofJoinPlan => a
+    }
+    assert(asof.nonEmpty, s"as-of node missing:\n$opt")
+    assert(asof.head.left.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l
+    }.nonEmpty, s"LocalLimit not pushed into the left side:\n$opt")
+    // semantics: 7 rows, each present in the unlimited join
+    val full = joined.collect().map(_.mkString("|")).toSet
+    val got = limited.collect().map(_.mkString("|"))
+    assert(got.length == 7)
+    assert(got.forall(full.contains), "limited rows must come from the join")
+  }
+
   test("d19: the incremental merge broadcasts into the label relation") {
     // The 100 TB contract: the corpus-sized label relation is scanned,
     // never shuffled — the delta->representative lookup and the
