@@ -71,6 +71,22 @@ object AsofLimitPushdown
   }
 }
 
+/** Filter pushdown through the as-of join: the operator decides each
+  * left row independently (1:1, left-outer), so a DETERMINISTIC
+  * predicate that references only left-side columns commutes with the
+  * join — filter the targets first, join less. Right-side predicates
+  * must NOT push (the null-extended non-match rows would change), so
+  * the guard is a strict subset check against the left output. */
+object AsofFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsofJoinPlan)
+        if cond.deterministic && cond.references.subsetOf(a.left.outputSet) =>
+      a.copy(left = Filter(cond, a.left))
+  }
+}
+
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinPlan(l, r, lk, lt, rk, rt, tie) =>
@@ -186,6 +202,10 @@ object AsofJoin {
     if (!spark.experimental.extraOptimizations.contains(AsofLimitPushdown)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AsofLimitPushdown
+    }
+    if (!spark.experimental.extraOptimizations.contains(AsofFilterPushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofFilterPushdown
     }
     val lPlan = targets.queryExecution.analyzed
     val rPlan = markers.queryExecution.analyzed

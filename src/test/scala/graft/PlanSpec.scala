@@ -586,6 +586,21 @@ class PlanSpec extends SparkSpec {
     val got = limited.collect().map(_.mkString("|"))
     assert(got.length == 7)
     assert(got.forall(full.contains), "limited rows must come from the join")
+
+    // ---- filter pushdown: a left-only predicate lands under the join
+    val filtered = joined.filter(col("user_id") % 7 === 0)
+    val fopt = filtered.queryExecution.optimizedPlan
+    val fasof = fopt.collect { case a: graft.plans.AsofJoinPlan => a }
+    assert(fasof.nonEmpty, s"as-of node missing:\n$fopt")
+    assert(fopt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.child.isInstanceOf[graft.plans.AsofJoinPlan] => f
+    }.isEmpty, s"left-only filter must not stay above the join:\n$fopt")
+    // and the filtered result equals filtering the full output
+    val expect = joined.collect()
+      .filter(r => r.getAs[Long]("user_id") % 7 == 0)
+      .map(_.mkString("|")).toSet
+    assert(filtered.collect().map(_.mkString("|")).toSet == expect)
   }
 
   test("d19: the incremental merge broadcasts into the label relation") {
