@@ -1184,6 +1184,63 @@ object Streamed {
     FROM pairs CROSS JOIN range(0, 24) t(k)
     GROUP BY 1"""
 
+  // --------------------------------------------------------------- st22
+  // Streaming as-of enrichment — q25/q71's operator asked in-flight
+  // against a STATIC marker snapshot (price-at-time / config-at-time
+  // lookup): the marker side collapses to one sorted
+  // (time, tiebreak, payload) array per key, broadcasts into every
+  // micro-batch (st05's stream-static shape), and each streamed target
+  // row resolves its as-of match ROW-LOCALLY (filter the sorted array
+  // to times ≤ its own, take the last element) — no state, no window,
+  // append mode. Timestamps compare as epoch MICROS (unix_micros), so
+  // sub-second ordering survives; ties break by greatest event_id,
+  // exactly q25's LATERAL ORDER BY ts DESC, event_id DESC. The oracle
+  // IS q25's SQL — batch window, native merge (q71) and streaming
+  // broadcast-lookup must all produce the identical relation. Scope:
+  // this shape wants a DIMENSION-sized marker side (it broadcasts);
+  // corpus-sized markers stream through st06's interval join or q71's
+  // native merge per micro-batch instead.
+  val st22: Q = (s, d) => {
+    val ss = stateSession(s)
+    val marr = graft.sources.Events.read(ss, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("m_user"),
+        unix_micros(col("ts")).as("m_us"),
+        col("event_id").as("m_eid"),
+        col("ts").as("mk_ts"), col("value").as("mk_value"))
+      .groupBy(col("m_user"))
+      .agg(sort_array(collect_list(struct(
+        col("m_us"), col("m_eid"), col("mk_ts"), col("mk_value"))))
+        .as("marr"))
+    val tgt = eventsStream(ss, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+    val pick = expr("filter(marr, x -> x.m_us <= us)")
+    val joined = tgt
+      .join(broadcast(marr), col("user_id") === col("m_user"), "left")
+      .withColumn("mm", pick)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(size(col("mm")) > 0,
+          element_at(col("mm"), size(col("mm"))).getField("mk_ts"))
+          .as("asof_ts"),
+        when(size(col("mm")) > 0,
+          element_at(col("mm"), size(col("mm"))).getField("mk_value"))
+          .as("asof_value"))
+    val name = "st22_mem"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
+  /** Oracle: q25's LATERAL as-of SQL — three formulations, one relation. */
+  val st22Sql: String = Relational.q25Sql
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -1205,7 +1262,8 @@ object Streamed {
     "st18_stream_outer_join" -> st18,
     "st19_stream_markov" -> st19,
     "st20_stream_cdc_dedup" -> st20,
-    "st21_stream_sliding_distinct" -> st21)
+    "st21_stream_sliding_distinct" -> st21,
+    "st22_stream_asof" -> st22)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -1235,5 +1293,6 @@ object Streamed {
     // same transition semantics as the batch lag-window matrix
     "st19_stream_markov" -> Relational.q65Sql,
     "st20_stream_cdc_dedup" -> st20Sql,
-    "st21_stream_sliding_distinct" -> st21Sql)
+    "st21_stream_sliding_distinct" -> st21Sql,
+    "st22_stream_asof" -> st22Sql)
 }
