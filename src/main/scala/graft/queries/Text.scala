@@ -2010,6 +2010,57 @@ $union
            CAST(e.h_num AS DOUBLE) / n.n_toks AS entropy_milli
     FROM nrel n JOIN e ON n.doc_id = e.doc_id"""
 
+  // ---------------------------------------------------------------- t30
+  // Cross-source vocabulary overlap matrix — the corpus-diversity audit
+  // behind mixture design (c03/c12): for every source pair, the
+  // Jaccard overlap of their vocabularies. Near-1 pairs are the same
+  // upstream crawl wearing two labels (their mixture weights double-
+  // count); near-0 pairs are the genuinely complementary sources worth
+  // upweighting. Shape: one distinct (source, token) relation, an
+  // inverted-index self-join on the token (t08's discipline — the
+  // output is source-pair-bounded, never token-pair), per-source
+  // vocabulary sizes joined back, and the single exact division of
+  // longs. At 100 TB vocabulary grows Heaps-sublinearly, so this whole
+  // relation stays tiny relative to the corpus scan that feeds it.
+  val t30: Q = (s, d) => {
+    val sv = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .localCheckpoint() // feeds sizes + both sides of the pair join
+    val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val common = sv.as("a").join(sv.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("source").as("s1"), col("nv").as("nv1")),
+        Seq("s1"))
+      .join(sizes.select(col("source").as("s2"), col("nv").as("nv2")),
+        Seq("s2"))
+      .select(col("s1"), col("s2"), col("n_common"), col("nv1"), col("nv2"),
+        (col("n_common").cast("double") /
+          (col("nv1") + col("nv2") - col("n_common"))).as("vocab_jaccard"))
+  }
+
+  val t30Sql: String = """
+    WITH sv AS (
+      SELECT DISTINCT source, w
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents) u
+      WHERE len(w) > 0),
+    sizes AS (SELECT source, COUNT(*) AS nv FROM sv GROUP BY 1),
+    common AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_common
+               FROM sv a JOIN sv b
+                 ON a.w = b.w AND a.source < b.source
+               GROUP BY 1, 2)
+    SELECT s1, s2, n_common, z1.nv AS nv1, z2.nv AS nv2,
+           CAST(n_common AS DOUBLE) / (z1.nv + z2.nv - n_common)
+             AS vocab_jaccard
+    FROM common
+      JOIN sizes z1 ON s1 = z1.source
+      JOIN sizes z2 ON s2 = z2.source"""
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01,
     "t02_quality_score" -> t02,
@@ -2041,7 +2092,8 @@ $union
     "t26_bm25" -> t26,
     "t27_lm_backoff" -> t27,
     "t28_cdc_chunks" -> t28,
-    "t29_token_entropy" -> t29)
+    "t29_token_entropy" -> t29,
+    "t30_source_overlap" -> t30)
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -2074,5 +2126,6 @@ $union
     "t26_bm25" -> t26Sql,
     "t27_lm_backoff" -> t27Sql,
     "t28_cdc_chunks" -> t28Sql,
-    "t29_token_entropy" -> t29Sql)
+    "t29_token_entropy" -> t29Sql,
+    "t30_source_overlap" -> t30Sql)
 }
