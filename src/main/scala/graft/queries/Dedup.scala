@@ -1441,7 +1441,6 @@ object Dedup {
 
   val d22: Q = (s, d) => {
     import s.implicits._
-    val tabs = s.range(0, D22Tables).select(col("id").cast("int").as("t"))
     // ONE md5 per (doc, shingle); the 16 per-table hashes derive from
     // its two halves via Kirsch–Mitzenmacher (h_t = (a + t·b) mod M):
     // 16× fewer digests on the hot path (measured 5.1 s → the md5 pass
@@ -1449,16 +1448,25 @@ object Dedup {
     // the identical arithmetic. M = 2^57 keeps a + 15·(b mod M) inside
     // signed 64-bit; all values non-negative, so % agrees across
     // engines.
-    val sig = shingles(s, d)
+    val hsrc = shingles(s, d)
       .select(col("doc_id"), md5(col("s")).as("hx"))
       .select(col("doc_id"),
         conv(substring(col("hx"), 1, 14), 16, 10).cast("long").as("a"),
         expr("conv(substring(hx, 15, 14), 16, 10)").cast("long")
           .as("b"))
-      .crossJoin(broadcast(tabs))
-      .select(col("doc_id"), col("t"),
-        expr(s"(a + t * (b % ${D22Mod}L)) % ${D22Mod}L").as("h"))
-      .groupBy(col("doc_id"), col("t")).agg(min(col("h")).as("mh"))
+    // All 16 per-table minima in ONE grouped pass (16 min-aggregates
+    // over the same scan), then a 16-way posexplode of the per-doc
+    // signature — NOT a 16× row expansion before the aggregate, which
+    // was the measured cost (shingle rows × tables ≈ 7M generated rows
+    // at sf0.1 for an 80k-row result).
+    val minAggs = (0 until D22Tables).map(t =>
+      min(expr(s"(a + $t * (b % ${D22Mod}L)) % ${D22Mod}L")).as(s"m$t"))
+    val sig = hsrc.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), posexplode(array(
+        (0 until D22Tables).map(i => col(s"m$i")): _*)))
+      .select(col("doc_id"), col("pos").cast("int").as("t"),
+        col("col").as("mh"))
       .localCheckpoint() // one signature build for all five configs
     val cfg = Seq(1, 2, 4, 8, 16).toDF("r")
     val bands = sig.crossJoin(broadcast(cfg))
@@ -1466,12 +1474,19 @@ object Dedup {
       .groupBy(col("r"), col("doc_id"), col("band"))
       .agg(expr("array_join(transform(array_sort(collect_list(" +
         "struct(t, mh))), x -> cast(x.mh as string)), ',')").as("bkey"))
-    val buckets = bands.groupBy(col("r"), col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) >= 2)
-    val cand = buckets.select(col("r"),
-        explode(graft.functions.TextExprs.docPairs(col("docs"))).as("p"))
-      .select(col("r"), col("p.i").as("i"), col("p.j").as("j"))
+    // Pair emission via the bucket-keyed SELF-JOIN, not the d03
+    // docPairs explode: the r=1 cautionary config produces buckets of
+    // hundreds of docs (every pair sharing a frequent shingle's min
+    // hash collides), and a posting-list explode would materialize a
+    // quadratic pair ARRAY in one row / one task. The equi-join keeps
+    // hot buckets as join skew, which AQE splits across tasks.
+    val keyed = bands.localCheckpoint()
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.r") === col("b.r") && col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.r").as("r"), col("a.doc_id").as("i"),
+        col("b.doc_id").as("j"))
       .distinct()
     val exact = jaccardPairs(s, d).select(col("i"), col("j"))
     val nCand = cand.groupBy(col("r")).agg(count(lit(1)).as("n_cand"))
