@@ -861,6 +861,57 @@ object Corpus {
     FROM flagged GROUP BY source"""
   }
 
+  // ---------------------------------------------------------------- c15
+  // Shard mixing audit — the training-order diagnostic behind c05's
+  // hash-shard shuffle: per shard, the Shannon entropy of its SOURCE
+  // distribution, in the exact milli-log10 integer arithmetic t29
+  // established (numerator a bigint, ONE final division). A well-
+  // shuffled shard's source entropy sits at the corpus-level value;
+  // a low-entropy shard is source-clumped and trains like curriculum
+  // you didn't ask for. The relation is shard × source sized (tiny at
+  // any corpus scale — the corpus pass is the one hash-shard count).
+  val c15: Q = (s, d) => {
+    import graft.functions.TextExprs.milliLog10
+    val sc = Tables.documents(s, d)
+      .withColumn("shard",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long"), lit(8)).cast("int"))
+      .groupBy(col("shard"), col("source")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds totals + the entropy numerator
+    val totals = sc.groupBy(col("shard"))
+      .agg(sum(col("cnt")).as("n_docs"), count(lit(1)).as("n_sources"))
+    val e = sc.join(totals.select(col("shard"), col("n_docs")), Seq("shard"))
+      .groupBy(col("shard"))
+      .agg(sum(col("cnt") *
+        (milliLog10(col("n_docs")) - milliLog10(col("cnt")))).as("h_num"))
+    totals.join(e, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_sources"), col("h_num"),
+        (col("h_num").cast("double") / col("n_docs"))
+          .as("mix_entropy_milli"))
+  }
+
+  val c15Sql: String = s"""
+    WITH sc AS (
+      SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 8 AS INTEGER) AS shard,
+             source, COUNT(*) AS cnt
+      FROM documents GROUP BY 1, 2),
+    totals AS (SELECT shard, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                      COUNT(*) AS n_sources
+               FROM sc GROUP BY 1),
+    vals AS (SELECT cnt AS v FROM sc UNION SELECT n_docs FROM totals),
+    ${Text.milliLogValsCtes},
+    e AS (SELECT sc.shard,
+                 CAST(SUM(sc.cnt * (mn.mlog - mc.mlog)) AS BIGINT) AS h_num
+          FROM sc
+            JOIN totals ON sc.shard = totals.shard
+            JOIN ml mc ON mc.v = sc.cnt
+            JOIN ml mn ON mn.v = totals.n_docs
+          GROUP BY 1)
+    SELECT t.shard, t.n_docs, t.n_sources, e.h_num,
+           CAST(e.h_num AS DOUBLE) / t.n_docs AS mix_entropy_milli
+    FROM totals t JOIN e ON t.shard = e.shard"""
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
     "c02_curate_sql" -> c02,
@@ -875,7 +926,8 @@ object Corpus {
     "c11_weighted_sample" -> c11,
     "c12_temperature_mix" -> c12,
     "c13_dataset_card" -> c13,
-    "c14_curation_funnel" -> c14)
+    "c14_curation_funnel" -> c14,
+    "c15_shard_mixing" -> c15)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
     "c02_curate_sql" -> c01Sql,
@@ -890,5 +942,6 @@ object Corpus {
     "c11_weighted_sample" -> c11Sql,
     "c12_temperature_mix" -> c12Sql,
     "c13_dataset_card" -> c13Sql,
-    "c14_curation_funnel" -> c14Sql)
+    "c14_curation_funnel" -> c14Sql,
+    "c15_shard_mixing" -> c15Sql)
 }

@@ -1538,6 +1538,51 @@ object Dedup {
              LEFT JOIN nhit ON cfg.r = nhit.r
              CROSS JOIN nexact"""
 
+  // ---------------------------------------------------------------- d23
+  // Near-dup pair EVIDENCE — the interpretability relation a dedup
+  // reviewer asks for before trusting an automated merge: for every
+  // d03 pair, the three RAREST shared shingles (rarest = lowest
+  // corpus document-frequency, ties by shingle text). Common shared
+  // boilerplate explains nothing; a shared df=2 shingle is the
+  // receipt. Plan: the pair relation (checkpointed, shared with
+  // d08/g01-g08) joins the kept-shingle posting relation on each side
+  // — candidate work is bounded by the same df≤50 guard as d03 — and
+  // a per-pair top-3 window runs on the tiny evidence relation.
+  val d23: Q = (s, d) => {
+    val pairs = jaccardPairs(s, d).select(col("i"), col("j"))
+    val sh = shingles(s, d)
+    val dfRel = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val kept = sh.join(dfRel.filter(col("df") <= D03MaxDocFreq), Seq("s"))
+    val ev = pairs
+      .join(kept.select(col("doc_id").as("i"), col("s"), col("df")),
+        Seq("i"))
+      .join(kept.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("i"), col("j"))
+      .orderBy(col("df").asc, col("s").asc)
+    ev.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("i"), col("j"), col("s").as("shingle"), col("df"),
+        col("rk"))
+  }
+
+  val d23Sql: String = s"""
+    WITH $JaccardPairsCte,
+    dfr AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+    keptdf AS (SELECT sh.doc_id, sh.s, dfr.df
+               FROM sh JOIN dfr ON sh.s = dfr.s
+               WHERE dfr.df <= $D03MaxDocFreq),
+    ev AS (SELECT p.i, p.j, a.s, a.df
+           FROM pairs p
+             JOIN keptdf a ON a.doc_id = p.i
+             JOIN keptdf b ON b.doc_id = p.j AND b.s = a.s)
+    SELECT i, j, s AS shingle, df, rk
+    FROM (SELECT i, j, s, df,
+                 ROW_NUMBER() OVER (PARTITION BY i, j
+                   ORDER BY df ASC, s ASC) AS rk
+          FROM ev) t
+    WHERE rk <= 3"""
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_hash" -> d02,
@@ -1560,7 +1605,8 @@ object Dedup {
     "d19_dedup_cluster_incremental" -> d19,
     "d20_jaccard_histogram" -> d20,
     "d21_dedup_weighted" -> d21,
-    "d22_lsh_tuning" -> d22)
+    "d22_lsh_tuning" -> d22,
+    "d23_pair_evidence" -> d23)
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -1584,5 +1630,6 @@ object Dedup {
     "d19_dedup_cluster_incremental" -> d19Sql,
     "d20_jaccard_histogram" -> d20Sql,
     "d21_dedup_weighted" -> d21Sql,
-    "d22_lsh_tuning" -> d22Sql)
+    "d22_lsh_tuning" -> d22Sql,
+    "d23_pair_evidence" -> d23Sql)
 }

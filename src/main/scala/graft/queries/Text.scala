@@ -1795,7 +1795,7 @@ $union
     * relation `vals(v)` → `ml(v, mlog)`: the same 24-squaring exact
     * fixed-point algorithm as [[milliLog10Ctes]], keyed by the value
     * itself instead of a passthrough block column. */
-  private def milliLogValsCtes: String = {
+  private[queries] def milliLogValsCtes: String = {
     val t = "(cast(y as hugeint) * cast(y as hugeint)) // 10000000000000000"
     val init = "ml0 AS (SELECT v,\n" +
       "      length(cast(v as string)) - 1 AS d,\n" +
