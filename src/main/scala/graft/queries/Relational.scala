@@ -2505,6 +2505,69 @@ object Relational {
       ON p.hour >= h.hour - INTERVAL 23 HOUR AND p.hour <= h.hour
     GROUP BY 1"""
 
+  // ---------------------------------------------------------------- q76
+  // Session path mining — the clickstream question q20's sessions
+  // exist to answer: which event-type PATHS do sessions actually
+  // take, and how common is each? Reuses q20's lag→flag→running-count
+  // session assignment verbatim, folds each session into its ordered
+  // path string (first 5 events — the cap bounds both the string and
+  // the path-space at |types|^5), counts sessions per path and keeps
+  // the top 10 (ties broken by path text). Ordering inside a session
+  // is (epoch-micros, event_id) via a sorted struct collect — exact
+  // and engine-portable; the final top-10 window runs on the
+  // path-count relation, which the cap keeps at ≤ 3,125 rows no
+  // matter the corpus size.
+  val q76: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Events.read(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sess.groupBy(col("user_id"), col("session_idx"))
+      .agg(expr("array_join(transform(slice(array_sort(collect_list(" +
+        "struct(unix_micros(ts) as us, event_id as eid, " +
+        "event_type as et))), 1, 5), x -> x.et), '>')").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path").asc)))
+      .filter(col("rk") <= 10)
+  }
+
+  val q76Sql: String = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_es
+      FROM events),
+    sessions AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 1800
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM flagged),
+    p AS (
+      SELECT user_id, session_idx,
+             array_to_string(
+               (list(event_type ORDER BY ts ASC, event_id ASC))[1:5], '>')
+               AS path
+      FROM sessions GROUP BY 1, 2),
+    c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+    SELECT path, n_sessions, rk
+    FROM (SELECT path, n_sessions,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC)
+                   AS INTEGER) AS rk
+          FROM c) t
+    WHERE rk <= 10"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2580,7 +2643,8 @@ object Relational {
     "q72_interval_peak" -> q72,
     "q73_clamp_closed_form" -> q73,
     "q74_interval_peak_buckets" -> q74,
-    "q75_sliding_distinct" -> q75)
+    "q75_sliding_distinct" -> q75,
+    "q76_session_paths" -> q76)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2657,5 +2721,6 @@ object Relational {
     "q72_interval_peak" -> q72Sql,
     "q73_clamp_closed_form" -> q73Sql,
     "q74_interval_peak_buckets" -> q74Sql,
-    "q75_sliding_distinct" -> q75Sql)
+    "q75_sliding_distinct" -> q75Sql,
+    "q76_session_paths" -> q76Sql)
 }
