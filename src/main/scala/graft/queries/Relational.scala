@@ -2568,6 +2568,67 @@ object Relational {
           FROM c) t
     WHERE rk <= 10"""
 
+  // ---------------------------------------------------------------- q77
+  // Incremental aggregate maintenance (IVM) — the d10/d19/s16
+  // discipline applied to the RELATIONAL layer: a daily summary must
+  // absorb today's delta without rescanning history. The base/delta
+  // split is deterministic (orders before vs from 1998-01-01); each
+  // side aggregates independently into MERGEABLE partials (count, sum
+  // — cents-exact longs), the partials merge with one tiny keyed
+  // union-agg, and derived measures (the average) compute only at
+  // read-out, never stored. The oracle is the FULL recompute over all
+  // orders — merged(base ⊎ delta) must equal it row for row, which is
+  // the entire correctness contract of incremental maintenance. At
+  // scale the base partials are a stored dimension-sized relation;
+  // per-day cost is the delta scan + a group-key-sized merge.
+  val q77: Q = (s, d) => {
+    val cut = lit("1998-01-01").cast("timestamp")
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+    val base = partials(Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      .select(col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents")))
+    val delta = partials(Tables.orders(s, d).filter(col("o_orderdate") >= cut)
+      .select(col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents")))
+    // NOTE: count-distinct is NOT mergeable from plain partials — the
+    // merged n_cust must re-derive from the union of per-side DISTINCT
+    // customer sets (the standard IVM answer: keep the auxiliary
+    // distinct relation, or an HLL sketch when approximation is
+    // acceptable — q52). Here the auxiliary relation is the per-side
+    // distinct (status, custkey) pairs.
+    def custPairs(pred: org.apache.spark.sql.Column): DataFrame =
+      Tables.orders(s, d).filter(pred)
+        .select(col("o_orderstatus"), col("o_custkey")).distinct()
+    val mergedCust = custPairs(col("o_orderdate") < cut)
+      .unionAll(custPairs(col("o_orderdate") >= cut))
+      .distinct()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_cust"))
+    val merged = base.select(col("o_orderstatus"), col("n"), col("cents"))
+      .unionAll(delta.select(col("o_orderstatus"), col("n"), col("cents")))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("cents")).as("total_cents"))
+    merged.join(mergedCust, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_orders"), col("total_cents"),
+        col("n_cust"),
+        (col("total_cents").cast("double") / lit(100.0) / col("n_orders"))
+          .as("avg_price"))
+  }
+
+  /** Oracle: the full recompute — incremental must equal it exactly. */
+  val q77Sql: String = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*) AS avg_price
+    FROM orders GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2644,7 +2705,8 @@ object Relational {
     "q73_clamp_closed_form" -> q73,
     "q74_interval_peak_buckets" -> q74,
     "q75_sliding_distinct" -> q75,
-    "q76_session_paths" -> q76)
+    "q76_session_paths" -> q76,
+    "q77_ivm_agg" -> q77)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2722,5 +2784,6 @@ object Relational {
     "q73_clamp_closed_form" -> q73Sql,
     "q74_interval_peak_buckets" -> q74Sql,
     "q75_sliding_distinct" -> q75Sql,
-    "q76_session_paths" -> q76Sql)
+    "q76_session_paths" -> q76Sql,
+    "q77_ivm_agg" -> q77Sql)
 }
