@@ -599,6 +599,74 @@ object Graph {
            END AS lcc
     FROM base"""
 
+  // ---------------------------------------------------------------- g09
+  // WEIGHTED PageRank — g01 with each edge carrying its shared-shingle
+  // count c: a pair held together by 40 shared shingles corroborates
+  // its endpoints far more than a borderline 3-shingle pair, and the
+  // canonical-copy pick should rank by STRENGTH of overlap, not just
+  // neighbor count. Same 3 Jacobi iterations and 0.85 damping; the
+  // per-edge contribution becomes (r·c) div W(v) with W(v) = Σ_out c —
+  // still pure BIGINT floor arithmetic (r ≈ 1e12, c ≤ shingle counts,
+  // products ≤ ~1e16), replayed exactly by the unrolled oracle. Plan
+  // per iteration: one edge-keyed join + one receiver-keyed aggregate,
+  // identical posture to g01 on the same checkpointed pair relation.
+  val g09: Q = (s, d) => {
+    val pairs = Dedup.jaccardPairs(s, d).select(col("i"), col("j"), col("c"))
+    val sym = pairs.select(col("i").as("src"), col("j").as("dst"), col("c"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst"), col("c")))
+    val wdeg = sym.groupBy(col("src").as("id"))
+      .agg(sum(col("c")).as("wsum"), count(lit(1)).as("deg"))
+    val n = wdeg.agg(count(lit(1)).as("n"))
+    val base = wdeg.crossJoin(broadcast(n))
+    var rank = base.withColumn("r", expr("1000000000000 div n"))
+    for (_ <- 1 to 3) {
+      val recv = sym.join(
+          rank.select(col("id").as("v"), col("r"), col("wsum").as("w")),
+          col("src") === col("v"))
+        .select(col("dst").as("id"), expr("(r * c) div w").as("ct"))
+        .groupBy(col("id")).agg(sum(col("ct")).as("sin"))
+      rank = base.join(recv, Seq("id"))
+        .withColumn("r", expr(
+          "(150000 * (1000000000000 div n)) div 1000000" +
+            " + (850000 * sin) div 1000000"))
+        .select(col("id"), col("deg"), col("wsum"), col("n"), col("r"))
+    }
+    rank.select(col("id").as("doc_id"), col("deg").as("degree"),
+      col("wsum").as("wdegree"), col("r").as("wprank"))
+  }
+
+  val g09Sql: String = s"""
+    WITH ${Dedup.JaccardPairsCte},
+    sym AS (SELECT i AS src, j AS dst, c FROM pairs
+            UNION ALL SELECT j, i, c FROM pairs),
+    wdeg AS (SELECT src AS id, CAST(SUM(c) AS BIGINT) AS wsum,
+                    COUNT(*) AS deg
+             FROM sym GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM wdeg),
+    r0 AS (SELECT id, deg, wsum,
+                  (SELECT 1000000000000 // n FROM nn) AS r
+           FROM wdeg),
+    a0 AS (SELECT s.dst AS id, SUM((r0.r * s.c) // r0.wsum) AS sin
+           FROM sym s JOIN r0 ON s.src = r0.id GROUP BY 1),
+    r1 AS (SELECT w.id, w.deg, w.wsum,
+                  (150000 * (SELECT 1000000000000 // n FROM nn)) // 1000000
+                    + (850000 * a.sin) // 1000000 AS r
+           FROM wdeg w JOIN a0 a ON w.id = a.id),
+    a1 AS (SELECT s.dst AS id, SUM((r1.r * s.c) // r1.wsum) AS sin
+           FROM sym s JOIN r1 ON s.src = r1.id GROUP BY 1),
+    r2 AS (SELECT w.id, w.deg, w.wsum,
+                  (150000 * (SELECT 1000000000000 // n FROM nn)) // 1000000
+                    + (850000 * a.sin) // 1000000 AS r
+           FROM wdeg w JOIN a1 a ON w.id = a.id),
+    a2 AS (SELECT s.dst AS id, SUM((r2.r * s.c) // r2.wsum) AS sin
+           FROM sym s JOIN r2 ON s.src = r2.id GROUP BY 1),
+    r3 AS (SELECT w.id, w.deg, w.wsum,
+                  (150000 * (SELECT 1000000000000 // n FROM nn)) // 1000000
+                    + (850000 * a.sin) // 1000000 AS r
+           FROM wdeg w JOIN a2 a ON w.id = a.id)
+    SELECT id AS doc_id, deg AS degree, wsum AS wdegree, r AS wprank
+    FROM r3"""
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank" -> g01,
     "g02_triangles" -> g02,
@@ -607,7 +675,8 @@ object Graph {
     "g05_link_pred" -> g05,
     "g06_modularity" -> g06,
     "g07_bfs_hops" -> g07,
-    "g08_clustering_coeff" -> g08)
+    "g08_clustering_coeff" -> g08,
+    "g09_weighted_pagerank" -> g09)
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
@@ -617,5 +686,6 @@ object Graph {
     "g05_link_pred" -> g05Sql,
     "g06_modularity" -> g06Sql,
     "g07_bfs_hops" -> g07Sql,
-    "g08_clustering_coeff" -> g08Sql)
+    "g08_clustering_coeff" -> g08Sql,
+    "g09_weighted_pagerank" -> g09Sql)
 }
