@@ -254,6 +254,97 @@ object Similarity {
     FROM hits CROSS JOIN qn
     ORDER BY cosine DESC, vec_id ASC LIMIT 5"""
 
+  // ---------------------------------------------------------------- s20
+  // FILTERED vector search — the vector-DB feature plain ANN lacks:
+  // top-k under a metadata predicate ("nearest neighbors WHERE
+  // label ≡ 0 mod 5"). The predicate pushes into the IVF corpus scan
+  // BEFORE assignment and scoring — s05's plan with the filter fused
+  // into the index side, so candidate work shrinks with selectivity
+  // instead of post-filtering a k-sized result (which under-fills, the
+  // classic filtered-ANN failure). Probing, ranking and the broadcast
+  // query side are s05's verbatim; the oracle replays the same
+  // filtered-IVF algorithm, so the gate checks the exact semantics.
+  val s20: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < IvfC)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+              qnormsq("embedding").as("cnsq"))
+    def sims(vecs: DataFrame): DataFrame =
+      vecs.withColumn("vnsq", qnormsq("embedding"))
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", qdot("embedding", "ce") /
+          (sqrt(col("vnsq")) * sqrt(col("cnsq"))))
+    val corpus = sims(e
+        .filter(col("vec_id") =!= 0 && pmod(col("label"), lit(5)) === 0)
+        .repartition(col("vec_id")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cid"), col("embedding"), col("vnsq")),
+        struct(col("csim"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+              col("best.embedding").as("embedding"),
+              col("best.vnsq").as("vnsq"))
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = sims(e.filter(col("vec_id") === 0))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= IvfProbe)
+      .select(col("cid"), col("embedding").as("qe"), col("vnsq").as("qnsq"))
+    corpus.join(broadcast(probes), Seq("cid"))
+      .withColumn("cosine", qdot("embedding", "qe") /
+        (sqrt(col("vnsq")) * sqrt(col("qnsq"))))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), col("cid"), col("cosine"))
+  }
+
+  val s20Sql: String = s"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < $IvfC),
+    cn AS (SELECT cid, ${sqlDot("ce", "ce")} AS cnsq
+           FROM cents CROSS JOIN range(1, 65) r(i) GROUP BY cid),
+    kept AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id <> 0 AND label % 5 = 0),
+    sims AS (SELECT e.vec_id, c.cid,
+                    ${sqlDot("e.embedding", "c.ce")} AS dot,
+                    ${sqlDot("e.embedding", "e.embedding")} AS nsq
+             FROM kept e CROSS JOIN cents c CROSS JOIN range(1, 65) r(i)
+             GROUP BY e.vec_id, c.cid),
+    corpus AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY dot / (sqrt(nsq) * sqrt(cnsq)) DESC,
+                                   cid ASC) AS crank
+                 FROM sims JOIN cn USING (cid)) t
+               WHERE crank = 1),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qn AS (SELECT ${sqlDot("qe", "qe")} AS qnsq
+           FROM q CROSS JOIN range(1, 65) r(i)),
+    qsims AS (SELECT c.cid,
+                     ${sqlDot("c.ce", "q.qe")} AS dot,
+                     cn.cnsq
+              FROM cents c CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+                JOIN cn ON cn.cid = c.cid
+              GROUP BY c.cid, cn.cnsq),
+    probes AS (SELECT cid FROM (
+                 SELECT cid, ROW_NUMBER() OVER (
+                   ORDER BY dot / (sqrt((SELECT qnsq FROM qn)) * sqrt(cnsq))
+                     DESC, cid ASC) AS crank
+                 FROM qsims) t
+               WHERE crank <= $IvfProbe),
+    hits AS (SELECT c.vec_id, c.cid,
+                    ${sqlDot("e.embedding", "q.qe")} AS dot,
+                    ${sqlDot("e.embedding", "e.embedding")} AS nsq
+             FROM corpus c
+               JOIN probes p ON c.cid = p.cid
+               JOIN embeddings e ON e.vec_id = c.vec_id
+               CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+             GROUP BY c.vec_id, c.cid)
+    SELECT vec_id, cid, dot / (sqrt(nsq) * sqrt(qnsq)) AS cosine
+    FROM hits CROSS JOIN qn
+    ORDER BY cosine DESC, vec_id ASC LIMIT 5"""
+
   // ---------------------------------------------------------------- s04
   // Per-label embedding statistics (count, mean L2 norm).
   val s04: Q = (s, d) =>
@@ -1838,7 +1929,8 @@ object Similarity {
     "s16_ivf_incremental" -> s16,
     "s17_dbscan" -> s17,
     "s18_hard_negatives" -> s18,
-    "s19_recall_sweep" -> s19)
+    "s19_recall_sweep" -> s19,
+    "s20_filtered_ann" -> s20)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -1859,5 +1951,6 @@ object Similarity {
     "s16_ivf_incremental" -> s16Sql,
     "s17_dbscan" -> s17Sql,
     "s18_hard_negatives" -> s18Sql,
-    "s19_recall_sweep" -> s19Sql)
+    "s19_recall_sweep" -> s19Sql,
+    "s20_filtered_ann" -> s20Sql)
 }
