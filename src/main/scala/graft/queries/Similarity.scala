@@ -345,6 +345,123 @@ object Similarity {
     FROM hits CROSS JOIN qn
     ORDER BY cosine DESC, vec_id ASC LIMIT 5"""
 
+  // ---------------------------------------------------------------- s21
+  // MMR-DIVERSIFIED retrieval (Carbonell–Goldstein maximal marginal
+  // relevance): plain top-k returns near-duplicate neighbors; MMR
+  // re-ranks a bounded candidate pool so each pick balances relevance
+  // to the query against similarity to what is already selected:
+  //   mmr(c) = λ·cos(q,c) − (1−λ)·max_{s∈S} cos(c,s).
+  // Plan shape for 100 TB: retrieval (the one corpus-sized pass, here
+  // brute-force for exactness; s05/s13 at scale) prunes to a POOL-sized
+  // pool first; the greedy stage then touches only POOL rows and a
+  // POOL² pairwise relation, so its cost is a constant independent of
+  // corpus size. The pool is localCheckpoint-ed — K unrolled selection
+  // steps each re-read it, and without the checkpoint Catalyst would
+  // replay the corpus scan per step. Every selection is a total order
+  // (score desc, vec_id asc), and all similarities run through the
+  // exact decimal-quantized dot, so the K-step greedy is deterministic
+  // and the oracle replays it verbatim as K chained CTEs.
+  private val S21Pool = 15    // candidate pool (bounded: greedy is O(K·POOL))
+  private val S21K = 5        // diversified picks
+  private val S21Lambda = 0.7 // relevance weight
+
+  val s21: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), qnormsq("embedding").as("qnsq"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("nsq", qnormsq("embedding"))
+      .withColumn("rel", qdot("embedding", "qe") /
+        (sqrt(col("nsq")) * sqrt(col("qnsq"))))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(S21Pool)
+      .select(col("vec_id"), col("embedding"), col("nsq"), col("rel"))
+      .localCheckpoint()
+    val pair = cand
+      .select(col("vec_id").as("a"), col("embedding").as("ea"),
+              col("nsq").as("na"))
+      .join(broadcast(cand.select(col("vec_id").as("b"),
+              col("embedding").as("eb"), col("nsq").as("nb"))),
+            col("a") =!= col("b"))
+      .withColumn("psim", qdot("ea", "eb") /
+        (sqrt(col("na")) * sqrt(col("nb"))))
+      .select(col("a"), col("b"), col("psim"))
+      .localCheckpoint()
+    val rel = cand.select(col("vec_id"), col("rel"))
+    // Greedy selection, K steps unrolled. Step 1 has an empty selected
+    // set — no diversity penalty, mmr = λ·rel (the standard convention).
+    var selected = rel
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+      .select(lit(1).as("rank"), col("vec_id"), col("rel"),
+              (lit(S21Lambda) * col("rel")).as("mmr"))
+    for (step <- 2 to S21K) {
+      val next = rel
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(broadcast(pair), col("vec_id") === col("a"))
+        .join(broadcast(selected.select(col("vec_id").as("b"))), Seq("b"),
+              "left_semi")
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(max(col("psim")).as("mx"))
+        .withColumn("mmr",
+          lit(S21Lambda) * col("rel") - lit(1.0 - S21Lambda) * col("mx"))
+        .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
+        .select(lit(step).as("rank"), col("vec_id"), col("rel"), col("mmr"))
+      selected = selected.unionAll(next).localCheckpoint()
+    }
+    selected
+  }
+
+  /** One greedy MMR step as a SQL CTE pair: `r{i}` scores the remaining
+    * candidates against the selected-so-far union, `s{i}` takes the
+    * arg-max. Mirrors the Spark unroll step-for-step. */
+  private def s21StepSql(i: Int, selUnion: String): String = s"""
+    r$i AS (SELECT c.vec_id, c.rel,
+                   $S21Lambda * c.rel - ${1.0 - S21Lambda} * MAX(p.psim) AS mmr
+            FROM cand c
+              JOIN pair p ON p.a = c.vec_id
+              JOIN ($selUnion) sel ON p.b = sel.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM ($selUnion) sx)
+            GROUP BY c.vec_id, c.rel),
+    s$i AS (SELECT $i AS rank, vec_id, rel, mmr
+            FROM r$i ORDER BY mmr DESC, vec_id ASC LIMIT 1)"""
+
+  val s21Sql: String = {
+    val steps = (2 to S21K).map { i =>
+      val selUnion = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s21StepSql(i, selUnion)
+    }.mkString(", ")
+    val all = (1 to S21K).map(i => s"SELECT * FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qn AS (SELECT ${sqlDot("qe", "qe")} AS qnsq
+           FROM q CROSS JOIN range(1, 65) r(i)),
+    scored AS (SELECT vec_id,
+                      ${sqlDot("e.embedding", "q.qe")} AS dot,
+                      ${sqlDot("e.embedding", "e.embedding")} AS nsq
+               FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+               WHERE vec_id <> 0
+               GROUP BY vec_id),
+    cand AS (SELECT vec_id, dot / (sqrt(nsq) * sqrt(qnsq)) AS rel
+             FROM scored CROSS JOIN qn
+             ORDER BY rel DESC, vec_id ASC LIMIT $S21Pool),
+    pair AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                    ${sqlDot("ea.embedding", "eb.embedding")} /
+                      (sqrt(${sqlDot("ea.embedding", "ea.embedding")}) *
+                       sqrt(${sqlDot("eb.embedding", "eb.embedding")})) AS psim
+             FROM cand x JOIN embeddings ea ON ea.vec_id = x.vec_id,
+                  cand y JOIN embeddings eb ON eb.vec_id = y.vec_id,
+                  range(1, 65) r(i)
+             WHERE x.vec_id <> y.vec_id
+             GROUP BY x.vec_id, y.vec_id),
+    s1 AS (SELECT 1 AS rank, vec_id, rel, $S21Lambda * rel AS mmr
+           FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+    $steps
+    SELECT * FROM ($all) u ORDER BY rank"""
+  }
+
   // ---------------------------------------------------------------- s04
   // Per-label embedding statistics (count, mean L2 norm).
   val s04: Q = (s, d) =>
@@ -1930,7 +2047,8 @@ object Similarity {
     "s17_dbscan" -> s17,
     "s18_hard_negatives" -> s18,
     "s19_recall_sweep" -> s19,
-    "s20_filtered_ann" -> s20)
+    "s20_filtered_ann" -> s20,
+    "s21_mmr_rerank" -> s21)
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
@@ -1952,5 +2070,6 @@ object Similarity {
     "s17_dbscan" -> s17Sql,
     "s18_hard_negatives" -> s18Sql,
     "s19_recall_sweep" -> s19Sql,
-    "s20_filtered_ann" -> s20Sql)
+    "s20_filtered_ann" -> s20Sql,
+    "s21_mmr_rerank" -> s21Sql)
 }

@@ -645,6 +645,30 @@ class QueriesSpec extends SparkSpec {
     assert(hits.sliding(2).forall(p => p(0) >= p(1)), hits.toSeq.toString)
   }
 
+  test("s21: MMR keeps the most-relevant pick, then diversifies within the pool") {
+    val mmr = SparkEntry.queries("s21_mmr_rerank")(spark, sf0001)
+      .orderBy(col("rank")).collect()
+    assert(mmr.length == 5)
+    val picked = mmr.map(_.getAs[Long]("vec_id"))
+    assert(picked.distinct.length == 5, "a vector was selected twice")
+    // rank 1 is pure relevance — must equal brute-force top-1 (s01)
+    val top = SparkEntry.queries("s01_cosine_topk")(spark, sf0001)
+      .orderBy(col("cosine").desc, col("vec_id")).collect()
+    assert(picked.head == top.head.getAs[Long]("vec_id"))
+    // s01 returns the 10 most relevant; MMR draws from the top-15 pool,
+    // so at least one pick must land inside s01's 10.
+    val top10 = top.map(_.getAs[Long]("vec_id")).toSet
+    assert(picked.count(top10.contains) >= 1)
+    // the diversity penalty binds: the MMR ordering must differ from
+    // plain relevance order somewhere past rank 1 on this fixture
+    val relOrder = mmr.sortBy(r => (-r.getAs[Double]("rel"),
+      r.getAs[Long]("vec_id"))).map(_.getAs[Long]("vec_id"))
+    assert(!picked.sameElements(relOrder) ||
+      mmr.map(_.getAs[Double]("mmr")).zip(mmr.map(_.getAs[Double]("rel")))
+        .exists { case (m, r) => m < 0.7 * r - 1e-12 },
+      "MMR never penalized anything — pool looks degenerate")
+  }
+
   test("multimodal: decode stub is deterministic and resize preserves aspect") {
     import graft.multimodal.{FakeCodec, MediaMeta}
     val m = FakeCodec.decode(7L, Array.fill[Byte](1000)(1))
