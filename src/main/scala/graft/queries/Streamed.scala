@@ -1241,6 +1241,44 @@ object Streamed {
   /** Oracle: q25's LATERAL as-of SQL — three formulations, one relation. */
   val st22Sql: String = Relational.q25Sql
 
+  // --------------------------------------------------------------- st23
+  // Streaming heavy hitters — top-3 users per event type through the
+  // SpaceSaving sketch ([[graft.streaming.HeavyHitters]]): state is
+  // `types × capacity` counters, CONSTANT in the user cardinality,
+  // where the exact streaming `GROUP BY (type, user)` the oracle runs
+  // holds one state row per distinct pair (unbounded at 100 TB).
+  // Capacity 2048 exceeds every test SF's per-type user count, so the
+  // sketch operates in its exact regime and the oracle can pin values;
+  // at scale the same query trades capacity for an ≤ N/capacity
+  // over-count bound (doc on HeavyHitters). Single-batch AvailableNow
+  // emission: the one update-mode emission per type is the final sketch.
+  private val St23Capacity = 2048
+  private val St23K = 3
+
+  val st23: Q = (s, d) => {
+    val ss = stateSession(s,
+      corpusKeyedStateRows = 5L * St23Capacity)
+    val hh = graft.streaming.HeavyHitters.topK(
+      eventsStream(ss, d), St23Capacity, St23K)
+    val name = "st23_mem"
+    val q = hh.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
+  val st23Sql: String = s"""
+    SELECT event_type, CAST(rnk AS INT) AS rank, user_id, cnt AS est_count
+    FROM (SELECT event_type, user_id, COUNT(*) AS cnt,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY COUNT(*) DESC, user_id ASC) AS rnk
+          FROM events GROUP BY event_type, user_id) t
+    WHERE rnk <= $St23K"""
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -1263,7 +1301,8 @@ object Streamed {
     "st19_stream_markov" -> st19,
     "st20_stream_cdc_dedup" -> st20,
     "st21_stream_sliding_distinct" -> st21,
-    "st22_stream_asof" -> st22)
+    "st22_stream_asof" -> st22,
+    "st23_stream_heavy_hitters" -> st23)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -1294,5 +1333,8 @@ object Streamed {
     "st19_stream_markov" -> Relational.q65Sql,
     "st20_stream_cdc_dedup" -> st20Sql,
     "st21_stream_sliding_distinct" -> st21Sql,
-    "st22_stream_asof" -> st22Sql)
+    "st22_stream_asof" -> st22Sql,
+    // exact regime: per-type user cardinality ≤ capacity at every test
+    // SF, so the sketch's top-3 equals the exact GROUP BY top-3
+    "st23_stream_heavy_hitters" -> st23Sql)
 }

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming top-k heavy hitters per group via the SpaceSaving sketch
+  * (Metwally–Agrawal–El Abbadi, "Efficient computation of frequent and
+  * top-k elements in data streams", ICDT 2005): a bounded map of
+  * `capacity` counters per group; an unseen key arriving at a full map
+  * evicts the minimum counter and inherits its count + 1. Guarantees:
+  * every true count c(u) is over-estimated by at most N/capacity, so
+  * the reported top-k is EXACT whenever the k-th key's margin over the
+  * (k+1)-th exceeds N/capacity — and exact unconditionally while a
+  * group's key cardinality stays ≤ capacity (the map is then just an
+  * exact counter; the oracle pins this regime).
+  *
+  * This is the 100 TB answer to "top users per event type": a full
+  * `GROUP BY (type, user)` holds state proportional to the distinct
+  * user count (unbounded); SpaceSaving holds `groups × capacity`
+  * counters — constant — and one shuffle on the group key.
+  *
+  * Emission contract: each invocation emits the group's current top-k,
+  * so the final answer is the last emission per group. With the repo's
+  * bounded landing dir + `Trigger.AvailableNow` the file source
+  * delivers one micro-batch and the single emission IS the final
+  * sketch; a multi-batch deployment reads the sink's latest generation
+  * per group (or flushes on a timeout) instead.
+  */
+object HeavyHitters {
+  case class HHEvent(event_type: String, user_id: Long)
+  case class HHOut(event_type: String, rank: Int, user_id: Long,
+                   est_count: Long)
+  case class Sketch(keys: Seq[Long], counts: Seq[Long])
+
+  private def step(capacity: Int, k: Int)(
+      etype: String, it: Iterator[HHEvent],
+      state: GroupState[Sketch]): Iterator[HHOut] = {
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    state.getOption.foreach(s => s.keys.zip(s.counts).foreach {
+      case (u, c) => m(u) = c
+    })
+    it.foreach { e =>
+      m.get(e.user_id) match {
+        case Some(c) => m(e.user_id) = c + 1
+        case None if m.size < capacity => m(e.user_id) = 1L
+        case None =>
+          // evict the minimum counter (ties: largest key loses first,
+          // so low user_ids — the tie-break winners below — persist)
+          val (mk, mv) = m.foldLeft((Long.MinValue, Long.MaxValue)) {
+            case ((bk, bv), (u, c)) =>
+              if (c < bv || (c == bv && u > bk)) (u, c) else (bk, bv)
+          }
+          m -= mk
+          m(e.user_id) = mv + 1
+      }
+    }
+    val snap = m.toSeq
+    state.update(Sketch(snap.map(_._1), snap.map(_._2)))
+    snap.sortBy { case (u, c) => (-c, u) }.take(k).zipWithIndex.map {
+      case ((u, c), i) => HHOut(etype, i + 1, u, c)
+    }.iterator
+  }
+
+  def topK(events: DataFrame, capacity: Int, k: Int): Dataset[HHOut] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events.selectExpr("event_type", "user_id")
+      .as[HHEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(step(capacity, k))
+  }
+}

@@ -81,6 +81,33 @@ class StreamingSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("SpaceSaving heavy hitters: eviction bounds the error, top keys exact") {
+    import graft.streaming.HeavyHitters
+    // Skewed fixture forcing the eviction path (capacity 4 < 12 keys):
+    // user 1 ×50 and user 2 ×30 dominate; ten singletons churn the two
+    // remaining counters. N = 90, capacity = 4 → over-count ≤ 22.
+    val events = (Seq.fill(50)(1L) ++ Seq.fill(30)(2L) ++ (3L to 12L))
+      .map(u => ("x", u)).toDF("event_type", "user_id").coalesce(1)
+    val out = HeavyHitters.topK(events, capacity = 4, k = 3)
+      .collect().sortBy(_.rank)
+    assert(out.length == 3)
+    // the dominant keys are never the minimum counter, so never evicted:
+    // their counts are EXACT and they hold ranks 1–2
+    assert(out(0).user_id == 1L && out(0).est_count == 50L)
+    assert(out(1).user_id == 2L && out(1).est_count == 30L)
+    // every estimate obeys the SpaceSaving bound: true ≤ est ≤ true + N/m
+    val truth = Map(1L -> 50L, 2L -> 30L) ++ (3L to 12L).map(_ -> 1L)
+    out.foreach { h =>
+      val t = truth(h.user_id)
+      assert(h.est_count >= t && h.est_count <= t + 90 / 4,
+        s"user ${h.user_id}: est ${h.est_count} vs true $t")
+    }
+    // exact regime: capacity ≥ cardinality degenerates to exact counts
+    val exact = HeavyHitters.topK(events, capacity = 64, k = 12)
+      .collect()
+    exact.foreach(h => assert(h.est_count == truth(h.user_id)))
+  }
+
   test("transformWithState sessions equal flatMapGroupsWithState sessions") {
     // Two state APIs, one contract: any divergence isolates to the
     // state/timer plumbing (the shared merge/emit logic is the same
