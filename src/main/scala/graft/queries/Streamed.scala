@@ -1247,28 +1247,42 @@ object Streamed {
   // `types × capacity` counters, CONSTANT in the user cardinality,
   // where the exact streaming `GROUP BY (type, user)` the oracle runs
   // holds one state row per distinct pair (unbounded at 100 TB).
-  // Capacity 2048 exceeds every test SF's per-type user count, so the
+  // Sketch state is keyed (type, user_id % shards) — disjoint user
+  // shards, so each user's count lives whole in one sketch, the
+  // per-shard ≤ N/capacity bound carries to the union, and parallelism
+  // is types × shards instead of types (measured at 100× events:
+  // 41 s type-keyed → sharded in SCALE.md). Capacity 512 × 16 shards
+  // exceeds every test SF's per-(type, shard) user count, so the
   // sketch operates in its exact regime and the oracle can pin values;
   // at scale the same query trades capacity for an ≤ N/capacity
   // over-count bound (doc on HeavyHitters). Single-batch AvailableNow
-  // emission: the one update-mode emission per type is the final sketch.
-  private val St23Capacity = 2048
+  // emission: each shard's one update-mode emission is its final
+  // counter set; the finishing rank runs BATCH over the sink.
+  private val St23Capacity = 512
   private val St23K = 3
+  private val St23Shards = 16
 
   val st23: Q = (s, d) => {
-    val ss = stateSession(s,
-      corpusKeyedStateRows = 5L * St23Capacity)
-    val hh = graft.streaming.HeavyHitters.topK(
-      eventsStream(ss, d), St23Capacity, St23K)
+    val ss = stateSession(s, partitions = St23Shards,
+      corpusKeyedStateRows = 5L * St23Shards * St23Capacity)
+    val counters = graft.streaming.HeavyHitters.topKSharded(
+      eventsStream(ss, d), St23Capacity, St23K, St23Shards)
     val name = "st23_mem"
-    val q = hh.writeStream
+    val q = counters.writeStream
       .outputMode("update")
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("est_count").desc, col("user_id").asc)
     ss.table(name)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= St23K)
+      .select(col("event_type"), col("rank"), col("user_id"),
+              col("est_count"))
   }
 
   val st23Sql: String = s"""

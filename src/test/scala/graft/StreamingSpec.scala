@@ -106,6 +106,14 @@ class StreamingSpec extends SparkSpec {
     val exact = HeavyHitters.topK(events, capacity = 64, k = 12)
       .collect()
     exact.foreach(h => assert(h.est_count == truth(h.user_id)))
+    // sharded variant: disjoint user shards, so the union of per-shard
+    // counter sets re-ranked must equal the unsharded exact top-k
+    val sharded = HeavyHitters.topKSharded(events, capacity = 64, k = 12,
+        shards = 4)
+      .orderBy(col("est_count").desc, col("user_id").asc)
+      .collect()
+    assert(sharded.map(r => r.getAs[Long]("user_id") ->
+      r.getAs[Long]("est_count")).toMap == truth)
   }
 
   test("transformWithState sessions equal flatMapGroupsWithState sessions") {
