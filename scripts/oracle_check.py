@@ -16,6 +16,23 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# Types the driver's harness serializes identically to Spark. Anything
+# outside this set (HUGEINT above all — DuckDB promotes SUM(BIGINT) and
+# propagates through `//`) hashes differently driver-side even when the
+# values are numerically identical (the round-9 six-red root cause), and
+# `str()`-canonicalization below can never catch it. Fail loudly instead.
+PORTABLE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                  "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
+
+
+def type_audit(name, duck_rel):
+    bad = [f"{c}:{t}" for c, t in zip(duck_rel.columns, duck_rel.types)
+           if str(t) not in PORTABLE_TYPES]
+    if bad:
+        print(f"FAIL {name}: non-portable oracle column types "
+              f"{bad} — CAST to a portable type (e.g. BIGINT)")
+    return not bad
+
 
 def canon(rows, cols):
     """Sort columns by name, then rows; stringify values canonically."""
@@ -58,6 +75,9 @@ def main(sf_dir, out_dir, only=None):
             continue
         try:
             duck_rel = con.sql(sql)
+            if not type_audit(name, duck_rel):
+                n_fail += 1
+                continue
             d_cols, d_rows = canon(duck_rel.fetchall(), duck_rel.columns)
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")

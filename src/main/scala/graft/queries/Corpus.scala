@@ -674,11 +674,11 @@ object Corpus {
                        AS BIGINT) AS w
            FROM dt GROUP BY source),
     pl AS (SELECT source, n_docs, src_tok, w,
-                  50000 * w // SUM(w) OVER () AS target_tok
+                  CAST(50000 * w // SUM(w) OVER () AS BIGINT) AS target_tok
            FROM st),
     pl2 AS (SELECT *,
-                   LEAST(1000000, target_tok * 1000000 // src_tok)
-                     AS rate_ppm
+                   CAST(LEAST(1000000, target_tok * 1000000 // src_tok)
+                        AS BIGINT) AS rate_ppm
             FROM pl),
     kept AS (SELECT dt.source, COUNT(*) AS kept_docs,
                     CAST(SUM(dt.n_tok) AS BIGINT) AS kept_tok

@@ -111,7 +111,8 @@ object Graph {
                   (150000 * (SELECT 1000000000000 // n FROM nn)) // 1000000
                     + (850000 * a.sin) // 1000000 AS r
            FROM deg d JOIN a2 a ON d.id = a.id)
-    SELECT id AS doc_id, deg AS degree, r AS prank FROM r3"""
+    SELECT id AS doc_id, deg AS degree, CAST(r AS BIGINT) AS prank
+    FROM r3"""
 
   // ---------------------------------------------------------------- g02
   // Triangle participation per node — the local-clustering signal that
@@ -664,7 +665,8 @@ object Graph {
                   (150000 * (SELECT 1000000000000 // n FROM nn)) // 1000000
                     + (850000 * a.sin) // 1000000 AS r
            FROM wdeg w JOIN a2 a ON w.id = a.id)
-    SELECT id AS doc_id, deg AS degree, wsum AS wdegree, r AS wprank
+    SELECT id AS doc_id, deg AS degree, wsum AS wdegree,
+           CAST(r AS BIGINT) AS wprank
     FROM r3"""
 
   val queries: Map[String, Q] = Map(

@@ -862,10 +862,17 @@ object Text {
   // itself outgrows one task. The log-log least squares reuses t18's
   // decimal-quantized discipline.
   //
-  // Cross-engine determinism (round-9 restatement after FOUR rounds of
-  // driver-side hash_match=false that passed bit-exact locally — the
-  // divergence is environment-level libm, so the fix removes libm
-  // entirely): the plan now contains ZERO floating-point operations.
+  // Cross-engine determinism — HISTORY, settled in round 10: the
+  // rounds-5–9 driver-side hash_match=false (bit-exact locally every
+  // time) was NEVER an arithmetic divergence. Root cause (VERDICT r9,
+  // type-checked against all 212 oracles): the oracle's window SUMs
+  // promoted to DuckDB HUGEINT, and the driver's harness serializes
+  // int128 columns differently than Spark's BIGINT — identical values,
+  // different hash. Fixed by CAST(... AS BIGINT) in the final oracle
+  // projections (t19/t19e) and enforced forever by the result-type
+  // audit in scripts/oracle_check.py. The libm-free fixed-point
+  // milli-log10 below predates that diagnosis but stands on its own
+  // merits: the plan contains ZERO floating-point operations.
   // The former single libm call per point — round(log10(x)·1000) — is
   // replaced by an exact fixed-point integer milli-log10 (see
   // [[withMilliLog10]]): digit count for the integer part, 24
@@ -1061,7 +1068,9 @@ object Text {
                  (sy * den - num * sx) * 1000 AS ka,
                  n_points * den AS kb
           FROM nd)
-    SELECT n_points, total_tokens, vocab,
+    SELECT n_points,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
            CAST((ba - ((ba % den + den) % den)) // den AS BIGINT)
              AS heaps_beta_micro,
            CAST((ka - ((ka % kb + kb) % kb)) // kb AS BIGINT)
@@ -1074,15 +1083,20 @@ object Text {
   // the diverging stage — t19e red ⇒ tokenization or the cumulative
   // sums (pure integer counts, no quantization involved); t19f red ⇒
   // the milli-log10 quantization; both green with t19 red ⇒ the
-  // (pure-integer) least-squares tail. Delete once t19 is green in the
-  // driver's gate.
+  // (pure-integer) least-squares tail. In round 9 this split delivered
+  // the diagnosis: t19e red + t19f green isolated the HUGEINT
+  // serialization root cause (see the history note above). Delete both
+  // once CORRECTNESS_r10 shows t19 green in the DRIVER's gate.
   val t19e: Q = (s, d) =>
     heapsPointsShared(s, d, refresh = false)
       .select(col("block"), col("cum_n"), col("cum_v"))
 
   val t19eSql: String = s"""
     WITH $heapsPtsSqlCtes
-    SELECT block, cum_n, cum_v FROM pts"""
+    SELECT block,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_v AS BIGINT) AS cum_v
+    FROM pts"""
 
   val t19f: Q = (s, d) =>
     heapsPointsShared(s, d, refresh = false)
