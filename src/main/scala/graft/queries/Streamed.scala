@@ -1255,9 +1255,12 @@ object Streamed {
   // exceeds every test SF's per-(type, shard) user count, so the
   // sketch operates in its exact regime and the oracle can pin values;
   // at scale the same query trades capacity for an ≤ N/capacity
-  // over-count bound (doc on HeavyHitters). Single-batch AvailableNow
-  // emission: each shard's one update-mode emission is its final
-  // counter set; the finishing rank runs BATCH over the sink.
+  // over-count bound (doc on HeavyHitters). The update-mode memory sink
+  // retains EVERY per-batch emission, so the finishing rank goes
+  // through HeavyHitters.rankLatest: keep each (type, shard)'s max-gen
+  // counter set, rank that union — correct for any number of
+  // micro-batches, not just the single-file AvailableNow case
+  // (StreamingSpec proves the two-batch run).
   private val St23Capacity = 512
   private val St23K = 3
   private val St23Shards = 16
@@ -1275,14 +1278,7 @@ object Streamed {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type"))
-      .orderBy(col("est_count").desc, col("user_id").asc)
-    ss.table(name)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= St23K)
-      .select(col("event_type"), col("rank"), col("user_id"),
-              col("est_count"))
+    graft.streaming.HeavyHitters.rankLatest(ss.table(name), St23K)
   }
 
   val st23Sql: String = s"""

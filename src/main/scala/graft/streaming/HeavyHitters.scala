@@ -30,15 +30,25 @@ object HeavyHitters {
   case class HHEvent(event_type: String, user_id: Long)
   case class HHOut(event_type: String, rank: Int, user_id: Long,
                    est_count: Long)
-  case class Sketch(keys: Seq[Long], counts: Seq[Long])
+  /** One sharded-sketch counter emission. `gen` counts how many times
+    * this shard's sketch has been updated (stored in the state, so
+    * deterministic — no wall clock): a shard's LATEST emission is its
+    * max-gen rows, which is how a multi-batch consumer discards the
+    * stale generations an update-mode sink retains. */
+  case class HHCounter(event_type: String, shard: Int, gen: Long,
+                       user_id: Long, est_count: Long)
+  case class Sketch(keys: Seq[Long], counts: Seq[Long], gen: Long)
 
-  private def step(capacity: Int, k: Int)(
-      etype: String, it: Iterator[HHEvent],
-      state: GroupState[Sketch]): Iterator[HHOut] = {
+  /** SpaceSaving update: fold the batch into the state's counter map,
+    * persist, return (counter snapshot, new generation number). */
+  private def updateSketch(capacity: Int, it: Iterator[HHEvent],
+      state: GroupState[Sketch]): (Seq[(Long, Long)], Long) = {
     val m = scala.collection.mutable.LongMap.empty[Long]
-    state.getOption.foreach(s => s.keys.zip(s.counts).foreach {
-      case (u, c) => m(u) = c
-    })
+    var gen = 0L
+    state.getOption.foreach { s =>
+      gen = s.gen
+      s.keys.zip(s.counts).foreach { case (u, c) => m(u) = c }
+    }
     it.foreach { e =>
       m.get(e.user_id) match {
         case Some(c) => m(e.user_id) = c + 1
@@ -55,10 +65,17 @@ object HeavyHitters {
       }
     }
     val snap = m.toSeq
-    state.update(Sketch(snap.map(_._1), snap.map(_._2)))
-    snap.sortBy { case (u, c) => (-c, u) }.take(k).zipWithIndex.map {
-      case ((u, c), i) => HHOut(etype, i + 1, u, c)
-    }.iterator
+    state.update(Sketch(snap.map(_._1), snap.map(_._2), gen + 1))
+    (snap, gen + 1)
+  }
+
+  private def step(capacity: Int, k: Int)(
+      etype: String, it: Iterator[HHEvent],
+      state: GroupState[Sketch]): Iterator[HHOut] = {
+    updateSketch(capacity, it, state)._1
+      .sortBy { case (u, c) => (-c, u) }.take(k).zipWithIndex.map {
+        case ((u, c), i) => HHOut(etype, i + 1, u, c)
+      }.iterator
   }
 
   def topK(events: DataFrame, capacity: Int, k: Int): Dataset[HHOut] = {
@@ -80,14 +97,18 @@ object HeavyHitters {
     * capacity) carries over unchanged and the global top-k is simply
     * the top-k of the union of per-shard counter sets — no cross-shard
     * count reconciliation, unlike random-salt sketch merging. Each
-    * shard emits its FULL counter set (≤ capacity rows); the caller
-    * ranks the union. State: groups × shards × capacity counters —
-    * still constant in user cardinality. */
+    * shard emits its FULL counter set (≤ capacity rows), stamped with
+    * the batch's `gen`; the caller keeps each shard's max-gen emission
+    * (update-mode sinks retain every generation) and ranks that union.
+    * State: groups × shards × capacity counters — still constant in
+    * user cardinality. */
   private def stepAll(capacity: Int)(
       key: (String, Int), it: Iterator[HHEvent],
-      state: GroupState[Sketch]): Iterator[HHOut] = {
-    // reuse the top-k step with k = capacity: emits every counter
-    step(capacity, capacity)(key._1, it, state)
+      state: GroupState[Sketch]): Iterator[HHCounter] = {
+    val (snap, gen) = updateSketch(capacity, it, state)
+    snap.map { case (u, c) =>
+      HHCounter(key._1, key._2, gen, u, c)
+    }.iterator
   }
 
   def topKSharded(events: DataFrame, capacity: Int, k: Int,
@@ -100,5 +121,26 @@ object HeavyHitters {
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(stepAll(capacity))
     counters.toDF()
+  }
+
+  /** The consumer-side finisher for [[topKSharded]]'s sink contents:
+    * discard stale generations (keep each (group, shard)'s max-gen
+    * rows — earlier emissions are superseded whole, including users
+    * since evicted), then rank the union. Exactly-latest, so correct
+    * for any number of micro-batches, not just AvailableNow-single. */
+  def rankLatest(sink: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val latest = sink
+      .withColumn("max_gen", max(col("gen")).over(
+        Window.partitionBy(col("event_type"), col("shard"))))
+      .filter(col("gen") === col("max_gen"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("est_count").desc, col("user_id").asc)
+    latest
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("event_type"), col("rank"), col("user_id"),
+        col("est_count"))
   }
 }

@@ -116,6 +116,43 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Long]("est_count")).toMap == truth)
   }
 
+  test("sharded heavy hitters: multi-batch run ranks only the latest generation") {
+    import graft.streaming.HeavyHitters
+    // Two staged files + maxFilesPerTrigger=1 → two micro-batches. The
+    // update-mode sink then holds TWO counter generations for every
+    // shard touched twice; rankLatest must discard the stale one or the
+    // final ranking duplicates (type, user) rows with first-batch
+    // counts (the exact hazard ADVICE r9 flagged in st23's finisher).
+    val src = tmpDir("graft-hh-src-")
+    Seq.fill(5)(1L).concat(Seq.fill(3)(2L)).map(("x", _))
+      .toDF("event_type", "user_id").coalesce(1)
+      .write.mode("append").parquet(src)
+    Seq.fill(2)(1L).concat(Seq.fill(4)(3L)).map(("x", _))
+      .toDF("event_type", "user_id").coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("event_type STRING, user_id LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val counters = HeavyHitters.topKSharded(stream,
+      capacity = 64, k = 3, shards = 2)
+    val q = counters.writeStream.outputMode("update").format("memory")
+      .queryName("hh_multi").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sink = spark.table("hh_multi")
+    // the run really was multi-batch: a second generation was emitted
+    assert(sink.select("gen").distinct().count() > 1,
+      "expected at least two emission generations in the sink")
+    val ranked = HeavyHitters.rankLatest(sink, 3)
+      .collect().sortBy(r => r.getAs[Int]("rank"))
+    // exactly one row per (type, user), totals across BOTH batches
+    assert(ranked.length == 3)
+    assert(ranked.map(r => r.getAs[Long]("user_id") ->
+      r.getAs[Long]("est_count")).toSeq ==
+      Seq(1L -> 7L, 3L -> 4L, 2L -> 3L),
+      s"stale generation leaked into the ranking: ${ranked.toSeq}")
+  }
+
   test("transformWithState sessions equal flatMapGroupsWithState sessions") {
     // Two state APIs, one contract: any divergence isolates to the
     // state/timer plumbing (the shared merge/emit logic is the same
