@@ -2583,15 +2583,18 @@ object Relational {
   // per-day cost is the delta scan + a group-key-sized merge.
   val q77: Q = (s, d) => {
     val cut = lit("1998-01-01").cast("timestamp")
+    // only MERGEABLE measures in the stored partials (count, sum) —
+    // no countDistinct here: it is not mergeable and both consumers
+    // re-derive n_cust from the auxiliary distinct-pairs relation, so
+    // computing it per side would be a useless two-phase distinct agg
     def partials(df: DataFrame): DataFrame = df
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
-        countDistinct(col("o_custkey")).as("n_cust"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
     val base = partials(Tables.orders(s, d).filter(col("o_orderdate") < cut)
-      .select(col("o_custkey"), col("o_orderstatus"),
+      .select(col("o_orderstatus"),
         floor(col("o_totalprice") * 100).cast("long").as("cents")))
     val delta = partials(Tables.orders(s, d).filter(col("o_orderdate") >= cut)
-      .select(col("o_custkey"), col("o_orderstatus"),
+      .select(col("o_orderstatus"),
         floor(col("o_totalprice") * 100).cast("long").as("cents")))
     // NOTE: count-distinct is NOT mergeable from plain partials — the
     // merged n_cust must re-derive from the union of per-side DISTINCT
