@@ -460,7 +460,9 @@ object Multimodal {
     inBlock.join(Hints.broadcastIfSmall(blockOff), Seq("block"))
       .withColumn("start_off", col("boff") + col("bcum") - col("n_bytes"))
       .select(col("doc_id"), col("n_bytes"),
-        (col("start_off") / ShardBytes).cast("long").as("shard"),
+        // integer floor division, not double-divide-then-cast: exact at
+        // any ShardBytes, matching the oracle's `//` (VERDICT r9 #3)
+        expr(s"start_off div $ShardBytes").as("shard"),
         pmod(col("start_off"), lit(ShardBytes)).as("shard_offset"))
   }
 
@@ -475,8 +477,8 @@ object Multimodal {
                      - n_bytes AS start_off
             FROM b)
     SELECT doc_id, n_bytes,
-           start_off // 262144 AS shard,
-           start_off % 262144 AS shard_offset
+           CAST(start_off // 262144 AS BIGINT) AS shard,
+           CAST(start_off % 262144 AS BIGINT) AS shard_offset
     FROM cum"""
 
   // ---------------------------------------------------------------- m12
@@ -514,6 +516,54 @@ object Multimodal {
            TRUE AS crc_ok, TRUE AS iend_ok
     FROM documents"""
 
+  // ---------------------------------------------------------------- m13
+  // Audio frame features — the missing MODALITY (m01–m12 are image/
+  // video): the silence-trim / voiced-unvoiced / clipping gate a speech
+  // curation pipeline runs per 10 ms frame. Waveform is synthetic (no
+  // audio codec in the container — [[graft.multimodal.AudioCodec]]'s
+  // LCG, closed-form replayable by the oracle); the ENGINE work is
+  // real: int16 little-endian encode to a binary payload, byte-level
+  // parse back, 160-sample framing, and exact-integer energy /
+  // zero-crossing / peak per frame. Encode → decode → frame → features
+  // fuse into ONE narrow mapPartitions pass (m04's discipline): per-doc
+  // independent, zero shuffles at any corpus size — the plan is a scan
+  // plus a typed flat-map, and parallelism is file-split-bound.
+  // MultimodalCodecSpec pins the byte roundtrip (parse ∘ encode = the
+  // LCG closed form) so the oracle's arithmetic shortcut is checking
+  // the same numbers the binary path computed.
+  val m13: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val pcm = graft.multimodal.AudioCodec.synthPcm(id)
+        graft.multimodal.AudioCodec.frameFeatures(id, pcm, 160)
+      })
+      .toDF()
+  }
+
+  val m13Sql: String = """
+    WITH ns AS (SELECT doc_id, 800 + doc_id % 401 AS n FROM documents),
+    smp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                   ((doc_id * 1103515245 + i * 12345) % 65536) - 32768
+                     AS amp
+            FROM ns CROSS JOIN range(0, 1201) r(i)
+            WHERE i < n),
+    lagged AS (SELECT doc_id, i, amp,
+                      LAG(amp) OVER (PARTITION BY doc_id ORDER BY i)
+                        AS prev
+               FROM smp)
+    SELECT doc_id, CAST(i // 160 AS INTEGER) AS frame_idx,
+           COUNT(*) AS n_samples,
+           CAST(SUM(amp * amp) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN i % 160 <> 0
+                          AND ((prev < 0 AND amp > 0)
+                            OR (prev > 0 AND amp < 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(MAX(ABS(amp)) AS BIGINT) AS peak
+    FROM lagged GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
@@ -526,7 +576,8 @@ object Multimodal {
     "m09_keyframes" -> m09,
     "m10_png_roundtrip" -> m10,
     "m11_shard_manifest" -> m11,
-    "m12_png_chunk_audit" -> m12)
+    "m12_png_chunk_audit" -> m12,
+    "m13_audio_frames" -> m13)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
@@ -540,5 +591,6 @@ object Multimodal {
     "m09_keyframes" -> m09Sql,
     "m10_png_roundtrip" -> m10Sql,
     "m11_shard_manifest" -> m11Sql,
-    "m12_png_chunk_audit" -> m12Sql)
+    "m12_png_chunk_audit" -> m12Sql,
+    "m13_audio_frames" -> m13Sql)
 }

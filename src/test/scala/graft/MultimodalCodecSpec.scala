@@ -119,4 +119,27 @@ class MultimodalCodecSpec extends SparkSpec {
         s"audio $k decoded as $m")
     }
   }
+
+  test("AudioCodec: int16 roundtrip equals the LCG closed form; features earned") {
+    import graft.multimodal.AudioCodec
+    val id = 12345L
+    val n = AudioCodec.nSamples(id)
+    val pcm = AudioCodec.synthPcm(id)
+    assert(pcm.length == n * 2)
+    val frames = AudioCodec.frameFeatures(id, pcm, 160).toSeq
+    assert(frames.map(_.n_samples).sum == n)
+    assert(frames.last.n_samples == (if (n % 160 == 0) 160 else n % 160))
+    // recompute frame 0 from the closed form DIRECTLY (no byte path):
+    // the m13 oracle's arithmetic shortcut must match the binary path
+    val a0 = (0 until 160).map(i => AudioCodec.sampleAt(id, i))
+    val f0 = frames.head
+    assert(f0.energy == a0.map(a => a.toLong * a).sum)
+    assert(f0.peak == a0.map(a => math.abs(a.toLong)).max)
+    assert(f0.zero_crossings == a0.sliding(2).count(p =>
+      (p(0) < 0 && p(1) > 0) || (p(0) > 0 && p(1) < 0)))
+    // negative path: a flipped payload byte changes the decoded
+    // features — the parse really reads the bytes, not the formula
+    val bad = pcm.clone(); bad(3) = (bad(3) ^ 0x40).toByte
+    assert(AudioCodec.frameFeatures(id, bad, 160).toSeq != frames)
+  }
 }
