@@ -145,6 +145,40 @@ object WarehouseLoad {
     }
   }
 
+  /** Dead-letter load — the Snowpipe `ON_ERROR = CONTINUE` +
+    * error-table pattern, completing the failure-policy family (strict
+    * = abort-batch mirrors COPY's default; permissive = null-through;
+    * this = quarantine): rows with at least one coercion failure are
+    * routed WHOLE to an error table — original values preserved as the
+    * JSON text they arrived as, plus the source file and the list of
+    * failing columns (COPY validation's rejected-record reason) — and
+    * only clean rows align and load. Nothing is silently nulled and
+    * nothing aborts; the error table is the replay queue after a
+    * schema fix.
+    *
+    * Cost shape: two narrow scans of the staged batch (diagnose+spill,
+    * then align+load) — the same validate-then-load I/O COPY pays; both
+    * passes are pure codegen'd projections with a row filter, no
+    * shuffle, so the split parallelizes with file splits at any batch
+    * size. */
+  def batchQuarantine(spark: SparkSession, stagingDir: String,
+                      target: StructType, warehouseDir: String,
+                      quarantineDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name, not, struct, to_json}
+    val schema = stagedSchema(spark, stagingDir)
+    val raw = spark.read.schema(schema).json(stagingDir)
+    val fail = SchemaAlign.castFailure(raw, target)
+    raw.filter(fail)
+      .select(
+        input_file_name().as("source_file"),
+        to_json(struct(raw.columns.map(col).toIndexedSeq: _*))
+          .as("raw_record"),
+        SchemaAlign.failedColumns(raw, target).as("failed_columns"))
+      .write.mode("append").parquet(quarantineDir)
+    SchemaAlign(raw.filter(not(fail)), target)
+      .write.mode("append").parquet(warehouseDir)
+  }
+
   /** Continuous auto-ingest: checkpointed streaming file source over the
     * staging dir. `Trigger.AvailableNow` drains everything currently
     * staged then stops — call again later and only new files load. */

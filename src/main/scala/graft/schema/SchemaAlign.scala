@@ -63,4 +63,27 @@ object SchemaAlign {
     }
     checks.reduceOption(_ || _).getOrElse(lit(false))
   }
+
+  /** Array of target column names whose value fails coercion on this
+    * row — the per-row diagnosis an error table records (Snowflake's
+    * COPY validation gives rejected rows a reason; this is the
+    * engine-side analog). Same predicate per column as [[castFailure]],
+    * still a pure codegen'd projection. */
+  def failedColumns(df: DataFrame, target: StructType,
+                    caseInsensitive: Boolean = true): Column = {
+    import org.apache.spark.sql.functions.{array, array_compact, when}
+    def norm(s: String): String =
+      if (caseInsensitive) s.toLowerCase(Locale.ROOT) else s
+    val bySource = df.columns.toSeq.groupBy(norm)
+    val tags = target.fields.toSeq.flatMap { f =>
+      bySource.get(norm(f.name)) match {
+        case Some(Seq(one)) =>
+          Some(when(col(one).isNotNull &&
+            col(one).try_cast(f.dataType).isNull, lit(f.name)))
+        case _ => None
+      }
+    }
+    if (tags.isEmpty) array().cast("array<string>")
+    else array_compact(array(tags: _*))
+  }
 }

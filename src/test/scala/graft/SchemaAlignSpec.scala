@@ -63,4 +63,49 @@ class SchemaAlignSpec extends SparkSpec {
     val out = SchemaAlign(src, target, caseInsensitive = false)
     assert(out.collect().head.isNullAt(0)) // 'ID' != 'id' when CS
   }
+
+  test("failedColumns names exactly the columns that fail coercion") {
+    val src = df(Seq(Row("notanumber", "alsobad", "fine"),
+                     Row("5", "true", "ok")),
+      StructType(Seq(
+        StructField("ID", StringType),
+        StructField("Flag", StringType),
+        StructField("name", StringType))))
+    val out = src.select(
+        SchemaAlign.failedColumns(src, target).as("bad"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(out.toSet == Set(Set("id", "flag"), Set.empty[String]))
+  }
+
+  test("quarantine load: bad rows land in the error table, good rows load") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-quar-stage-")
+    val wh = tmpDir("graft-quar-wh-") + "/t"
+    val quar = tmpDir("graft-quar-err-") + "/q"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$staging/a.json"),
+      """{"ID": "1", "Flag": "true", "Name": "good", "TS": "2005-08-01 00:00:00"}
+        |{"ID": "oops", "Flag": "true", "Name": "bad-id", "TS": "2005-08-01 00:00:00"}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$staging/b.json"),
+      """{"ID": "2", "Flag": "nope", "Name": "bad-flag", "TS": "2005-08-01 00:00:00"}
+        |""".stripMargin)
+    WarehouseLoad.batchQuarantine(spark, staging, target, wh, quar)
+    // clean row loaded, typed
+    val loaded = spark.read.parquet(wh).collect()
+    assert(loaded.length == 1 && loaded.head.getLong(0) == 1L,
+      s"expected exactly the clean row: ${loaded.toSeq}")
+    // both dirty rows quarantined WHOLE with provenance + diagnosis
+    val q = spark.read.parquet(quar).collect()
+      .map(r => (r.getAs[String]("source_file"),
+        r.getAs[String]("raw_record"),
+        r.getSeq[String](r.fieldIndex("failed_columns")).toSet))
+    assert(q.length == 2)
+    val byName = q.map { case (f, rec, cols) => (cols, rec, f) }.toSeq
+    assert(byName.exists { case (cols, rec, f) =>
+      cols == Set("id") && rec.contains("oops") && f.contains("a.json") })
+    assert(byName.exists { case (cols, rec, f) =>
+      cols == Set("flag") && rec.contains("nope") && f.contains("b.json") })
+  }
 }
