@@ -514,6 +514,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p) <= 4, s"t28 shuffles more than the contract:\n$p")
   }
 
+  test("q63: the recursion consumes the materialized chain, never the raw scan") {
+    // The UnionLoop contract (SCALE.md round 10): the static chain
+    // relation is checkpointed ONCE before entering the loop — UnionLoop
+    // re-inlines non-recursive CTEs into every iteration, so a
+    // regression that reintroduces the parquet scan or the row_number
+    // window into the loop body multiplies both by the 50-step depth.
+    val p = extended(SparkEntry.queries("q63_recursive_cte")(spark, sf0001))
+    assert(p.contains("UnionLoop"), s"expected native recursion:\n${p.take(3000)}")
+    assert(!p.contains("Relation [") || !p.contains("parquet"),
+      s"loop body re-scans parquet instead of the checkpointed chain:\n${p.take(4000)}")
+    assert(!p.contains("row_number"),
+      s"loop body re-runs the chain-index window:\n${p.take(4000)}")
+  }
+
   test("q73: the clamp closed form plans one exchange and zero recursion") {
     // q63's 50 UnionLoop iterations collapse to stacked windows on a
     // single user_id exchange — depth-independent cost is the contract.
