@@ -2632,6 +2632,60 @@ object Relational {
              / 100.0 / COUNT(*) AS avg_price
     FROM orders GROUP BY 1"""
 
+  // ---------------------------------------------------------------- q78
+  // Z-order layout planning — the lakehouse clustering step (Delta
+  // OPTIMIZE ZORDER BY / Iceberg sort orders) that makes file-level
+  // min-max skipping work on TWO predicate columns at once: interleave
+  // the bits of (l_partkey, l_suppkey) into a Z-curve key, assign rows
+  // to fixed-radix Z-ranges (the "files"), and emit each file's row
+  // count + per-dimension min/max envelope — the footer stats a scan
+  // planner prunes against — plus whether the file is prunable for a
+  // demonstration predicate (l_partkey in [1200, 1400]): because the
+  // Z-curve keeps both dimensions local, each file covers a small
+  // RECTANGLE, so most files prune for a point/range predicate on
+  // EITHER dimension — linear ordering by one column gets skipping on
+  // that column only. The whole plan is one row-local codegen'd
+  // projection (the 16-term interleave) + one hash aggregate on the
+  // file id: one shuffle, no window, no sort — layout planning at 100
+  // TB is exactly this shape, with the physical rewrite being a
+  // write-back partitioned by file id. Test keys fit 16 bits; at
+  // warehouse scale the interleave runs on each dimension's TOP-16
+  // rank bits (a width_bucket over stored quantiles) — same plan.
+  private val ZBits = 16
+  private def zkeyExpr(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"shiftleft(shiftright($a, $i) & 1, ${2 * i + 1})" +
+        s" | shiftleft(shiftright($b, $i) & 1, ${2 * i})"
+    }.mkString(" | ")
+
+  val q78: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("zkey", expr(zkeyExpr("l_partkey", "l_suppkey")))
+      .withColumn("file_id", expr("zkey div 16384"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
+        min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"))
+      .withColumn("prunable",
+        col("min_p") > lit(1400L) || col("max_p") < lit(1200L))
+  }
+
+  val q78Sql: String = {
+    val z = (0 until ZBits).map { i =>
+      s"(((l_partkey >> $i) & 1) << ${2 * i + 1})" +
+        s" | (((l_suppkey >> $i) & 1) << ${2 * i})"
+    }.mkString(" | ")
+    s"""
+    WITH z AS (SELECT l_partkey, l_suppkey, ($z) AS zkey FROM lineitem),
+    f AS (SELECT zkey // 16384 AS file_id, l_partkey, l_suppkey FROM z)
+    SELECT file_id, COUNT(*) AS n_rows,
+           MIN(l_partkey) AS min_p, MAX(l_partkey) AS max_p,
+           MIN(l_suppkey) AS min_s, MAX(l_suppkey) AS max_s,
+           (MIN(l_partkey) > 1400 OR MAX(l_partkey) < 1200) AS prunable
+    FROM f GROUP BY 1"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2709,7 +2763,8 @@ object Relational {
     "q74_interval_peak_buckets" -> q74,
     "q75_sliding_distinct" -> q75,
     "q76_session_paths" -> q76,
-    "q77_ivm_agg" -> q77)
+    "q77_ivm_agg" -> q77,
+    "q78_zorder_layout" -> q78)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -2788,5 +2843,6 @@ object Relational {
     "q74_interval_peak_buckets" -> q74Sql,
     "q75_sliding_distinct" -> q75Sql,
     "q76_session_paths" -> q76Sql,
-    "q77_ivm_agg" -> q77Sql)
+    "q77_ivm_agg" -> q77Sql,
+    "q78_zorder_layout" -> q78Sql)
 }

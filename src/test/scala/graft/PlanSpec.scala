@@ -528,6 +528,19 @@ class PlanSpec extends SparkSpec {
       s"loop body re-runs the chain-index window:\n${p.take(4000)}")
   }
 
+  test("q78: z-order layout is one row-local projection + one aggregate exchange") {
+    // Layout planning at 100 TB: the 16-term interleave must stay a
+    // codegen'd projection and the only shuffle is the file-id hash
+    // aggregate — no global sort, no window anywhere.
+    val p = formatted(SparkEntry.queries("q78_zorder_layout")(spark, sf0001))
+    assert(exchanges(p) == 1, s"expected only the file-id aggregate:\n${p.take(3000)}")
+    assert(!p.contains("Sort"), s"layout stats must not sort:\n${p.take(3000)}")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>")
+      || p.contains("ReadSchema: struct<l_partkey:int,l_suppkey:int>"),
+      s"scan must prune to the two clustering columns:\n$p")
+  }
+
   test("q73: the clamp closed form plans one exchange and zero recursion") {
     // q63's 50 UnionLoop iterations collapse to stacked windows on a
     // single user_id exchange — depth-independent cost is the contract.
