@@ -2647,21 +2647,19 @@ object Relational {
   // that column only. The whole plan is one row-local codegen'd
   // projection (the 16-term interleave) + one hash aggregate on the
   // file id: one shuffle, no window, no sort — layout planning at 100
-  // TB is exactly this shape, with the physical rewrite being a
-  // write-back partitioned by file id. Test keys fit 16 bits; at
+  // TB is exactly this shape, with the physical rewrite being
+  // [[graft.load.Layout.writeZOrdered]] (the WRITER half of this
+  // operator — same zValue expression; LayoutSpec measures the actual
+  // file-skipping win vs a linear sort). Test keys fit 16 bits; at
   // warehouse scale the interleave runs on each dimension's TOP-16
   // rank bits (a width_bucket over stored quantiles) — same plan.
   private val ZBits = 16
-  private def zkeyExpr(a: String, b: String): String =
-    (0 until ZBits).map { i =>
-      s"shiftleft(shiftright($a, $i) & 1, ${2 * i + 1})" +
-        s" | shiftleft(shiftright($b, $i) & 1, ${2 * i})"
-    }.mkString(" | ")
 
   val q78: Q = (s, d) => {
     Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_suppkey"))
-      .withColumn("zkey", expr(zkeyExpr("l_partkey", "l_suppkey")))
+      .withColumn("zkey", graft.load.Layout.zValue(
+        col("l_suppkey"), col("l_partkey"), ZBits))
       .withColumn("file_id", expr("zkey div 16384"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
