@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Corpus, Dedup, Graph, Multimodal, Relational, Similarity, Streamed, Text}
+import graft.queries.{Corpus, Dedup, Graph, Load, Multimodal, Relational, Similarity, Streamed, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Text.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Streamed.queries ++
-      Corpus.queries ++ Graph.queries
+      Corpus.queries ++ Graph.queries ++ Load.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every registered query has one:
@@ -28,5 +28,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Text.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ Streamed.oracle ++
-      Corpus.oracle ++ Graph.oracle
+      Corpus.oracle ++ Graph.oracle ++ Load.oracle
 }

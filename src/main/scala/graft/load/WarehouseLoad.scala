@@ -26,6 +26,39 @@ object WarehouseLoad {
   final class CoercionException(msg: String) extends RuntimeException(msg)
 
   private val StrictMarker = "GRAFT_COERCION_FAILURE"
+  private val CorruptCol = "_graft_corrupt_record"
+
+  /** Canonical file-URI spelling, so paths from the three independent
+    * producers — `FileStatus.getPath` ("file:/tmp/x"), the
+    * `_metadata.file_path` scan column ("file:///tmp/x"), and history
+    * rows written by older versions — compare equal. Only the
+    * authority-less `file:` scheme is ambiguous; schemes with an
+    * authority (hdfs://, s3a://) already spell the `//` and pass
+    * through untouched. */
+  private def canon(p: String): String =
+    p.replaceFirst("^file:/+", "file:///")
+
+  private def canonCol(c: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(c, "^file:/+", "file:///")
+  }
+
+  /** One snapshot listing of the staging dir — data files only (no
+    * `_SUCCESS`/dot files), canonical URIs, sorted for determinism.
+    * This is the same metadata-only listing Spark's own file index
+    * performs; nothing row-sized ever lands on the driver. */
+  private def listStaged(spark: SparkSession, stagingDir: String):
+      Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(st => canon(st.getPath.toUri.toString)).sorted
+  }
 
   /** Strict mode folds the failure check into the load's own scan as an
     * `assert_true` filter guard (throws from the executor on the first
@@ -107,41 +140,74 @@ object WarehouseLoad {
     * exactly-once path; this covers ad-hoc batch re-runs.
     *
     * The staging dir is listed exactly once, up front, and that snapshot
-    * drives BOTH the data read (explicit file paths) and the history
-    * append — so history can only ever contain files the loaded plan
-    * actually read. Deriving the two from independent directory scans
-    * would let a file landing mid-load be recorded as loaded without its
-    * data ever being read (silent data loss on every future run). */
+    * drives BOTH the data read and the history append — so history can
+    * only ever contain files the loaded plan actually read. Deriving the
+    * two from independent directory scans would let a file landing
+    * mid-load be recorded as loaded without its data ever being read
+    * (silent data loss on every future run).
+    *
+    * NO path list ever collects to the driver and NO path list is
+    * spliced into the scan plan: the fresh-file set stays a DataFrame
+    * end to end (listing snapshot anti-joined against history, both
+    * distributed), the data read is ONE single-root scan of the staging
+    * dir filtered by a broadcast semi-join on the `_metadata.file_path`
+    * column, and the history append writes that same DataFrame. The
+    * plan is constant-size in the file count — a million-file staging
+    * wave plans exactly like a two-file one (the vararg-path
+    * alternative puts every path in the driver's plan AND resolves each
+    * one individually). The trade: already-loaded files under the root
+    * are re-scanned and their rows discarded by the semi-join, so the
+    * operational contract at warehouse scale is a BOUNDED staging root —
+    * point this at the current arrival partition (e.g. `stage/d=today`)
+    * and archive drained partitions, exactly how Snowpipe stages are
+    * drained. The steady-state alternative with no rescan at all is the
+    * checkpointed [[continuous]] leg. */
   def batchIdempotent(spark: SparkSession, stagingDir: String,
                       target: StructType, warehouseDir: String,
-                      historyDir: String, strict: Boolean = false): Unit = {
+                      historyDir: String, strict: Boolean = false): Unit =
+    idempotentBatch(spark, stagingDir, historyDir).foreach {
+      case (freshFiles, data) =>
+        rethrowStrict {
+          align(data, target, strict)
+            .write.mode("append").parquet(warehouseDir)
+        }
+        freshFiles.write.mode("append").parquet(historyDir)
+    }
+
+  /** The idempotent load's two relations — (fresh-file set, their rows)
+    * — or None when nothing new is staged. Package-visible so PlanSpec
+    * can assert the constant-size-plan contract directly. */
+  private[graft] def idempotentBatch(spark: SparkSession, stagingDir: String,
+      historyDir: String): Option[(DataFrame, DataFrame)] = {
     val hPath = new org.apache.hadoop.fs.Path(historyDir)
-    val sPath = new org.apache.hadoop.fs.Path(stagingDir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged: Seq[String] = fs.listStatus(sPath).toSeq
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-      .map(_.getPath.toString).sorted
+    val staged = listStaged(spark, stagingDir)
+    if (staged.isEmpty) return None
     import spark.implicits._
-    // Anti-join in Spark (history can be millions of paths at warehouse
-    // scale); the collect is bounded by this batch's staging listing,
-    // which already lives on the driver.
-    val freshFiles: Seq[String] =
-      if (fs.exists(hPath)) {
-        val history = spark.read.parquet(historyDir)
-        staged.toDF("file").join(history, Seq("file"), "left_anti")
-          .collect().map(_.getString(0)).toSeq.sorted
-      } else staged
-    if (freshFiles.nonEmpty) {
-      val raw = spark.read.schema(stagedSchemaOf(spark, freshFiles))
-        .json(freshFiles: _*)
-      rethrowStrict {
-        align(raw, target, strict)
-          .write.mode("append").parquet(warehouseDir)
-      }
-      freshFiles.toDF("file").write.mode("append").parquet(historyDir)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val stagedDf = staged.toDF("file")
+    val fresh =
+      if (fs.exists(hPath))
+        stagedDf.join(
+          spark.read.parquet(historyDir)
+            .select(canonCol(col("file")).as("file")),
+          Seq("file"), "left_anti")
+      else stagedDf
+    // Materialize the fresh set once (it is listing-sized, not
+    // data-sized): it feeds both the data filter and the history
+    // append, so the two can never disagree, and the anti-join runs
+    // exactly once.
+    val freshFiles = fresh.localCheckpoint()
+    if (freshFiles.isEmpty) None
+    else {
+      val raw = spark.read.schema(stagedSchema(spark, stagingDir))
+        .json(stagingDir)
+        .withColumn("_graft_file", canonCol(col("_metadata.file_path")))
+      val data = raw
+        .join(broadcast(freshFiles.withColumnRenamed("file", "_graft_file")),
+          Seq("_graft_file"), "left_semi")
+        .drop("_graft_file")
+      Some((freshFiles, data))
     }
   }
 
@@ -156,6 +222,23 @@ object WarehouseLoad {
     * nothing aborts; the error table is the replay queue after a
     * schema fix.
     *
+    * Two failure classes are quarantined, never silently nulled:
+    * coercion failures (a parsed value that won't cast to the DDL type,
+    * `failed_columns` naming the culprits) and MALFORMED JSON lines —
+    * the read carries a corrupt-record column, and a row that failed to
+    * parse at all is routed whole (the raw line as `raw_record`, reason
+    * `_corrupt_record`), matching Snowflake's error table recording
+    * parse failures under `ON_ERROR = CONTINUE`. Without this, a
+    * half-written JSON line would parse to all-nulls, pass the
+    * cast-failure check vacuously, and LOAD as a null row.
+    *
+    * The file list is snapshotted ONCE and drives both passes, so a
+    * file landing mid-load is either fully processed (clean rows
+    * loaded, dirty rows quarantined) or fully deferred to the next
+    * batch — never split, which an independent per-pass directory scan
+    * would allow (clean rows loaded by pass 2 of a file pass 1 never
+    * saw, its dirty rows lost).
+    *
     * Cost shape: two narrow scans of the staged batch (diagnose+spill,
     * then align+load) — the same validate-then-load I/O COPY pays; both
     * passes are pure codegen'd projections with a row filter, no
@@ -164,18 +247,30 @@ object WarehouseLoad {
   def batchQuarantine(spark: SparkSession, stagingDir: String,
                       target: StructType, warehouseDir: String,
                       quarantineDir: String): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name, not, struct, to_json}
-    val schema = stagedSchema(spark, stagingDir)
-    val raw = spark.read.schema(schema).json(stagingDir)
+    import org.apache.spark.sql.functions.{array, col, input_file_name, lit, not, struct, to_json, when}
+    val files = listStaged(spark, stagingDir)
+    if (files.isEmpty) return
+    val schema = stagedSchemaOf(spark, files)
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"staged data may not carry a '$CorruptCol' column")
+    val raw = spark.read
+      .schema(schema.add(CorruptCol, org.apache.spark.sql.types.StringType))
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(files: _*)
+    val malformed = col(CorruptCol).isNotNull
     val fail = SchemaAlign.castFailure(raw, target)
-    raw.filter(fail)
+    raw.filter(malformed || fail)
       .select(
         input_file_name().as("source_file"),
-        to_json(struct(raw.columns.map(col).toIndexedSeq: _*))
+        when(malformed, col(CorruptCol))
+          .otherwise(to_json(struct(
+            schema.fieldNames.toIndexedSeq.map(col): _*)))
           .as("raw_record"),
-        SchemaAlign.failedColumns(raw, target).as("failed_columns"))
+        when(malformed, array(lit("_corrupt_record")))
+          .otherwise(SchemaAlign.failedColumns(raw, target))
+          .as("failed_columns"))
       .write.mode("append").parquet(quarantineDir)
-    SchemaAlign(raw.filter(not(fail)), target)
+    SchemaAlign(raw.filter(not(malformed) && not(fail)), target)
       .write.mode("append").parquet(warehouseDir)
   }
 

@@ -135,6 +135,38 @@ class PipelineSpec extends SparkSpec {
       .sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("idempotent load plans constant-size over a multi-thousand-file stage") {
+    // The de-drivered COPY path (VERDICT r10 #2): a 2,000-file staging
+    // wave must plan exactly like a two-file one — ONE scan root, the
+    // fresh-file set a broadcast DataFrame, no path list spliced into
+    // the plan and no collect of paths to the driver.
+    val staging = tmpDir("graft-bigstage-")
+    val wh = tmpDir("graft-bigwh-") + "/t"
+    val hist = tmpDir("graft-bighist-") + "/h"
+    (0 until 2000).foreach { i =>
+      Files.writeString(Paths.get(staging, f"f$i%04d.json"),
+        s"""{"CustomerID": "$i", "FirstName": "n$i"}""" + "\n")
+    }
+    val Some((_, data)) =
+      graft.load.WarehouseLoad.idempotentBatch(spark, staging, hist)
+    val roots = data.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.length
+    }
+    assert(roots == Seq(1),
+      s"expected one single-root staging scan, got roots=$roots")
+    graft.load.WarehouseLoad.batchIdempotent(spark, staging,
+      Schemas.customers, wh, hist)
+    assert(spark.read.parquet(wh).count() == 2000)
+    // steady state: one more file arrives; only its row loads
+    Files.writeString(Paths.get(staging, "late.json"),
+      """{"CustomerID": "9999", "FirstName": "late"}""" + "\n")
+    graft.load.WarehouseLoad.batchIdempotent(spark, staging,
+      Schemas.customers, wh, hist)
+    assert(spark.read.parquet(wh).count() == 2001)
+    assert(spark.read.parquet(hist).count() == 2001)
+  }
+
   test("strict load refuses files with coercion failures") {
     val staging = tmpDir("graft-badstage-")
     Files.writeString(Paths.get(staging, "bad.json"),

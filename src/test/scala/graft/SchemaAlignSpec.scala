@@ -108,4 +108,31 @@ class SchemaAlignSpec extends SparkSpec {
     assert(byName.exists { case (cols, rec, f) =>
       cols == Set("flag") && rec.contains("nope") && f.contains("b.json") })
   }
+
+  test("quarantine load: malformed JSON lines quarantine, never load as nulls") {
+    // The ON_ERROR=CONTINUE contract (ADVICE r10): an unparseable line
+    // must land in the error table with the raw text and a
+    // '_corrupt_record' reason — a permissive read would turn it into an
+    // all-null row that passes the cast check vacuously and LOADS.
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-quarmal-stage-")
+    val wh = tmpDir("graft-quarmal-wh-") + "/t"
+    val quar = tmpDir("graft-quarmal-err-") + "/q"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$staging/a.json"),
+      """{"ID": "1", "Flag": "true", "Name": "good", "TS": "2005-08-01 00:00:00"}
+        |{"ID": "2", "Flag": "false", "Name": "trunc
+        |""".stripMargin)
+    WarehouseLoad.batchQuarantine(spark, staging, target, wh, quar)
+    val loaded = spark.read.parquet(wh).collect()
+    assert(loaded.length == 1 && loaded.head.getLong(0) == 1L,
+      s"malformed line leaked into the warehouse: ${loaded.toSeq}")
+    val q = spark.read.parquet(quar).collect()
+    assert(q.length == 1)
+    val row = q.head
+    assert(row.getSeq[String](row.fieldIndex("failed_columns"))
+      == Seq("_corrupt_record"))
+    assert(row.getAs[String]("raw_record").contains("trunc"),
+      "quarantine must preserve the raw unparseable line")
+  }
 }
