@@ -520,12 +520,38 @@ class PlanSpec extends SparkSpec {
     // re-inlines non-recursive CTEs into every iteration, so a
     // regression that reintroduces the parquet scan or the row_number
     // window into the loop body multiplies both by the 50-step depth.
-    val p = extended(SparkEntry.queries("q63_recursive_cte")(spark, sf0001))
+    val df = SparkEntry.queries("q63_recursive_cte")(spark, sf0001)
+    val p = extended(df)
     assert(p.contains("UnionLoop"), s"expected native recursion:\n${p.take(3000)}")
-    assert(!p.contains("Relation [") || !p.contains("parquet"),
-      s"loop body re-scans parquet instead of the checkpointed chain:\n${p.take(4000)}")
+    // Direct scan-node assertions (ADVICE r10): ZERO parquet scans may
+    // survive anywhere in the plan — the one legitimate scan happened at
+    // checkpoint time, so every relation the recursion touches must be
+    // the checkpointed LogicalRDD/ExistingRDD. Counting occurrences
+    // beats the old whole-plan substring disjunction, which passed
+    // vacuously on printer-format drift.
+    val parquetScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(parquetScans.isEmpty,
+      s"loop body re-scans the source instead of the checkpointed chain: $parquetScans")
+    assert(!p.contains("FileScan parquet") && !p.contains("Scan parquet"),
+      s"physical plan re-scans parquet:\n${p.take(4000)}")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"expected the checkpointed chain relation:\n${p.take(4000)}")
     assert(!p.contains("row_number"),
       s"loop body re-runs the chain-index window:\n${p.take(4000)}")
+  }
+
+  test("q63: the stats-based broadcast guard picks the same plan at both sfs") {
+    // VERDICT r10 #3: the broadcast-vs-shuffle decision reads the
+    // checkpointed plan's stats, not a counting job. Both test sfs are
+    // far below the 500k-chain-row crossover, so both must carry the
+    // BROADCAST hint into the recursion.
+    for (d <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val p = extended(SparkEntry.queries("q63_recursive_cte")(spark, d))
+      assert(p.contains("BROADCAST") || p.contains("BroadcastHashJoin"),
+        s"expected the broadcast frontier join at $d:\n${p.take(4000)}")
+    }
   }
 
   test("q78: z-order layout is one row-local projection + one aggregate exchange") {
