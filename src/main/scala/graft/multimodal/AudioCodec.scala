@@ -40,6 +40,93 @@ object AudioCodec {
     out
   }
 
+  /** Real RIFF/WAVE container encode — the full chunk grammar, not just
+    * a fixed 44-byte header: RIFF size header, canonical 16-byte PCM
+    * `fmt ` chunk (mono, 16 kHz, 16-bit), a LIST/INFO chunk whose ISFT
+    * text length varies with doc_id so ODD sizes exercise RIFF's
+    * even-boundary pad byte, then the `data` chunk with [[synthPcm]]'s
+    * payload. Gives [[wavChunkAudit]] genuine encoder output to walk,
+    * the same way m12 audits real ImageIO PNGs. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val pcm = synthPcm(id)
+    val isft = ("graft" + "x" * (id % 4).toInt).getBytes("US-ASCII")
+    val isftPad = isft.length % 2
+    val listBody = 4 + 8 + isft.length + isftPad
+    val total = 12 + (8 + 16) + (8 + listBody) + (8 + pcm.length)
+    val out = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(32000)
+      .putShort(2).putShort(16)
+    out.put("LIST".getBytes("US-ASCII")).putInt(listBody)
+      .put("INFO".getBytes("US-ASCII"))
+      .put("ISFT".getBytes("US-ASCII")).putInt(isft.length).put(isft)
+    if (isftPad == 1) out.put(0.toByte)
+    out.put("data".getBytes("US-ASCII")).putInt(pcm.length).put(pcm)
+    out.array()
+  }
+
+  final case class WavAudit(doc_id: Long, n_chunks: Int, sample_rate: Int,
+                            n_samples: Long, data_byte_sum: Long,
+                            riff_ok: Boolean, fmt_ok: Boolean)
+
+  /** Container triage WITHOUT decode (the audio analog of m12's PNG
+    * chunk audit): walk the real RIFF chunk table validating every size
+    * field against the byte budget — magic + form type, the RIFF size
+    * header against the actual payload length, per-chunk bounds, the
+    * even-boundary pad after odd chunks, and exact termination at the
+    * final byte. Truncated, oversized, or trailing-garbage payloads
+    * fail by ARITHMETIC, never by exception. `fmt_ok` checks the full
+    * PCM header contract (format/channels/rate/byteRate/blockAlign/
+    * bits); `data_byte_sum` fingerprints the payload bytes without
+    * interpreting them. Header cost only — the data chunk is summed,
+    * not decoded. */
+  def wavChunkAudit(id: Long, bytes: Array[Byte]): WavAudit = {
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def cc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    val headerOk = bytes.length >= 12 && cc(0) == "RIFF" &&
+      cc(8) == "WAVE" && le32(4) == bytes.length - 8
+    var nChunks = 0
+    var rate = 0
+    var nSamples = 0L
+    var byteSum = 0L
+    var fmtOk = false
+    var off = 12
+    var walkOk = headerOk
+    while (walkOk && off < bytes.length) {
+      if (off + 8 > bytes.length) walkOk = false
+      else {
+        val sz = le32(off + 4)
+        if (sz > Int.MaxValue || off + 8 + sz > bytes.length) walkOk = false
+        else {
+          val n = sz.toInt
+          nChunks += 1
+          cc(off) match {
+            case "fmt " if n >= 16 =>
+              rate = le32(off + 12).toInt
+              fmtOk = le16(off + 8) == 1 && le16(off + 10) == 1 &&
+                rate == 16000 && le32(off + 16) == 32000L &&
+                le16(off + 20) == 2 && le16(off + 22) == 16
+            case "data" =>
+              nSamples = n / 2
+              var j = off + 8
+              val e = off + 8 + n
+              while (j < e) { byteSum += bytes(j) & 0xff; j += 1 }
+            case _ => ()
+          }
+          off += 8 + n + (n % 2)
+        }
+      }
+    }
+    WavAudit(id, nChunks, rate, nSamples, byteSum,
+      headerOk && walkOk && off == bytes.length, fmtOk)
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, n_samples: Long,
                          energy: Long, zero_crossings: Long, peak: Long)
 

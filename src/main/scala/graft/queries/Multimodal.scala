@@ -564,6 +564,53 @@ object Multimodal {
            CAST(MAX(ABS(amp)) AS BIGINT) AS peak
     FROM lagged GROUP BY 1, 2"""
 
+  // ---------------------------------------------------------------- m14
+  // Audio CONTAINER audit — m12's triage discipline for the audio
+  // modality (VERDICT r10 #7: m13 was PCM-only; this adds the container
+  // rung): encode each doc's waveform as a genuine RIFF/WAVE file —
+  // size-prefixed chunk grammar with fmt/LIST-INFO/data chunks and the
+  // odd-size pad byte exercised by a doc_id-varying ISFT text — then
+  // walk the chunk table back validating every size field, the PCM
+  // header contract, and exact stream termination, summing the data
+  // bytes as a payload fingerprint. No decode: header cost plus one
+  // linear byte pass. Same typed mapPartitions codec boundary as
+  // m10/m12 (JVM byte wrangling with no Catalyst equivalent); per-doc
+  // independent, zero shuffles at any corpus size.
+  // MultimodalCodecSpec proves the negative paths (flipped size field,
+  // truncation, trailing garbage, corrupted fmt) so the oracle's TRUE
+  // booleans are earned.
+  //
+  // Oracle: chunk count/rate/flags are the container contract;
+  // n_samples and the byte sum restate the LCG closed form — for
+  // sample value u ∈ [0,65536) the little-endian int16 bytes are
+  // lo = u % 256 and hi = (u//256 + 128) % 256 (the +128 is the
+  // two's-complement sign-bit flip of the signed amp u − 32768).
+  val m14: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        graft.multimodal.AudioCodec.wavChunkAudit(id,
+          graft.multimodal.AudioCodec.encodeWav(id))
+      })
+      .toDF()
+  }
+
+  val m14Sql: String = """
+    WITH ns AS (SELECT doc_id, 800 + doc_id % 401 AS n FROM documents),
+    smp AS (SELECT doc_id, n,
+                   (doc_id * 1103515245 + i * 12345) % 65536 AS u
+            FROM ns CROSS JOIN range(0, 1201) r(i)
+            WHERE i < n)
+    SELECT doc_id, CAST(3 AS INTEGER) AS n_chunks,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(u % 256 + (u // 256 + 128) % 256) AS BIGINT)
+             AS data_byte_sum,
+           TRUE AS riff_ok, TRUE AS fmt_ok
+    FROM smp GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
@@ -577,7 +624,8 @@ object Multimodal {
     "m10_png_roundtrip" -> m10,
     "m11_shard_manifest" -> m11,
     "m12_png_chunk_audit" -> m12,
-    "m13_audio_frames" -> m13)
+    "m13_audio_frames" -> m13,
+    "m14_wav_chunk_audit" -> m14)
 
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
@@ -592,5 +640,6 @@ object Multimodal {
     "m10_png_roundtrip" -> m10Sql,
     "m11_shard_manifest" -> m11Sql,
     "m12_png_chunk_audit" -> m12Sql,
-    "m13_audio_frames" -> m13Sql)
+    "m13_audio_frames" -> m13Sql,
+    "m14_wav_chunk_audit" -> m14Sql)
 }

@@ -142,4 +142,39 @@ class MultimodalCodecSpec extends SparkSpec {
     val bad = pcm.clone(); bad(3) = (bad(3) ^ 0x40).toByte
     assert(AudioCodec.frameFeatures(id, bad, 160).toSeq != frames)
   }
+
+  test("WAV chunk audit: valid container passes; each corruption class trips") {
+    import graft.multimodal.AudioCodec
+    for (id <- Seq(0L, 1L, 2L, 3L, 12345L)) { // all four ISFT pad parities
+      val wav = AudioCodec.encodeWav(id)
+      val a = AudioCodec.wavChunkAudit(id, wav)
+      assert(a.riff_ok && a.fmt_ok, s"genuine encoder output failed audit: $a")
+      assert(a.n_chunks == 3 && a.sample_rate == 16000)
+      assert(a.n_samples == AudioCodec.nSamples(id).toLong)
+      assert(a.data_byte_sum ==
+        AudioCodec.synthPcm(id).map(b => (b & 0xff).toLong).sum)
+      // corrupted RIFF size header
+      val badSize = wav.clone(); badSize(4) = (badSize(4) ^ 0x01).toByte
+      assert(!AudioCodec.wavChunkAudit(id, badSize).riff_ok)
+      // truncated mid-chunk — RIFF size header PATCHED to match the
+      // short length, so only the per-chunk bounds check can catch the
+      // data chunk promising bytes that never come
+      def patchLen(b: Array[Byte]): Array[Byte] = {
+        val v = b.length - 8
+        b(4) = (v & 0xff).toByte; b(5) = ((v >> 8) & 0xff).toByte
+        b(6) = ((v >> 16) & 0xff).toByte; b(7) = ((v >> 24) & 0xff).toByte
+        b
+      }
+      val trunc = patchLen(wav.take(wav.length - 5))
+      assert(!AudioCodec.wavChunkAudit(id, trunc).riff_ok)
+      // trailing garbage, header patched — the walk must land EXACTLY
+      // on the final byte
+      val extra = patchLen(wav ++ Array[Byte](0, 0))
+      assert(!AudioCodec.wavChunkAudit(id, extra).riff_ok)
+      // corrupted fmt chunk (sample rate) fails fmt_ok but not the walk
+      val badFmt = wav.clone(); badFmt(24) = (badFmt(24) ^ 0x01).toByte
+      val f = AudioCodec.wavChunkAudit(id, badFmt)
+      assert(f.riff_ok && !f.fmt_ok, s"expected fmt-only failure: $f")
+    }
+  }
 }
