@@ -2476,28 +2476,28 @@ object Relational {
     val ev = Events.read(s, d)
       .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
     // hour-grain relations are tiny (≤ corpus hours); checkpoint the
-    // sketch relation once for its three consumers (both sides of the
-    // window self-join + the hour spine).
+    // sketch relation once for its three consumers (the window
+    // composition + the anchor spine twice).
     val hourly = ev.groupBy(col("hour"))
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
       .localCheckpoint()
-    val pairs = ev.distinct()
-    val win = col("g.hour") >= col("h.hour") - expr("INTERVAL 23 HOURS") &&
-      col("g.hour") <= col("h.hour")
-    val est = hourly.as("h").join(hourly.as("g"), win)
-      .groupBy(col("h.hour").as("hour"))
-      .agg(expr("hll_sketch_estimate(hll_union_agg(g.sk))").as("est"))
-    // Exact comparator stated as an EXPLODE into each pair's 24 target
-    // windows (linear, equi-shuffled) rather than a pairs × hours
-    // range BNLJ (measured 50M comparisons at sf0.1); the semi join
-    // keeps only windows anchored at hours that exist in the data,
-    // matching the oracle's hour spine.
-    val exact = pairs
-      .select(col("user_id"), explode(expr(
+    // Window composition by EXPLODE onto the 24 anchors each hourly
+    // sketch serves (hours × 24 rows, equi-shuffled) — not an hours ×
+    // hours range self-join, whose BNLJ comparisons grow quadratically
+    // in the corpus' time span (a decade of hours is 90k² ≈ 8G
+    // predicate evaluations; the explode is 2M rows).
+    val est = hourly
+      .select(col("sk"), explode(expr(
         "sequence(hour, hour + INTERVAL 23 HOURS, INTERVAL 1 HOUR)"))
         .as("hour"))
       .join(broadcast(hourly.select(col("hour"))), Seq("hour"), "left_semi")
-      .groupBy(col("hour")).agg(countDistinct(col("user_id")).as("n_exact"))
+      .groupBy(col("hour"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    // Exact comparator as an interval DIFF ARRAY, O(pairs) instead of
+    // the 24× explode — see [[SlidingDistinct.exact24h]] (measured r11:
+    // the explode comparator cost 3.5× the sketch side it checks).
+    val exact = SlidingDistinct.exact24h(ev.distinct(),
+      hourly.select(col("hour")), shiftHours = 0)
     est.join(exact, Seq("hour"))
       .select(col("hour"), col("n_exact"),
         (abs(col("est").cast("double") - col("n_exact")) / col("n_exact")

@@ -592,20 +592,23 @@ class PlanSpec extends SparkSpec {
       s"expected the local sweep keyed on (event_type, bucket):\n$p")
   }
 
-  test("q75: raw events feed ONE sketch pass; exact side explodes, no BNLJ") {
-    // The sketch ladder's contract: raw events are aggregated into
-    // per-hour sketches once; every window answer is sketch algebra on
-    // the hour-grain relation. The exact comparator must plan as an
-    // explode + equi-shuffle (Generate), never a pairs x hours range
-    // BNLJ over the event-pair relation.
+  test("q75: one sketch pass; explode-composed windows; diff-array exact side") {
+    // The sketch ladder's contract (r11 shape): raw events aggregate
+    // into per-hour sketches ONCE (checkpointed — ExistingRDD); every
+    // window answer is sketch algebra composed by an explode +
+    // equi-shuffle onto the 24 anchors each hour serves. NO range join
+    // anywhere — the old hours × hours BNLJ grows quadratically in the
+    // corpus' time span. The exact comparator is the interval diff
+    // array, so no 24× explode of the event-pair relation either: the
+    // only Generate inputs are the hour-grain sketch relation.
     val p = formatted(SparkEntry.queries("q75_sliding_distinct")(spark, sf0001))
     assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"windows must compose by explode + equi-join, not a range BNLJ:\n${p.take(3000)}")
     assert(p.contains("Generate"),
-      s"expected the 24-window explode on the exact side:\n${p.take(3000)}")
-    // the only BNLJ allowed is the hour-grain sketch self-join (both
-    // sides are checkpointed hour relations, not event relations)
-    assert(!p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("ExistingRDD"), p.take(3000))
+      s"expected the 24-anchor explode of the hourly sketches:\n${p.take(3000)}")
+    assert(p.contains("ExistingRDD"),
+      s"expected the checkpointed hourly sketch relation:\n${p.take(3000)}")
   }
 
   test("asof limit pushdown: LIMIT plants a LocalLimit under the join") {
