@@ -199,9 +199,16 @@ object Dedup {
   /** Shared oracle-SQL CTE: distinct word-3-gram shingles per document
     * (`generate_subscripts` derives positions from each document's own
     * token count — no fixed length cap). */
+  // `MATERIALIZED` (DuckDB planner hint, harmless to semantics): the
+  // multiply-referenced CTEs would otherwise INLINE into every
+  // consumer — at sf1 the g02 triangle oracle's three `oriented`
+  // references each re-derived the whole shingle self-join and the
+  // 3-way join of those inlined pipelines spilled >78 GB of temp
+  // before failing. Materializing once is also what the Spark side
+  // does (localCheckpoint of the pair relation).
   private val ShinglesCte = """
     t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM t) g
            WHERE i <= len(w) - 2)"""
 
@@ -211,12 +218,12 @@ object Dedup {
   private[queries] val JaccardPairsCte = s"""
     $ShinglesCte,
     kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
-    shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+    shk AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     common AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
                FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2),
-    pairs AS (SELECT i, j, c, ca.n AS ni, cb.n AS nj,
+    pairs AS MATERIALIZED (SELECT i, j, c, ca.n AS ni, cb.n AS nj,
                      CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
               FROM common
                 JOIN counts ca ON i = ca.doc_id

@@ -1278,15 +1278,32 @@ object Streamed {
   // counter set, rank that union — correct for any number of
   // micro-batches, not just the single-file AvailableNow case
   // (StreamingSpec proves the two-batch run).
+  //
+  // Capacity is SIZED FROM THE MEASURED user cardinality (one narrow
+  // batch countDistinct pre-pass, cached per dir): the oracle pins
+  // exact values, which holds only while per-(type, shard) users stay
+  // ≤ capacity — a fixed 512 broke at sf1 (15k users / 16 shards ≈
+  // 940 per shard → evictions → N/capacity over-counts). Sizing the
+  // sketch to the tracked-class bound is exactly how production picks
+  // a SpaceSaving capacity for a target error; past the memory you are
+  // willing to spend, you fix capacity and the answer degrades to the
+  // documented ≤ N/capacity over-count bound instead of staying exact.
   private val St23Capacity = 512
   private val St23K = 3
   private val St23Shards = 16
+  private val st23CapCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
 
   val st23: Q = (s, d) => {
+    val capacity = st23CapCache.getOrElseUpdate(d, {
+      val users = graft.sources.Events.read(s, d)
+        .select(countDistinct(col("user_id"))).head().getLong(0)
+      math.max(St23Capacity.toLong, 2L * (users / St23Shards + 1)).toInt
+    })
     val ss = stateSession(s, partitions = St23Shards,
-      corpusKeyedStateRows = 5L * St23Shards * St23Capacity)
+      corpusKeyedStateRows = 5L * St23Shards * capacity)
     val counters = graft.streaming.HeavyHitters.topKSharded(
-      eventsStream(ss, d), St23Capacity, St23K, St23Shards)
+      eventsStream(ss, d), capacity, St23K, St23Shards)
     val name = "st23_mem"
     val q = counters.writeStream
       .outputMode("update")
