@@ -26,6 +26,13 @@ object Probe {
     // per-micro-batch state telemetry; cloned state sessions inherit it.
     sys.env.get("SPARK_GRAFT_STREAM_LISTENER").foreach(l =>
       builder.config("spark.sql.streaming.streamingQueryListeners", l))
+    // SPARK_GRAFT_CONF="k=v;k=v" — arbitrary conf overrides for split/
+    // shuffle-granularity experiments (e.g. spark.sql.files.openCostInBytes
+    // when probing scan-split counts on compact single-file fixtures).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
