@@ -54,14 +54,27 @@ object Bench {
     // keep rc non-zero. (Correctness is the oracle gate's job; this
     // guard only stops a crash from masquerading as a fast number.)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Per-query task-metric sums (input/shuffle/spill bytes) land in the
+    // full-fidelity JSON only — the driver-parsed stdout line is
+    // unchanged. Captured on the second (warm) pass; the bus flush at
+    // each boundary pins every task to the query that ran it.
+    val metricsListener = new BenchMetricsListener
+    spark.sparkContext.addSparkListener(metricsListener)
+    val qmetrics =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Two timed passes, min per query: single-shot numbers on a shared
     // box swing up to 3× from scheduler/GC noise; the min of two runs is
     // the standard low-variance estimator of the plan's actual cost.
-    def pass(): Map[String, Double] = SparkEntry.queries.map {
-      case (name, fn) =>
+    def pass(recordMetrics: Boolean): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
         // Collect garbage from the previous query so its GC debt
         // doesn't bill this one (per-iteration benchmark hygiene).
         System.gc()
+        if (recordMetrics) {
+          org.apache.spark.graftshim.GraftCoreShims
+            .waitListenerBusEmpty(spark.sparkContext)
+          metricsListener.reset()
+        }
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -70,10 +83,18 @@ object Bench {
             errors(name) =
               Option(t.getMessage).getOrElse(t.getClass.getName).take(160)
         }
-        name -> (System.nanoTime() - t0) / 1e9
-    }
-    val p1 = pass()
-    val p2 = pass()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (recordMetrics) {
+          org.apache.spark.graftshim.GraftCoreShims
+            .waitListenerBusEmpty(spark.sparkContext)
+          val (in, sr, sw, sm, sd) = metricsListener.snapshot()
+          qmetrics(name) =
+            s"""{"in":$in,"shufR":$sr,"shufW":$sw,"spillM":$sm,"spillD":$sd}"""
+        }
+        name -> dt
+      }
+    val p1 = pass(recordMetrics = false)
+    val p2 = pass(recordMetrics = true)
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
@@ -96,7 +117,13 @@ object Bench {
       if (prefixed(p).size == 1) p else name
     }
 
-    val fullJson = render(identity, 3)
+    // Full-fidelity file additionally carries the per-query byte
+    // metrics (warm pass) under "qmetrics"; the stdout line's schema is
+    // the frozen driver contract and never grows keys.
+    val metricsJson = qmetrics
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val fullJson = render(identity, 3).dropRight(1) +
+      s""","qmetrics":$metricsJson}"""
     val benchOut = sys.env.getOrElse("BENCH_OUT", "bench_full.json")
     try Files.write(Paths.get(benchOut), fullJson.getBytes(StandardCharsets.UTF_8))
     catch { case t: Throwable => System.err.println(s"bench: cannot write $benchOut: $t") }

@@ -1,0 +1,39 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Task-metric accumulator for `graft.Bench`: sums shuffle read/write,
+  * spill, and input bytes across every task that completes between
+  * `reset()` and `snapshot()`. With the listener bus flushed at the
+  * boundaries (GraftCoreShims.waitListenerBusEmpty), the window is
+  * exactly one benched query — turning SCALE.md's "shuffle-disciplined"
+  * claims into per-query measured bytes in the full-fidelity bench
+  * JSON. Single-JVM bench-only instrumentation; the engine itself never
+  * reads these. */
+final class BenchMetricsListener extends SparkListener {
+  private val shufRead = new AtomicLong
+  private val shufWrite = new AtomicLong
+  private val spillDisk = new AtomicLong
+  private val spillMem = new AtomicLong
+  private val input = new AtomicLong
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spillDisk.addAndGet(m.diskBytesSpilled)
+      spillMem.addAndGet(m.memoryBytesSpilled)
+      input.addAndGet(m.inputMetrics.bytesRead)
+    }
+  }
+
+  def reset(): Unit =
+    Seq(shufRead, shufWrite, spillDisk, spillMem, input).foreach(_.set(0L))
+
+  /** (input, shuffleRead, shuffleWrite, spillMemory, spillDisk) bytes */
+  def snapshot(): (Long, Long, Long, Long, Long) =
+    (input.get, shufRead.get, shufWrite.get, spillMem.get, spillDisk.get)
+}

@@ -1288,7 +1288,15 @@ object Streamed {
   // a SpaceSaving capacity for a target error; past the memory you are
   // willing to spend, you fix capacity and the answer degrades to the
   // documented ≤ N/capacity over-count bound instead of staying exact.
+  // St23MaxCapacity is that memory ceiling: the sized capacity is
+  // CLAMPED so per-state-row sketch maps stay bounded no matter the
+  // stream's cardinality (an unbounded "size to exact" would allocate
+  // ~190k counters per (type, shard) at the 100× fixture's 1.5M users
+  // — the exact failure mode SpaceSaving exists to avoid). Every
+  // oracle-gated sf sits far below the clamp (sf1: ~1.9k), so the
+  // exact-regime contract the oracle pins is unaffected.
   private val St23Capacity = 512
+  private val St23MaxCapacity = 1 << 16
   private val St23K = 3
   private val St23Shards = 16
   private val st23CapCache =
@@ -1298,7 +1306,8 @@ object Streamed {
     val capacity = st23CapCache.getOrElseUpdate(d, {
       val users = graft.sources.Events.read(s, d)
         .select(countDistinct(col("user_id"))).head().getLong(0)
-      math.max(St23Capacity.toLong, 2L * (users / St23Shards + 1)).toInt
+      math.min(St23MaxCapacity.toLong,
+        math.max(St23Capacity.toLong, 2L * (users / St23Shards + 1))).toInt
     })
     val ss = stateSession(s, partitions = St23Shards,
       corpusKeyedStateRows = 5L * St23Shards * capacity)
