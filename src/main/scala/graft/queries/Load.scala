@@ -61,14 +61,21 @@ object Load {
           .as("o_orderdate"),
         col("o_orderpriority"))).as("value"))
     import s.implicits._
+    // One orders scan for all four files: the malformed line is
+    // unioned in per bucket and `partitionBy` fans the buckets out in
+    // a single write job (repartition on the bucket key ⇒ exactly one
+    // part file per bucket dir) — the previous shape re-scanned orders
+    // once per bucket through four coalesce(1) single-task writes.
+    val malformed = (0 until 4)
+      .map(b => (b, """{"o_orderkey": truncated""")).toDF("bucket", "value")
+    lines.unionByName(malformed)
+      .repartition(4, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").text(s"$root/parts")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
     (0 until 4).foreach { b =>
-      val part = s"$root/part$b"
-      lines.filter(col("bucket") === b).select("value")
-        .union(Seq("""{"o_orderkey": truncated""").toDF("value"))
-        .coalesce(1).write.mode("overwrite").text(part)
       val src = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$part/part-*")).head.getPath
-      fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
+        new org.apache.hadoop.fs.Path(s"$root/parts/bucket=$b/part-*"))
+        .head.getPath
       fs.rename(src, new org.apache.hadoop.fs.Path(s"$staging/b$b.json"))
     }
 
