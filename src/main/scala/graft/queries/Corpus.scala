@@ -912,6 +912,89 @@ object Corpus {
            CAST(e.h_num AS DOUBLE) / t.n_docs AS mix_entropy_milli
     FROM totals t JOIN e ON t.shard = e.shard"""
 
+  // ---------------------------------------------------------------- c16
+  // In-flight load audit via `Dataset.observe` (CollectMetrics): c14's
+  // funnel numbers, collected ON the curation pass itself instead of by
+  // a second scan — the operational audit mode of a 100 TB load, where
+  // "rows seen / kept / rejected per gate" must come out of the one
+  // pass you were already paying for. The observe node rides c01's
+  // narrow gate stage (CollectMetrics is a pushdown barrier, so the
+  // gate filter cannot slide below it and shrink `rows_seen`); failure
+  // attribution is waterfall (first failing gate claims the row), so
+  // the four counters partition rows_seen exactly — PlanSpec asserts
+  // the single scan + CollectMetrics shape and the partition identity,
+  // the oracle pins every number in closed form.
+  private[graft] def observedCurateGated(
+      s: SparkSession, d: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val canon = Tables.documents(s, d)
+      .withColumn("norm", graft.functions.TextExprs.normalizeText(col("text")))
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => array_contains(stopArr, t)))
+          .cast("double") / size(col("toks")))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+    val passLen = col("n_tokens") >= 20
+    val passDis = col("distinct_ratio") >= 0.3
+    val passLang = col("stop_ratio") >= 0.08
+    val obs = new org.apache.spark.sql.Observation()
+    val audited = canon.observe(obs,
+      count(lit(1)).as("rows_seen"),
+      sum(col("n_tokens")).as("tokens_seen"),
+      count_if(!passLen).as("fail_len"),
+      count_if(passLen && !passDis).as("fail_distinct"),
+      count_if(passLen && passDis && !passLang).as("fail_lang"),
+      count_if(passLen && passDis && passLang).as("rows_kept"))
+    (audited.filter(passLen && passDis && passLang)
+      .select(col("doc_id"), col("norm"), col("n_tokens")), obs)
+  }
+
+  val c16: Q = (s, d) => {
+    val (gated, obs) = observedCurateGated(s, d)
+    // The load action (noop sink = the write side is not under test);
+    // the metrics materialize as a side effect of this one job.
+    gated.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("rows_seen").asInstanceOf[Long],
+      m("tokens_seen").asInstanceOf[Long],
+      m("fail_len").asInstanceOf[Long],
+      m("fail_distinct").asInstanceOf[Long],
+      m("fail_lang").asInstanceOf[Long],
+      m("rows_kept").asInstanceOf[Long]))
+      .toDF("rows_seen", "tokens_seen", "fail_len", "fail_distinct",
+        "fail_lang", "rows_kept")
+  }
+
+  val c16Sql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    raw"""
+    WITH canon AS (
+      SELECT trim(regexp_replace(lower(nfc_normalize(text)),
+                                 '\s+', ' ', 'g')) AS norm
+      FROM documents),
+    f AS (
+      SELECT len(toks) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr,
+             CAST(len(list_filter(toks, t -> list_contains($stopList, t)))
+               AS DOUBLE) / len(toks) AS sr
+      FROM (SELECT string_split(norm, ' ') AS toks FROM canon))
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_seen,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_seen,
+           CAST(SUM(CASE WHEN NOT n_tokens >= 20
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+           CAST(SUM(CASE WHEN n_tokens >= 20 AND NOT dr >= 0.3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fail_distinct,
+           CAST(SUM(CASE WHEN n_tokens >= 20 AND dr >= 0.3
+                         AND NOT sr >= 0.08
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fail_lang,
+           CAST(SUM(CASE WHEN n_tokens >= 20 AND dr >= 0.3 AND sr >= 0.08
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept
+    FROM f"""
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_curate" -> c01,
     "c02_curate_sql" -> c02,
@@ -927,7 +1010,8 @@ object Corpus {
     "c12_temperature_mix" -> c12,
     "c13_dataset_card" -> c13,
     "c14_curation_funnel" -> c14,
-    "c15_shard_mixing" -> c15)
+    "c15_shard_mixing" -> c15,
+    "c16_observed_curate" -> c16)
   val oracle: Map[String, String] = Map(
     "c01_curate" -> c01Sql,
     "c02_curate_sql" -> c01Sql,
@@ -943,5 +1027,6 @@ object Corpus {
     "c12_temperature_mix" -> c12Sql,
     "c13_dataset_card" -> c13Sql,
     "c14_curation_funnel" -> c14Sql,
-    "c15_shard_mixing" -> c15Sql)
+    "c15_shard_mixing" -> c15Sql,
+    "c16_observed_curate" -> c16Sql)
 }

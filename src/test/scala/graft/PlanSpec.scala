@@ -671,4 +671,35 @@ class PlanSpec extends SparkSpec {
     assert("""BroadcastHashJoin""".r.findAllIn(p).length >= 2,
       s"expected the contraction + relabel joins to broadcast:\n${p.take(3000)}")
   }
+
+  test("c16: audit metrics ride the curation scan (one scan, " +
+    "CollectMetrics above it, counters partition rows_seen)") {
+    val (gated, obs) = graft.queries.Corpus.observedCurateGated(spark, sf0001)
+    val p = formatted(gated)
+    // The audit is the SAME job as the load: exactly one scan feeds
+    // both, and the gate filter must sit ABOVE the metrics node
+    // (CollectMetrics is a pushdown barrier) or rows_seen would shrink
+    // to rows_kept.
+    assert(p.contains("CollectMetrics"), p.take(3000))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      p.take(3000))
+    gated.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    val docs = spark.read
+      .parquet(s"$sf0001/documents.parquet")
+    assert(m("rows_seen") == docs.count())
+    // waterfall attribution: the first failing gate claims the row, so
+    // the four counters tile rows_seen with no overlap and no gap
+    assert(m("fail_len").asInstanceOf[Long] +
+      m("fail_distinct").asInstanceOf[Long] +
+      m("fail_lang").asInstanceOf[Long] +
+      m("rows_kept").asInstanceOf[Long] ==
+      m("rows_seen").asInstanceOf[Long], m.toString)
+    // and the kept counter equals the rows the load actually shipped
+    // (fresh plan + fresh Observation — an Observation binds to one
+    // Dataset/action)
+    val kept = graft.queries.Corpus
+      .observedCurateGated(spark, sf0001)._1.count()
+    assert(m("rows_kept") == kept, m.toString)
+  }
 }
