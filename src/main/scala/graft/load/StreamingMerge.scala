@@ -25,33 +25,20 @@ import org.apache.spark.sql.types.StructType
 object StreamingMerge {
   private val Manifest = "_LATEST"
 
-  def snapshot(spark: SparkSession, dimDir: String): Option[DataFrame] = {
-    val fs = new org.apache.hadoop.fs.Path(dimDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mf = new org.apache.hadoop.fs.Path(dimDir, Manifest)
-    if (!fs.exists(mf)) None
-    else {
-      val in = fs.open(mf)
-      val v = try scala.io.Source.fromInputStream(in).mkString.trim
-              finally in.close()
-      Some(spark.read.parquet(s"$dimDir/$v"))
-    }
-  }
+  def snapshot(spark: SparkSession, dimDir: String): Option[DataFrame] =
+    AtomicManifest.read(spark, dimDir, Manifest)
+      .map(v => spark.read.parquet(s"$dimDir/$v"))
 
+  /** Write the new snapshot, then atomically repoint. The version IS
+    * the batch id (`v=<batchId>`), so a batch replayed after a crash
+    * between the snapshot write and the repoint overwrites the SAME
+    * orphaned dir (deterministically, from the still-committed previous
+    * snapshot) and repoints — exactly-one observable merge per batch
+    * (StreamingMergeSpec's kill/resume case). */
   private[load] def commit(spark: SparkSession, dimDir: String, df: DataFrame,
                            version: String): Unit = {
     df.write.mode("overwrite").parquet(s"$dimDir/$version")
-    val fs = new org.apache.hadoop.fs.Path(dimDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dimDir, s".$Manifest.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
-    // FileSystem.rename refuses existing destinations (silently!);
-    // FileContext supports the atomic-overwrite rename this commit needs.
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new org.apache.hadoop.fs.Path(dimDir, Manifest),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    AtomicManifest.write(spark, dimDir, Manifest, version)
   }
 
   /** Start the continuous merge over JSON update files in `stagingDir`.

@@ -35,8 +35,12 @@ object Load {
   // The summary groupBys are bucket-keyed (4 groups) with map-side
   // partials.
   val q79: Q = (s, d) => {
+    // PID-suffixed so two harness JVMs (bench + verify) working the
+    // same sf dir on one box get disjoint fixture roots instead of
+    // racing on the delete/stage/load cycle (ADVICE r11).
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-quarload-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      "graft-quarload-" + ProcessHandle.current.pid + "-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     // Re-runnable (bench runs each query three times): the query
