@@ -124,9 +124,77 @@ object Load {
              AS bad_cols
     FROM g GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q80
+  // Schema-drift audit (Snowflake MATCH_BY_COLUMN_NAME semantics family,
+  // /root/reference/modules/snowflake.py:150, + the operational ALTER
+  // TABLE evolution response): stage `orders` as JSON that has DRIFTED
+  // from the declared DDL — a NEW column (o_channel = o_orderkey % 3
+  // mapped to a channel name), a RETYPED column (o_totalprice becomes
+  // the string "USD <price>" on %11 keys — values the DDL's DOUBLE no
+  // longer coerces), and a MISSING column (o_orderpriority no longer
+  // sent) — then run `SchemaDrift.report` and return it. The oracle
+  // restates every classification and the retyped-value count in
+  // closed form over the same `orders` table, so the report's
+  // data-driven semantics (o_orderdate arrives as JSON strings but
+  // still coerces → `matched`, NOT `retyped`) are value-checked.
+  //
+  // Scale shape: one narrow staged write; the report is one
+  // schema-inference pass (sampled at scale) + ONE map-side-combined
+  // aggregate row — never data-sized.
+  val q80: Q = (s, d) => {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-driftload-" + ProcessHandle.current.pid + "-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val staging = s"$root/stage"
+
+    Tables.orders(s, d).select(to_json(struct(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 11 === 0,
+          concat(lit("USD "), col("o_totalprice").cast("string")))
+          .otherwise(col("o_totalprice").cast("string"))
+          .as("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+          .as("o_orderdate"),
+        element_at(array(lit("web"), lit("app"), lit("ads")),
+          (col("o_orderkey") % 3 + 1).cast("int"))
+          .as("o_channel"))).as("value"))
+      .write.mode("overwrite").text(staging)
+
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    graft.schema.SchemaDrift.report(s, staging, target)
+  }
+
+  val q80Sql: String = """
+    SELECT col_name, kind, observed_type, declared_type,
+           CAST(n_bad AS BIGINT) AS n_bad
+    FROM (
+      SELECT 'o_channel' AS col_name, 'new' AS kind,
+             'string' AS observed_type, NULL AS declared_type, 0 AS n_bad
+      UNION ALL SELECT 'o_custkey', 'matched', 'bigint', 'bigint', 0
+      UNION ALL SELECT 'o_orderdate', 'matched', 'string', 'timestamp', 0
+      UNION ALL SELECT 'o_orderkey', 'matched', 'bigint', 'bigint', 0
+      UNION ALL SELECT 'o_orderpriority', 'missing', NULL, 'string', 0
+      UNION ALL SELECT 'o_orderstatus', 'matched', 'string', 'string', 0
+      UNION ALL SELECT 'o_totalprice', 'retyped', 'string', 'double',
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 0)
+    ) ORDER BY col_name"""
+
   val queries: Map[String, Q] = Map(
-    "q79_quarantine_load" -> q79)
+    "q79_quarantine_load" -> q79,
+    "q80_schema_drift" -> q80)
 
   val oracle: Map[String, String] = Map(
-    "q79_quarantine_load" -> q79Sql)
+    "q79_quarantine_load" -> q79Sql,
+    "q80_schema_drift" -> q80Sql)
 }

