@@ -611,7 +611,56 @@ object Multimodal {
            TRUE AS riff_ok, TRUE AS fmt_ok
     FROM smp GROUP BY doc_id"""
 
+  // ---------------------------------------------------------------- m15
+  // Video CONTAINER audit — the last rung of the container matrix
+  // (VERDICT r11 #7: image had m10 decode + m12 chunk audit, audio
+  // m13 + m14; video rode stubbed signatures in m07/m09). Each doc
+  // encodes as a genuine nested RIFF/AVI — LIST hdrl with
+  // avih/strh/strf headers, LIST movi with size-prefixed per-frame
+  // `00dc` chunks (odd sizes exercising the pad byte), and an idx1
+  // frame index — then the audit walks the nested chunk tables back:
+  // size fields against the byte budget, header contract (declared
+  // frame/stream counts vs the walked chunks, vids stream,
+  // BITMAPINFOHEADER dims vs avih), and EVERY idx1 entry cross-checked
+  // against the movi chunk it points at (fourcc, offset from the movi
+  // fourcc, length). Header cost + one linear byte pass; same typed
+  // mapPartitions codec boundary as m10/m12/m14, per-doc independent,
+  // zero shuffles at any corpus size. MultimodalCodecSpec proves the
+  // negatives (flipped size, truncation, skewed index offset, wrong
+  // index length, trailing garbage).
+  //
+  // Oracle: frame count / dims are the container contract restated
+  // from the id; frame_byte_sum replays the payload LCG closed-form.
+  val m15: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        graft.multimodal.VideoCodec.aviChunkAudit(id,
+          graft.multimodal.VideoCodec.encodeAvi(id))
+      })
+      .toDF()
+  }
+
+  val m15Sql: String = """
+    WITH fr AS (SELECT doc_id, f
+                FROM documents CROSS JOIN range(0, 8) r(f)
+                WHERE f < 3 + doc_id % 5),
+    by AS (SELECT doc_id, f, j,
+                  (doc_id * 31 + f * 17 + j * 7) % 256 AS b
+           FROM fr CROSS JOIN range(0, 27) rr(j)
+           WHERE j < 20 + (doc_id + f) % 7)
+    SELECT doc_id,
+           CAST(3 + doc_id % 5 AS INTEGER) AS n_frames,
+           CAST(16 * (1 + doc_id % 4) AS INTEGER) AS width,
+           CAST(16 * (1 + doc_id % 3) AS INTEGER) AS height,
+           CAST(SUM(b) AS BIGINT) AS frame_byte_sum,
+           TRUE AS riff_ok, TRUE AS avih_ok, TRUE AS idx_ok
+    FROM by GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "m15_avi_chunk_audit" -> m15,
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
     "m03_frame_sample" -> m03,
@@ -628,6 +677,7 @@ object Multimodal {
     "m14_wav_chunk_audit" -> m14)
 
   val oracle: Map[String, String] = Map(
+    "m15_avi_chunk_audit" -> m15Sql,
     "m01_binary_meta" -> m01Sql,
     "m02_decode_stub" -> m02Sql,
     "m03_frame_sample" -> m03Sql,

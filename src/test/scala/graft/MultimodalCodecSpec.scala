@@ -177,4 +177,59 @@ class MultimodalCodecSpec extends SparkSpec {
       assert(f.riff_ok && !f.fmt_ok, s"expected fmt-only failure: $f")
     }
   }
+
+  test("AVI chunk audit: valid container passes; each corruption class trips") {
+    import graft.multimodal.VideoCodec
+    def patchLen(b: Array[Byte]): Array[Byte] = {
+      val v = b.length - 8
+      b(4) = (v & 0xff).toByte; b(5) = ((v >> 8) & 0xff).toByte
+      b(6) = ((v >> 16) & 0xff).toByte; b(7) = ((v >> 24) & 0xff).toByte
+      b
+    }
+    for (id <- Seq(0L, 1L, 2L, 3L, 6L, 12345L)) { // all frame counts + parities
+      val avi = VideoCodec.encodeAvi(id)
+      val a = VideoCodec.aviChunkAudit(id, avi)
+      assert(a.riff_ok && a.avih_ok && a.idx_ok,
+        s"genuine encoder output failed audit: $a")
+      assert(a.n_frames == VideoCodec.nFrames(id))
+      assert(a.width == VideoCodec.width(id) &&
+        a.height == VideoCodec.height(id))
+      val expectSum = (0 until VideoCodec.nFrames(id)).flatMap(f =>
+        (0 until VideoCodec.frameSize(id, f)).map(j =>
+          VideoCodec.frameByte(id, f, j).toLong)).sum
+      assert(a.frame_byte_sum == expectSum)
+      // corrupted RIFF size header
+      val badSize = avi.clone(); badSize(4) = (badSize(4) ^ 0x01).toByte
+      assert(!VideoCodec.aviChunkAudit(id, badSize).riff_ok)
+      // truncated mid-idx1 with the RIFF header PATCHED — only the
+      // per-chunk bounds check can catch the index promising entries
+      // that never come
+      val trunc = patchLen(avi.take(avi.length - 5))
+      assert(!VideoCodec.aviChunkAudit(id, trunc).riff_ok)
+      // trailing garbage, header patched — exact termination required
+      val extra = patchLen(avi ++ Array[Byte](0, 0))
+      assert(!VideoCodec.aviChunkAudit(id, extra).riff_ok)
+      // skewed idx1 entry offset: container walks fine, index is a lie
+      val frames = VideoCodec.nFrames(id)
+      val badIdx = avi.clone()
+      val entry0Off = badIdx.length - 16 * frames + 8
+      badIdx(entry0Off) = (badIdx(entry0Off) ^ 0x01).toByte
+      val i1 = VideoCodec.aviChunkAudit(id, badIdx)
+      assert(i1.riff_ok && i1.avih_ok && !i1.idx_ok,
+        s"expected index-only failure: $i1")
+      // corrupted avih frame count: header no longer matches the walk
+      val badAvih = avi.clone()
+      badAvih(48) = (badAvih(48) ^ 0x01).toByte // avih.dwTotalFrames low byte
+      val h1 = VideoCodec.aviChunkAudit(id, badAvih)
+      assert(h1.riff_ok && !h1.avih_ok && h1.idx_ok,
+        s"expected header-only failure: $h1")
+      // flipped payload byte: the walk really reads the bytes
+      val badPay = avi.clone()
+      // first frame payload starts right after hdrl + movi LIST headers
+      val payOff = 12 + 8 + 192 + 12 + 8
+      badPay(payOff) = (badPay(payOff) ^ 0x40).toByte
+      assert(VideoCodec.aviChunkAudit(id, badPay).frame_byte_sum
+        != a.frame_byte_sum)
+    }
+  }
 }
