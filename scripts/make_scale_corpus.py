@@ -8,14 +8,21 @@ near-dup pair structure scale linearly — "Nx more data", not "N copies
 of the same data" (N copies would make every shingle's df explode and
 measure a corpus no real pipeline has).
 
-Output is written with bounded row groups so Spark can split the scan
-into parallel tasks (a single-row-group file pins the whole scan to one
-core regardless of maxPartitionBytes).
+Output layout (round 12, VERDICT r11 #6): `documents.parquet` and
+`embeddings.parquet` are written as DIRECTORIES of part files — four
+parts per replica — the multi-file layout a real corpus has. The old
+single compact file capped document scans at its row-group count
+(4 tasks at sf1), polluting per-query scale ratios with a file-layout
+ceiling instead of plan cost; Spark assigns at most one task per
+row group, but file count is what guarantees split opportunities at
+ANY reader setting. Spark and DuckDB both read the directory
+transparently (oracle_check.py globs `dir/*.parquet`).
 
 Usage: make_scale_corpus.py <src_sf_dir> <dst_dir> <N>
 (dev/driver-side tooling only — not part of the engine)
 """
 import os
+import shutil
 import sys
 
 import pandas as pd
@@ -24,6 +31,30 @@ import pyarrow.parquet as pq
 
 src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
 os.makedirs(dst, exist_ok=True)
+
+PARTS_PER_REPLICA = 4
+
+
+def write_parts(frames, out_dir, row_group_size):
+    """frames: list of per-replica DataFrames → dir of part files."""
+    if os.path.isfile(out_dir):
+        os.remove(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    part = 0
+    for r in frames:
+        step = max(1, -(-len(r) // PARTS_PER_REPLICA))
+        for lo in range(0, len(r), step):
+            chunk = r.iloc[lo:lo + step]
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False),
+                os.path.join(out_dir, f"part-{part:05d}.parquet"),
+                row_group_size=row_group_size,
+            )
+            part += 1
+    return part
+
+
 df = pq.read_table(os.path.join(src, "documents.parquet")).to_pandas()
 replicas = []
 for k in range(n):
@@ -32,13 +63,10 @@ for k in range(n):
     pref = f"r{k}_"
     r["text"] = [" ".join(pref + w for w in s.split(" ")) for s in r["text"]]
     replicas.append(r)
-big = pd.concat(replicas, ignore_index=True)
-pq.write_table(
-    pa.Table.from_pandas(big, preserve_index=False),
-    os.path.join(dst, "documents.parquet"),
-    row_group_size=16384,
-)
-print(f"wrote {len(big)} docs ({n}x {len(df)}) to {dst}/documents.parquet")
+nparts = write_parts(replicas, os.path.join(dst, "documents.parquet"),
+                     row_group_size=4096)
+print(f"wrote {n}x {len(df)} docs in {nparts} files to "
+      f"{dst}/documents.parquet/")
 
 # Embeddings: replica k rotates each vector by k positions (preserves
 # intra-replica cosine/pair structure) and gets a DISTINCT label block
@@ -60,10 +88,7 @@ if os.path.exists(emb_src):
                 for v in r["embedding"]
             ]
         ereps.append(r)
-    ebig = pd.concat(ereps, ignore_index=True)
-    pq.write_table(
-        pa.Table.from_pandas(ebig, preserve_index=False),
-        os.path.join(dst, "embeddings.parquet"),
-        row_group_size=4096,
-    )
-    print(f"wrote {len(ebig)} vecs ({n}x {len(edf)}) to {dst}/embeddings.parquet")
+    nparts = write_parts(ereps, os.path.join(dst, "embeddings.parquet"),
+                         row_group_size=1024)
+    print(f"wrote {n}x {len(edf)} vecs in {nparts} files to "
+          f"{dst}/embeddings.parquet/")

@@ -9,6 +9,7 @@ iteration aid, mirrors Verify's SPARK_GRAFT_ONLY)
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -58,7 +59,11 @@ def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet"
+            # multi-file fixture dirs (sf1 documents/embeddings) need a
+            # glob; single-file fixtures read the file path directly
+            + ("/*.parquet'" if os.path.isdir(f"{sf_dir}/{t}.parquet")
+               else "'"))
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}

@@ -98,14 +98,20 @@ object Bench {
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
-    def render(fmt: String => String, dec: Int): String = {
+    // `extra` fields are emitted INSIDE the object (after "errors") —
+    // not spliced in by string surgery on the rendered output, which
+    // silently corrupts the JSON the moment render's trailing shape
+    // changes (ADVICE r11).
+    def render(fmt: String => String, dec: Int,
+               extra: Seq[(String, String)] = Nil): String = {
       val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
         jstr(fmt(k)) + ":" + String.format(Locale.ROOT, s"%.${dec}f", Double.box(v))
       }.mkString("{", ",", "}")
       val errs = errors.map { case (k, v) => jstr(fmt(k)) + ":" + jstr(v) }
         .mkString("{", ",", "}")
       val tot = String.format(Locale.ROOT, s"%.${dec}f", Double.box(total))
-      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"errors":$errs}"""
+      val tail = extra.map { case (k, v) => s",${jstr(k)}:$v" }.mkString
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"errors":$errs$tail}"""
     }
 
     // Registry prefixes (the token before the first underscore: q01,
@@ -122,8 +128,7 @@ object Bench {
     // the frozen driver contract and never grows keys.
     val metricsJson = qmetrics
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val fullJson = render(identity, 3).dropRight(1) +
-      s""","qmetrics":$metricsJson}"""
+    val fullJson = render(identity, 3, extra = Seq("qmetrics" -> metricsJson))
     val benchOut = sys.env.getOrElse("BENCH_OUT", "bench_full.json")
     try Files.write(Paths.get(benchOut), fullJson.getBytes(StandardCharsets.UTF_8))
     catch { case t: Throwable => System.err.println(s"bench: cannot write $benchOut: $t") }
