@@ -179,7 +179,122 @@ object WarehouseLoad {
   private[graft] def committedBatches(spark: SparkSession,
                                       historyDir: String): Seq[String] =
     AtomicManifest.read(spark, historyDir, CommitLog)
-      .map(_.split("\n").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      .map(_.split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#")))
+      .getOrElse(Nil)
+
+  // ------------------------------------------------------------------
+  // Versioned commit log: time travel + change feed
+  // ------------------------------------------------------------------
+
+  private val VersionsDir = "_versions"
+  private def versionName(v: Long): String = f"v$v%08d"
+
+  /** A change feed between two versions cannot be expressed as appends
+    * because a batch present in `from` is gone in `to` (compaction or a
+    * takedown rewrote the set) — the consumer must resync from a full
+    * snapshot ([[readWarehouseAt]]) instead of applying a delta. */
+  final class RewriteException(msg: String) extends RuntimeException(msg)
+
+  /** The version the `_COMMITTED` manifest currently points at
+    * (0 before the first commit). Every commit — load or compaction —
+    * increments it by exactly one. */
+  def currentVersion(spark: SparkSession, historyDir: String): Long =
+    AtomicManifest.read(spark, historyDir, CommitLog)
+      .flatMap(_.linesIterator.find(_.startsWith("#v="))
+        .flatMap(_.drop(3).toLongOption))
+      .getOrElse(0L)
+
+  /** The commit step every batch-set mutation (load, compaction) ends
+    * with: write the new batch list as the next IMMUTABLE version
+    * manifest under `historyDir/_versions/`, then atomically repoint
+    * `_COMMITTED` (first line stamps the version). The version files
+    * are the time-travel log — 1:1 with commits, never mutated once
+    * their version is at or below the committed head. A crash between
+    * the two writes leaves an orphan version file ABOVE the head, which
+    * readers ignore ([[versionBatches]] bounds by the head) and the
+    * retry overwrites (atomic overwrite-rename) — the repoint stays the
+    * single commit point. */
+  private def commitBatches(spark: SparkSession, historyDir: String,
+      batches: Seq[String], failpoint: String => Unit = _ => ()): Long = {
+    val v = currentVersion(spark, historyDir) + 1
+    val body = batches.mkString("\n")
+    AtomicManifest.write(spark, s"$historyDir/$VersionsDir",
+      versionName(v), body)
+    failpoint("version-written")
+    AtomicManifest.write(spark, historyDir, CommitLog, s"#v=$v\n" + body)
+    v
+  }
+
+  /** The batch list committed as `version` — `Some(Nil)` for version 0
+    * (the empty table before the first commit), `None` when the version
+    * is beyond the committed head (never committed, or only an orphan
+    * of a crashed commit) or its manifest was pruned by [[vacuum]]
+    * retention. */
+  def versionBatches(spark: SparkSession, historyDir: String,
+                     version: Long): Option[Seq[String]] =
+    if (version == 0) Some(Nil)
+    else if (version > currentVersion(spark, historyDir)) None
+    else AtomicManifest.read(spark, s"$historyDir/$VersionsDir",
+        versionName(version))
+      .map(_.split("\n").toSeq.filter(_.nonEmpty))
+
+  /** Time travel: the warehouse relation exactly as committed at
+    * `version` — the snapshot-isolation read the versioned commit log
+    * buys. Old batch dirs stay on disk until [[vacuum]] prunes them, so
+    * any retained version reads at full scan speed (one root per batch
+    * in THAT version's list, same bound as [[readWarehouse]]). Throws
+    * on a version beyond the head or beyond vacuum retention. */
+  def readWarehouseAt(spark: SparkSession, warehouseDir: String,
+                      historyDir: String, version: Long): Option[DataFrame] = {
+    val ids = versionBatches(spark, historyDir, version).getOrElse(
+      throw new IllegalStateException(
+        s"version $version is not readable: beyond the committed head " +
+        s"(${currentVersion(spark, historyDir)}) or pruned by vacuum " +
+        "retention"))
+    readBatchDirs(spark, warehouseDir, ids)
+  }
+
+  /** Change feed: the rows appended between `fromVersion` (exclusive)
+    * and `toVersion` (inclusive), tagged with their `_graft_batch` id —
+    * the incremental-consumer API (downstream index ingestion, dedup
+    * maintenance, replication) that turns "rescan the table" into "read
+    * the new batches". Plans one scan root per batch COMMITTED in the
+    * window — bounded by the number of loads, never by file count or
+    * table size. Throws [[RewriteException]] when the window contains a
+    * rewrite (compaction/takedown replaced batches): the feed is
+    * append-only by construction, so a rewrite means the consumer must
+    * resync from [[readWarehouseAt]] — the same contract lakehouse
+    * change feeds document for non-append commits. */
+  def changes(spark: SparkSession, warehouseDir: String,
+              historyDir: String, fromVersion: Long,
+              toVersion: Long): Option[DataFrame] = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    def resolve(v: Long) = versionBatches(spark, historyDir, v).getOrElse(
+      throw new IllegalStateException(
+        s"version $v is not readable: beyond the committed head or " +
+        "pruned by vacuum retention"))
+    val from = resolve(fromVersion).toSet
+    val to = resolve(toVersion)
+    val removed = from -- to.toSet
+    if (removed.nonEmpty)
+      throw new RewriteException(
+        s"versions $fromVersion..$toVersion contain a rewrite " +
+        s"(${removed.size} batch(es) replaced — compaction or takedown); " +
+        "the append-only change feed cannot express it: resync from " +
+        s"readWarehouseAt($toVersion)")
+    import org.apache.spark.sql.functions.lit
+    val added = to.filterNot(from)
+    val live = liveBatchIds(spark, warehouseDir, added)
+    if (live.isEmpty) None
+    // allowMissingColumns: a window spanning a SchemaDrift.evolve has
+    // pre- and post-evolution batches; the feed surfaces the evolved
+    // column as null on the older rows instead of throwing.
+    else Some(live.map(id =>
+        spark.read.parquet(s"$warehouseDir/b$id")
+          .withColumn("_graft_batch", lit(id)))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
 
   /** The committed warehouse relation: the union of the committed batch
     * data dirs. One scan root per committed batch — bounded by the
@@ -187,18 +302,33 @@ object WarehouseLoad {
     * one root); fold old batches with [[Compaction]] when the load
     * count itself grows large. `None` before the first commit. */
   def readWarehouse(spark: SparkSession, warehouseDir: String,
-                    historyDir: String): Option[DataFrame] = {
-    val dirs = committedBatches(spark, historyDir)
+                    historyDir: String): Option[DataFrame] =
+    readBatchDirs(spark, warehouseDir, committedBatches(spark, historyDir))
+
+  /** Batch ids whose data dir holds at least one real parquet part. A
+    * batch of only-empty staged files writes no parts; skipping its
+    * (fileless) dir keeps schema inference on real footers. */
+  private def liveBatchIds(spark: SparkSession, warehouseDir: String,
+                           ids: Seq[String]): Seq[String] =
+    ids.filter { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/b$id")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists(st =>
+        st.isFile && !st.getPath.getName.startsWith("_"))
+    }
+
+  private def readBatchDirs(spark: SparkSession, warehouseDir: String,
+                            ids: Seq[String]): Option[DataFrame] = {
+    val dirs = liveBatchIds(spark, warehouseDir, ids)
       .map(id => s"$warehouseDir/b$id")
-      .filter { d =>
-        // A batch of only-empty staged files writes no parquet parts;
-        // skip its (fileless) dir so schema inference has real footers.
-        val p = new org.apache.hadoop.fs.Path(d)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.exists(p) && fs.listStatus(p).exists(st =>
-          st.isFile && !st.getPath.getName.startsWith("_"))
-      }
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    // mergeSchema: batches loaded AFTER a SchemaDrift.evolve carry the
+    // added nullable columns; without the merged read Spark keys the
+    // scan schema off one arbitrary footer and an evolved column can
+    // silently vanish from the relation (or old rows can fail to
+    // surface it as null). Footer merging is one parallel metadata
+    // pass — bounded by file count, no data read.
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*))
   }
 
   /** The committed load history — one row per loaded source file:
@@ -310,9 +440,141 @@ object WarehouseLoad {
         freshFiles.select("file").write.mode("overwrite")
           .parquet(s"$historyDir/b$id")
         failpoint("history-written")
-        AtomicManifest.write(spark, historyDir, CommitLog,
-          (committed :+ id).mkString("\n"))
+        commitBatches(spark, historyDir, committed :+ id, failpoint)
     }
+
+  /** Delete batch dirs (data + history) that no RETAINED version
+    * references — the garbage a crashed attempt leaves behind, plus
+    * (once compaction or takedown rewrote the batch set) the old
+    * batches only historical versions still point at. `retainVersions`
+    * is the time-travel horizon: the newest N versions stay readable
+    * ([[readWarehouseAt]] / [[changes]]); older version manifests are
+    * pruned and their exclusive batches deleted — the standard
+    * vacuum-bounds-time-travel trade. Orphan version files above the
+    * head (a crashed commit's first write) are pruned too. Metadata
+    * only: one listing per root + per-orphan deletes, never a data
+    * scan. Single-writer assumption (the COPY contract): run it from
+    * the same scheduler slot as the loads, never concurrently with one
+    * — an in-flight attempt's uncommitted dirs look exactly like
+    * orphans. Returns the number of batch dirs removed. */
+  def vacuum(spark: SparkSession, warehouseDir: String,
+             historyDir: String, retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val head = currentVersion(spark, historyDir)
+    val cutoff = math.max(1L, head - retainVersions + 1)
+    val keep = ((cutoff to head)
+      .flatMap(v => versionBatches(spark, historyDir, v).getOrElse(Nil)) ++
+      committedBatches(spark, historyDir)).map("b" + _).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vroot = new org.apache.hadoop.fs.Path(s"$historyDir/$VersionsDir")
+    val vfs = vroot.getFileSystem(conf)
+    if (vfs.exists(vroot)) vfs.listStatus(vroot).foreach { st =>
+      val v = st.getPath.getName.stripPrefix("v").toLongOption
+      if (st.isFile && v.exists(x => x < cutoff || x > head))
+        vfs.delete(st.getPath, false)
+    }
+    Seq(warehouseDir, historyDir).map { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("b")
+          && !keep(st.getPath.getName))
+        .count(st => fs.delete(st.getPath, true))
+    }.sum
+  }
+
+  /** Fold every committed batch into ONE batch (data + history) and
+    * repoint the manifest to it — the OPTIMIZE step of the commit
+    * protocol. [[readWarehouse]] plans one scan root per committed
+    * batch, so a long-running table accumulates roots at one per load;
+    * compaction restores a single root without changing the committed
+    * relation (same rows, same history — readers see the old batch set
+    * or the new single batch, never a mix, by the same manifest
+    * atomicity as the loads). Old batch dirs become unreferenced —
+    * reclaim them with [[vacuum]]. Same single-writer contract as
+    * [[vacuum]]. No-op below `minBatches`. */
+  def compactCommitted(spark: SparkSession, warehouseDir: String,
+                       historyDir: String, minBatches: Int = 2): Unit = {
+    val committed = committedBatches(spark, historyDir)
+    if (committed.size < minBatches) return
+    val id = "compact-" + java.util.UUID.nameUUIDFromBytes(
+      committed.mkString("\n").getBytes("UTF-8")).toString.take(16)
+    readWarehouse(spark, warehouseDir, historyDir).foreach(
+      _.write.mode("overwrite").parquet(s"$warehouseDir/b$id"))
+    loadedFiles(spark, historyDir).foreach(
+      _.select("file").write.mode("overwrite").parquet(s"$historyDir/b$id"))
+    commitBatches(spark, historyDir, Seq(id))
+  }
+
+  /** Delete-by-key on the committed batch warehouse — the
+    * right-to-be-forgotten mutation for the MAIN table ([[Takedown]]
+    * covers manifest-snapshot dims). Batch-granular: ONE probe job
+    * (union of committed batch scans, broadcast semi-join on the
+    * bounded key list, per-batch hit counts) finds the batches that
+    * contain a hit; only THOSE are rewritten — each under a NEW
+    * deterministic id (`<id>-td<keyhash>`), because historical
+    * versions still reference the old dirs and snapshot isolation
+    * must hold. Untouched batches keep their dirs byte-identical. The
+    * new batch list commits as one version — a REWRITE, so a
+    * [[changes]] window spanning it throws [[RewriteException]]
+    * instead of misrepresenting deletions as appends. Idempotent: zero
+    * hits → zero writes, no version churn. Returns rows removed.
+    *
+    * PRIVACY NOTE: the old dirs (with the removed rows) remain on disk
+    * for time travel until [[vacuum]] prunes them — a served takedown
+    * is only physically complete after `vacuum` runs past the
+    * retention horizon, exactly the lakehouse DELETE+VACUUM contract.
+    *
+    * Scale shape: probe is one broadcast semi-join (key list is a
+    * bounded legal/ops artifact) + a hit-batch aggregate of at most
+    * one row per LOAD; rewrites scan only affected batches. The
+    * per-file load history is carried forward under the new id so
+    * COPY's file dedup still skips the source files. */
+  def takedownCommitted(spark: SparkSession, warehouseDir: String,
+                        historyDir: String, keys: DataFrame,
+                        keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+    val committed = committedBatches(spark, historyDir)
+    val live = liveBatchIds(spark, warehouseDir, committed)
+    if (live.isEmpty) return 0L
+    val k = graft.queries.Hints.broadcastIfSmall(
+      keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+        .localCheckpoint(true))
+    val BatchCol = "_graft_batch"
+    val hitsByBatch = live.map(id =>
+        spark.read.parquet(s"$warehouseDir/b$id")
+          .withColumn(BatchCol, lit(id)))
+      // allowMissingColumns: batches straddling a SchemaDrift.evolve
+      // differ by the added nullable columns; key columns are declared
+      // DDL so the semi-join below is unaffected.
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .join(k, keyCols, "left_semi")
+      .groupBy(BatchCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (hitsByBatch.isEmpty) return 0L
+    // Deterministic rewrite suffix from the key set: a crash mid-rewrite
+    // leaves orphans the RETRY overwrites under the same ids (and
+    // vacuum reclaims if the takedown is abandoned).
+    val keyHash = k.agg(bit_xor(xxhash64(keyCols.map(col): _*)).as("h"))
+      .head().getLong(0)
+    val suffix = f"-td$keyHash%016x"
+    val newIds = committed.map { id =>
+      if (!hitsByBatch.contains(id)) id
+      else {
+        val nid = id + suffix
+        spark.read.parquet(s"$warehouseDir/b$id")
+          .join(k, keyCols, "left_anti")
+          .write.mode("overwrite").parquet(s"$warehouseDir/b$nid")
+        // carry the file history forward: the source files stay loaded
+        spark.read.parquet(s"$historyDir/b$id")
+          .write.mode("overwrite").parquet(s"$historyDir/b$nid")
+        nid
+      }
+    }
+    commitBatches(spark, historyDir, newIds)
+    hitsByBatch.values.sum
+  }
 
   /** The idempotent load's two relations — (fresh-file set
     * `(file, len)`, their rows with the `_graft_file` provenance

@@ -190,11 +190,177 @@ object Load {
         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 0)
     ) ORDER BY col_name"""
 
+  // ---------------------------------------------------------------- q81
+  // Time travel + change feed over the versioned commit log (the
+  // operational layer Snowflake exposes as AT(OFFSET)/CHANGES over its
+  // COPY loads — the reference's load history, modules/snowflake.py:
+  // 158-167, extended to the snapshot-isolation reads real lakehouse
+  // tables need): stage `orders` in two waves (o_orderkey parity),
+  // `batchIdempotent` each (versions 1 and 2), `compactCommitted`
+  // (version 3 — a rewrite), then report per version: rows and key-sum
+  // via `readWarehouseAt` (v1 and v2 read their exact historical
+  // snapshots AFTER the rewrite), batch count from the version
+  // manifest, and the change feed's delta row count — with the v2→v3
+  // feed surfacing the rewrite contract (`RewriteException` → the -1
+  // resync sentinel) instead of pretending a compaction is an append.
+  // The oracle restates every snapshot in closed form over `orders`.
+  //
+  // Scale shape: two narrow staged writes + the loads (constant-size
+  // plans, see batchIdempotent); each snapshot read plans one root per
+  // batch IN THAT VERSION (≤2 here), each agg is a map-side-combined
+  // single row; the change feed reads only the window's added batches
+  // — never the table.
+  val q81: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-timetravel-" + ProcessHandle.current.pid + "-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+
+    def stage(name: String, parity: Int): Unit = {
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === parity)
+        .select(to_json(struct(col("o_orderkey"), col("o_custkey")))
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$root/w$parity")
+      val src = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$root/w$parity/part-*")).head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
+      fs.rename(src, new org.apache.hadoop.fs.Path(s"$staging/$name"))
+    }
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType)))
+
+    stage("even.json", 0)
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist) // v1
+    stage("odd.json", 1)
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist) // v2
+    WarehouseLoad.compactCommitted(s, wh, hist)                 // v3 rewrite
+
+    import s.implicits._
+    (1L to 3L).map { v =>
+      val snap = WarehouseLoad.readWarehouseAt(s, wh, hist, v).get
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
+      val delta =
+        try WarehouseLoad.changes(s, wh, hist, v - 1, v)
+          .map(_.count()).getOrElse(0L)
+        catch { case _: WarehouseLoad.RewriteException => -1L }
+      (v.toInt, snap.getLong(0), snap.getLong(1),
+        WarehouseLoad.versionBatches(s, hist, v).get.size, delta)
+    }.toDF("version", "n_rows", "sum_key", "n_batches", "delta_rows")
+      .orderBy("version")
+  }
+
+  val q81Sql: String = """
+    WITH e AS (SELECT COUNT(*) AS n, SUM(o_orderkey) AS s
+               FROM orders WHERE o_orderkey % 2 = 0),
+         a AS (SELECT COUNT(*) AS n, SUM(o_orderkey) AS s FROM orders)
+    SELECT CAST(version AS INTEGER) AS version,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(sum_key AS BIGINT) AS sum_key,
+           CAST(n_batches AS INTEGER) AS n_batches,
+           CAST(delta_rows AS BIGINT) AS delta_rows
+    FROM (
+      SELECT 1 AS version, e.n AS n_rows, e.s AS sum_key,
+             1 AS n_batches, e.n AS delta_rows FROM e
+      UNION ALL SELECT 2, a.n, a.s, 2, a.n - e.n FROM a, e
+      UNION ALL SELECT 3, a.n, a.s, 1, -1 FROM a
+    ) ORDER BY version"""
+
+  // ---------------------------------------------------------------- q82
+  // Delete-by-key takedown on the committed batch warehouse (the
+  // right-to-be-forgotten mutation the reference's COPY-append model
+  // has no analog for; dims get it via d12/Takedown — this is the MAIN
+  // table): stage `orders` in two waves (parity, two batches so batch
+  // granularity is observable), takedown o_orderkey % 7 == 0, and
+  // report the full contract in one row — rows before (time travel to
+  // v2), rows removed, rows + key-sum after, the idempotent re-apply
+  // removing 0 with NO version churn, and the change feed across the
+  // takedown window refusing to misrepresent deletions as appends
+  // (RewriteException → feed_resync=true). Oracle in closed form over
+  // `orders`.
+  //
+  // Scale shape: the probe is ONE broadcast semi-join over the
+  // committed batches + a hit-batch aggregate (≤1 row per load); only
+  // batches with hits are rewritten (both waves here, by seeding);
+  // every aggregate is a map-side-combined single row.
+  val q82: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-takedown-" + ProcessHandle.current.pid + "-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+
+    def stage(name: String, parity: Int): Unit = {
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === parity)
+        .select(to_json(struct(col("o_orderkey"), col("o_custkey")))
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$root/w$parity")
+      val src = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$root/w$parity/part-*")).head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
+      fs.rename(src, new org.apache.hadoop.fs.Path(s"$staging/$name"))
+    }
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType)))
+    stage("even.json", 0)
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist) // v1
+    stage("odd.json", 1)
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist) // v2
+
+    val keys = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"))
+    val nBefore = WarehouseLoad.readWarehouseAt(s, wh, hist, 2).get.count()
+    val nRemoved = WarehouseLoad.takedownCommitted(s, wh, hist,
+      keys, Seq("o_orderkey"))                                  // v3
+    val after = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
+    val nAgain = WarehouseLoad.takedownCommitted(s, wh, hist,
+      keys, Seq("o_orderkey"))                                  // no-op
+    val feedResync =
+      try { WarehouseLoad.changes(s, wh, hist, 2, 3); false }
+      catch { case _: WarehouseLoad.RewriteException => true }
+
+    import s.implicits._
+    Seq((nBefore, nRemoved, after.getLong(0), after.getLong(1), nAgain,
+        WarehouseLoad.currentVersion(s, hist), feedResync))
+      .toDF("n_before", "n_removed", "n_after", "sum_after",
+        "n_removed_again", "head_version", "feed_resync")
+  }
+
+  val q82Sql: String = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE o_orderkey END)
+             AS BIGINT) AS sum_after,
+           CAST(0 AS BIGINT) AS n_removed_again,
+           CAST(3 AS BIGINT) AS head_version,
+           TRUE AS feed_resync
+    FROM orders"""
+
   val queries: Map[String, Q] = Map(
     "q79_quarantine_load" -> q79,
-    "q80_schema_drift" -> q80)
+    "q80_schema_drift" -> q80,
+    "q81_time_travel" -> q81,
+    "q82_takedown_committed" -> q82)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
-    "q80_schema_drift" -> q80Sql)
+    "q80_schema_drift" -> q80Sql,
+    "q81_time_travel" -> q81Sql,
+    "q82_takedown_committed" -> q82Sql)
 }

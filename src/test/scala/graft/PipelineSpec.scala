@@ -261,6 +261,207 @@ class PipelineSpec extends SparkSpec {
       .get.count() == 2001)
   }
 
+  test("schema-evolved batches read, feed, and takedown as one relation") {
+    // The evolve lifecycle across the commit log: batch 1 loads under
+    // the declared DDL, the upstream adds a key, batch 2 loads under
+    // SchemaDrift.evolve's DDL. The warehouse read must surface the
+    // evolved column (null on pre-evolution rows) — without the merged
+    // footer read Spark keys the scan schema off one arbitrary footer
+    // and the column can silently vanish; the change feed and the
+    // takedown probe union heterogeneous batch schemas and must not
+    // throw on the missing column.
+    import graft.load.WarehouseLoad
+    import graft.schema.SchemaDrift
+    val staging = tmpDir("graft-evstage-")
+    val wh = tmpDir("graft-evwh-") + "/t"
+    val hist = tmpDir("graft-evhist-") + "/h"
+    Files.writeString(Paths.get(staging, "f1.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    Files.writeString(Paths.get(staging, "f2.json"),
+      """{"CustomerID": "2", "FirstName": "b", "LoyaltyTier": "gold"}""" + "\n")
+    val evolved = SchemaDrift.evolve(spark, staging, Schemas.customers)
+    assert(evolved.fieldNames.contains("LoyaltyTier"))
+    WarehouseLoad.batchIdempotent(spark, staging, evolved, wh, hist)
+
+    val rel = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    assert(rel.columns.map(_.toLowerCase).contains("loyaltytier"),
+      "evolved column vanished from the merged relation")
+    val tiers = rel.select("customerid", "LoyaltyTier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tiers == Map(1L -> None, 2L -> Some("gold")))
+
+    // change feed spanning the evolution: pre-evolution rows surface
+    // the evolved column as null instead of the union throwing
+    val feed = WarehouseLoad.changes(spark, wh, hist, 0, 2).get
+    assert(feed.count() == 2)
+    assert(feed.columns.map(_.toLowerCase).contains("loyaltytier"))
+
+    // takedown probe unions the same heterogeneous batches
+    import spark.implicits._
+    assert(WarehouseLoad.takedownCommitted(spark, wh, hist,
+      Seq(1L).toDF("customerid"), Seq("customerid")) == 1L)
+    val after = WarehouseLoad.readWarehouse(spark, wh, hist).get
+      .select("customerid", "LoyaltyTier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(after == Map(2L -> Some("gold")))
+  }
+
+  test("vacuum reclaims crashed-attempt orphans; compaction folds batches to one root") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-vacstage-")
+    val wh = tmpDir("graft-vacwh-") + "/t"
+    val hist = tmpDir("graft-vachist-") + "/h"
+    final class Boom extends RuntimeException("injected crash")
+    Files.writeString(Paths.get(staging, "f1.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+    // a crashed attempt leaves orphaned (uncommitted) batch dirs…
+    intercept[Boom] {
+      WarehouseLoad.loadAtomic(spark, staging, Schemas.customers, wh, hist,
+        failpoint = at => if (at == "history-written") throw new Boom)
+    }
+    // …then the staging set CHANGES before the retry, so the retry
+    // lands under a different batch id and the orphans stay behind
+    Files.writeString(Paths.get(staging, "f2.json"),
+      """{"CustomerID": "2", "FirstName": "b"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    Files.writeString(Paths.get(staging, "f3.json"),
+      """{"CustomerID": "3", "FirstName": "c"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    def rows() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+      .select("customerid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows() == Seq(1L, 2L, 3L))
+    assert(WarehouseLoad.vacuum(spark, wh, hist) == 2,
+      "expected exactly the crashed attempt's data+history orphans")
+    assert(rows() == Seq(1L, 2L, 3L), "vacuum touched committed data")
+    assert(WarehouseLoad.vacuum(spark, wh, hist) == 0, "vacuum not idempotent")
+    // compaction: two committed batches fold into one root
+    assert(WarehouseLoad.committedBatches(spark, hist).size == 2)
+    WarehouseLoad.compactCommitted(spark, wh, hist)
+    assert(WarehouseLoad.committedBatches(spark, hist).size == 1)
+    assert(rows() == Seq(1L, 2L, 3L), "compaction changed the relation")
+    assert(WarehouseLoad.loadedFiles(spark, hist).get.count() == 3)
+    // old batch dirs are now unreferenced garbage; vacuum reclaims them
+    assert(WarehouseLoad.vacuum(spark, wh, hist) == 4)
+    assert(rows() == Seq(1L, 2L, 3L))
+    // …and the load history still dedups: re-running loads nothing new
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    assert(rows() == Seq(1L, 2L, 3L))
+  }
+
+  test("time travel reads retained versions; change feed is exact and refuses rewrites") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-ttstage-")
+    val wh = tmpDir("graft-ttwh-") + "/t"
+    val hist = tmpDir("graft-tthist-") + "/h"
+    final class Boom extends RuntimeException("injected crash")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("customerid").collect().map(_.getLong(0)).sorted.toSeq
+
+    Files.writeString(Paths.get(staging, "f1.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+    // torn commit: crash AFTER the version manifest, BEFORE the repoint
+    // — readers still see version 0; the retry overwrites the orphan
+    // version file and commits the SAME version number.
+    intercept[Boom] {
+      WarehouseLoad.loadAtomic(spark, staging, Schemas.customers, wh, hist,
+        failpoint = at => if (at == "version-written") throw new Boom)
+    }
+    assert(WarehouseLoad.currentVersion(spark, hist) == 0)
+    assert(WarehouseLoad.versionBatches(spark, hist, 1).isEmpty,
+      "orphan version file above the head must be unreadable")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    assert(WarehouseLoad.currentVersion(spark, hist) == 1)
+
+    Files.writeString(Paths.get(staging, "f2.json"),
+      """{"CustomerID": "2", "FirstName": "b"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    WarehouseLoad.compactCommitted(spark, wh, hist)
+    assert(WarehouseLoad.currentVersion(spark, hist) == 3)
+
+    // snapshot isolation: historical versions read exactly, even after
+    // the compaction rewrite (old dirs retained until vacuum)
+    assert(ids(WarehouseLoad.readWarehouseAt(spark, wh, hist, 1).get) == Seq(1L))
+    assert(ids(WarehouseLoad.readWarehouseAt(spark, wh, hist, 2).get) == Seq(1L, 2L))
+    assert(ids(WarehouseLoad.readWarehouseAt(spark, wh, hist, 3).get) == Seq(1L, 2L))
+    assert(WarehouseLoad.readWarehouseAt(spark, wh, hist, 0).isEmpty)
+    intercept[IllegalStateException] {
+      WarehouseLoad.readWarehouseAt(spark, wh, hist, 4)
+    }
+
+    // change feed: append windows are exact and batch-tagged; the
+    // compaction window refuses to masquerade as an append
+    val feed = WarehouseLoad.changes(spark, wh, hist, 1, 2).get
+    assert(ids(feed) == Seq(2L))
+    assert(feed.columns.contains("_graft_batch"))
+    assert(ids(WarehouseLoad.changes(spark, wh, hist, 0, 2).get) == Seq(1L, 2L))
+    intercept[WarehouseLoad.RewriteException] {
+      WarehouseLoad.changes(spark, wh, hist, 2, 3)
+    }
+
+    // retention: keep v2+v3 → v1 pruned but v2 still time-travels;
+    // then default retention prunes everything but the head
+    WarehouseLoad.vacuum(spark, wh, hist, retainVersions = 2)
+    intercept[IllegalStateException] {
+      WarehouseLoad.readWarehouseAt(spark, wh, hist, 1)
+    }
+    assert(ids(WarehouseLoad.readWarehouseAt(spark, wh, hist, 2).get) == Seq(1L, 2L))
+    WarehouseLoad.vacuum(spark, wh, hist)
+    intercept[IllegalStateException] {
+      WarehouseLoad.readWarehouseAt(spark, wh, hist, 2)
+    }
+    assert(ids(WarehouseLoad.readWarehouse(spark, wh, hist).get) == Seq(1L, 2L),
+      "vacuum retention touched the committed head")
+  }
+
+  test("committed-warehouse takedown rewrites only hit batches; vacuum completes the deletion") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-tdstage-")
+    val wh = tmpDir("graft-tdwh-") + "/t"
+    val hist = tmpDir("graft-tdhist-") + "/h"
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("customerid").collect().map(_.getLong(0)).sorted.toSeq
+
+    Files.writeString(Paths.get(staging, "f1.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n" +
+      """{"CustomerID": "2", "FirstName": "b"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    Files.writeString(Paths.get(staging, "f2.json"),
+      """{"CustomerID": "3", "FirstName": "c"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    val Seq(b1, b2) = WarehouseLoad.committedBatches(spark, hist)
+
+    import spark.implicits._
+    val keys = Seq(2L).toDF("customerid")
+    assert(WarehouseLoad.takedownCommitted(spark, wh, hist,
+      keys, Seq("customerid")) == 1L)
+    // only the hit batch was rewritten (new id); the other kept its dir
+    val after = WarehouseLoad.committedBatches(spark, hist)
+    assert(after.size == 2)
+    assert(after.contains(b2), "untouched batch must keep its identity")
+    assert(!after.contains(b1), "hit batch must commit under a new id")
+    assert(ids(WarehouseLoad.readWarehouse(spark, wh, hist).get) == Seq(1L, 3L))
+    // idempotent: re-applying the served takedown is a pure no-op
+    val head = WarehouseLoad.currentVersion(spark, hist)
+    assert(WarehouseLoad.takedownCommitted(spark, wh, hist,
+      keys, Seq("customerid")) == 0L)
+    assert(WarehouseLoad.currentVersion(spark, hist) == head,
+      "no-op takedown must not churn versions")
+    // the load history survives the rewrite: nothing re-loads
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    assert(ids(WarehouseLoad.readWarehouse(spark, wh, hist).get) == Seq(1L, 3L))
+    // pre-takedown snapshot still time-travels, until vacuum makes the
+    // deletion physical (the DELETE+VACUUM privacy contract)
+    assert(ids(WarehouseLoad.readWarehouseAt(spark, wh, hist, 2).get) ==
+      Seq(1L, 2L, 3L))
+    assert(WarehouseLoad.vacuum(spark, wh, hist) == 2,
+      "expected the old hit batch's data+history dirs reclaimed")
+    intercept[IllegalStateException] {
+      WarehouseLoad.readWarehouseAt(spark, wh, hist, 2)
+    }
+    assert(ids(WarehouseLoad.readWarehouse(spark, wh, hist).get) == Seq(1L, 3L))
+  }
+
   test("quarantine load plans constant-size over a multi-thousand-file stage") {
     // The r12 mirror of the idempotent case (VERDICT r11 #2): the
     // quarantine leg's snapshot contract must also be a single-root
