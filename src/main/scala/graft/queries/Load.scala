@@ -352,15 +352,125 @@ object Load {
            TRUE AS feed_resync
     FROM orders"""
 
+  // ---------------------------------------------------------------- q83
+  // Change-feed-driven incremental view maintenance — the q77 IVM
+  // discipline wired to the commit log's OWN delta source instead of a
+  // deterministic column split: a consumer maintains a per-status
+  // (n_orders, sum_key) view across four commits by reading ONLY each
+  // commit's added batches via `changes` (v1, v2: incremental absorb),
+  // hits the compaction REWRITE at v3 (`RewriteException` → resync
+  // from `readWarehouseAt(3)`, the documented consumer contract —
+  // asserting the incrementally-built view equals the resync snapshot
+  // agg row-for-row), then RESUMES incrementally at v4. Output: the
+  // final view + the audit columns (resync count, the pre-resync
+  // equality check, head version). Oracle: full recompute over
+  // `orders` + the contract constants.
+  //
+  // Scale shape: each absorb aggregates one commit's added batches
+  // (never the table) into mergeable partials; the merge is a
+  // group-key-sized union-agg; the one resync reads the compacted
+  // snapshot (one scan root). The equality check collects a single
+  // AND-reduced boolean (group-count-bounded join, 3 rows here).
+  val q83: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-feedivm-" + ProcessHandle.current.pid + "-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+
+    def stage(name: String, wave: Int): Unit = {
+      Tables.orders(s, d).filter(col("o_orderkey") % 3 === wave)
+        .select(to_json(struct(col("o_orderkey"), col("o_orderstatus")))
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$root/w$wave")
+      val src = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$root/w$wave/part-*")).head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
+      fs.rename(src, new org.apache.hadoop.fs.Path(s"$staging/$name"))
+    }
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType)))
+
+    // mergeable partials per status; merging partials = same agg again
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum("o_orderkey").as("sum_key"))
+    def merge(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b).groupBy(col("o_orderstatus"))
+        .agg(sum("n_orders").as("n_orders"), sum("sum_key").as("sum_key"))
+    // group-count-bounded equality: full outer join, AND-reduce
+    def sameView(a: DataFrame, b: DataFrame): Boolean =
+      a.join(b.withColumnRenamed("n_orders", "n2")
+          .withColumnRenamed("sum_key", "s2"),
+          Seq("o_orderstatus"), "full_outer")
+        // one-sided groups null out the equality expr — coalesce to
+        // false BEFORE the AND-reduce or min() would skip them
+        .agg(coalesce(min(coalesce(col("n_orders") === col("n2") &&
+          col("sum_key") === col("s2"), lit(false))), lit(true)).as("ok"))
+        .head().getBoolean(0)
+    def absorb(view: DataFrame, fromV: Long, toV: Long): DataFrame =
+      WarehouseLoad.changes(s, wh, hist, fromV, toV)
+        .map(delta => merge(view, partials(delta.drop("_graft_batch")))
+          .localCheckpoint(true))
+        .getOrElse(view)
+
+    stage("w0.json", 0)
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)  // v1
+    var view = partials(WarehouseLoad.changes(s, wh, hist, 0, 1).get
+      .drop("_graft_batch")).localCheckpoint(true)
+    stage("w1.json", 1)
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)  // v2
+    view = absorb(view, 1, 2)
+    WarehouseLoad.compactCommitted(s, wh, hist)                  // v3
+    var resyncs = 0
+    var matchedAtResync = false
+    try { WarehouseLoad.changes(s, wh, hist, 2, 3); () }
+    catch {
+      case _: WarehouseLoad.RewriteException =>
+        resyncs += 1
+        val snap = partials(WarehouseLoad.readWarehouseAt(s, wh, hist, 3).get)
+          .localCheckpoint(true)
+        matchedAtResync = sameView(view, snap)
+        view = snap
+    }
+    stage("w2.json", 2)
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)  // v4
+    view = absorb(view, 3, 4)
+
+    view.select(col("o_orderstatus"),
+        col("n_orders").cast("long").as("n_orders"), col("sum_key"),
+        lit(resyncs).cast("long").as("n_resyncs"),
+        lit(matchedAtResync).as("resync_matched"),
+        lit(WarehouseLoad.currentVersion(s, hist)).as("head_version"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q83Sql: String = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS n_resyncs,
+           TRUE AS resync_matched,
+           CAST(4 AS BIGINT) AS head_version
+    FROM orders GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, Q] = Map(
     "q79_quarantine_load" -> q79,
     "q80_schema_drift" -> q80,
     "q81_time_travel" -> q81,
-    "q82_takedown_committed" -> q82)
+    "q82_takedown_committed" -> q82,
+    "q83_feed_ivm" -> q83)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
     "q80_schema_drift" -> q80Sql,
     "q81_time_travel" -> q81Sql,
-    "q82_takedown_committed" -> q82Sql)
+    "q82_takedown_committed" -> q82Sql,
+    "q83_feed_ivm" -> q83Sql)
 }
