@@ -308,8 +308,8 @@ object WarehouseLoad {
   /** Batch ids whose data dir holds at least one real parquet part. A
     * batch of only-empty staged files writes no parts; skipping its
     * (fileless) dir keeps schema inference on real footers. */
-  private def liveBatchIds(spark: SparkSession, warehouseDir: String,
-                           ids: Seq[String]): Seq[String] =
+  private[graft] def liveBatchIds(spark: SparkSession, warehouseDir: String,
+                                  ids: Seq[String]): Seq[String] =
     ids.filter { id =>
       val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/b$id")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1401,6 +1401,94 @@ object Streamed {
           FROM events GROUP BY event_type, user_id) t
     WHERE rnk <= $St23K"""
 
+  // --------------------------------------------------------------- st24
+  // The commit log AS a stream (graft.streaming.CommitLogStream): the
+  // q83 consumer story moved INTO Structured Streaming — offsets are
+  // commit versions, each micro-batch reads exactly the batches that
+  // commit added, and `skipRewrites` passes over the compaction commit
+  // WHOLE (Delta's skipChangeCommits semantics), so the folded batch
+  // never re-delivers rows the checkpoint already saw. Lifecycle: load
+  // wave 0 → stream catches up; wave 1 → only its batch arrives; a
+  // compaction commit → NOTHING arrives; wave 2 → streaming resumes.
+  // Exactly-once then falls out as: the sink holds each order row ONCE
+  // and saw exactly the three load batches (the compaction batch id
+  // never appears). Oracle: full `orders` recompute + those contract
+  // constants.
+  //
+  // Scale shape: getOffset is one manifest read per poll; each
+  // micro-batch plans one scan root per ADDED batch (bounded by loads
+  // in the window, never table size); the skipped rewrite window is a
+  // zero-task pruned scan. The memory sink is the test device; the
+  // restart/file-sink leg lives in CommitLogStreamSpec.
+  val st24: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-feedstream-" + ProcessHandle.current.pid + "-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+
+    def stage(name: String, wave: Int): Unit = {
+      graft.sources.Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 === wave)
+        .select(to_json(struct(col("o_orderkey"), col("o_orderstatus")))
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$root/w$wave")
+      val src = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$root/w$wave/part-*")).head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
+      fs.rename(src, new org.apache.hadoop.fs.Path(s"$staging/$name"))
+    }
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType)))
+    val sink = "st24_feed_" + d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
+    stage("w0.json", 0)
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)   // v1
+    val q = s.readStream
+      .format(classOf[graft.streaming.CommitLogStreamProvider].getName)
+      .schema(target)
+      .option("warehouseDir", wh).option("historyDir", hist)
+      .option("skipRewrites", "true")
+      .load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      stage("w1.json", 1)
+      WarehouseLoad.batchIdempotent(s, staging, target, wh, hist) // v2
+      q.processAllAvailable()
+      WarehouseLoad.compactCommitted(s, wh, hist)                 // v3
+      q.processAllAvailable()
+      stage("w2.json", 2)
+      WarehouseLoad.batchIdempotent(s, staging, target, wh, hist) // v4
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val sunk = s.table(sink).localCheckpoint(true)
+    // the global batch-id census IS the skip proof: exactly the three
+    // load batches, never the compaction's folded batch
+    val nBatches = sunk.select("_graft_batch").distinct().count()
+    sunk.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_key"))
+      .withColumn("n_batches", lit(nBatches))
+      .orderBy("o_orderstatus")
+  }
+
+  val st24Sql: String = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(3 AS BIGINT) AS n_batches
+    FROM orders GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -1424,7 +1512,8 @@ object Streamed {
     "st20_stream_cdc_dedup" -> st20,
     "st21_stream_sliding_distinct" -> st21,
     "st22_stream_asof" -> st22,
-    "st23_stream_heavy_hitters" -> st23)
+    "st23_stream_heavy_hitters" -> st23,
+    "st24_stream_commitlog" -> st24)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -1458,5 +1547,6 @@ object Streamed {
     "st22_stream_asof" -> st22Sql,
     // exact regime: per-type user cardinality ≤ capacity at every test
     // SF, so the sketch's top-3 equals the exact GROUP BY top-3
-    "st23_stream_heavy_hitters" -> st23Sql)
+    "st23_stream_heavy_hitters" -> st23Sql,
+    "st24_stream_commitlog" -> st24Sql)
 }

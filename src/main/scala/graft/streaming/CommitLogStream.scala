@@ -1,0 +1,185 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftshim.GraftSqlShims
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.load.WarehouseLoad
+
+/** Structured Streaming source over the warehouse's versioned commit
+  * log ([[graft.load.WarehouseLoad]]): **offsets are commit versions**,
+  * and each micro-batch reads exactly the batch dirs ADDED in its
+  * `(startVersion, endVersion]` window — the Delta/lakehouse streaming-
+  * source model, which turns "poll the table" into "read the new
+  * commits" with exactly-once delivery guaranteed by the version
+  * offsets in the sink checkpoint. Rows are tagged with their
+  * `_graft_batch` id.
+  *
+  * Rewrite commits (compaction / takedown replace batches) cannot be
+  * represented as appends. By default the stream FAILS on one (the
+  * [[WarehouseLoad.RewriteException]] contract, matching Delta's
+  * default); with `skipRewrites=true` a rewrite commit is skipped
+  * WHOLE — none of its batch ids are emitted, so a compaction's
+  * folded batch never re-delivers rows the consumer already saw
+  * (Delta's `skipChangeCommits` semantics).
+  *
+  * Scale shape: `getOffset` is one manifest read; each `getBatch`
+  * plans one parquet scan root per ADDED batch (bounded by the loads
+  * in the window, never table size) and the empty window is a
+  * zero-task `WHERE false` scan. Vacuum retention must cover consumer
+  * lag: a window whose version manifests were pruned fails with an
+  * explicit resync message rather than silently skipping data.
+  *
+  * Usage:
+  * {{{
+  * spark.readStream
+  *   .format("graft.streaming.CommitLogStreamProvider")
+  *   .schema(targetSchema)                  // optional once committed
+  *   .option("warehouseDir", wh).option("historyDir", hist)
+  *   .option("skipRewrites", "true")
+  *   .load()
+  * }}}
+  */
+class CommitLogStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+  override def shortName(): String = "graft-commitlog"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      params: Map[String, String]): (String, StructType) =
+    (shortName(), CommitLogSource.resolveSchema(
+      ctx.sparkSession, schema, params))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      params: Map[String, String]): Source =
+    new CommitLogSource(ctx.sparkSession,
+      CommitLogSource.resolveSchema(ctx.sparkSession, schema, params),
+      params)
+}
+
+object CommitLogSource {
+  val BatchCol = "_graft_batch"
+
+  private[streaming] def opt(params: Map[String, String],
+                             key: String): Option[String] =
+    params.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private def required(params: Map[String, String], key: String): String =
+    opt(params, key).getOrElse(throw new IllegalArgumentException(
+      s"graft-commitlog source requires option '$key'"))
+
+  /** The user-declared schema (plus the batch-tag column if absent),
+    * or — once the table has a first commit — the current committed
+    * relation's schema. Pinned at stream start: columns added by a
+    * later SchemaDrift.evolve surface after a restart, the standard
+    * streaming-schema contract. */
+  def resolveSchema(spark: SparkSession, schema: Option[StructType],
+                    params: Map[String, String]): StructType = {
+    val base = schema.getOrElse {
+      WarehouseLoad.readWarehouse(spark,
+          required(params, "warehouseDir"), required(params, "historyDir"))
+        .map(_.schema)
+        .getOrElse(throw new IllegalStateException(
+          "cannot infer the commit-log stream schema before the first " +
+          "commit — pass .schema(...) explicitly"))
+    }
+    if (base.fieldNames.exists(_.equalsIgnoreCase(BatchCol))) base
+    else base.add(StructField(BatchCol, StringType, nullable = true))
+  }
+}
+
+class CommitLogSource(spark: SparkSession, declared: StructType,
+                      params: Map[String, String]) extends Source {
+  import CommitLogSource._
+
+  private val warehouseDir = opt(params, "warehouseDir").get
+  private val historyDir = opt(params, "historyDir").get
+  private val skipRewrites =
+    opt(params, "skipRewrites").exists(_.trim.toBoolean)
+
+  override def schema: StructType = declared
+
+  override def getOffset: Option[OffsetV1] = {
+    val v = WarehouseLoad.currentVersion(spark, historyDir)
+    if (v == 0) None else Some(LongOffset(v))
+  }
+
+  /** Batch ids added across `(from, to]`, stepping version by version
+    * so each commit's append/rewrite nature is judged on ITS OWN
+    * predecessor (a single from→to diff would misread append-after-
+    * compaction windows as partial rewrites). */
+  private def addedBatches(from: Long, to: Long): Seq[String] = {
+    def batches(v: Long): Seq[String] =
+      WarehouseLoad.versionBatches(spark, historyDir, v).getOrElse(
+        throw new IllegalStateException(
+          s"commit-log stream cannot read version $v: pruned by vacuum " +
+          "retention (consumer lag exceeded retainVersions) or beyond " +
+          "the committed head — resync from a fresh stream over " +
+          "readWarehouseAt"))
+    (from + 1 to to).flatMap { v =>
+      val prev = batches(v - 1).toSet
+      val cur = batches(v)
+      val removed = prev -- cur.toSet
+      if (removed.isEmpty) cur.filterNot(prev)
+      else if (skipRewrites) Nil // skip the rewrite commit WHOLE
+      else throw new WarehouseLoad.RewriteException(
+        s"commit $v is a rewrite (${removed.size} batch(es) replaced — " +
+        "compaction or takedown); the append-only stream cannot " +
+        "express it: restart from a fresh snapshot, or set " +
+        "skipRewrites=true to pass over rewrite commits")
+    }
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(_.json.toLong).getOrElse(0L)
+    val to = end.json.toLong
+    val ids = addedBatches(from, to)
+    val live = WarehouseLoad.liveBatchIds(spark, warehouseDir, ids)
+    val base =
+      if (live.nonEmpty)
+        live.map(id =>
+            spark.read.parquet(s"$warehouseDir/b$id")
+              .withColumn(BatchCol, lit(id)))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      else WarehouseLoad.liveBatchIds(spark, warehouseDir,
+          WarehouseLoad.committedBatches(spark, historyDir))
+        .headOption match {
+          // empty window (e.g. a skipped rewrite commit): a zero-task
+          // pruned scan keeps the plan a real (streamable) relation
+          case Some(id) => spark.read.parquet(s"$warehouseDir/b$id")
+            .withColumn(BatchCol, lit(id)).where(lit(false))
+          case None => spark.createDataFrame(
+            java.util.Collections.emptyList[Row](), declared)
+        }
+    // conform to the declared schema: case-insensitive resolution (the
+    // warehouse CI-match semantic), missing columns as typed nulls
+    val byName = base.columns.map(c => c.toLowerCase -> c).toMap
+    val cols = declared.fields.map { f =>
+      byName.get(f.name.toLowerCase)
+        .map(c => col(c).cast(f.dataType).as(f.name))
+        .getOrElse(lit(null).cast(f.dataType).as(f.name))
+    }
+    asStreaming(base.select(cols.toSeq: _*))
+  }
+
+  /** V1 `getBatch` contract: the returned plan must be flagged
+    * streaming (MicroBatchExecution asserts it). The relation leaves a
+    * batch read produces carry the flag as a field — flip it, the same
+    * move FileStreamSource makes on its own batch reads. */
+  private def asStreaming(df: DataFrame): DataFrame =
+    GraftSqlShims.ofRows(spark, df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming =>
+        lr.copy(isStreaming = true)
+      case lr: LocalRelation if !lr.isStreaming =>
+        lr.copy(isStreaming = true)
+    })
+
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.load.WarehouseLoad
+import graft.schema.Schemas
+
+/** The commit-log streaming source (graft.streaming.CommitLogStream):
+  * version offsets, per-commit added-batch delivery, the rewrite
+  * fail/skip contract, restart-from-checkpoint exactly-once, and the
+  * pinned-schema conform across a SchemaDrift evolution.
+  */
+class CommitLogStreamSpec extends SparkSpec {
+  private val provider = classOf[graft.streaming.CommitLogStreamProvider].getName
+
+  private def writeStaged(staging: String, name: String, rows: String*): Unit =
+    Files.writeString(Paths.get(staging, name), rows.mkString("", "\n", "\n"))
+
+  private def startStream(staging: String, wh: String, hist: String,
+      ckpt: String, sink: String, skipRewrites: Boolean,
+      schema: StructType = Schemas.customers) = {
+    spark.readStream.format(provider)
+      .schema(schema)
+      .option("warehouseDir", wh).option("historyDir", hist)
+      .option("skipRewrites", skipRewrites.toString)
+      .load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+  }
+
+  private def sinkIds(sink: String): Seq[Long] =
+    spark.table(sink).select("customerid").collect()
+      .map(_.getLong(0)).sorted.toSeq
+
+  test("delivers each commit's added batches exactly once, batch-tagged") {
+    val staging = tmpDir("graft-clstage-")
+    val wh = tmpDir("graft-clwh-") + "/t"
+    val hist = tmpDir("graft-clhist-") + "/h"
+    val ckpt = tmpDir("graft-clckpt-") + "/cp"
+    writeStaged(staging, "f1.json", """{"CustomerID": "1", "FirstName": "a"}""")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    val q = startStream(staging, wh, hist, ckpt, "cl_sink1",
+      skipRewrites = false)
+    try {
+      q.processAllAvailable()
+      assert(sinkIds("cl_sink1") == Seq(1L))
+      writeStaged(staging, "f2.json",
+        """{"CustomerID": "2", "FirstName": "b"}""",
+        """{"CustomerID": "3", "FirstName": "c"}""")
+      WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+      q.processAllAvailable()
+      assert(sinkIds("cl_sink1") == Seq(1L, 2L, 3L),
+        "second commit must deliver only its added batch")
+      val batches = spark.table("cl_sink1").select("_graft_batch")
+        .distinct().count()
+      assert(batches == 2, "rows must be tagged with their batch id")
+    } finally q.stop()
+  }
+
+  test("fails on a rewrite commit by default; the cause names the contract") {
+    val staging = tmpDir("graft-clstage-")
+    val wh = tmpDir("graft-clwh-") + "/t"
+    val hist = tmpDir("graft-clhist-") + "/h"
+    val ckpt = tmpDir("graft-clckpt-") + "/cp"
+    writeStaged(staging, "f1.json", """{"CustomerID": "1", "FirstName": "a"}""")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    writeStaged(staging, "f2.json", """{"CustomerID": "2", "FirstName": "b"}""")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    val q = startStream(staging, wh, hist, ckpt, "cl_sink2",
+      skipRewrites = false)
+    try {
+      q.processAllAvailable()
+      assert(sinkIds("cl_sink2") == Seq(1L, 2L))
+      WarehouseLoad.compactCommitted(spark, wh, hist)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[WarehouseLoad.RewriteException]),
+        s"expected a RewriteException cause, got: $e")
+    } finally q.stop()
+  }
+
+  test("skipRewrites passes over a compaction whole; restart resumes exactly-once") {
+    val staging = tmpDir("graft-clstage-")
+    val wh = tmpDir("graft-clwh-") + "/t"
+    val hist = tmpDir("graft-clhist-") + "/h"
+    val ckpt = tmpDir("graft-clckpt-") + "/cp"
+    // a FILE sink (the production shape): unlike the memory sink it
+    // supports checkpoint recovery, which is the point of this test
+    val outDir = tmpDir("graft-clout-") + "/out"
+    def startFileSink() = spark.readStream.format(provider)
+      .schema(Schemas.customers)
+      .option("warehouseDir", wh).option("historyDir", hist)
+      .option("skipRewrites", "true")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    def outIds(): Seq[Long] = spark.read.parquet(outDir)
+      .select("customerid").collect().map(_.getLong(0)).sorted.toSeq
+
+    writeStaged(staging, "f1.json", """{"CustomerID": "1", "FirstName": "a"}""")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    val q1 = startFileSink()
+    try {
+      q1.processAllAvailable()
+      assert(outIds() == Seq(1L))
+    } finally q1.stop()
+    // while the consumer is DOWN: another append, then a compaction
+    writeStaged(staging, "f2.json", """{"CustomerID": "2", "FirstName": "b"}""")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    WarehouseLoad.compactCommitted(spark, wh, hist)
+    // restart from the checkpoint: the missed append arrives, the
+    // compaction's folded batch does NOT re-deliver row 1
+    val q2 = startFileSink()
+    try {
+      q2.processAllAvailable()
+      assert(outIds() == Seq(1L, 2L),
+        "restart must deliver exactly the missed append, never the " +
+        "compaction's folded batch")
+      writeStaged(staging, "f3.json", """{"CustomerID": "3", "FirstName": "c"}""")
+      WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+      q2.processAllAvailable()
+      assert(outIds() == Seq(1L, 2L, 3L),
+        "the stream must keep consuming appends after a skipped rewrite")
+    } finally q2.stop()
+  }
+
+  test("pinned schema conforms evolved batches; evolved column waits for restart") {
+    val staging = tmpDir("graft-clstage-")
+    val wh = tmpDir("graft-clwh-") + "/t"
+    val hist = tmpDir("graft-clhist-") + "/h"
+    val ckpt = tmpDir("graft-clckpt-") + "/cp"
+    writeStaged(staging, "f1.json", """{"CustomerID": "1", "FirstName": "a"}""")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    val q = startStream(staging, wh, hist, ckpt, "cl_sink4",
+      skipRewrites = true)
+    try {
+      q.processAllAvailable()
+      // the upstream evolves: a new key arrives and the load uses the
+      // evolved DDL — the RUNNING stream (schema pinned at start) must
+      // keep consuming, conforming the wider batch to its schema
+      writeStaged(staging, "f2.json",
+        """{"CustomerID": "2", "FirstName": "b", "LoyaltyTier": "gold"}""")
+      val evolved = graft.schema.SchemaDrift.evolve(
+        spark, staging, Schemas.customers)
+      WarehouseLoad.batchIdempotent(spark, staging, evolved, wh, hist)
+      q.processAllAvailable()
+      assert(sinkIds("cl_sink4") == Seq(1L, 2L))
+      assert(!spark.table("cl_sink4").columns
+        .exists(_.equalsIgnoreCase("LoyaltyTier")))
+    } finally q.stop()
+    // a FRESH consumer declaring the evolved schema surfaces the
+    // column — and pre-evolution batches deliver it as null
+    val evolvedDecl = StructType(Schemas.customers.fields.toSeq :+
+      StructField("LoyaltyTier", StringType, nullable = true))
+    writeStaged(staging, "f3.json",
+      """{"CustomerID": "3", "FirstName": "c", "LoyaltyTier": "iron"}""")
+    val evolved2 = graft.schema.SchemaDrift.evolve(
+      spark, staging, Schemas.customers)
+    WarehouseLoad.batchIdempotent(spark, staging, evolved2, wh, hist)
+    val q2 = startStream(staging, wh, hist,
+      tmpDir("graft-clckpt2-") + "/cp", "cl_sink4b",
+      skipRewrites = true, schema = evolvedDecl)
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("cl_sink4b")
+        .select("customerid", "LoyaltyTier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> None, 2L -> Some("gold"), 3L -> Some("iron")))
+    } finally q2.stop()
+  }
+
+  test("schema inference requires a first commit; version pruning demands resync") {
+    val staging = tmpDir("graft-clstage-")
+    val wh = tmpDir("graft-clwh-") + "/t"
+    val hist = tmpDir("graft-clhist-") + "/h"
+    val e = intercept[IllegalStateException] {
+      graft.streaming.CommitLogSource.resolveSchema(spark, None,
+        Map("warehouseDir" -> wh, "historyDir" -> hist))
+    }
+    assert(e.getMessage.contains("first commit"))
+    // after a commit, inference matches the committed relation + tag
+    writeStaged(staging, "f1.json", """{"CustomerID": "1", "FirstName": "a"}""")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    val inferred = graft.streaming.CommitLogSource.resolveSchema(spark, None,
+      Map("warehouseDir" -> wh, "historyDir" -> hist))
+    assert(inferred.fieldNames.last == "_graft_batch")
+    assert(inferred.fieldNames.map(_.toLowerCase).contains("customerid"))
+  }
+}
