@@ -305,16 +305,21 @@ object WarehouseLoad {
                     historyDir: String): Option[DataFrame] =
     readBatchDirs(spark, warehouseDir, committedBatches(spark, historyDir))
 
-  /** Batch ids whose data dir holds at least one real parquet part. A
-    * batch of only-empty staged files writes no parts; skipping its
-    * (fileless) dir keeps schema inference on real footers. */
+  /** Batch ids whose data dir holds at least one real parquet part —
+    * directly (unpartitioned batch) or under a partition subdir
+    * (hive-partitioned batch; the subdir's existence implies parts,
+    * partitioned writes create no empty partition dirs). A batch of
+    * only-empty staged files writes neither; skipping its (fileless)
+    * dir keeps schema inference on real footers. */
   private[graft] def liveBatchIds(spark: SparkSession, warehouseDir: String,
                                   ids: Seq[String]): Seq[String] =
     ids.filter { id =>
       val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/b$id")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).exists(st =>
-        st.isFile && !st.getPath.getName.startsWith("_"))
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
     }
 
   private def readBatchDirs(spark: SparkSession, warehouseDir: String,
@@ -327,8 +332,23 @@ object WarehouseLoad {
     // silently vanish from the relation (or old rows can fail to
     // surface it as null). Footer merging is one parallel metadata
     // pass — bounded by file count, no data read.
+    val reader = spark.read.option("mergeSchema", "true")
+    def isPartitioned(d: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+    }
     if (dirs.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+    // hive-partitioned batch roots refuse a single multi-path read
+    // (each root is its own partition-discovery base), so they load
+    // per root and union — still bounded by the COMMITTED LOAD count,
+    // and a partition predicate pushes through the union into every
+    // scan's PartitionFilters (directory pruning per batch root).
+    else if (dirs.sizeIs > 1 && dirs.exists(isPartitioned))
+      Some(dirs.map(reader.parquet(_))
+        .reduce(_.unionByName(_, allowMissingColumns = true)))
+    else Some(reader.parquet(dirs: _*))
   }
 
   /** The committed load history — one row per loaded source file:
@@ -389,8 +409,10 @@ object WarehouseLoad {
     * keeps the metric listing-sized even for very wide waves. */
   def batchIdempotent(spark: SparkSession, stagingDir: String,
                       target: StructType, warehouseDir: String,
-                      historyDir: String, strict: Boolean = false): Unit =
-    loadAtomic(spark, stagingDir, target, warehouseDir, historyDir, strict)
+                      historyDir: String, strict: Boolean = false,
+                      partitionCols: Seq[String] = Nil): Unit =
+    loadAtomic(spark, stagingDir, target, warehouseDir, historyDir, strict,
+      partitionCols = partitionCols)
 
   /** [[batchIdempotent]] with a crash-injection seam: `failpoint` runs
     * after the data write ("data-written") and after the history
@@ -400,7 +422,8 @@ object WarehouseLoad {
   private[graft] def loadAtomic(spark: SparkSession, stagingDir: String,
       target: StructType, warehouseDir: String, historyDir: String,
       strict: Boolean = false,
-      failpoint: String => Unit = _ => ()): Unit =
+      failpoint: String => Unit = _ => (),
+      partitionCols: Seq[String] = Nil): Unit =
     idempotentBatch(spark, stagingDir, historyDir).foreach {
       case (freshFiles, data) =>
         import org.apache.spark.sql.functions.{bit_xor, col, collect_set, count, lit, when, xxhash64}
@@ -425,8 +448,15 @@ object WarehouseLoad {
         val observed = data.observe(obs,
           collect_set(xxhash64(col(FileCol))).as("seen"))
         rethrowStrict {
+          // `partitionCols` hive-partitions EVERY committed batch dir
+          // (the batch() semantic on the atomic path): downstream
+          // partition-predicate scans prune whole directories under
+          // every batch root before a byte is read — at warehouse
+          // scale the difference between 1/n-th of the table and all
+          // of it. Compaction/takedown preserve the layout.
           align(observed, target, strict)
-            .write.mode("overwrite").parquet(s"$warehouseDir/b$id")
+            .write.mode("overwrite").partitionBy(partitionCols: _*)
+            .parquet(s"$warehouseDir/b$id")
         }
         val seen = obs.get("seen").asInstanceOf[Seq[Long]].toSet
         val missing = expect -- seen
@@ -495,13 +525,15 @@ object WarehouseLoad {
     * reclaim them with [[vacuum]]. Same single-writer contract as
     * [[vacuum]]. No-op below `minBatches`. */
   def compactCommitted(spark: SparkSession, warehouseDir: String,
-                       historyDir: String, minBatches: Int = 2): Unit = {
+                       historyDir: String, minBatches: Int = 2,
+                       partitionCols: Seq[String] = Nil): Unit = {
     val committed = committedBatches(spark, historyDir)
     if (committed.size < minBatches) return
     val id = "compact-" + java.util.UUID.nameUUIDFromBytes(
       committed.mkString("\n").getBytes("UTF-8")).toString.take(16)
     readWarehouse(spark, warehouseDir, historyDir).foreach(
-      _.write.mode("overwrite").parquet(s"$warehouseDir/b$id"))
+      _.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(s"$warehouseDir/b$id"))
     loadedFiles(spark, historyDir).foreach(
       _.select("file").write.mode("overwrite").parquet(s"$historyDir/b$id"))
     commitBatches(spark, historyDir, Seq(id))
@@ -533,7 +565,8 @@ object WarehouseLoad {
     * COPY's file dedup still skips the source files. */
   def takedownCommitted(spark: SparkSession, warehouseDir: String,
                         historyDir: String, keys: DataFrame,
-                        keyCols: Seq[String]): Long = {
+                        keyCols: Seq[String],
+                        partitionCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
     val committed = committedBatches(spark, historyDir)
     val live = liveBatchIds(spark, warehouseDir, committed)
@@ -565,7 +598,8 @@ object WarehouseLoad {
         val nid = id + suffix
         spark.read.parquet(s"$warehouseDir/b$id")
           .join(k, keyCols, "left_anti")
-          .write.mode("overwrite").parquet(s"$warehouseDir/b$nid")
+          .write.mode("overwrite").partitionBy(partitionCols: _*)
+          .parquet(s"$warehouseDir/b$nid")
         // carry the file history forward: the source files stay loaded
         spark.read.parquet(s"$historyDir/b$id")
           .write.mode("overwrite").parquet(s"$historyDir/b$nid")

@@ -261,6 +261,67 @@ class PipelineSpec extends SparkSpec {
       .get.count() == 2001)
   }
 
+  test("partitioned committed batches: layout survives the lifecycle; partition predicate prunes at the scan") {
+    // The batch() hive-partitioning semantic on the ATOMIC path: every
+    // committed batch dir is partitioned, a partition predicate lands
+    // in the multi-root scan's PartitionFilters (directory pruning
+    // under every batch root — the 1/n-th-of-the-table lever at
+    // warehouse scale), and compaction/takedown rewrites preserve the
+    // layout instead of flattening it.
+    import org.apache.spark.sql.execution.FormattedMode
+    import org.apache.spark.sql.functions.col
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-ppstage-")
+    val wh = tmpDir("graft-ppwh-") + "/t"
+    val hist = tmpDir("graft-pphist-") + "/h"
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("region",
+        org.apache.spark.sql.types.StringType)))
+    val parts = Seq("region")
+    Files.writeString(Paths.get(staging, "f1.json"),
+      """{"id": "1", "region": "east"}""" + "\n" +
+      """{"id": "2", "region": "west"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist,
+      partitionCols = parts)
+    Files.writeString(Paths.get(staging, "f2.json"),
+      """{"id": "3", "region": "east"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist,
+      partitionCols = parts)
+    def rel() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    def got() = rel().select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got() == Seq(1L, 2L, 3L))
+    def assertPruned(): Unit = {
+      val p = rel().filter(col("region") === "east")
+        .queryExecution.explainString(FormattedMode)
+      assert("""PartitionFilters: \[[^\]]*region""".r.findFirstIn(p).isDefined,
+        s"region must prune at the scan:\n$p")
+    }
+    assertPruned()
+    // partition dirs exist under each committed batch root
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    WarehouseLoad.committedBatches(spark, hist).foreach { id =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$wh/b$id/region=east")), s"batch $id lost its partition layout")
+    }
+    // compaction preserves the layout (and the relation)
+    WarehouseLoad.compactCommitted(spark, wh, hist, partitionCols = parts)
+    assert(got() == Seq(1L, 2L, 3L))
+    val cid = WarehouseLoad.committedBatches(spark, hist).head
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$wh/b$cid/region=west")))
+    assertPruned()
+    // takedown rewrites keep the layout too
+    import spark.implicits._
+    assert(WarehouseLoad.takedownCommitted(spark, wh, hist,
+      Seq(2L).toDF("id"), Seq("id"), partitionCols = parts) == 1L)
+    assert(got() == Seq(1L, 3L))
+    val tid = WarehouseLoad.committedBatches(spark, hist).head
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$wh/b$tid/region=east")))
+    assertPruned()
+  }
+
   test("schema-evolved batches read, feed, and takedown as one relation") {
     // The evolve lifecycle across the commit log: batch 1 loads under
     // the declared DDL, the upstream adds a key, batch 2 loads under
