@@ -2,7 +2,9 @@ package graft.load
 
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType,
+  IntegerType, LongType, ShortType, StringType, StructField, StructType,
+  TimestampType}
 import graft.schema.SchemaAlign
 
 /** Typed warehouse load — the Snowpipe leg of the reference
@@ -447,6 +449,20 @@ object WarehouseLoad {
         val obs = new Observation()
         val observed = data.observe(obs,
           collect_set(xxhash64(col(FileCol))).as("seen"))
+        // zone-map stats ride the SAME write job as a second
+        // observation over the ALIGNED (as-written) values — per-batch
+        // min/max per numeric/temporal column, zero extra scans
+        val aligned = align(observed, target, strict)
+        val zcols = zoneMapCols(aligned.schema)
+        val zobs = new Observation()
+        val zaggs = zcols.flatMap(f => Seq(
+          org.apache.spark.sql.functions.min(col(f.name))
+            .as(s"zmin__${f.name}"),
+          org.apache.spark.sql.functions.max(col(f.name))
+            .as(s"zmax__${f.name}")))
+        val toWrite =
+          if (zaggs.isEmpty) aligned
+          else aligned.observe(zobs, zaggs.head, zaggs.tail: _*)
         rethrowStrict {
           // `partitionCols` hive-partitions EVERY committed batch dir
           // (the batch() semantic on the atomic path): downstream
@@ -454,7 +470,7 @@ object WarehouseLoad {
           // every batch root before a byte is read — at warehouse
           // scale the difference between 1/n-th of the table and all
           // of it. Compaction/takedown preserve the layout.
-          align(observed, target, strict)
+          toWrite
             .write.mode("overwrite").partitionBy(partitionCols: _*)
             .parquet(s"$warehouseDir/b$id")
         }
@@ -469,9 +485,106 @@ object WarehouseLoad {
         failpoint("data-written")
         freshFiles.select("file").write.mode("overwrite")
           .parquet(s"$historyDir/b$id")
+        if (zaggs.nonEmpty) {
+          val entries = zcols.flatMap { f =>
+            for {
+              lo <- zoneVal(zobs.get(s"zmin__${f.name}"))
+              hi <- zoneVal(zobs.get(s"zmax__${f.name}"))
+            } yield (f.name, lo, hi)
+          }
+          if (entries.nonEmpty)
+            AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
+              encodeZoneMap(entries))
+        }
         failpoint("history-written")
         commitBatches(spark, historyDir, committed :+ id, failpoint)
     }
+
+  // ------------------------------------------------------------------
+  // Zone maps: per-batch min/max column stats in the commit metadata
+  // ------------------------------------------------------------------
+
+  private val ZoneMapFile = "_ZONEMAP"
+
+  /** Columns that get zone-map stats: numerics + temporals (range
+    * predicates are what batch skipping serves). Encoding: numerics
+    * as-is, date = epoch DAYS, timestamp = epoch MILLIS — all widened
+    * one ulp outward at write so the double form is always
+    * conservative. */
+  private def zoneMapCols(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType => true
+      case _ => false
+    })
+
+  private def zoneVal(v: Any): Option[Double] = v match {
+    case null => None
+    case n: java.lang.Number => Some(n.doubleValue())
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+    case t: java.sql.Timestamp => Some(t.getTime.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case i: java.time.Instant => Some(i.toEpochMilli.toDouble)
+    case _ => None
+  }
+
+  private def encodeZoneMap(entries: Seq[(String, Double, Double)]): String =
+    entries.map { case (c, lo, hi) =>
+      java.net.URLEncoder.encode(c, "UTF-8") + " " +
+        Math.nextDown(lo) + " " + Math.nextUp(hi)
+    }.mkString("\n")
+
+  /** The batch's zone map — per-column [min, max] intervals recorded by
+    * the load's OWN write job (a CollectMetrics observation — zero
+    * extra scans). `None` for batches without one (readers treat as
+    * must-scan, so stats are an optimization, never a correctness
+    * dependency). Intervals stay valid forever: batch dirs are
+    * immutable, and row-removing rewrites only ever SHRINK the true
+    * range. */
+  def zoneMap(spark: SparkSession, historyDir: String,
+              id: String): Option[Map[String, (Double, Double)]] =
+    AtomicManifest.read(spark, s"$historyDir/b$id", ZoneMapFile)
+      .map(_.linesIterator.flatMap { line =>
+        line.split(" ") match {
+          case Array(c, lo, hi) =>
+            (lo.toDoubleOption, hi.toDoubleOption) match {
+              case (Some(l), Some(h)) =>
+                Some(java.net.URLDecoder.decode(c, "UTF-8") -> (l, h))
+              case _ => None
+            }
+          case _ => None
+        }
+      }.toMap)
+
+  /** Committed batch ids whose zone interval for `column` overlaps
+    * `[lo, hi]` — plus every batch with no recorded interval (scan
+    * conservatively). Metadata only: one manifest read per batch,
+    * bounded by the load count. */
+  private[graft] def prunedBatchIds(spark: SparkSession, historyDir: String,
+      column: String, lo: Double, hi: Double): Seq[String] =
+    committedBatches(spark, historyDir).filter { id =>
+      zoneMap(spark, historyDir, id)
+        .flatMap(_.collectFirst {
+          case (c, iv) if c.equalsIgnoreCase(column) => iv
+        })
+        .forall { case (mn, mx) => !(mx < lo || mn > hi) }
+    }
+
+  /** Zone-map batch skipping — the Snowflake micro-partition-pruning
+    * analog at BATCH granularity: the committed relation restricted to
+    * batches whose recorded [min, max] for `column` overlaps
+    * `[lo, hi]`. Returns a SUPERSET of the matching rows (the caller
+    * applies its row predicate as usual; parquet footer stats then
+    * prune row groups inside the surviving roots) — skipping happens
+    * before a single byte or footer of a non-overlapping batch is
+    * touched, and before its scan root enters the plan at all. Bounds
+    * use the zone encoding (numerics as-is, date = epoch days,
+    * timestamp = epoch millis). `None` when every batch prunes. */
+  def readWarehouseBetween(spark: SparkSession, warehouseDir: String,
+      historyDir: String, column: String, lo: Double,
+      hi: Double): Option[DataFrame] =
+    readBatchDirs(spark, warehouseDir,
+      prunedBatchIds(spark, historyDir, column, lo, hi))
 
   /** Delete batch dirs (data + history) that no RETAINED version
     * references — the garbage a crashed attempt leaves behind, plus
@@ -536,6 +649,21 @@ object WarehouseLoad {
         .parquet(s"$warehouseDir/b$id"))
     loadedFiles(spark, historyDir).foreach(
       _.select("file").write.mode("overwrite").parquet(s"$historyDir/b$id"))
+    // the folded batch's zone map is the interval union of its inputs
+    // (a column only survives if EVERY input recorded it — a missing
+    // interval means an unknown range, and a merged map must never
+    // understate one). Metadata-only, no scan.
+    val inputMaps = committed.map(zoneMap(spark, historyDir, _))
+    if (inputMaps.nonEmpty && inputMaps.forall(_.isDefined)) {
+      val maps = inputMaps.map(_.get)
+      val shared = maps.map(_.keySet).reduce(_ intersect _)
+      val merged = shared.toSeq.sorted.map { c =>
+        (c, maps.map(_(c)._1).min, maps.map(_(c)._2).max)
+      }
+      if (merged.nonEmpty)
+        AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
+          encodeZoneMap(merged))
+    }
     commitBatches(spark, historyDir, Seq(id))
   }
 
@@ -603,6 +731,13 @@ object WarehouseLoad {
         // carry the file history forward: the source files stay loaded
         spark.read.parquet(s"$historyDir/b$id")
           .write.mode("overwrite").parquet(s"$historyDir/b$nid")
+        // and the zone map: removing rows only SHRINKS the true range,
+        // so the recorded interval remains a conservative superset
+        zoneMap(spark, historyDir, id).foreach { zm =>
+          AtomicManifest.write(spark, s"$historyDir/b$nid", ZoneMapFile,
+            encodeZoneMap(zm.toSeq.sortBy(_._1)
+              .map { case (c, (lo, hi)) => (c, lo, hi) }))
+        }
         nid
       }
     }

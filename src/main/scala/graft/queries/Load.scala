@@ -460,17 +460,92 @@ object Load {
            CAST(4 AS BIGINT) AS head_version
     FROM orders GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q84
+  // Zone-map batch skipping — per-batch min/max stats recorded by each
+  // load's OWN write job (CollectMetrics, zero extra scans) let a
+  // range predicate drop whole batch roots from the plan before a
+  // byte OR footer of them is touched — the Snowflake micro-partition
+  // pruning analog at batch granularity, on top of (not instead of)
+  // parquet row-group stats inside surviving roots. Fixture: `orders`
+  // staged in four o_orderkey VALUE-QUARTILE waves (disjoint key
+  // ranges → disjoint zone intervals), one commit each; the query
+  // answers a first-quartile range aggregate via
+  // `readWarehouseBetween` and reports the pruning contract: exactly
+  // 1 of 4 batches scanned, result equal to the full-table closed
+  // form (the oracle).
+  //
+  // Scale shape: pruning is ONE manifest read per committed load
+  // (metadata, bounded by load count, no file listing); the surviving
+  // root scans 1/4 of the data; the aggregate is one map-side-combined
+  // row. The superset contract keeps stats out of the correctness
+  // path: the row filter still applies.
+  val q84: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-zonemap-" + ProcessHandle.current.pid + "-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType)))
+
+    val mx = Tables.orders(s, d).agg(max("o_orderkey")).head().getLong(0)
+    val q = (mx + 3) / 4 // quartile width (ceil), keys start at 1
+    (0 to 3).foreach { k =>
+      Tables.orders(s, d)
+        // wave 0 is open-bottomed: the testdata carries an
+        // o_orderkey=0 edge row that a (0, q] band would drop
+        .filter((if (k == 0) lit(true) else col("o_orderkey") > k * q) &&
+          col("o_orderkey") <= (k + 1) * q)
+        .select(to_json(struct(col("o_orderkey"), col("o_custkey")))
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$root/w$k")
+      val src = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$root/w$k/part-*")).head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
+      fs.rename(src, new org.apache.hadoop.fs.Path(s"$staging/w$k.json"))
+      WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+    }
+
+    val nTotal = WarehouseLoad.committedBatches(s, hist).size
+    val scanned = WarehouseLoad.prunedBatchIds(
+      s, hist, "o_orderkey", 1.0, q.toDouble).size
+    val agg = WarehouseLoad.readWarehouseBetween(
+        s, wh, hist, "o_orderkey", 1.0, q.toDouble).get
+      .filter(col("o_orderkey") <= q) // the superset contract
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
+
+    import s.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), scanned.toLong, nTotal.toLong))
+      .toDF("n_rows", "sum_key", "n_batches_scanned", "n_batches_total")
+  }
+
+  val q84Sql: String = """
+    WITH m AS (SELECT (MAX(o_orderkey) + 3) // 4 AS q FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS n_batches_scanned,
+           CAST(4 AS BIGINT) AS n_batches_total
+    FROM orders, m WHERE o_orderkey <= m.q"""
+
   val queries: Map[String, Q] = Map(
     "q79_quarantine_load" -> q79,
     "q80_schema_drift" -> q80,
     "q81_time_travel" -> q81,
     "q82_takedown_committed" -> q82,
-    "q83_feed_ivm" -> q83)
+    "q83_feed_ivm" -> q83,
+    "q84_zone_prune" -> q84)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
     "q80_schema_drift" -> q80Sql,
     "q81_time_travel" -> q81Sql,
     "q82_takedown_committed" -> q82Sql,
-    "q83_feed_ivm" -> q83Sql)
+    "q83_feed_ivm" -> q83Sql,
+    "q84_zone_prune" -> q84Sql)
 }

@@ -322,6 +322,78 @@ class PipelineSpec extends SparkSpec {
     assertPruned()
   }
 
+  test("zone maps skip non-overlapping batches and survive rewrites conservatively") {
+    // Per-batch min/max stats recorded by the load's own write job
+    // (CollectMetrics — zero extra scans) let a range predicate skip
+    // whole batch roots before their scan even enters the plan — the
+    // micro-partition-pruning analog at batch granularity. Stats are an
+    // optimization, never a correctness dependency: a batch without a
+    // map scans conservatively.
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-zmstage-")
+    val wh = tmpDir("graft-zmwh-") + "/t"
+    val hist = tmpDir("graft-zmhist-") + "/h"
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("region",
+        org.apache.spark.sql.types.StringType)))
+    def load(name: String, rows: String*): Unit = {
+      Files.writeString(Paths.get(staging, name),
+        rows.mkString("", "\n", "\n"))
+      WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist)
+    }
+    load("f1.json", """{"id": "1", "region": "a"}""",
+      """{"id": "2", "region": "a"}""")
+    load("f2.json", """{"id": "100", "region": "b"}""",
+      """{"id": "101", "region": "b"}""")
+    load("f3.json", """{"id": "1000", "region": "c"}""")
+
+    def pruned(lo: Double, hi: Double) =
+      WarehouseLoad.prunedBatchIds(spark, hist, "id", lo, hi)
+    assert(pruned(90, 200).size == 1, "exactly the middle batch overlaps")
+    assert(pruned(0, 5000).size == 3)
+    assert(pruned(5000, 9000).isEmpty)
+    assert(WarehouseLoad.readWarehouseBetween(
+      spark, wh, hist, "id", 5000, 9000).isEmpty)
+    // the pruned relation is a SUPERSET contract: with the row filter
+    // applied it equals the full-relation answer
+    import org.apache.spark.sql.functions.col
+    val viaZone = WarehouseLoad.readWarehouseBetween(
+        spark, wh, hist, "id", 90, 200).get
+      .filter(col("id").between(90, 200))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaZone == Seq(100L, 101L))
+
+    // takedown rewrite carries the map forward (conservative: removing
+    // rows only shrinks the true range)
+    import spark.implicits._
+    assert(WarehouseLoad.takedownCommitted(spark, wh, hist,
+      Seq(100L).toDF("id"), Seq("id")) == 1L)
+    assert(pruned(90, 200).size == 1,
+      "the rewritten batch must keep its zone map")
+    assert(WarehouseLoad.readWarehouseBetween(
+        spark, wh, hist, "id", 90, 200).get
+      .filter(col("id").between(90, 200))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(101L))
+
+    // compaction merges the input maps (interval union)
+    WarehouseLoad.compactCommitted(spark, wh, hist)
+    val cid = WarehouseLoad.committedBatches(spark, hist).head
+    val merged = WarehouseLoad.zoneMap(spark, hist, cid)
+    assert(merged.exists(_.contains("id")),
+      s"compacted batch must carry a merged zone map, got $merged")
+    val (lo, hi) = merged.get("id")
+    assert(lo <= 1.0 && hi >= 1000.0)
+    assert(pruned(5000, 9000).isEmpty)
+    // a batch WITHOUT a map scans conservatively
+    val fs = new org.apache.hadoop.fs.Path(hist)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$hist/b$cid/_ZONEMAP"), false)
+    assert(pruned(5000, 9000).size == 1,
+      "a mapless batch must be scanned, not skipped")
+  }
+
   test("schema-evolved batches read, feed, and takedown as one relation") {
     // The evolve lifecycle across the commit log: batch 1 loads under
     // the declared DDL, the upstream adds a key, batch 2 loads under
