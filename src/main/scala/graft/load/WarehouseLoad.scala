@@ -540,9 +540,27 @@ object WarehouseLoad {
     * must-scan, so stats are an optimization, never a correctness
     * dependency). Intervals stay valid forever: batch dirs are
     * immutable, and row-removing rewrites only ever SHRINK the true
-    * range. */
+    * range.
+    *
+    * Cached for the JVM lifetime once PRESENT: a committed batch's map
+    * never changes (retries of a crashed commit regenerate identical
+    * content — deterministic id ⇒ same fresh set ⇒ same stats), so a
+    * long-lived driver pruning a many-load table pays one manifest
+    * read per batch EVER, not per query. Absence is NOT cached — a
+    * mapless answer may be the read racing the commit. */
+  private val zoneMapCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, (Double, Double)]]
+
   def zoneMap(spark: SparkSession, historyDir: String,
               id: String): Option[Map[String, (Double, Double)]] =
+    zoneMapCache.get((historyDir, id)).orElse {
+      val m = readZoneMap(spark, historyDir, id)
+      m.foreach(zoneMapCache.put((historyDir, id), _))
+      m
+    }
+
+  private def readZoneMap(spark: SparkSession, historyDir: String,
+      id: String): Option[Map[String, (Double, Double)]] =
     AtomicManifest.read(spark, s"$historyDir/b$id", ZoneMapFile)
       .map(_.linesIterator.flatMap { line =>
         line.split(" ") match {

@@ -386,10 +386,15 @@ class PipelineSpec extends SparkSpec {
     val (lo, hi) = merged.get("id")
     assert(lo <= 1.0 && hi >= 1000.0)
     assert(pruned(5000, 9000).isEmpty)
-    // a batch WITHOUT a map scans conservatively
-    val fs = new org.apache.hadoop.fs.Path(hist)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$hist/b$cid/_ZONEMAP"), false)
+    // a batch WITHOUT a map scans conservatively: an all-string batch
+    // has no stats-eligible column, so the load writes no zone map and
+    // range pruning on any column must include it
+    Files.writeString(Paths.get(staging, "f4.json"),
+      """{"region": "z"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("region",
+          org.apache.spark.sql.types.StringType))), wh, hist)
     assert(pruned(5000, 9000).size == 1,
       "a mapless batch must be scanned, not skipped")
   }
