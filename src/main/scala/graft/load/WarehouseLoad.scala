@@ -452,17 +452,8 @@ object WarehouseLoad {
         // zone-map stats ride the SAME write job as a second
         // observation over the ALIGNED (as-written) values — per-batch
         // min/max per numeric/temporal column, zero extra scans
-        val aligned = align(observed, target, strict)
-        val zcols = zoneMapCols(aligned.schema)
-        val zobs = new Observation()
-        val zaggs = zcols.flatMap(f => Seq(
-          org.apache.spark.sql.functions.min(col(f.name))
-            .as(s"zmin__${f.name}"),
-          org.apache.spark.sql.functions.max(col(f.name))
-            .as(s"zmax__${f.name}")))
-        val toWrite =
-          if (zaggs.isEmpty) aligned
-          else aligned.observe(zobs, zaggs.head, zaggs.tail: _*)
+        val (toWrite, zobs, zcols) = observeZones(
+          align(observed, target, strict))
         rethrowStrict {
           // `partitionCols` hive-partitions EVERY committed batch dir
           // (the batch() semantic on the atomic path): downstream
@@ -485,17 +476,7 @@ object WarehouseLoad {
         failpoint("data-written")
         freshFiles.select("file").write.mode("overwrite")
           .parquet(s"$historyDir/b$id")
-        if (zaggs.nonEmpty) {
-          val entries = zcols.flatMap { f =>
-            for {
-              lo <- zoneVal(zobs.get(s"zmin__${f.name}"))
-              hi <- zoneVal(zobs.get(s"zmax__${f.name}"))
-            } yield (f.name, lo, hi)
-          }
-          if (entries.nonEmpty)
-            AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
-              encodeZoneMap(entries))
-        }
+        writeZoneMap(spark, historyDir, id, zobs, zcols)
         failpoint("history-written")
         commitBatches(spark, historyDir, committed :+ id, failpoint)
     }
@@ -533,6 +514,69 @@ object WarehouseLoad {
       java.net.URLEncoder.encode(c, "UTF-8") + " " +
         Math.nextDown(lo) + " " + Math.nextUp(hi)
     }.mkString("\n")
+
+  /** Attach the zone-map observation to a batch about to be written:
+    * per-column min/max over the AS-WRITTEN values, collected by the
+    * write job itself (CollectMetrics — zero extra scans). */
+  private def observeZones(df: DataFrame):
+      (DataFrame, Option[Observation], Seq[StructField]) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val zcols = zoneMapCols(df.schema)
+    if (zcols.isEmpty) (df, None, zcols)
+    else {
+      val zobs = new Observation()
+      val zaggs = zcols.flatMap(f => Seq(
+        min(col(f.name)).as(s"zmin__${f.name}"),
+        max(col(f.name)).as(s"zmax__${f.name}")))
+      (df.observe(zobs, zaggs.head, zaggs.tail: _*), Some(zobs), zcols)
+    }
+  }
+
+  /** Persist an [[observeZones]] result (after its write job ran) as
+    * the batch's `_ZONEMAP` manifest. All-null columns record no
+    * interval. */
+  private def writeZoneMap(spark: SparkSession, historyDir: String,
+      id: String, zobs: Option[Observation],
+      zcols: Seq[StructField]): Unit =
+    zobs.foreach { o =>
+      val entries = zcols.flatMap { f =>
+        for {
+          lo <- zoneVal(o.get(s"zmin__${f.name}"))
+          hi <- zoneVal(o.get(s"zmax__${f.name}"))
+        } yield (f.name, lo, hi)
+      }
+      if (entries.nonEmpty)
+        AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
+          encodeZoneMap(entries))
+    }
+
+  /** The streaming sink's epoch commit
+    * ([[graft.streaming.CommitLogSink]]): write `df` as batch `id`
+    * (data + zone map + an EMPTY per-file history — a streamed batch
+    * has no source files, but [[loadedFiles]] unions every committed
+    * batch's history relation) and repoint the manifest. Same crash
+    * contract as [[loadAtomic]]: the id is epoch-deterministic, so a
+    * replay overwrites its own orphans and the repoint stays the
+    * single commit point. */
+  private[graft] def commitStreamedBatch(spark: SparkSession, df: DataFrame,
+      warehouseDir: String, historyDir: String, id: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val committed = committedBatches(spark, historyDir)
+    require(!committed.contains(id), s"batch $id is already committed")
+    // zone maps are optional: a plan that still reads as streaming
+    // (an exotic source leaf the sink's flag-strip doesn't cover)
+    // commits without one rather than failing the epoch
+    val (toWrite, zobs, zcols) =
+      if (df.isStreaming) (df, None, Nil) else observeZones(df)
+    toWrite.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(s"$warehouseDir/b$id")
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("file", StringType))))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$historyDir/b$id")
+    writeZoneMap(spark, historyDir, id, zobs, zcols)
+    commitBatches(spark, historyDir, committed :+ id)
+  }
 
   /** The batch's zone map — per-column [min, max] intervals recorded by
     * the load's OWN write job (a CollectMetrics observation — zero

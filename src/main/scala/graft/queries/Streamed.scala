@@ -1489,6 +1489,83 @@ object Streamed {
            CAST(3 AS BIGINT) AS n_batches
     FROM orders GROUP BY 1 ORDER BY 1"""
 
+  // --------------------------------------------------------------- st25
+  // The commit log as a streaming SINK (graft.streaming.CommitLogSink):
+  // exactly-once streaming ingestion INTO the versioned warehouse.
+  // Each micro-batch commits as ONE immutable batch under an
+  // epoch-deterministic id, so a replayed epoch overwrites its own
+  // orphans or is skipped — the file loads' idempotence contract keyed
+  // by the checkpoint's epoch counter — and everything downstream of
+  // the commit log (time travel, change feed, st24's source, zone
+  // maps, vacuum/compaction) applies to streamed-in batches
+  // identically. Lifecycle: two input files arrive one
+  // micro-batch apart; the oracle checks the WAREHOUSE-side aggregate
+  // equals the full recompute plus the protocol constants (two
+  // commits, two epoch batches).
+  //
+  // Scale shape: per epoch, one partitioned write + one metadata-only
+  // commit; the final report is a map-side-combined aggregate over the
+  // committed relation (one scan root per epoch batch; compaction
+  // folds long-running streams).
+  val st25: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-feedsink-" + ProcessHandle.current.pid + "-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val inDir = s"$root/in"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+
+    def arrive(name: String, parity: Int): Unit = {
+      graft.sources.Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === parity)
+        .select(to_json(struct(col("o_orderkey"), col("o_orderstatus")))
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$root/w$parity")
+      val src = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$root/w$parity/part-*")).head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(inDir))
+      fs.rename(src, new org.apache.hadoop.fs.Path(s"$inDir/$name"))
+    }
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType)))
+
+    arrive("w0.json", 0)
+    val q = s.readStream.schema(schema).json(inDir)
+      .writeStream
+      .format(classOf[graft.streaming.CommitLogStreamProvider].getName)
+      .option("warehouseDir", wh).option("historyDir", hist)
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      arrive("w1.json", 1)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val nBatches = WarehouseLoad.committedBatches(s, hist).size
+    val head = WarehouseLoad.currentVersion(s, hist)
+    WarehouseLoad.readWarehouse(s, wh, hist).get
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_key"))
+      .withColumn("n_batches", lit(nBatches.toLong))
+      .withColumn("head_version", lit(head))
+      .orderBy("o_orderstatus")
+  }
+
+  val st25Sql: String = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(2 AS BIGINT) AS n_batches,
+           CAST(2 AS BIGINT) AS head_version
+    FROM orders GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -1513,7 +1590,8 @@ object Streamed {
     "st21_stream_sliding_distinct" -> st21,
     "st22_stream_asof" -> st22,
     "st23_stream_heavy_hitters" -> st23,
-    "st24_stream_commitlog" -> st24)
+    "st24_stream_commitlog" -> st24,
+    "st25_stream_sink" -> st25)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -1548,5 +1626,6 @@ object Streamed {
     // exact regime: per-type user cardinality ≤ capacity at every test
     // SF, so the sketch's top-3 equals the exact GROUP BY top-3
     "st23_stream_heavy_hitters" -> st23Sql,
-    "st24_stream_commitlog" -> st24Sql)
+    "st24_stream_commitlog" -> st24Sql,
+    "st25_stream_sink" -> st25Sql)
 }

@@ -3,11 +3,12 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftshim.GraftSqlShims
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.load.WarehouseLoad
@@ -47,7 +48,7 @@ import graft.load.WarehouseLoad
   * }}}
   */
 class CommitLogStreamProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-commitlog"
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
@@ -62,6 +63,14 @@ class CommitLogStreamProvider extends StreamSourceProvider
     new CommitLogSource(ctx.sparkSession,
       CommitLogSource.resolveSchema(ctx.sparkSession, schema, params),
       params)
+
+  override def createSink(ctx: SQLContext, params: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      "graft-commitlog sink is append-only (each micro-batch commits " +
+      s"as one immutable warehouse batch); got $outputMode")
+    new CommitLogSink(ctx.sparkSession, params, partitionColumns)
+  }
 }
 
 object CommitLogSource {
@@ -182,4 +191,69 @@ class CommitLogSource(spark: SparkSession, declared: StructType,
     })
 
   override def stop(): Unit = ()
+}
+
+/** The write side: exactly-once streaming ingestion INTO the versioned
+  * commit log. Each micro-batch commits as ONE immutable warehouse
+  * batch under the EPOCH-DETERMINISTIC id `<sinkId>-<batchId>`, so a
+  * replayed epoch (crash after the data write, before — or after — the
+  * manifest repoint) either overwrites its own orphan dirs and commits
+  * once, or is recognized as already committed and skipped: the same
+  * idempotence contract the file loads get from content-derived batch
+  * ids, keyed here by the checkpoint's epoch counter. Everything the
+  * commit log offers downstream — time travel, the change feed, the
+  * st24 streaming source, zone maps (recorded by this write's own
+  * CollectMetrics observation), vacuum/compaction — applies to
+  * streamed-in batches identically.
+  *
+  * `sinkId` namespaces epochs when several streams feed one table
+  * (each stream's checkpoint numbers epochs independently). The
+  * single-writer contract of the commit protocol still applies ACROSS
+  * writers: one committer at a time (Spark runs `addBatch` serially
+  * within a query).
+  */
+class CommitLogSink(spark: SparkSession, params: Map[String, String],
+                    partitionCols: Seq[String]) extends Sink {
+  import CommitLogSource.opt
+
+  private val warehouseDir = params.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("warehouseDir") => v
+  }.getOrElse(throw new IllegalArgumentException(
+    "graft-commitlog sink requires option 'warehouseDir'"))
+  private val historyDir = opt(params, "historyDir").getOrElse(
+    throw new IllegalArgumentException(
+      "graft-commitlog sink requires option 'historyDir'"))
+  private val sinkId = opt(params, "sinkId").getOrElse("stream")
+  require(!sinkId.contains("\n") && sinkId.nonEmpty,
+    s"invalid sinkId '$sinkId'")
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val id = s"$sinkId-$batchId"
+    if (WarehouseLoad.committedBatches(spark, historyDir).contains(id))
+      return // epoch replay after a post-commit crash: already visible
+    // re-root the plan so the batch can be written like any batch
+    // DataFrame: V1 sinks receive the FULL incremental plan — the
+    // WriteToMicroBatchDataSourceV1 wrapper at the root (which only
+    // IncrementalExecution knows how to strip) over the
+    // batch-substituted source relations. Strip the wrapper, then drop
+    // the streaming flag from the leaves (batch-only machinery — the
+    // zone-map Observation — rejects streaming-flagged plans). Two
+    // sequential transforms: transformDown skips re-visiting a node it
+    // just substituted, so the wrapper's child needs its own pass.
+    val stripped = data.queryExecution.analyzed.transform {
+      case w: org.apache.spark.sql.execution.streaming.sources
+          .WriteToMicroBatchDataSourceV1 => w.child
+    }
+    val df = GraftSqlShims.ofRows(spark, stripped.transform {
+      case lr: LogicalRelation if lr.isStreaming =>
+        lr.copy(isStreaming = false)
+      case lr: LocalRelation if lr.isStreaming =>
+        lr.copy(isStreaming = false)
+    })
+    WarehouseLoad.commitStreamedBatch(spark, df, warehouseDir, historyDir,
+      id, partitionCols)
+  }
+
+  override def toString: String =
+    s"CommitLogSink[$warehouseDir, sinkId=$sinkId]"
 }

@@ -178,6 +178,50 @@ class CommitLogStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("commit-log SINK commits one idempotent batch per epoch, zone-mapped") {
+    val in = tmpDir("graft-sinkin-")
+    val wh = tmpDir("graft-sinkwh-") + "/t"
+    val hist = tmpDir("graft-sinkhist-") + "/h"
+    val ckpt = tmpDir("graft-sinkckpt-") + "/cp"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("tag", StringType)))
+    Files.writeString(Paths.get(in, "f1.json"), """{"id": 1, "tag": "a"}""" + "\n")
+    val q = spark.readStream.schema(schema).json(in)
+      .writeStream.format(provider)
+      .option("warehouseDir", wh).option("historyDir", hist)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(Paths.get(in, "f2.json"),
+        """{"id": 50, "tag": "b"}""" + "\n")
+      q.processAllAvailable()
+    } finally q.stop()
+    def ids() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids() == Seq(1L, 50L))
+    assert(WarehouseLoad.committedBatches(spark, hist) ==
+      Seq("stream-0", "stream-1"), "one epoch-deterministic id per batch")
+    assert(WarehouseLoad.currentVersion(spark, hist) == 2)
+    // the sink's write job recorded zone maps: a range probe skips the
+    // non-overlapping epoch batch
+    assert(WarehouseLoad.prunedBatchIds(spark, hist, "id", 40, 60) ==
+      Seq("stream-1"))
+    // a replayed epoch (the crash-recovery path) is a pure no-op
+    import spark.implicits._
+    val sink = new graft.streaming.CommitLogSink(spark,
+      Map("warehouseDir" -> wh, "historyDir" -> hist), Nil)
+    sink.addBatch(1, Seq((99L, "dup")).toDF("id", "tag"))
+    assert(WarehouseLoad.currentVersion(spark, hist) == 2,
+      "epoch replay must not commit a second time")
+    assert(ids() == Seq(1L, 50L))
+    // streamed-in batches are ordinary commits downstream: the change
+    // feed reads them, batch-tagged
+    val feed = WarehouseLoad.changes(spark, wh, hist, 0, 2).get
+    assert(feed.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 50L))
+  }
+
   test("schema inference requires a first commit; version pruning demands resync") {
     val staging = tmpDir("graft-clstage-")
     val wh = tmpDir("graft-clwh-") + "/t"
