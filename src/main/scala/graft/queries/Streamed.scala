@@ -464,8 +464,25 @@ object Streamed {
       import java.nio.file.{Files, Paths}
       val dir = Files.createTempDirectory(s"graft-stream-${file.take(3)}-")
       dir.toFile.deleteOnExit()
-      Files.createSymbolicLink(dir.resolve(s"$file.parquet"),
-        Paths.get(s"$d/$file.parquet"))
+      val src = Paths.get(s"$d/$file.parquet")
+      if (Files.isDirectory(src)) {
+        // multi-file corpus fixture (a DIRECTORY of part files, the
+        // sf1 layout since round 12): the streaming file source does
+        // NOT recurse into a symlinked subdirectory — it would list
+        // zero files and silently stream nothing — so flatten to one
+        // symlink per part file
+        val parts = Files.list(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          parts.iterator().asScala.foreach { p =>
+            val n = p.getFileName.toString
+            if (n.endsWith(".parquet") && !n.startsWith("_") &&
+                !n.startsWith("."))
+              Files.createSymbolicLink(dir.resolve(s"$file-$n"), p)
+          }
+        } finally parts.close()
+      } else
+        Files.createSymbolicLink(dir.resolve(s"$file.parquet"), src)
       dir.toString
     })
 
@@ -1432,17 +1449,11 @@ object Streamed {
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
 
-    def stage(name: String, wave: Int): Unit = {
-      graft.sources.Tables.orders(s, d)
-        .filter(col("o_orderkey") % 3 === wave)
-        .select(to_json(struct(col("o_orderkey"), col("o_orderstatus")))
-          .as("value"))
-        .coalesce(1).write.mode("overwrite").text(s"$root/w$wave")
-      val src = fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$root/w$wave/part-*")).head.getPath
-      fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
-      fs.rename(src, new org.apache.hadoop.fs.Path(s"$staging/$name"))
-    }
+    def stage(name: String, wave: Int): Unit =
+      Fixtures.stageJsonWave(s, root, staging, name,
+        graft.sources.Tables.orders(s, d)
+          .filter(col("o_orderkey") % 3 === wave)
+          .select(col("o_orderkey"), col("o_orderstatus")))
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_orderstatus", StringType)))
@@ -1519,17 +1530,11 @@ object Streamed {
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
 
-    def arrive(name: String, parity: Int): Unit = {
-      graft.sources.Tables.orders(s, d)
-        .filter(col("o_orderkey") % 2 === parity)
-        .select(to_json(struct(col("o_orderkey"), col("o_orderstatus")))
-          .as("value"))
-        .coalesce(1).write.mode("overwrite").text(s"$root/w$parity")
-      val src = fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$root/w$parity/part-*")).head.getPath
-      fs.mkdirs(new org.apache.hadoop.fs.Path(inDir))
-      fs.rename(src, new org.apache.hadoop.fs.Path(s"$inDir/$name"))
-    }
+    def arrive(name: String, parity: Int): Unit =
+      Fixtures.stageJsonWave(s, root, inDir, name,
+        graft.sources.Tables.orders(s, d)
+          .filter(col("o_orderkey") % 2 === parity)
+          .select(col("o_orderkey"), col("o_orderstatus")))
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_orderstatus", StringType)))
