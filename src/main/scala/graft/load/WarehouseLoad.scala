@@ -467,12 +467,30 @@ object WarehouseLoad {
         }
         val seen = obs.get("seen").asInstanceOf[Seq[Long]].toSet
         val missing = expect -- seen
-        if (missing.nonEmpty)
-          throw new CoverageException(
-            s"batch aborted (nothing committed): ${missing.size} staged " +
-            "file(s) recorded as fresh contributed no rows — listing vs " +
-            "_metadata.file_path spelling divergence; fix the path " +
-            "normalization and re-run")
+        if (missing.nonEmpty) {
+          // Refine before aborting: a len>0 file whose content is all
+          // blank lines legitimately contributes no rows (the JSON
+          // reader SKIPS blank lines — they are not even corrupt
+          // records), and without this check one such file would abort
+          // every retry of the batch forever. One narrow text scan,
+          // on the abort path only, semi-joined to the missing hashes.
+          import spark.implicits._
+          import org.apache.spark.sql.functions.trim
+          val missingDf = missing.toSeq.toDF("h")
+          val nonBlank = spark.read.text(stagingDir)
+            .withColumn("h",
+              xxhash64(normCol(col("_metadata.file_path"))))
+            .join(org.apache.spark.sql.functions.broadcast(missingDf),
+              Seq("h"), "left_semi")
+            .filter(trim(col("value")) =!= "")
+            .limit(1).count()
+          if (nonBlank > 0)
+            throw new CoverageException(
+              s"batch aborted (nothing committed): ${missing.size} staged " +
+              "file(s) recorded as fresh contributed no rows — listing vs " +
+              "_metadata.file_path spelling divergence; fix the path " +
+              "normalization and re-run")
+        }
         failpoint("data-written")
         freshFiles.select("file").write.mode("overwrite")
           .parquet(s"$historyDir/b$id")
@@ -540,10 +558,19 @@ object WarehouseLoad {
       zcols: Seq[StructField]): Unit =
     zobs.foreach { o =>
       val entries = zcols.flatMap { f =>
+        // Timestamp values truncate to whole milliseconds in the
+        // double encoding (getTime floors sub-ms precision), which a
+        // one-ulp widening cannot cover — pad temporal intervals a
+        // full millisecond outward so the recorded range can never
+        // understate the true one (the superset contract).
+        val pad = f.dataType match {
+          case TimestampType => 1.0
+          case _ => 0.0
+        }
         for {
           lo <- zoneVal(o.get(s"zmin__${f.name}"))
           hi <- zoneVal(o.get(s"zmax__${f.name}"))
-        } yield (f.name, lo, hi)
+        } yield (f.name, lo - pad, hi + pad)
       }
       if (entries.nonEmpty)
         AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
@@ -820,8 +847,13 @@ object WarehouseLoad {
     val stagedDf = staged.toDF("file", "len")
     val fresh = loadedFiles(spark, historyDir) match {
       case Some(hist) =>
-        stagedDf.join(hist.select(normCol(col("file")).as("file")),
-          Seq("file"), "left_anti")
+        // History stores the ALREADY-normalized spelling (freshFiles
+        // is written from this very listing) — do NOT re-normalize it:
+        // percent-decoding is not idempotent, so a second decode of a
+        // name whose decoded form still contains %HH would diverge
+        // from the staged side and silently reload the file (duplicate
+        // rows) on every run.
+        stagedDf.join(hist.select(col("file")), Seq("file"), "left_anti")
       case None => stagedDf
     }
     // Materialize the fresh set once (it is listing-sized, not

@@ -222,16 +222,10 @@ object Load {
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
 
-    def stage(name: String, parity: Int): Unit = {
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === parity)
-        .select(to_json(struct(col("o_orderkey"), col("o_custkey")))
-          .as("value"))
-        .coalesce(1).write.mode("overwrite").text(s"$root/w$parity")
-      val src = fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$root/w$parity/part-*")).head.getPath
-      fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
-      fs.rename(src, new org.apache.hadoop.fs.Path(s"$staging/$name"))
-    }
+    def stage(name: String, parity: Int): Unit =
+      Fixtures.stageJsonWave(s, root, staging, name,
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === parity)
+          .select(col("o_orderkey"), col("o_custkey")))
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
@@ -301,16 +295,10 @@ object Load {
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
 
-    def stage(name: String, parity: Int): Unit = {
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === parity)
-        .select(to_json(struct(col("o_orderkey"), col("o_custkey")))
-          .as("value"))
-        .coalesce(1).write.mode("overwrite").text(s"$root/w$parity")
-      val src = fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$root/w$parity/part-*")).head.getPath
-      fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
-      fs.rename(src, new org.apache.hadoop.fs.Path(s"$staging/$name"))
-    }
+    def stage(name: String, parity: Int): Unit =
+      Fixtures.stageJsonWave(s, root, staging, name,
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === parity)
+          .select(col("o_orderkey"), col("o_custkey")))
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
@@ -383,16 +371,10 @@ object Load {
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
 
-    def stage(name: String, wave: Int): Unit = {
-      Tables.orders(s, d).filter(col("o_orderkey") % 3 === wave)
-        .select(to_json(struct(col("o_orderkey"), col("o_orderstatus")))
-          .as("value"))
-        .coalesce(1).write.mode("overwrite").text(s"$root/w$wave")
-      val src = fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$root/w$wave/part-*")).head.getPath
-      fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
-      fs.rename(src, new org.apache.hadoop.fs.Path(s"$staging/$name"))
-    }
+    def stage(name: String, wave: Int): Unit =
+      Fixtures.stageJsonWave(s, root, staging, name,
+        Tables.orders(s, d).filter(col("o_orderkey") % 3 === wave)
+          .select(col("o_orderkey"), col("o_orderstatus")))
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_orderstatus", StringType)))
@@ -497,18 +479,13 @@ object Load {
     val mx = Tables.orders(s, d).agg(max("o_orderkey")).head().getLong(0)
     val q = (mx + 3) / 4 // quartile width (ceil), keys start at 1
     (0 to 3).foreach { k =>
-      Tables.orders(s, d)
-        // wave 0 is open-bottomed: the testdata carries an
-        // o_orderkey=0 edge row that a (0, q] band would drop
-        .filter((if (k == 0) lit(true) else col("o_orderkey") > k * q) &&
-          col("o_orderkey") <= (k + 1) * q)
-        .select(to_json(struct(col("o_orderkey"), col("o_custkey")))
-          .as("value"))
-        .coalesce(1).write.mode("overwrite").text(s"$root/w$k")
-      val src = fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$root/w$k/part-*")).head.getPath
-      fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
-      fs.rename(src, new org.apache.hadoop.fs.Path(s"$staging/w$k.json"))
+      // wave 0 is open-bottomed: the testdata carries an
+      // o_orderkey=0 edge row that a (0, q] band would drop
+      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+        Tables.orders(s, d)
+          .filter((if (k == 0) lit(true) else col("o_orderkey") > k * q) &&
+            col("o_orderkey") <= (k + 1) * q)
+          .select(col("o_orderkey"), col("o_custkey")))
       WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     }
 

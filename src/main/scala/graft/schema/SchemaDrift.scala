@@ -67,8 +67,19 @@ object SchemaDrift {
       if (matched.isEmpty) Map.empty
       else {
         val aggs = matched.map { case (t, o) =>
-          count_if(col(o.name).isNotNull &&
-            col(o.name).try_cast(t.dataType).isNull).as(t.name)
+          // A structurally uncastable pair (observed struct/array vs a
+          // scalar DDL type — upstream turned a number into an object)
+          // makes try_cast UNRESOLVABLE: building it would crash the
+          // report with an AnalysisException on exactly the drift it
+          // exists to diagnose. Every non-null value of such a column
+          // fails coercion by definition.
+          val failing =
+            if (org.apache.spark.sql.catalyst.expressions.Cast
+                .canAnsiCast(o.dataType, t.dataType))
+              col(o.name).isNotNull &&
+                col(o.name).try_cast(t.dataType).isNull
+            else col(o.name).isNotNull
+          count_if(failing).as(t.name)
         }
         val row = observed.agg(aggs.head, aggs.tail: _*).head()
         matched.map { case (t, _) =>

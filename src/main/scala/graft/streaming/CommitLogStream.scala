@@ -223,7 +223,21 @@ class CommitLogSink(spark: SparkSession, params: Map[String, String],
   private val historyDir = opt(params, "historyDir").getOrElse(
     throw new IllegalArgumentException(
       "graft-commitlog sink requires option 'historyDir'"))
-  private val sinkId = opt(params, "sinkId").getOrElse("stream")
+  /** Epoch namespace. The DEFAULT derives from the checkpoint
+    * location: epoch counters are only meaningful within one
+    * checkpoint lineage, so a fixed default ("stream") would let a
+    * NEW query (fresh/deleted checkpoint, epochs renumbering from 0)
+    * collide with a previous lineage's committed `stream-0` and
+    * silently drop its first batches as "replays". Hashing the
+    * checkpoint path keeps true replays (same checkpoint) dedupable
+    * while distinct lineages get disjoint ids. Set `sinkId` explicitly
+    * to pin the namespace across checkpoint moves. */
+  private val sinkId = opt(params, "sinkId").getOrElse {
+    opt(params, "checkpointLocation")
+      .map(cp => "stream-" + java.util.UUID.nameUUIDFromBytes(
+        cp.getBytes("UTF-8")).toString.take(8))
+      .getOrElse("stream")
+  }
   require(!sinkId.contains("\n") && sinkId.nonEmpty,
     s"invalid sinkId '$sinkId'")
 
@@ -244,12 +258,20 @@ class CommitLogSink(spark: SparkSession, params: Map[String, String],
       case w: org.apache.spark.sql.execution.streaming.sources
           .WriteToMicroBatchDataSourceV1 => w.child
     }
-    val df = GraftSqlShims.ofRows(spark, stripped.transform {
+    val replanned = GraftSqlShims.ofRows(spark, stripped.transform {
       case lr: LogicalRelation if lr.isStreaming =>
         lr.copy(isStreaming = false)
       case lr: LocalRelation if lr.isStreaming =>
         lr.copy(isStreaming = false)
     })
+    // A leaf the flag-strip doesn't cover (a DSv2 streaming relation —
+    // rate, Kafka) would make `.write` throw on the still-streaming
+    // plan; fall back to the executed micro-batch's row RDD, which is
+    // always a plain batch relation (zone maps work there too).
+    val df =
+      if (!replanned.isStreaming) replanned
+      else GraftSqlShims.ofInternalRows(spark,
+        data.queryExecution.toRdd, data.schema)
     WarehouseLoad.commitStreamedBatch(spark, df, warehouseDir, historyDir,
       id, partitionCols)
   }

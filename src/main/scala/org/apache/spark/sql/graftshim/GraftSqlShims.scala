@@ -13,4 +13,15 @@ import org.apache.spark.sql.classic.{DataFrame => CDataFrame, Dataset, SparkSess
 object GraftSqlShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** Wrap an already-produced `InternalRow` RDD as a batch DataFrame
+    * (`internalCreateDataFrame` has no public equivalent). Used by the
+    * commit-log streaming sink's fallback path: the executed
+    * micro-batch's row RDD is always a plain batch relation even when
+    * the logical plan's leaves cannot be flag-stripped. */
+  def ofInternalRows(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[CSparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

@@ -189,6 +189,7 @@ class CommitLogStreamSpec extends SparkSpec {
     val q = spark.readStream.schema(schema).json(in)
       .writeStream.format(provider)
       .option("warehouseDir", wh).option("historyDir", hist)
+      .option("sinkId", "s1")
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
     try {
@@ -201,16 +202,28 @@ class CommitLogStreamSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids() == Seq(1L, 50L))
     assert(WarehouseLoad.committedBatches(spark, hist) ==
-      Seq("stream-0", "stream-1"), "one epoch-deterministic id per batch")
+      Seq("s1-0", "s1-1"), "one epoch-deterministic id per batch")
     assert(WarehouseLoad.currentVersion(spark, hist) == 2)
     // the sink's write job recorded zone maps: a range probe skips the
     // non-overlapping epoch batch
     assert(WarehouseLoad.prunedBatchIds(spark, hist, "id", 40, 60) ==
-      Seq("stream-1"))
+      Seq("s1-1"))
+    // the DEFAULT sinkId is lineage-scoped (derived from the
+    // checkpoint path): a new query with a fresh checkpoint must not
+    // collide with another lineage's epoch 0 and silently drop data
+    val defA = new graft.streaming.CommitLogSink(spark,
+      Map("warehouseDir" -> wh, "historyDir" -> hist,
+        "checkpointLocation" -> "/tmp/cpA"), Nil)
+    val defB = new graft.streaming.CommitLogSink(spark,
+      Map("warehouseDir" -> wh, "historyDir" -> hist,
+        "checkpointLocation" -> "/tmp/cpB"), Nil)
+    assert(defA.toString != defB.toString,
+      "distinct checkpoint lineages must get disjoint epoch namespaces")
     // a replayed epoch (the crash-recovery path) is a pure no-op
     import spark.implicits._
     val sink = new graft.streaming.CommitLogSink(spark,
-      Map("warehouseDir" -> wh, "historyDir" -> hist), Nil)
+      Map("warehouseDir" -> wh, "historyDir" -> hist,
+        "sinkId" -> "s1"), Nil)
     sink.addBatch(1, Seq((99L, "dup")).toDF("id", "tag"))
     assert(WarehouseLoad.currentVersion(spark, hist) == 2,
       "epoch replay must not commit a second time")

@@ -322,6 +322,42 @@ class PipelineSpec extends SparkSpec {
     assertPruned()
   }
 
+  test("a file whose decoded name still percent-encodes loads exactly once") {
+    // History stores the once-normalized spelling; re-normalizing it
+    // (percent-decode is NOT idempotent) made 'report%20v2.json'
+    // diverge from the staged side and reload on every run.
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-pctstage-")
+    val wh = tmpDir("graft-pctwh-") + "/t"
+    val hist = tmpDir("graft-pcthist-") + "/h"
+    Files.writeString(Paths.get(staging, "report%20v2.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    def n() = WarehouseLoad.readWarehouse(spark, wh, hist).get.count()
+    assert(n() == 1)
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    assert(n() == 1, "percent-named file must not reload on re-run")
+  }
+
+  test("a staged file of only blank lines does not poison the coverage guard") {
+    // len > 0 but the JSON reader SKIPS blank lines (zero rows, not
+    // corrupt records): the coverage guard must exempt it instead of
+    // aborting every retry of the batch forever.
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-blankstage-")
+    val wh = tmpDir("graft-blankwh-") + "/t"
+    val hist = tmpDir("graft-blankhist-") + "/h"
+    Files.writeString(Paths.get(staging, "f1.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+    Files.writeString(Paths.get(staging, "blank.json"), "\n\n  \n")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    def n() = WarehouseLoad.readWarehouse(spark, wh, hist).get.count()
+    assert(n() == 1, "the real file's row must load")
+    // the blank file is recorded as loaded: the re-run is a no-op
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    assert(n() == 1)
+  }
+
   test("zone maps skip non-overlapping batches and survive rewrites conservatively") {
     // Per-batch min/max stats recorded by the load's own write job
     // (CollectMetrics — zero extra scans) let a range predicate skip
