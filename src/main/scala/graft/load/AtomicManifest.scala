@@ -38,14 +38,72 @@ object AtomicManifest {
     while (true) {
       try return once()
       catch {
+        case _: java.io.FileNotFoundException if attempt >= ReadRetries =>
+          // The file existed at the exists() probe, then vanished and
+          // STAYED gone: a reader racing vacuum's version pruning (the
+          // commit-log source polls from its own thread, outside the
+          // single-writer contract). Report "absent" so callers hit
+          // their explicit pruned-by-vacuum error paths instead of an
+          // opaque FNF after 2.5s of retries (ADVICE r12). A transient
+          // FNF (rename window) resolves within the retry budget.
+          return None
         case e @ (_: org.apache.hadoop.fs.ChecksumException |
                   _: java.io.FileNotFoundException) =>
           attempt += 1
-          if (attempt > ReadRetries) throw e
+          if (attempt > ReadRetries) throw e // checksum: corrupt, not pruned
           Thread.sleep(10L << math.min(attempt, 5))
       }
     }
     None // unreachable
+  }
+
+  /** Publish `content` as `dir/name` atomically IF AND ONLY IF the
+    * name does not exist yet — the compare-and-swap primitive behind
+    * the commit protocol's optimistic concurrency
+    * ([[WarehouseLoad]]'s version files): the first writer's publish
+    * wins, every loser gets `false` and must re-read the head and
+    * retry. Content is staged to a unique temp first, so a reader can
+    * never observe a partial manifest.
+    *
+    * Local fs: hard-link(2) — the one POSIX primitive that is both
+    * create-EXCLUSIVE (link fails with EEXIST, no check-then-act
+    * window) and publishes the full content atomically (the link
+    * target is already complete). `FileContext.rename(…, Rename.NONE)`
+    * is NOT that on the local fs: its exists-check + rename(2) (which
+    * silently replaces) leaves a lost-update window. On HDFS/object
+    * stores the rename path IS atomic server-side, so it is the
+    * non-local branch. */
+  def createExclusive(spark: SparkSession, dir: String, name: String,
+                      content: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, name)
+    try {
+      if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try {
+          org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+            .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+      }
+    } finally fs.delete(tmp, false) // no-op when the rename moved it
   }
 
   def write(spark: SparkSession, dir: String, name: String,

@@ -24,7 +24,67 @@ object Fixtures {
       new org.apache.hadoop.fs.Path(s"$scratch/part-*"))
     require(parts.nonEmpty, s"wave '$name' wrote no part file")
     fs.mkdirs(new org.apache.hadoop.fs.Path(stagingDir))
-    fs.rename(parts.head.getPath,
-      new org.apache.hadoop.fs.Path(s"$stagingDir/$name"))
+    // FileSystem.rename fails SILENTLY (returns false) on an existing
+    // destination or a cross-filesystem move — an unguarded call can
+    // drop a wave and fail the downstream oracle with no hint why.
+    require(fs.rename(parts.head.getPath,
+        new org.apache.hadoop.fs.Path(s"$stagingDir/$name")),
+      s"staging rename for wave '$name' failed (destination exists?)")
+  }
+
+  // Scratch roots registered for end-of-JVM cleanup. Plain java.nio in
+  // the hook (never Spark/Hadoop — their own shutdown hooks may already
+  // have run): these roots are always under the local tmpdir.
+  private val cleanupRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val installHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cleanupRoots.forEach { r =>
+        try deleteTree(java.nio.file.Paths.get(r))
+        catch { case _: Throwable => () }
+      }))
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+  }
+
+  /** A per-(kind, sf-dir) fixture root under the local tmpdir:
+    * `graft-<kind>-<pid>-<tag>`. PID-suffixed so two harness JVMs
+    * (bench + verify) working the same sf dir get disjoint roots
+    * instead of racing on the delete/stage/load cycle (ADVICE r11) —
+    * and, closing the leak that left behind (ADVICE r12): the root is
+    * deleted now (queries are re-runnable), deleted again at JVM exit
+    * (shutdown hook), and same-kind siblings whose PIDs are no longer
+    * alive are swept, so orphans from a killed harness JVM never
+    * accumulate across runs. */
+  def scratchRoot(s: SparkSession, kind: String, d: String): String = {
+    installHook
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val pid = ProcessHandle.current.pid
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val root = tmp.resolve(s"graft-$kind-$pid-$tag").toString
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    // sweep dead-PID siblings of the same kind (any tag)
+    val pat = s"^graft-${java.util.regex.Pattern.quote(kind)}-(\\d+)-.*$$".r
+    val sibs = fs.globStatus(new org.apache.hadoop.fs.Path(
+      tmp.resolve(s"graft-$kind-*").toString))
+    if (sibs != null) sibs.foreach { st =>
+      st.getPath.getName match {
+        case pat(p) if p.toLong != pid &&
+            !ProcessHandle.of(p.toLong).map[Boolean](_.isAlive).orElse(false) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    cleanupRoots.add(root)
+    root
   }
 }

@@ -35,17 +35,11 @@ object Load {
   // The summary groupBys are bucket-keyed (4 groups) with map-side
   // partials.
   val q79: Q = (s, d) => {
-    // PID-suffixed so two harness JVMs (bench + verify) working the
-    // same sf dir on one box get disjoint fixture roots instead of
-    // racing on the delete/stage/load cycle (ADVICE r11).
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-quarload-" + ProcessHandle.current.pid + "-" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val root = Fixtures.scratchRoot(s, "quarload", d)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     // Re-runnable (bench runs each query three times): the query
     // demonstrates the full stage→quarantine→load lifecycle each run.
-    fs.delete(rootPath, true)
     val staging = s"$root/stage"
     val wh = s"$root/warehouse"
     val quar = s"$root/errors"
@@ -142,12 +136,9 @@ object Load {
   // schema-inference pass (sampled at scale) + ONE map-side-combined
   // aggregate row — never data-sized.
   val q80: Q = (s, d) => {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-driftload-" + ProcessHandle.current.pid + "-" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(rootPath, true)
+    val root = Fixtures.scratchRoot(s, "driftload", d)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = s"$root/stage"
 
     Tables.orders(s, d).select(to_json(struct(
@@ -212,12 +203,9 @@ object Load {
   // — never the table.
   val q81: Q = (s, d) => {
     import graft.load.WarehouseLoad
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-timetravel-" + ProcessHandle.current.pid + "-" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(rootPath, true)
+    val root = Fixtures.scratchRoot(s, "timetravel", d)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = s"$root/stage"
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
@@ -285,12 +273,9 @@ object Load {
   // every aggregate is a map-side-combined single row.
   val q82: Q = (s, d) => {
     import graft.load.WarehouseLoad
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-takedown-" + ProcessHandle.current.pid + "-" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(rootPath, true)
+    val root = Fixtures.scratchRoot(s, "takedown", d)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = s"$root/stage"
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
@@ -361,12 +346,9 @@ object Load {
   // AND-reduced boolean (group-count-bounded join, 3 rows here).
   val q83: Q = (s, d) => {
     import graft.load.WarehouseLoad
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-feedivm-" + ProcessHandle.current.pid + "-" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(rootPath, true)
+    val root = Fixtures.scratchRoot(s, "feedivm", d)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = s"$root/stage"
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
@@ -451,10 +433,13 @@ object Load {
   // parquet row-group stats inside surviving roots. Fixture: `orders`
   // staged in four o_orderkey VALUE-QUARTILE waves (disjoint key
   // ranges → disjoint zone intervals), one commit each; the query
-  // answers a first-quartile range aggregate via
-  // `readWarehouseBetween` and reports the pruning contract: exactly
-  // 1 of 4 batches scanned, result equal to the full-table closed
-  // form (the oracle).
+  // answers a first-quartile range aggregate with a PLAIN `.filter`
+  // over `readWarehouse` — the `graft.plans.ZonePrune` optimizer rule
+  // extracts the range predicate and drops the non-overlapping roots
+  // at plan time (no manual readWarehouseBetween call, VERDICT r12 #3)
+  // — and reports the pruning contract: exactly 1 of 4 batch roots in
+  // the optimized plan, result equal to the full-table closed form
+  // (the oracle).
   //
   // Scale shape: pruning is ONE manifest read per committed load
   // (metadata, bounded by load count, no file listing); the surviving
@@ -463,12 +448,9 @@ object Load {
   // path: the row filter still applies.
   val q84: Q = (s, d) => {
     import graft.load.WarehouseLoad
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-zonemap-" + ProcessHandle.current.pid + "-" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(rootPath, true)
+    val root = Fixtures.scratchRoot(s, "zonemap", d)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = s"$root/stage"
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
@@ -490,17 +472,28 @@ object Load {
     }
 
     val nTotal = WarehouseLoad.committedBatches(s, hist).size
-    val scanned = WarehouseLoad.prunedBatchIds(
-      s, hist, "o_orderkey", 1.0, q.toDouble).size
-    val agg = WarehouseLoad.readWarehouseBetween(
-        s, wh, hist, "o_orderkey", 1.0, q.toDouble).get
-      .filter(col("o_orderkey") <= q) // the superset contract
+    val df = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .filter(col("o_orderkey") <= q)
+    val scanned = scanRoots(df)
+    val agg = df
       .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
 
     import s.implicits._
     Seq((agg.getLong(0), agg.getLong(1), scanned.toLong, nTotal.toLong))
       .toDF("n_rows", "sum_key", "n_batches_scanned", "n_batches_total")
   }
+
+  /** Batch roots surviving in the OPTIMIZED plan — the observable the
+    * zone-prune queries report (what the scan will actually touch). */
+  private def scanRoots(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.size
+          case _ => 0
+        }
+    }.sum
 
   val q84Sql: String = """
     WITH m AS (SELECT (MAX(o_orderkey) + 3) // 4 AS q FROM orders)
@@ -510,13 +503,67 @@ object Load {
            CAST(4 AS BIGINT) AS n_batches_total
     FROM orders, m WHERE o_orderkey <= m.q"""
 
+  // ---------------------------------------------------------------- q85
+  // STRING zone-map pruning (VERDICT r12 #4): the commonest
+  // LLM-pipeline predicates are `source = 'web'` / `lang = 'en'` —
+  // equality probes on low-cardinality string columns — so per-batch
+  // string min/max (UTF-8 binary order, Spark's own string-min/max
+  // ordering) must prune them like numerics. Fixture: `orders` staged
+  // in three waves split by o_orderpriority band ('1-URGENT'/'2-HIGH',
+  // '3-MEDIUM', '4-NOT SPECIFIED'/'5-LOW' — disjoint string intervals
+  // per batch); the query is a PLAIN equality filter over
+  // `readWarehouse` and reports: exactly 1 of 3 batch roots surviving
+  // in the optimized plan, aggregate equal to the closed form.
+  //
+  // Scale shape: identical to q84 — pruning is cached-manifest-read
+  // metadata bounded by load count; the surviving root scans 1/5 of
+  // the rows; one map-side-combined aggregate row.
+  val q85: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = Fixtures.scratchRoot(s, "zonestr", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType)))
+
+    val bands = Seq(Seq("1", "2"), Seq("3"), Seq("4", "5"))
+    bands.zipWithIndex.foreach { case (prefixes, k) =>
+      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+        Tables.orders(s, d)
+          .filter(substring(col("o_orderpriority"), 1, 1).isin(prefixes: _*))
+          .select(col("o_orderkey"), col("o_orderpriority")))
+      WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+    }
+
+    val nTotal = WarehouseLoad.committedBatches(s, hist).size
+    val df = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .filter(col("o_orderpriority") === "3-MEDIUM")
+    val scanned = scanRoots(df)
+    val agg = df
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
+
+    import s.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), scanned.toLong, nTotal.toLong))
+      .toDF("n_rows", "sum_key", "n_batches_scanned", "n_batches_total")
+  }
+
+  val q85Sql: String = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS n_batches_scanned,
+           CAST(3 AS BIGINT) AS n_batches_total
+    FROM orders WHERE o_orderpriority = '3-MEDIUM'"""
+
   val queries: Map[String, Q] = Map(
     "q79_quarantine_load" -> q79,
     "q80_schema_drift" -> q80,
     "q81_time_travel" -> q81,
     "q82_takedown_committed" -> q82,
     "q83_feed_ivm" -> q83,
-    "q84_zone_prune" -> q84)
+    "q84_zone_prune" -> q84,
+    "q85_zone_prune_str" -> q85)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
@@ -524,5 +571,6 @@ object Load {
     "q81_time_travel" -> q81Sql,
     "q82_takedown_committed" -> q82Sql,
     "q83_feed_ivm" -> q83Sql,
-    "q84_zone_prune" -> q84Sql)
+    "q84_zone_prune" -> q84Sql,
+    "q85_zone_prune_str" -> q85Sql)
 }

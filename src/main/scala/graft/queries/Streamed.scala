@@ -1439,12 +1439,9 @@ object Streamed {
   // restart/file-sink leg lives in CommitLogStreamSpec.
   val st24: Q = (s, d) => {
     import graft.load.WarehouseLoad
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-feedstream-" + ProcessHandle.current.pid + "-" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(rootPath, true)
+    val root = Fixtures.scratchRoot(s, "feedstream", d)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = s"$root/stage"
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
@@ -1520,12 +1517,9 @@ object Streamed {
   // folds long-running streams).
   val st25: Q = (s, d) => {
     import graft.load.WarehouseLoad
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-feedsink-" + ProcessHandle.current.pid + "-" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(rootPath, true)
+    val root = Fixtures.scratchRoot(s, "feedsink", d)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val inDir = s"$root/in"
     val wh = s"$root/warehouse"
     val hist = s"$root/history"

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField,
+  StructType}
+
+import graft.load.WarehouseLoad
+
+/** Commit-log scaling harness (VERDICT r12 #5): the lifecycle queries
+  * prove the warehouse layer linear in fixture DATA, but the
+  * protocol's own scaling axis is the NUMBER OF COMMITS — manifest
+  * lines (the head manifest is O(N), so N commits write O(N²) total
+  * manifest bytes), version files, per-batch roots in
+  * `readWarehouse`'s union, `liveBatchIds`' per-batch listing, the
+  * changes window, vacuum's listing sweep. This main builds a table of
+  * N tiny commits through the REAL streamed-epoch commit path and
+  * times the metadata operations at that commit count, so SCALE.md can
+  * carry measured numbers instead of an argued bound.
+  *
+  * Usage: runMain graft.tools.CommitScale [nCommits] [rowsPerCommit]
+  * Prints one `metric=...` line per measurement (paste into SCALE.md).
+  */
+object CommitScale {
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(1000)
+    val rowsPer = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = graft.GraftSession.create("local[8]", 8)
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-commitscale-").toString
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    import spark.implicits._
+
+    val (_, buildS) = time {
+      (1 to n).foreach { i =>
+        val df = (i * 1000L until i * 1000L + rowsPer).toDF("id")
+          .withColumn("commit", lit(i))
+        WarehouseLoad.commitStreamedBatch(spark, df, wh, hist, f"s-$i%05d")
+      }
+    }
+    println(f"build_commits n=$n rowsPer=$rowsPer total=$buildS%.1f s " +
+      f"(${buildS / n * 1000}%.0f ms/commit)")
+
+    val (head, headS) = time(WarehouseLoad.currentVersion(spark, hist))
+    println(f"current_version head=$head wall=$headS%.3f s")
+    val (ids, cbS) = time(WarehouseLoad.committedBatches(spark, hist))
+    println(f"committed_batches n=${ids.size} wall=$cbS%.3f s")
+
+    val (df, planS) = time(WarehouseLoad.readWarehouse(spark, wh, hist).get)
+    val (cnt, cntS) = time(df.count())
+    println(f"read_warehouse plan=$planS%.2f s count=$cnt wall=$cntS%.2f s")
+
+    // zone-pruned plain filter: one commit's id band out of N
+    val (pdf, pplanS) = time {
+      val x = WarehouseLoad.readWarehouse(spark, wh, hist).get
+        .filter(col("id") >= (n / 2) * 1000L &&
+          col("id") < (n / 2) * 1000L + rowsPer)
+      x.queryExecution.optimizedPlan // force optimization (the prune)
+      x
+    }
+    val (pcnt, pcntS) = time(pdf.count())
+    println(f"zone_pruned_filter plan=$pplanS%.2f s count=$pcnt " +
+      f"wall=$pcntS%.2f s")
+
+    val (feedRows, chS) = time(
+      WarehouseLoad.changes(spark, wh, hist, head - 10, head).get.count())
+    println(f"changes_last10 rows=$feedRows wall=$chS%.2f s")
+
+    // one idempotent FILE load against the N-commit history (the
+    // loadedFiles union is the suspect cost here)
+    val staging = s"$root/stage"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(staging))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(staging, "late.json"),
+      "{\"id\": \"999999999\", \"commit\": \"0\"}\n")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("commit", IntegerType)))
+    val (_, loadS) = time(
+      WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist))
+    println(f"load_atomic_at_n wall=$loadS%.2f s")
+
+    val (_, compS) = time(WarehouseLoad.compactCommitted(spark, wh, hist))
+    println(f"compact wall=$compS%.2f s")
+    val (nDel, vacS) = time(WarehouseLoad.vacuum(spark, wh, hist))
+    println(f"vacuum removed=$nDel wall=$vacS%.2f s")
+    val (cnt2, cnt2S) = time(
+      WarehouseLoad.readWarehouse(spark, wh, hist).get.count())
+    println(f"read_after_compact count=$cnt2 wall=$cnt2S%.2f s")
+
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.stop()
+  }
+}

@@ -413,18 +413,37 @@ class PipelineSpec extends SparkSpec {
       .filter(col("id").between(90, 200))
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(101L))
 
-    // compaction merges the input maps (interval union)
+    // string zone maps (UTF-8 binary order): region intervals are
+    // [a,a] / [b,b] / [c,c] per batch — an equality probe prunes to
+    // exactly its batch, a range spans its overlaps
+    def prunedStr(lo: String, hi: String) =
+      WarehouseLoad.prunedBatchIds(spark, hist, "region",
+        WarehouseLoad.StrZone(lo, hi))
+    assert(prunedStr("b", "b").size == 1,
+      "string equality probe must prune to the containing batch")
+    assert(prunedStr("a", "b").size == 2)
+    assert(prunedStr("x", "z").isEmpty)
+    assert(WarehouseLoad.readWarehouseBetween(
+        spark, wh, hist, "region", "b", "b").get
+      .filter(col("region") === "b")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(101L))
+
+    // compaction merges the input maps (interval union — numeric AND
+    // string forms)
     WarehouseLoad.compactCommitted(spark, wh, hist)
     val cid = WarehouseLoad.committedBatches(spark, hist).head
     val merged = WarehouseLoad.zoneMap(spark, hist, cid)
     assert(merged.exists(_.contains("id")),
       s"compacted batch must carry a merged zone map, got $merged")
-    val (lo, hi) = merged.get("id")
+    val WarehouseLoad.NumZone(lo, hi) = merged.get("id")
     assert(lo <= 1.0 && hi >= 1000.0)
+    val WarehouseLoad.StrZone(slo, shi) = merged.get("region")
+    assert(slo == "a" && shi == "c",
+      s"merged string interval must be the union, got [$slo, $shi]")
     assert(pruned(5000, 9000).isEmpty)
-    // a batch WITHOUT a map scans conservatively: an all-string batch
-    // has no stats-eligible column, so the load writes no zone map and
-    // range pruning on any column must include it
+    // a batch WITHOUT an interval for the probed column scans
+    // conservatively: this batch has no 'id' column at all, so range
+    // pruning on 'id' must include it
     Files.writeString(Paths.get(staging, "f4.json"),
       """{"region": "z"}""" + "\n")
     WarehouseLoad.batchIdempotent(spark, staging,
@@ -432,7 +451,9 @@ class PipelineSpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("region",
           org.apache.spark.sql.types.StringType))), wh, hist)
     assert(pruned(5000, 9000).size == 1,
-      "a mapless batch must be scanned, not skipped")
+      "a batch with no interval for the column must be scanned, not skipped")
+    // …while its string interval still prunes on the column it HAS
+    assert(prunedStr("z", "z").size == 1)
   }
 
   test("schema-evolved batches read, feed, and takedown as one relation") {
@@ -534,18 +555,22 @@ class PipelineSpec extends SparkSpec {
 
     Files.writeString(Paths.get(staging, "f1.json"),
       """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
-    // torn commit: crash AFTER the version manifest, BEFORE the repoint
-    // — readers still see version 0; the retry overwrites the orphan
-    // version file and commits the SAME version number.
+    // torn commit: crash AFTER the exclusive version publish (the CAS
+    // commit point), BEFORE the _COMMITTED hint write — the commit is
+    // ALREADY DURABLE (readers probe past the lagging hint), and the
+    // retry finds nothing fresh and no-ops: exactly-once either way.
     intercept[Boom] {
       WarehouseLoad.loadAtomic(spark, staging, Schemas.customers, wh, hist,
         failpoint = at => if (at == "version-written") throw new Boom)
     }
-    assert(WarehouseLoad.currentVersion(spark, hist) == 0)
-    assert(WarehouseLoad.versionBatches(spark, hist, 1).isEmpty,
-      "orphan version file above the head must be unreadable")
+    assert(WarehouseLoad.currentVersion(spark, hist) == 1,
+      "a published version file IS committed (hint lag must not hide it)")
+    assert(WarehouseLoad.versionBatches(spark, hist, 1).nonEmpty)
+    assert(ids(WarehouseLoad.readWarehouse(spark, wh, hist).get) == Seq(1L))
     WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
-    assert(WarehouseLoad.currentVersion(spark, hist) == 1)
+    assert(WarehouseLoad.currentVersion(spark, hist) == 1,
+      "retry after a post-publish crash must no-op, not double-commit")
+    assert(ids(WarehouseLoad.readWarehouse(spark, wh, hist).get) == Seq(1L))
 
     Files.writeString(Paths.get(staging, "f2.json"),
       """{"CustomerID": "2", "FirstName": "b"}""" + "\n")
@@ -586,6 +611,42 @@ class PipelineSpec extends SparkSpec {
     }
     assert(ids(WarehouseLoad.readWarehouse(spark, wh, hist).get) == Seq(1L, 2L),
       "vacuum retention touched the committed head")
+  }
+
+  test("commit CAS: two interleaved committers both land, no lost update") {
+    import graft.load.WarehouseLoad
+    val stagingA = tmpDir("graft-casa-")
+    val stagingB = tmpDir("graft-casb-")
+    val wh = tmpDir("graft-caswh-") + "/t"
+    val hist = tmpDir("graft-cashist-") + "/h"
+    Files.writeString(Paths.get(stagingA, "a.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+    Files.writeString(Paths.get(stagingB, "b.json"),
+      """{"CustomerID": "2", "FirstName": "b"}""" + "\n")
+    // Writer A reads head 0 and derives its batch list; BEFORE its
+    // version publish, writer B (a second ingestion schedule feeding
+    // the same table) commits fully. A's exclusive publish of v1 must
+    // FAIL (B claimed it), and A must re-read the head, re-derive on
+    // top of B's commit, and land as v2 — both batches in the head,
+    // versions advanced by exactly 2. This is the lost-update the
+    // docstring used to merely forbid, now mechanically arbitrated.
+    var attempts = 0
+    WarehouseLoad.loadAtomic(spark, stagingA, Schemas.customers, wh, hist,
+      failpoint = at => if (at == "commit-attempt") {
+        attempts += 1
+        if (attempts == 1)
+          WarehouseLoad.batchIdempotent(spark, stagingB,
+            Schemas.customers, wh, hist)
+      })
+    assert(attempts == 2, "writer A must lose the CAS once and retry")
+    assert(WarehouseLoad.currentVersion(spark, hist) == 2)
+    assert(WarehouseLoad.committedBatches(spark, hist).size == 2)
+    assert(WarehouseLoad.readWarehouse(spark, wh, hist).get
+      .select("customerid").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L), "the CAS loser's batch was lost")
+    // and the version log is exact: v1 = B alone, v2 = B then A
+    assert(WarehouseLoad.versionBatches(spark, hist, 1).get.size == 1)
+    assert(WarehouseLoad.versionBatches(spark, hist, 2).get.size == 2)
   }
 
   test("committed-warehouse takedown rewrites only hit batches; vacuum completes the deletion") {

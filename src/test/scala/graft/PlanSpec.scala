@@ -702,4 +702,63 @@ class PlanSpec extends SparkSpec {
       .observedCurateGated(spark, sf0001)._1.count()
     assert(m("rows_kept") == kept, m.toString)
   }
+
+  test("zone-prune rule: a plain WHERE drops non-overlapping batch roots at plan time") {
+    import java.nio.file.{Files, Paths}
+    import graft.load.WarehouseLoad
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val staging = tmpDir("graft-zprstage-")
+    val wh = tmpDir("graft-zprwh-") + "/t"
+    val hist = tmpDir("graft-zprhist-") + "/h"
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("region",
+        org.apache.spark.sql.types.StringType)))
+    def load(name: String, rows: String*): Unit = {
+      Files.writeString(Paths.get(staging, name),
+        rows.mkString("", "\n", "\n"))
+      WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist)
+    }
+    load("f1.json", """{"id": "1", "region": "a"}""",
+      """{"id": "2", "region": "a"}""")
+    load("f2.json", """{"id": "100", "region": "b"}""",
+      """{"id": "101", "region": "b"}""")
+    load("f3.json", """{"id": "1000", "region": "c"}""")
+    def read() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    def roots(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.size
+          case _ => 0
+        }
+      }.sum
+
+    // baseline: no predicate plans every committed root
+    assert(roots(read()) == 3)
+    // numeric range: only the middle batch's interval overlaps
+    val mid = read().filter(col("id") >= 90 && col("id") <= 200)
+    assert(roots(mid) == 1,
+      s"expected 1 surviving root, plan:\n${mid.queryExecution.optimizedPlan}")
+    assert(mid.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(100L, 101L), "pruning changed the answer")
+    // string equality composes through the same rule
+    val b = read().filter(col("region") === "b")
+    assert(roots(b) == 1)
+    assert(b.count() == 2)
+    // conjuncts COMPOSE across columns: id range admits batches 2+3,
+    // region pins batch 3 — intersection plans exactly one root
+    val both = read().filter(col("id") >= 90 && col("region") === "c")
+    assert(roots(both) == 1)
+    assert(both.select("id").collect().map(_.getLong(0)).toSeq == Seq(1000L))
+    // nothing overlaps: the branch collapses to an empty local relation
+    val none = read().filter(col("region") === "x")
+    assert(roots(none) == 0)
+    assert(none.count() == 0)
+    // conservative: a non-literal predicate prunes nothing
+    assert(roots(read().filter(col("id") >= col("id") - 1)) == 3)
+    // and the manual API agrees with the planner's decision
+    assert(WarehouseLoad.prunedBatchIds(spark, hist, "id", 90, 200).size == 1)
+  }
 }
