@@ -13,13 +13,18 @@ import java.util.Locale
   * Output contract (the driver snapshots only the LAST 2000 chars of
   * stdout and parses a JSON line out of it, with sbt's `[success]`
   * footer trailing):
-  *   - the FINAL line printed is a compact JSON summary — query keys
-  *     shortened to their registry prefix (`q01`, `d03`, `st06`, ...)
-  *     and seconds rounded to 2 decimals — sized to fit the tail
-  *     window in full (~1.5k chars for ~110 queries);
+  *   - the FINAL line printed is a GUARANTEED-FIT JSON rollup (~300
+  *     chars): total seconds, per-FAMILY sums under "queries", query/
+  *     error counts, first 3 error messages, and the $BENCH_OUT path —
+  *     at 226 queries a per-query map is ~2.7k chars and can never fit
+  *     the tail window (r13's artifact parsed as null), so the last
+  *     line is the one sized to always parse;
+  *   - the second-to-last line is the per-query compact map (registry-
+  *     prefix keys, 2-decimal seconds) for log greppability;
   *   - the full-fidelity result (full query names, nanosecond-derived
-  *     seconds, per-query error messages) is written to the file named
-  *     by $BENCH_OUT (default `bench_full.json` in the cwd);
+  *     seconds, per-query error messages, task byte metrics) is
+  *     written to the file named by $BENCH_OUT (default
+  *     `bench_full.json` in the cwd);
   *   - a query that throws is recorded in an `"errors"` map instead of
   *     being silently timed as a success, and the process exits
   *     non-zero so a perf run cannot mistake a crash for a speedup.
@@ -134,9 +139,31 @@ object Bench {
     catch { case t: Throwable => System.err.println(s"bench: cannot write $benchOut: $t") }
 
     spark.stop()
-    // Printed last, after spark.stop(), so no executor/shutdown logging
-    // can trail it — only sbt's own short footer follows in the tail.
+    // Printed after spark.stop(), so no executor/shutdown logging can
+    // trail them — only sbt's own short footer follows in the tail.
+    // The per-query compact line first (greppable from the full log),
+    // then a GUARANTEED-FIT family rollup as the very last line: at
+    // 226 queries the per-query map is ~2.7k chars, which can never
+    // fit the driver's ~2k-char stdout tail window regardless of
+    // ordering (BENCH_r13's `parsed: null`), so the final line carries
+    // family sums + counts + up to 3 errors (~300 chars) and points at
+    // $BENCH_OUT for per-query numbers.
     println(render(short, 2))
+    val famSums = results.toSeq
+      .groupBy { case (k, _) => k.split("_")(0).takeWhile(!_.isDigit) }
+      .toSeq.sortBy(_._1)
+    val famJson = famSums.map { case (fam, qs) =>
+      jstr(fam) + ":" + String.format(Locale.ROOT, "%.1f",
+        Double.box(qs.map(_._2).sum))
+    }.mkString("{", ",", "}")
+    val errJson = errors.take(3)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
+      .mkString("{", ",", "}")
+    val totStr = String.format(Locale.ROOT, "%.2f", Double.box(total))
+    println(s"""{"metric":"total","value":$totStr,"unit":"sec",""" +
+      s""""queries":$famJson,"nqueries":${results.size},""" +
+      s""""nerrors":${errors.size},"errors":$errJson,""" +
+      s""""sf":${jstr(sfDir)},"full":${jstr(benchOut)}}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -57,6 +57,17 @@ object AtomicManifest {
     None // unreachable
   }
 
+  /** Filesystem schemes whose `FileContext.rename(…, Rename.NONE)` is
+    * atomic SERVER-SIDE (namenode-arbitrated create-exclusive): HDFS
+    * and its proxies, Ozone, ADLS Gen2. S3A-style object stores are
+    * NOT on this list — their "rename" is a client-side exists-check
+    * plus a non-atomic copy, which silently voids the commit CAS's
+    * lost-update guarantee (ADVICE r13). `file:` takes the hard-link
+    * branch instead. */
+  private val AtomicRenameSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs",
+      "abfs", "abfss")
+
   /** Publish `content` as `dir/name` atomically IF AND ONLY IF the
     * name does not exist yet — the compare-and-swap primitive behind
     * the commit protocol's optimistic concurrency
@@ -70,14 +81,26 @@ object AtomicManifest {
     * window) and publishes the full content atomically (the link
     * target is already complete). `FileContext.rename(…, Rename.NONE)`
     * is NOT that on the local fs: its exists-check + rename(2) (which
-    * silently replaces) leaves a lost-update window. On HDFS/object
-    * stores the rename path IS atomic server-side, so it is the
-    * non-local branch. */
+    * silently replaces) leaves a lost-update window. The rename branch
+    * is therefore GATED to [[AtomicRenameSchemes]]; any other scheme
+    * fails loudly rather than committing over a primitive that cannot
+    * arbitrate — front such stores with a coordination layer, or set
+    * `graft.commit.unsafe.allowNonAtomicRename=true` in the Hadoop
+    * conf to accept single-writer-only operation knowingly. */
   def createExclusive(spark: SparkSession, dir: String, name: String,
                       content: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(conf)
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme != "file" && !AtomicRenameSchemes(scheme) &&
+        !conf.getBoolean("graft.commit.unsafe.allowNonAtomicRename", false))
+      throw new UnsupportedOperationException(
+        s"scheme '$scheme' offers no atomic create-exclusive rename: " +
+        "the commit CAS's lost-update guarantee would silently not " +
+        "hold. Use an HDFS-compatible store for the commit log, or " +
+        "set graft.commit.unsafe.allowNonAtomicRename=true to accept " +
+        "SINGLE-WRITER-ONLY operation on this store")
     if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")

@@ -209,7 +209,19 @@ object WarehouseLoad {
     * the head is the hint plus a forward probe (the probe closes the
     * crash window between the two writes — a version file, once
     * published, IS committed; versions are contiguous by construction
-    * because every writer races for exactly head+1). */
+    * because every writer races for exactly head+1).
+    *
+    * STALE-HINT RECOVERY (ADVICE r13): the hint can lag the head by
+    * more than one (crashes in the publish→hint window, out-of-order
+    * hint overwrites by concurrent CAS committers), and [[vacuum]]
+    * prunes version files below its retention cutoff — a probe
+    * starting at a lagging hint would then stop at a pruned version
+    * and misread the head (silently EMPTY in the hint=0 case). Vacuum
+    * refreshes the hint before pruning, and this read backstops it:
+    * when the probe cannot advance AND the hint's own version file is
+    * gone (pruned ⇒ stale), the `_versions` listing is the authority —
+    * jump to its max and re-probe. The common path pays one extra
+    * exists() at most; the listing runs only on the stale-hint path. */
   def currentVersion(spark: SparkSession, historyDir: String): Long = {
     val hint = AtomicManifest.read(spark, historyDir, CommitLog)
       .flatMap(_.linesIterator.find(_.startsWith("#v="))
@@ -217,10 +229,23 @@ object WarehouseLoad {
       .getOrElse(0L)
     val vroot = new org.apache.hadoop.fs.Path(s"$historyDir/$VersionsDir")
     val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var v = hint
-    while (fs.exists(new org.apache.hadoop.fs.Path(vroot,
-        versionName(v + 1)))) v += 1
-    v
+    def probe(from: Long): Long = {
+      var v = from
+      while (fs.exists(new org.apache.hadoop.fs.Path(vroot,
+          versionName(v + 1)))) v += 1
+      v
+    }
+    val v = probe(hint)
+    val hintStale = v == hint && (hint == 0 ||
+      !fs.exists(new org.apache.hadoop.fs.Path(vroot, versionName(hint))))
+    if (!hintStale) v
+    else {
+      val listed =
+        try fs.listStatus(vroot).iterator.flatMap(st =>
+            st.getPath.getName.stripPrefix("v").toLongOption).maxOption
+        catch { case _: java.io.FileNotFoundException => None }
+      listed.filter(_ > v).map(probe).getOrElse(v)
+    }
   }
 
   /** The commit step every batch-set mutation (load, streamed epoch,
@@ -238,11 +263,13 @@ object WarehouseLoad {
     * committers therefore BOTH land, versions advancing by one each,
     * no lost update — the docstring contract is now mechanical.
     *
-    * What the CAS does NOT arbitrate (still the operational contract):
-    * two loads racing over the SAME staging files both commit their
-    * (identical-id, hence deduped) batch; two concurrent COMPACTIONS
-    * can fold overlapping input sets into two batches that both
-    * survive — run one compactor per table, like one VACUUM. */
+    * Rewrite-vs-rewrite races are arbitrated by the CALLERS' derives
+    * on top of this CAS: a compaction whose inputs vanished ABORTS its
+    * fold ([[compactCommitted]]), a takedown whose probed batches
+    * vanished RE-RUNS over the new snapshot ([[takedownCommitted]]).
+    * What remains operational: [[vacuum]] must not run concurrently
+    * with an in-flight writer (uncommitted batch dirs look like
+    * orphans — the CAS arbitrates manifests, not data-dir liveness). */
   private def commitBatches(spark: SparkSession, historyDir: String,
       derive: Seq[String] => Seq[String],
       failpoint: String => Unit = _ => ()): Long = {
@@ -365,21 +392,47 @@ object WarehouseLoad {
     * dir keeps schema inference on real footers. */
   private[graft] def liveBatchIds(spark: SparkSession, warehouseDir: String,
                                   ids: Seq[String]): Seq[String] =
-    ids.filter { id =>
+    liveBatchInfo(spark, warehouseDir, ids).map(_._1)
+
+  /** `(id, isHivePartitioned)` for each LIVE batch (see
+    * [[liveBatchIds]]), in input order. ONE listing per batch, run in
+    * PARALLEL across batches (a java parallelStream over driver-side
+    * metadata calls): the sequential form was one blocking RPC per
+    * committed load — the r14 CommitScale harness measured it as the
+    * dominant cost of `readWarehouse` construction at 10k commits.
+    * The same listing also answers the partitioned-layout probe that
+    * [[readBatchDirs]] previously paid a second per-dir listing for. */
+  private[graft] def liveBatchInfo(spark: SparkSession, warehouseDir: String,
+      ids: Seq[String]): Seq[(String, Boolean)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    ids.asJava.parallelStream().forEach { id =>
       val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/b$id")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).exists { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
+      val fs = p.getFileSystem(conf)
+      val sts =
+        try fs.listStatus(p)
+        catch { case _: java.io.FileNotFoundException => null }
+      if (sts != null) {
+        val real = sts.filter { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (real.nonEmpty)
+          live.put(id, real.exists(st =>
+            st.isDirectory && st.getPath.getName.contains("=")))
       }
     }
+    ids.flatMap(id => Option(live.get(id)).map(b => id -> b.booleanValue()))
+  }
 
   private def readBatchDirs(spark: SparkSession, warehouseDir: String,
                             historyDir: String,
                             ids: Seq[String]): Option[DataFrame] = {
     graft.plans.ZonePrune.register(spark, warehouseDir, historyDir)
-    val dirs = liveBatchIds(spark, warehouseDir, ids)
-      .map(id => s"$warehouseDir/b$id")
+    val info = liveBatchInfo(spark, warehouseDir, ids)
+    val dirs = info.map { case (id, _) => s"$warehouseDir/b$id" }
     // mergeSchema: batches loaded AFTER a SchemaDrift.evolve carry the
     // added nullable columns; without the merged read Spark keys the
     // scan schema off one arbitrary footer and an evolved column can
@@ -387,19 +440,17 @@ object WarehouseLoad {
     // surface it as null). Footer merging is one parallel metadata
     // pass — bounded by file count, no data read.
     val reader = spark.read.option("mergeSchema", "true")
-    def isPartitioned(d: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).exists(st =>
-        st.isDirectory && st.getPath.getName.contains("="))
-    }
     if (dirs.isEmpty) None
     // hive-partitioned batch roots refuse a single multi-path read
     // (each root is its own partition-discovery base), so they load
     // per root and union — still bounded by the COMMITTED LOAD count,
     // and a partition predicate pushes through the union into every
     // scan's PartitionFilters (directory pruning per batch root).
-    else if (dirs.sizeIs > 1 && dirs.exists(isPartitioned))
+    // NOTE for ZonePrune: this is why a PARTITIONED multi-root scan
+    // never reaches its file-index rewrite — partitioned roots plan
+    // one relation each, so its partitioned fallback is all-or-nothing
+    // per root (ZonePrune.pruneScan's partitionSchema branch).
+    else if (dirs.sizeIs > 1 && info.exists(_._2))
       Some(dirs.map(reader.parquet(_))
         .reduce(_.unionByName(_, allowMissingColumns = true)))
     else Some(reader.parquet(dirs: _*))
@@ -587,6 +638,43 @@ object WarehouseLoad {
   final case class NumZone(lo: Double, hi: Double) extends Zone
   final case class StrZone(lo: String, hi: String) extends Zone
 
+  /** A batch's recorded stats for one column, each component optional
+    * and independently conservative:
+    *  - `zone`: the [min, max] interval over non-null values;
+    *  - `dict`: the EXACT distinct non-null value set when the batch
+    *    held at most [[DictMax]] of them (VERDICT r13 #2 — min/max
+    *    intervals cannot prune `source = 'web'` when every batch mixes
+    *    sources; the set can). Always a SUPERSET of the current values
+    *    (row-removing rewrites only shrink the true set);
+    *  - `nulls`: the null count at write time. Row-removing rewrites
+    *    can only DECREASE it, so the two prune triggers stay sound:
+    *    `nulls == 0` (no row is null — IS NULL proven empty) and
+    *    `nulls == rows` (every row is null — IS NOT NULL and every
+    *    comparison proven empty) are both monotone under removal. */
+  final case class ColStats(zone: Option[Zone], dict: Option[Set[String]],
+                            nulls: Option[Long])
+
+  /** Everything a batch's `_ZONEMAP` manifest records: per-column
+    * [[ColStats]] plus the batch row count at write time. */
+  final case class BatchStats(cols: Map[String, ColStats],
+                              rows: Option[Long]) {
+    def zones: Map[String, Zone] =
+      cols.collect { case (c, ColStats(Some(z), _, _)) => c -> z }
+    /** Is `col` (CI match) recorded as all-null? A predicate comparing
+      * an all-null column to anything is never satisfied. */
+    def allNull(col: String): Boolean =
+      rows.exists(r => colStats(col).exists(_.nulls.contains(r)))
+    def colStats(col: String): Option[ColStats] =
+      cols.collectFirst { case (c, s) if c.equalsIgnoreCase(col) => s }
+  }
+
+  /** Largest distinct-value set a zone manifest records per string
+    * column; beyond it the batch records only the interval. Bounded
+    * BY THE AGGREGATE ([[graft.functions.BoundedDistinct]] clears its
+    * buffer at cap+1), so a billion-NDV column costs O(DictMax) task
+    * memory during the write, never O(NDV). */
+  private val DictMax = 64
+
   /** UTF-8 binary comparison — matches UTF8String's ordering (unsigned
     * byte-wise), NOT java.lang.String.compareTo (UTF-16 code units,
     * which diverges on supplementary-plane characters). */
@@ -653,66 +741,116 @@ object WarehouseLoad {
 
   private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
 
-  /** Manifest lines: `<col> <lo> <hi>` for numeric intervals (back-
-    * compatible with pre-string maps) and `S <col> <lo> <hi>` for
-    * string intervals, every field URL-encoded (space-free). */
-  private def encodeZoneMap(entries: Seq[(String, Zone)]): String =
-    entries.map {
-      case (c, NumZone(lo, hi)) =>
-        enc(c) + " " + Math.nextDown(lo) + " " + Math.nextUp(hi)
-      case (c, StrZone(lo, hi)) =>
-        "S " + enc(c) + " " + enc(lo) + " " + enc(hi)
-    }.mkString("\n")
+  /** Manifest lines, every field URL-encoded (space-free):
+    *  - `<col> <lo> <hi>` — numeric interval (pre-r12 compatible);
+    *  - `S <col> <lo> <hi>` — string interval;
+    *  - `#d <col> <v1> … <vk>` — distinct-value dictionary;
+    *  - `#n <col> <nulls>` — per-column null count;
+    *  - `#c <rows>` — batch row count.
+    * The `#`-prefixed tags cannot collide with an encoded column name
+    * (URL-encoding never emits a literal `#`), so old and new readers
+    * parse each other's manifests — unknown lines are ignored, absent
+    * stats read as "must scan". */
+  private def encodeZoneLine(c: String, z: Zone): String = z match {
+    case NumZone(lo, hi) =>
+      enc(c) + " " + Math.nextDown(lo) + " " + Math.nextUp(hi)
+    case StrZone(lo, hi) =>
+      "S " + enc(c) + " " + enc(lo) + " " + enc(hi)
+  }
+
+  private def encodeZoneMap(entries: Seq[(String, ColStats)],
+                            rows: Option[Long]): String = {
+    val lines = rows.map(r => s"#c $r").toSeq ++
+      entries.flatMap { case (c, st) =>
+        st.zone.map(encodeZoneLine(c, _)).toSeq ++
+          st.dict.map(d =>
+            ("#d" +: enc(c) +: d.toSeq.sorted.map(enc)).mkString(" ")) ++
+          st.nulls.map(n => s"#n ${enc(c)} $n")
+      }
+    lines.mkString("\n")
+  }
 
   /** Attach the zone-map observation to a batch about to be written:
-    * per-column min/max over the AS-WRITTEN values, collected by the
-    * write job itself (CollectMetrics — zero extra scans). */
+    * per-column min/max + null count (+ the bounded distinct set for
+    * strings) and the batch row count, all collected by the write job
+    * itself (CollectMetrics — zero extra scans, bounded memory: the
+    * dictionary aggregate clears itself past [[DictMax]]). */
   private def observeZones(df: DataFrame):
       (DataFrame, Option[Observation], Seq[StructField]) = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
     val zcols = zoneMapCols(df.schema)
     if (zcols.isEmpty) (df, None, zcols)
     else {
       val zobs = new Observation()
-      val zaggs = zcols.flatMap(f => Seq(
-        min(col(f.name)).as(s"zmin__${f.name}"),
-        max(col(f.name)).as(s"zmax__${f.name}")))
+      val zaggs = count(lit(1)).as("zrows__") +: zcols.flatMap { f =>
+        val dict = f.dataType match {
+          case StringType => Seq(column(
+            graft.functions.BoundedDistinct(
+              expression(col(f.name)), DictMax).toAggregateExpression())
+            .as(s"zdict__${f.name}"))
+          case _ => Nil
+        }
+        Seq(
+          min(col(f.name)).as(s"zmin__${f.name}"),
+          max(col(f.name)).as(s"zmax__${f.name}"),
+          count(col(f.name)).as(s"znn__${f.name}")) ++ dict
+      }
       (df.observe(zobs, zaggs.head, zaggs.tail: _*), Some(zobs), zcols)
     }
   }
 
   /** Persist an [[observeZones]] result (after its write job ran) as
     * the batch's `_ZONEMAP` manifest. All-null columns record no
-    * interval. */
+    * interval (their null count still prunes IS NOT NULL and every
+    * comparison); over-cap dictionaries and over-long strings record
+    * no dict/interval respectively — absent is always "must scan". */
   private def writeZoneMap(spark: SparkSession, historyDir: String,
       id: String, zobs: Option[Observation],
       zcols: Seq[StructField]): Unit =
     zobs.foreach { o =>
+      val rows = o.get("zrows__").asInstanceOf[Long]
       val entries = zcols.flatMap { f =>
-        (f.dataType, o.get(s"zmin__${f.name}"), o.get(s"zmax__${f.name}")) match {
-          case (StringType, lo: String, hi: String)
-              if lo.length <= ZoneStrMax && hi.length <= ZoneStrMax =>
-            Some(f.name -> StrZone(lo, hi))
-          case (StringType, _, _) => None // null or over-long: no interval
-          case (dt, loAny, hiAny) =>
-            // Timestamp values truncate to whole milliseconds in the
-            // double encoding (getTime floors sub-ms precision), which
-            // a one-ulp widening cannot cover — pad temporal intervals
-            // a full millisecond outward so the recorded range can
-            // never understate the true one (the superset contract).
-            val pad = dt match {
-              case TimestampType => 1.0
-              case _ => 0.0
-            }
-            for {
-              lo <- zoneVal(loAny)
-              hi <- zoneVal(hiAny)
-            } yield f.name -> NumZone(lo - pad, hi + pad)
+        val zone =
+          (f.dataType, o.get(s"zmin__${f.name}"), o.get(s"zmax__${f.name}")) match {
+            case (StringType, lo: String, hi: String)
+                if lo.length <= ZoneStrMax && hi.length <= ZoneStrMax =>
+              Some(StrZone(lo, hi))
+            case (StringType, _, _) => None // null or over-long
+            case (dt, loAny, hiAny) =>
+              // Timestamp values truncate to whole milliseconds in the
+              // double encoding (getTime floors sub-ms precision),
+              // which a one-ulp widening cannot cover — pad temporal
+              // intervals a full millisecond outward so the recorded
+              // range never understates the true one (the superset
+              // contract).
+              val pad = dt match {
+                case TimestampType => 1.0
+                case _ => 0.0
+              }
+              for {
+                lo <- zoneVal(loAny)
+                hi <- zoneVal(hiAny)
+              } yield NumZone(lo - pad, hi + pad)
+          }
+        val dict = f.dataType match {
+          case StringType =>
+            Option(o.get(s"zdict__${f.name}"))
+              .map(_.asInstanceOf[Seq[String]].toSet)
+              .filter(d => d.nonEmpty && d.forall(_.length <= ZoneStrMax))
+          case _ => None
         }
+        val nulls = o.get(s"znn__${f.name}") match {
+          case nn: java.lang.Long => Some(rows - nn.longValue())
+          case _ => None
+        }
+        val st = ColStats(zone, dict, nulls)
+        if (st.zone.isEmpty && st.dict.isEmpty && st.nulls.isEmpty) None
+        else Some(f.name -> st)
       }
       if (entries.nonEmpty)
         AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
-          encodeZoneMap(entries))
+          encodeZoneMap(entries, Some(rows)))
     }
 
   /** The streaming sink's epoch commit
@@ -766,16 +904,19 @@ object WarehouseLoad {
     * mapless answer may be the read racing the commit. */
   private val ZoneCacheMax = 4096
   private val zoneMapCache = new java.util.LinkedHashMap[
-      (String, String, Long, Long), Map[String, Zone]](
+      (String, String, Long, Long), BatchStats](
       64, 0.75f, true) {
     override def removeEldestEntry(
         e: java.util.Map.Entry[(String, String, Long, Long),
-                               Map[String, Zone]]): Boolean =
+                               BatchStats]): Boolean =
       size() > ZoneCacheMax
   }
 
-  def zoneMap(spark: SparkSession, historyDir: String,
-              id: String): Option[Map[String, Zone]] = {
+  /** The batch's full recorded stats — intervals, dictionaries, null
+    * counts, row count. Same cache and conservatism contract as
+    * [[zoneMap]] (which is now a view over this). */
+  def batchStats(spark: SparkSession, historyDir: String,
+                 id: String): Option[BatchStats] = {
     val p = new org.apache.hadoop.fs.Path(s"$historyDir/b$id", ZoneMapFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st =
@@ -791,23 +932,42 @@ object WarehouseLoad {
     }
   }
 
+  def zoneMap(spark: SparkSession, historyDir: String,
+              id: String): Option[Map[String, Zone]] =
+    batchStats(spark, historyDir, id).map(_.zones)
+
   private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
   private def readZoneMap(spark: SparkSession, historyDir: String,
-      id: String): Option[Map[String, Zone]] =
-    AtomicManifest.read(spark, s"$historyDir/b$id", ZoneMapFile)
-      .map(_.linesIterator.flatMap { line =>
+      id: String): Option[BatchStats] =
+    AtomicManifest.read(spark, s"$historyDir/b$id", ZoneMapFile).map { txt =>
+      var rows = Option.empty[Long]
+      val zones = Map.newBuilder[String, Zone]
+      val dicts = Map.newBuilder[String, Set[String]]
+      val nulls = Map.newBuilder[String, Long]
+      txt.linesIterator.foreach { line =>
         line.split(" ") match {
+          case Array("#c", r) => rows = r.toLongOption
+          case Array("#n", c, n) =>
+            n.toLongOption.foreach(v => nulls += dec(c) -> v)
+          case Array("#d", c, vs @ _*) =>
+            dicts += dec(c) -> vs.map(dec).toSet
           case Array("S", c, lo, hi) =>
-            Some(dec(c) -> StrZone(dec(lo), dec(hi)))
+            zones += dec(c) -> StrZone(dec(lo), dec(hi))
           case Array(c, lo, hi) =>
             (lo.toDoubleOption, hi.toDoubleOption) match {
-              case (Some(l), Some(h)) => Some(dec(c) -> NumZone(l, h))
-              case _ => None
+              case (Some(l), Some(h)) => zones += dec(c) -> NumZone(l, h)
+              case _ => ()
             }
-          case _ => None
+          case _ => () // unknown line: future stat, ignore
         }
-      }.toMap)
+      }
+      val (zm, dm, nm) = (zones.result(), dicts.result(), nulls.result())
+      val cols = (zm.keySet ++ dm.keySet ++ nm.keySet).iterator.map { c =>
+        c -> ColStats(zm.get(c), dm.get(c), nm.get(c))
+      }.toMap
+      BatchStats(cols, rows)
+    }
 
   /** Committed batch ids whose zone interval for `column` overlaps the
     * predicate interval — plus every batch with no recorded interval
@@ -873,25 +1033,50 @@ object WarehouseLoad {
     require(retainVersions >= 1, "retainVersions must be >= 1")
     val head = currentVersion(spark, historyDir)
     val cutoff = math.max(1L, head - retainVersions + 1)
+    val headBatches = committedBatches(spark, historyDir)
     val keep = ((cutoff to head)
       .flatMap(v => versionBatches(spark, historyDir, v).getOrElse(Nil)) ++
-      committedBatches(spark, historyDir)).map("b" + _).toSet
+      headBatches).map("b" + _).toSet
+    // Refresh the `_COMMITTED` hint to the probed head BEFORE pruning
+    // version files (ADVICE r13): the hint may lag the head (crashes in
+    // the publish→hint window, out-of-order overwrites by concurrent
+    // CAS committers), and pruning versions above a lagging hint would
+    // leave [[currentVersion]]'s forward probe stranded below the
+    // retention cutoff. With the refresh the hint can never lag past
+    // the cutoff this vacuum creates; the listing fallback in
+    // [[currentVersion]] remains the backstop for hints corrupted
+    // AFTER a vacuum.
+    if (head > 0)
+      AtomicManifest.write(spark, historyDir, CommitLog,
+        s"#v=$head\n" + headBatches.mkString("\n"))
     val conf = spark.sparkContext.hadoopConfiguration
     val vroot = new org.apache.hadoop.fs.Path(s"$historyDir/$VersionsDir")
     val vfs = vroot.getFileSystem(conf)
-    if (vfs.exists(vroot)) vfs.listStatus(vroot).foreach { st =>
-      val v = st.getPath.getName.stripPrefix("v").toLongOption
-      if (st.isFile && v.exists(_ < cutoff))
-        vfs.delete(st.getPath, false)
+    if (vfs.exists(vroot)) {
+      val pruned = vfs.listStatus(vroot).filter { st =>
+        val v = st.getPath.getName.stripPrefix("v").toLongOption
+        st.isFile && v.exists(_ < cutoff)
+      }
+      java.util.Arrays.stream(pruned).parallel()
+        .forEach(st => vfs.delete(st.getPath, false))
     }
+    // per-orphan deletes run in PARALLEL (driver-side metadata calls;
+    // sequential deletes were vacuum's dominant cost at 10k commits —
+    // CommitScale r14)
+    import scala.jdk.CollectionConverters._
     Seq(warehouseDir, historyDir).map { root =>
       val p = new org.apache.hadoop.fs.Path(root)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) 0
-      else fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("b")
-          && !keep(st.getPath.getName))
-        .count(st => fs.delete(st.getPath, true))
+      else {
+        val doomed = fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("b")
+            && !keep(st.getPath.getName))
+        val n = new java.util.concurrent.atomic.AtomicInteger()
+        doomed.asJava.parallelStream().forEach(st =>
+          if (fs.delete(st.getPath, true)) n.incrementAndGet())
+        n.get
+      }
     }.sum
   }
 
@@ -903,13 +1088,49 @@ object WarehouseLoad {
     * relation (same rows, same history — readers see the old batch set
     * or the new single batch, never a mix, by the same manifest
     * atomicity as the loads). Old batch dirs become unreferenced —
-    * reclaim them with [[vacuum]]. Same single-writer contract as
-    * [[vacuum]]. No-op below `minBatches`. */
+    * reclaim them with [[vacuum]]. No-op below `minBatches`.
+    *
+    * CONCURRENT-REWRITE SAFE (VERDICT r13 #1): a fold whose input
+    * batches were replaced underneath it (another compaction folded
+    * them, or a takedown rewrote one) must NOT commit — its data dir
+    * holds a second copy of rows the replacing batch also holds
+    * (duplicates) or rows a takedown removed (resurrection). The CAS
+    * derive detects the rewrite (a folded input absent from the
+    * current head), ABORTS the fold (commit no-ops, orphan dirs
+    * swept), and the compaction RETRIES from the new snapshot — the
+    * last "run one compactor per table" docstring contract is now
+    * mechanism. Racing LOADS never abort a fold: appends keep the
+    * snapshot's inputs in the head, and the derive retains the new
+    * batches alongside the fold. */
   def compactCommitted(spark: SparkSession, warehouseDir: String,
                        historyDir: String, minBatches: Int = 2,
-                       partitionCols: Seq[String] = Nil): Unit = {
+                       partitionCols: Seq[String] = Nil): Unit =
+    compactWithFailpoint(spark, warehouseDir, historyDir, minBatches,
+      partitionCols)
+
+  private[graft] def compactWithFailpoint(spark: SparkSession,
+      warehouseDir: String, historyDir: String, minBatches: Int = 2,
+      partitionCols: Seq[String] = Nil,
+      failpoint: String => Unit = _ => ()): Unit = {
+    var attempt = 0
+    while (attempt < 20) {
+      if (compactOnce(spark, warehouseDir, historyDir, minBatches,
+          partitionCols, failpoint)) return
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      "compaction aborted 20 times: its input batches keep being " +
+      "rewritten underneath it — retire the racing rewriter, or retry " +
+      "when the table quiesces")
+  }
+
+  /** One compaction attempt; `false` = aborted because a concurrent
+    * rewrite replaced an input batch (retry from a fresh snapshot). */
+  private def compactOnce(spark: SparkSession, warehouseDir: String,
+      historyDir: String, minBatches: Int, partitionCols: Seq[String],
+      failpoint: String => Unit): Boolean = {
     val committed = committedBatches(spark, historyDir)
-    if (committed.size < minBatches) return
+    if (committed.size < minBatches) return true
     val id = "compact-" + java.util.UUID.nameUUIDFromBytes(
       committed.mkString("\n").getBytes("UTF-8")).toString.take(16)
     readWarehouse(spark, warehouseDir, historyDir).foreach(
@@ -921,28 +1142,63 @@ object WarehouseLoad {
     // (a column only survives if EVERY input recorded it — a missing
     // interval means an unknown range, and a merged map must never
     // understate one). Metadata-only, no scan.
-    val inputMaps = committed.map(zoneMap(spark, historyDir, _))
-    if (inputMaps.nonEmpty && inputMaps.forall(_.isDefined)) {
-      val maps = inputMaps.map(_.get)
-      val shared = maps.map(_.keySet).reduce(_ intersect _)
-      val merged = shared.toSeq.sorted.flatMap { c =>
-        maps.map(m => Option(m(c)))
-          .reduce((a, b) => a.zip(b).flatMap { case (x, y) => zoneUnion(x, y) })
-          .map(c -> _)
-      }
-      if (merged.nonEmpty)
-        AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
-          encodeZoneMap(merged))
-    }
+    mergeZoneMaps(spark, historyDir, committed, id)
+    failpoint("fold-written")
     // CAS derive: batches committed AFTER the fold's snapshot (a load
     // that raced the compaction) are NOT in the folded batch — retain
     // them; folding replaces exactly the snapshot's inputs. A head
     // already containing the fold id means this compaction committed
-    // (deterministic id ⇒ replay) — no-op.
+    // (deterministic id ⇒ replay) — no-op. A folded input MISSING from
+    // the head means a rewrite won the race — abort (see scaladoc).
     val folded = committed.toSet
-    commitBatches(spark, historyDir,
-      cur => if (cur.contains(id)) cur
-             else Seq(id) ++ cur.filterNot(folded))
+    var aborted = false
+    commitBatches(spark, historyDir, { cur =>
+      if (cur.contains(id)) { aborted = false; cur }
+      else if (!folded.subsetOf(cur.toSet)) { aborted = true; cur }
+      else { aborted = false; Seq(id) ++ cur.filterNot(folded) }
+    })
+    // An aborted fold's dirs are NOT swept here: an identical
+    // concurrent compactor may have committed this very id into a
+    // version that is now historical (same snapshot ⇒ same
+    // deterministic id), and only [[vacuum]]'s keep-set — which spans
+    // every retained version — can tell an orphan from a time-travel
+    // reference. Vacuum reclaims true orphans on its next run.
+    !aborted
+  }
+
+  /** The folded batch's zone map: the per-column stat union of its
+    * inputs (a column's stat only survives if EVERY input recorded it
+    * — a missing interval/dict/count means an unknown range, and a
+    * merged map must never understate one). Intervals union, dicts
+    * union (dropped past [[DictMax]]), null counts and row counts
+    * add. Metadata-only, no scan. */
+  private def mergeZoneMaps(spark: SparkSession, historyDir: String,
+      inputs: Seq[String], id: String): Unit = {
+    val inputStats = inputs.map(batchStats(spark, historyDir, _))
+    if (inputStats.nonEmpty && inputStats.forall(_.isDefined)) {
+      val stats = inputStats.map(_.get)
+      val rows =
+        if (stats.forall(_.rows.isDefined)) Some(stats.flatMap(_.rows).sum)
+        else None
+      val shared = stats.map(_.cols.keySet).reduce(_ intersect _)
+      val merged = shared.toSeq.sorted.flatMap { c =>
+        val cs = stats.map(_.cols(c))
+        val zone = cs.map(_.zone)
+          .reduce((a, b) => a.zip(b).flatMap { case (x, y) => zoneUnion(x, y) })
+        val dict = cs.map(_.dict)
+          .reduce((a, b) => a.zip(b).map { case (x, y) => x ++ y })
+          .filter(_.size <= DictMax)
+        val nulls =
+          if (cs.forall(_.nulls.isDefined)) Some(cs.flatMap(_.nulls).sum)
+          else None
+        val st = ColStats(zone, dict, nulls)
+        if (st.zone.isEmpty && st.dict.isEmpty && st.nulls.isEmpty) None
+        else Some(c -> st)
+      }
+      if (merged.nonEmpty || rows.isDefined)
+        AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
+          encodeZoneMap(merged, rows))
+    }
   }
 
   /** Delete-by-key on the committed batch warehouse — the
@@ -968,15 +1224,59 @@ object WarehouseLoad {
     * bounded legal/ops artifact) + a hit-batch aggregate of at most
     * one row per LOAD; rewrites scan only affected batches. The
     * per-file load history is carried forward under the new id so
-    * COPY's file dedup still skips the source files. */
+    * COPY's file dedup still skips the source files.
+    *
+    * CONCURRENT-REWRITE SAFE (VERDICT r13 #1): a probed batch replaced
+    * underneath the takedown (a compaction folded it, or another
+    * takedown rewrote it) means the replacing batch may still hold the
+    * hit rows — a privacy DELETE that silently under-applies. The CAS
+    * derive commits the remaps that still hold, detects the vanished
+    * inputs, and the takedown RE-RUNS over the new snapshot until a
+    * pass commits with nothing vanished (the replacing fold is probed
+    * and rewritten like any batch). Rows counted once: a vanished
+    * input's hits are excluded from its pass's count and re-counted
+    * when the pass that actually removes them lands. Loads that commit
+    * after the final pass's probe remain out of scope (snapshot
+    * semantics — re-run to cover new data, as with any DELETE). */
   def takedownCommitted(spark: SparkSession, warehouseDir: String,
                         historyDir: String, keys: DataFrame,
                         keyCols: Seq[String],
-                        partitionCols: Seq[String] = Nil): Long = {
+                        partitionCols: Seq[String] = Nil): Long =
+    takedownWithFailpoint(spark, warehouseDir, historyDir, keys, keyCols,
+      partitionCols)
+
+  private[graft] def takedownWithFailpoint(spark: SparkSession,
+      warehouseDir: String, historyDir: String, keys: DataFrame,
+      keyCols: Seq[String], partitionCols: Seq[String] = Nil,
+      failpoint: String => Unit = _ => ()): Long = {
+    var total = 0L
+    var attempt = 0
+    while (attempt < 20) {
+      val (removed, converged) = takedownOnce(spark, warehouseDir,
+        historyDir, keys, keyCols, partitionCols, failpoint)
+      total += removed
+      if (converged) return total
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      "takedown cannot converge after 20 passes: probed batches keep " +
+      "being rewritten underneath it — retire the racing rewriter and " +
+      s"re-run (rows removed so far: $total)")
+  }
+
+  /** One takedown pass; `(rowsRemoved, converged)` — `converged=false`
+    * means at least one probed batch vanished from the head before the
+    * commit (replaced by a concurrent rewrite) and the caller must
+    * re-run over the new snapshot to cover its rows. */
+  private def takedownOnce(spark: SparkSession, warehouseDir: String,
+                           historyDir: String, keys: DataFrame,
+                           keyCols: Seq[String],
+                           partitionCols: Seq[String],
+                           failpoint: String => Unit): (Long, Boolean) = {
     import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
     val committed = committedBatches(spark, historyDir)
     val live = liveBatchIds(spark, warehouseDir, committed)
-    if (live.isEmpty) return 0L
+    if (live.isEmpty) return (0L, true)
     val k = graft.queries.Hints.broadcastIfSmall(
       keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
         .localCheckpoint(true))
@@ -991,7 +1291,7 @@ object WarehouseLoad {
       .join(k, keyCols, "left_semi")
       .groupBy(BatchCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (hitsByBatch.isEmpty) return 0L
+    if (hitsByBatch.isEmpty) return (0L, true)
     // Deterministic rewrite suffix from the key set: a crash mid-rewrite
     // leaves orphans the RETRY overwrites under the same ids (and
     // vacuum reclaims if the takedown is abandoned).
@@ -1010,21 +1310,39 @@ object WarehouseLoad {
         spark.read.parquet(s"$historyDir/b$id")
           .write.mode("overwrite").parquet(s"$historyDir/b$nid")
         // and the zone map: removing rows only SHRINKS the true range,
-        // so the recorded interval remains a conservative superset
-        zoneMap(spark, historyDir, id).foreach { zm =>
+        // value set, and null count, so every carried stat remains a
+        // conservative superset (the prune triggers — interval/dict
+        // membership, nulls==0, nulls==rows — are all monotone under
+        // row removal; see [[ColStats]])
+        batchStats(spark, historyDir, id).foreach { st =>
           AtomicManifest.write(spark, s"$historyDir/b$nid", ZoneMapFile,
-            encodeZoneMap(zm.toSeq.sortBy(_._1)))
+            encodeZoneMap(st.cols.toSeq.sortBy(_._1), st.rows))
         }
         nid
       }
     }
+    failpoint("rewrites-written")
     // CAS derive: remap exactly the batches this takedown probed and
     // rewrote; batches appended by a racing load stay as-is (the
-    // takedown operates on its snapshot — re-run it to cover them).
+    // takedown operates on its snapshot — re-run it to cover them). A
+    // probed batch ABSENT from the commit-time head vanished under a
+    // concurrent rewrite: its remap cannot land (the replacing batch
+    // may still hold the hit rows) — record it so the caller re-runs.
     val remap = committed.zip(newIds).filter { case (a, b) => a != b }.toMap
-    commitBatches(spark, historyDir,
-      cur => cur.map(i => remap.getOrElse(i, i)))
-    hitsByBatch.values.sum
+    var vanished = Set.empty[String]
+    commitBatches(spark, historyDir, { cur =>
+      vanished = remap.keySet -- cur.toSet
+      cur.map(i => remap.getOrElse(i, i))
+    })
+    // A vanished remap's orphan dirs are NOT swept here: a concurrent
+    // IDENTICAL takedown (same keys ⇒ same deterministic rewrite id)
+    // may have committed that very dir — [[vacuum]]'s keep-set is the
+    // only authority on orphanhood, and it reclaims true orphans.
+    // Count only the rows whose removal actually committed; a vanished
+    // batch's hits re-count in the pass that removes them from the
+    // replacing batch.
+    (hitsByBatch.filterNot { case (b, _) => vanished(b) }.values.sum,
+      vanished.isEmpty)
   }
 
   /** How many fresh files the idempotent leg samples to pin the staged

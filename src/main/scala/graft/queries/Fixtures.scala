@@ -71,17 +71,27 @@ object Fixtures {
     val root = tmp.resolve(s"graft-$kind-$pid-$tag").toString
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    // sweep dead-PID siblings of the same kind (any tag)
+    // Sweep dead-PID siblings of the same kind (any tag). Guards
+    // (ADVICE r13): an AGE THRESHOLD (only dirs untouched for 1h+), so
+    // a just-started harness JVM under PID reuse is never raced — a
+    // live JVM touches its scratch root constantly; and each delete is
+    // try/ignored, so an unreadable or foreign tmp dir on a shared box
+    // degrades the sweep, never the query that triggered it.
     val pat = s"^graft-${java.util.regex.Pattern.quote(kind)}-(\\d+)-.*$$".r
-    val sibs = fs.globStatus(new org.apache.hadoop.fs.Path(
-      tmp.resolve(s"graft-$kind-*").toString))
+    val sweepAgeMs = 60L * 60 * 1000
+    val now = System.currentTimeMillis()
+    val sibs =
+      try fs.globStatus(new org.apache.hadoop.fs.Path(
+        tmp.resolve(s"graft-$kind-*").toString))
+      catch { case _: java.io.IOException => null }
     if (sibs != null) sibs.foreach { st =>
-      st.getPath.getName match {
+      try st.getPath.getName match {
         case pat(p) if p.toLong != pid &&
+            now - st.getModificationTime > sweepAgeMs &&
             !ProcessHandle.of(p.toLong).map[Boolean](_.isAlive).orElse(false) =>
           fs.delete(st.getPath, true)
         case _ => ()
-      }
+      } catch { case _: Throwable => () }
     }
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     cleanupRoots.add(root)

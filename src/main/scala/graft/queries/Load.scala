@@ -556,6 +556,128 @@ object Load {
            CAST(3 AS BIGINT) AS n_batches_total
     FROM orders WHERE o_orderpriority = '3-MEDIUM'"""
 
+  // ---------------------------------------------------------------- q86
+  // DICTIONARY zone pruning + disjunctions (VERDICT r13 #2/#5): the
+  // min/max interval cannot prune `source = 'web'` when every batch
+  // MIXES sources — the common corpus layout, which q85's
+  // band-disjoint fixture sidesteps. Each load's write job also
+  // records the EXACT distinct value set for ≤64-NDV string columns
+  // (graft.functions.BoundedDistinct — bounded task memory at any
+  // true NDV, zero extra scans), and the optimizer rule proves
+  // equality/IN/OR probes empty by set membership. Fixture: `orders`
+  // staged in three waves by o_orderpriority GROUP {1,5} / {3} /
+  // {2,4} — every wave's interval spans '3-MEDIUM' (the {1,5} wave
+  // runs '1-URGENT'..'5-LOW'), so interval pruning keeps 3/3 roots;
+  // the dictionary keeps exactly 1/3. The OR probe exercises the
+  // recursive disjunction walk: each disjunct misses two dicts, their
+  // conjunction-of-misses prunes to the one wave holding both.
+  //
+  // Scale shape: identical to q84/q85 — pruning is cached-manifest-
+  // read metadata bounded by load count; the dictionaries are ≤64
+  // values per column per batch in the same manifest.
+  val q86: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = Fixtures.scratchRoot(s, "zonedict", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType)))
+
+    val bands = Seq(Seq("1", "5"), Seq("3"), Seq("2", "4"))
+    bands.zipWithIndex.foreach { case (prefixes, k) =>
+      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+        Tables.orders(s, d)
+          .filter(substring(col("o_orderpriority"), 1, 1).isin(prefixes: _*))
+          .select(col("o_orderkey"), col("o_orderpriority")))
+      WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+    }
+
+    val nTotal = WarehouseLoad.committedBatches(s, hist).size
+    val med = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .filter(col("o_orderpriority") === "3-MEDIUM")
+    val scannedMed = scanRoots(med)
+    val aggMed = med
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
+    val or = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .filter(col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "5-LOW")
+    val scannedOr = scanRoots(or)
+    val nOr = or.agg(count(lit(1))).head().getLong(0)
+
+    import s.implicits._
+    Seq((aggMed.getLong(0), aggMed.getLong(1), scannedMed.toLong,
+        nOr, scannedOr.toLong, nTotal.toLong))
+      .toDF("n_med", "sum_med", "scanned_med", "n_or", "scanned_or",
+        "n_total")
+  }
+
+  val q86Sql: String = """
+    SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_med,
+           CAST(SUM(o_orderkey) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS sum_med,
+           CAST(1 AS BIGINT) AS scanned_med,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '5-LOW')) AS BIGINT) AS n_or,
+           CAST(1 AS BIGINT) AS scanned_or,
+           CAST(3 AS BIGINT) AS n_total
+    FROM orders"""
+
+  // ---------------------------------------------------------------- q87
+  // NULL-COUNT zone pruning (VERDICT r13 #4): IS NULL / IS NOT NULL —
+  // ubiquitous in curation gates (c01's cascade) — prune nothing from
+  // intervals; the per-column (nulls, rows) pair recorded by every
+  // load's own write job does it. Fixture: `orders` staged in three
+  // waves by o_orderkey % 3, with a `note` column that is
+  // o_orderstatus in wave 1 and NULL elsewhere (the JSON writer drops
+  // null fields, so
+  // the all-null waves don't even spell the key — alignment fills it,
+  // and the stats record nulls == rows). IS NOT NULL must plan 1/3
+  // roots (the all-null waves prove empty), IS NULL 2/3 (the
+  // null-free wave proves empty).
+  val q87: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = Fixtures.scratchRoot(s, "zonenull", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("note", StringType)))
+
+    (0 to 2).foreach { k =>
+      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 3 === k)
+          .select(col("o_orderkey"),
+            (if (k == 1) col("o_orderstatus") else lit(null).cast(StringType))
+              .as("note")))
+      WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+    }
+
+    val nTotal = WarehouseLoad.committedBatches(s, hist).size
+    val nn = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .filter(col("note").isNotNull)
+    val scannedNn = scanRoots(nn)
+    val nNn = nn.agg(count(lit(1))).head().getLong(0)
+    val isn = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .filter(col("note").isNull)
+    val scannedIsn = scanRoots(isn)
+    val nIsn = isn.agg(count(lit(1))).head().getLong(0)
+
+    import s.implicits._
+    Seq((nNn, scannedNn.toLong, nIsn, scannedIsn.toLong, nTotal.toLong))
+      .toDF("n_notnull", "scanned_notnull", "n_null", "scanned_null",
+        "n_total")
+  }
+
+  val q87Sql: String = """
+    SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 1) AS BIGINT) AS n_notnull,
+           CAST(1 AS BIGINT) AS scanned_notnull,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 <> 1) AS BIGINT) AS n_null,
+           CAST(2 AS BIGINT) AS scanned_null,
+           CAST(3 AS BIGINT) AS n_total
+    FROM orders"""
+
   val queries: Map[String, Q] = Map(
     "q79_quarantine_load" -> q79,
     "q80_schema_drift" -> q80,
@@ -563,7 +685,9 @@ object Load {
     "q82_takedown_committed" -> q82,
     "q83_feed_ivm" -> q83,
     "q84_zone_prune" -> q84,
-    "q85_zone_prune_str" -> q85)
+    "q85_zone_prune_str" -> q85,
+    "q86_zone_prune_dict" -> q86,
+    "q87_zone_prune_null" -> q87)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
@@ -572,5 +696,7 @@ object Load {
     "q82_takedown_committed" -> q82Sql,
     "q83_feed_ivm" -> q83Sql,
     "q84_zone_prune" -> q84Sql,
-    "q85_zone_prune_str" -> q85Sql)
+    "q85_zone_prune_str" -> q85Sql,
+    "q86_zone_prune_dict" -> q86Sql,
+    "q87_zone_prune_null" -> q87Sql)
 }

@@ -158,6 +158,39 @@ class CommitLogSource(spark: SparkSession, declared: StructType,
           v.toString)
     }
 
+  /** Version spans of the batches this source PLANNED, oldest first —
+    * persisted as `graft-admission-spans` lines (`endVersion span`) in
+    * the source's checkpoint metadata dir (VERDICT r13 #6). The
+    * admission floor can run one planned-but-uncommitted batch AHEAD
+    * of the engine's committed offset, so a crash-recovered batch
+    * legitimately spans up to 2·maxVersionsPerTrigger versions; an
+    * operator sizing the trigger bound against executor memory reads
+    * the ACTUAL span distribution here instead of trusting the bound's
+    * worst case. Bounded to the last [[SpansKeep]] batches; replays of
+    * an already-recorded batch (same end version) don't duplicate. */
+  private val SpansFile = "graft-admission-spans"
+  private val SpansKeep = 64
+  private var spanLog: Vector[(Long, Long)] =
+    if (metadataPath.isEmpty) Vector.empty
+    else graft.load.AtomicManifest.read(spark, metadataPath, SpansFile)
+      .map(_.linesIterator.flatMap { line =>
+        line.split(" ") match {
+          case Array(e, s) => e.toLongOption.zip(s.toLongOption)
+          case _ => None
+        }
+      }.toVector).getOrElse(Vector.empty)
+
+  /** (endVersion, versionSpan) per planned batch, oldest first. */
+  def admissionSpans: Seq[(Long, Long)] = spanLog
+
+  private def recordSpan(from: Long, to: Long): Unit =
+    if (!spanLog.lastOption.exists(_._1 >= to)) {
+      spanLog = (spanLog :+ (to, to - from)).takeRight(SpansKeep)
+      if (metadataPath.nonEmpty)
+        graft.load.AtomicManifest.write(spark, metadataPath, SpansFile,
+          spanLog.map { case (e, s) => s"$e $s" }.mkString("\n"))
+    }
+
   override def schema: StructType = declared
 
   override def getOffset: Option[OffsetV1] = {
@@ -201,7 +234,8 @@ class CommitLogSource(spark: SparkSession, declared: StructType,
     val from = start.map(_.json.toLong).getOrElse(0L)
     val to = end.json.toLong
     advanceFloor(to) // restart recovery: resume admission from the
-    val ids = addedBatches(from, to) // replayed batch's planned end
+    recordSpan(from, to) // replayed batch's planned end
+    val ids = addedBatches(from, to)
     val live = WarehouseLoad.liveBatchIds(spark, warehouseDir, ids)
     val base =
       if (live.nonEmpty)

@@ -298,6 +298,19 @@ class CommitLogStreamSpec extends SparkSpec {
       q2.processAllAvailable()
       assert(outIds() == Seq(1L, 2L, 3L, 4L, 5L, 6L))
     } finally q2.stop()
+    // the span metric: every planned batch's version span is recorded
+    // in the source's checkpoint metadata (VERDICT r13 #6) — 4 batches
+    // (0,2] (2,4] (4,5] (5,6], each within 2×maxVersionsPerTrigger
+    // (the documented recovery ceiling), the backlog ones at exactly
+    // the bound
+    val spans = Files.readString(
+        Paths.get(ckpt, "sources", "0", "graft-admission-spans"))
+      .linesIterator.map(_.split(" ").map(_.toLong)).toSeq
+    assert(spans.map(_(0)) == Seq(2L, 4L, 5L, 6L),
+      s"span log ends: ${spans.map(_.toSeq)}")
+    assert(spans.map(_(1)) == Seq(2L, 2L, 1L, 1L),
+      s"span log spans: ${spans.map(_.toSeq)}")
+    assert(spans.forall(_(1) <= 4L))
   }
 
   test("schema inference requires a first commit; version pruning demands resync") {

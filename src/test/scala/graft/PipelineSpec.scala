@@ -744,4 +744,118 @@ class PipelineSpec extends SparkSpec {
         wh, strict = true)
     }
   }
+
+  /** Stage + load one wave of customer ids; returns the staging dir. */
+  private def loadWave(staging: String, name: String, ids: Seq[Long],
+                       wh: String, hist: String): Unit = {
+    Files.writeString(Paths.get(staging, name),
+      ids.map(i => s"""{"CustomerID": "$i", "FirstName": "c$i"}""")
+        .mkString("", "\n", "\n"))
+    graft.load.WarehouseLoad.batchIdempotent(spark, staging,
+      Schemas.customers, wh, hist)
+  }
+
+  private def whIds(wh: String, hist: String): Seq[Long] =
+    graft.load.WarehouseLoad.readWarehouse(spark, wh, hist).get
+      .select("customerid").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("compaction whose inputs a takedown rewrote aborts and retries — no duplicates, no resurrection") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-ccstage-")
+    val wh = tmpDir("graft-ccwh-") + "/t"
+    val hist = tmpDir("graft-cchist-") + "/h"
+    loadWave(staging, "w1.json", Seq(1L, 2L), wh, hist)
+    loadWave(staging, "w2.json", Seq(3L, 4L), wh, hist)
+
+    // Between the compactor's fold write and its commit, a takedown
+    // removes customer 2 — rewriting an input batch. The stale fold
+    // still CONTAINS row 2; committing it would resurrect a served
+    // privacy deletion. The CAS derive must detect the vanished input,
+    // abort, and the retry must fold the POST-takedown snapshot.
+    import spark.implicits._
+    var fired = false
+    WarehouseLoad.compactWithFailpoint(spark, wh, hist,
+      failpoint = at => if (at == "fold-written" && !fired) {
+        fired = true
+        assert(WarehouseLoad.takedownCommitted(spark, wh, hist,
+          Seq(2L).toDF("customerid"), Seq("customerid")) == 1L)
+      })
+    assert(fired)
+    val after = WarehouseLoad.committedBatches(spark, hist)
+    assert(after.size == 1, s"expected one folded batch, got $after")
+    assert(whIds(wh, hist) == Seq(1L, 3L, 4L),
+      "stale fold resurrected a taken-down row or duplicated rows")
+    // vacuum reclaims the aborted fold's orphan dirs (they are in no
+    // retained version)
+    WarehouseLoad.vacuum(spark, wh, hist)
+    assert(whIds(wh, hist) == Seq(1L, 3L, 4L))
+  }
+
+  test("takedown whose probed batches a compaction folded re-runs and converges — no silent under-apply") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-tcstage-")
+    val wh = tmpDir("graft-tcwh-") + "/t"
+    val hist = tmpDir("graft-tchist-") + "/h"
+    loadWave(staging, "w1.json", Seq(1L, 2L), wh, hist)
+    loadWave(staging, "w2.json", Seq(3L, 4L), wh, hist)
+
+    // Between the takedown's rewrites and its commit, a compaction
+    // folds every batch it probed. Its remaps cannot land (the fold
+    // still holds the hit rows); the pass must report them vanished
+    // and the re-run must rewrite the fold — the DELETE either covers
+    // the table or throws, never silently under-applies.
+    import spark.implicits._
+    var fired = false
+    val removed = WarehouseLoad.takedownWithFailpoint(spark, wh, hist,
+      Seq(2L, 4L).toDF("customerid"), Seq("customerid"),
+      failpoint = at => if (at == "rewrites-written" && !fired) {
+        fired = true
+        WarehouseLoad.compactCommitted(spark, wh, hist)
+      })
+    assert(fired)
+    assert(removed == 2L, s"expected 2 rows removed once each, got $removed")
+    assert(whIds(wh, hist) == Seq(1L, 3L),
+      "takedown racing a compaction under-applied or double-applied")
+    // idempotent: the served takedown re-runs as a no-op
+    assert(WarehouseLoad.takedownCommitted(spark, wh, hist,
+      Seq(2L, 4L).toDF("customerid"), Seq("customerid")) == 0L)
+    WarehouseLoad.vacuum(spark, wh, hist)
+    assert(whIds(wh, hist) == Seq(1L, 3L))
+  }
+
+  test("vacuum refreshes a lagging _COMMITTED hint; a hint corrupted after vacuum recovers via the version listing") {
+    import graft.load.{AtomicManifest, WarehouseLoad}
+    val staging = tmpDir("graft-vhstage-")
+    val wh = tmpDir("graft-vhwh-") + "/t"
+    val hist = tmpDir("graft-vhhist-") + "/h"
+    loadWave(staging, "w1.json", Seq(1L), wh, hist)
+    loadWave(staging, "w2.json", Seq(2L), wh, hist)
+    loadWave(staging, "w3.json", Seq(3L), wh, hist)
+    assert(WarehouseLoad.currentVersion(spark, hist) == 3)
+
+    // Lag the hint to v1 (consecutive crashes in the publish→hint
+    // window / out-of-order hint overwrites), then vacuum with
+    // retention 1 — v1 and v2 manifests are pruned. Without the
+    // hint refresh, the forward probe would strand at v1 (pruned) and
+    // read the table as corrupt/empty (ADVICE r13 medium).
+    val v1Batches = WarehouseLoad.versionBatches(spark, hist, 1).get
+    AtomicManifest.write(spark, hist, "_COMMITTED",
+      "#v=1\n" + v1Batches.mkString("\n"))
+    WarehouseLoad.vacuum(spark, wh, hist)
+    assert(WarehouseLoad.currentVersion(spark, hist) == 3)
+    assert(whIds(wh, hist) == Seq(1L, 2L, 3L))
+
+    // Corrupt the hint AFTER the vacuum (an out-of-order overwrite by
+    // a concurrent committer): v1 is pruned, so the probe cannot
+    // advance from the stale hint — the _versions listing fallback
+    // must recover the true head instead of reading the table empty.
+    AtomicManifest.write(spark, hist, "_COMMITTED",
+      "#v=1\n" + v1Batches.mkString("\n"))
+    assert(WarehouseLoad.currentVersion(spark, hist) == 3)
+    assert(whIds(wh, hist) == Seq(1L, 2L, 3L))
+    // and the hint-missing variant of the same stale state
+    AtomicManifest.write(spark, hist, "_COMMITTED", "")
+    assert(WarehouseLoad.currentVersion(spark, hist) == 3)
+    assert(whIds(wh, hist) == Seq(1L, 2L, 3L))
+  }
 }

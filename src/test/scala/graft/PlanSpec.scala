@@ -761,4 +761,96 @@ class PlanSpec extends SparkSpec {
     // and the manual API agrees with the planner's decision
     assert(WarehouseLoad.prunedBatchIds(spark, hist, "id", 90, 200).size == 1)
   }
+
+  test("zone-prune r14: dictionary, OR, IS [NOT] NULL, prefix, and IN prune past what intervals can") {
+    import java.nio.file.{Files, Paths}
+    import graft.load.WarehouseLoad
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val staging = tmpDir("graft-zdstage-")
+    val wh = tmpDir("graft-zdwh-") + "/t"
+    val hist = tmpDir("graft-zdhist-") + "/h"
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    def load(name: String, rows: String*): Unit = {
+      Files.writeString(Paths.get(staging, name),
+        rows.mkString("", "\n", "\n"))
+      WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist)
+    }
+    // Every batch's src INTERVAL spans the probes (mixed sources — the
+    // real corpus layout); only the DICTIONARY separates them. The
+    // note column is all-null in b1, null-free in b2, mixed in b3.
+    load("f1.json",
+      """{"id": "1", "src": "arxiv"}""",
+      """{"id": "2", "src": "zlib"}""")
+    load("f2.json",
+      """{"id": "10", "src": "arxiv", "note": "x"}""",
+      """{"id": "11", "src": "web", "note": "y"}""",
+      """{"id": "12", "src": "zlib", "note": "z"}""")
+    load("f3.json",
+      """{"id": "20", "src": "books"}""",
+      """{"id": "21", "src": "wiki", "note": "w"}""")
+    def read() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    def roots(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.size
+          case _ => 0
+        }
+      }.sum
+
+    assert(roots(read()) == 3)
+    // dictionary: every interval ['arxiv'..'zlib']-ish spans 'web',
+    // only b2's value SET holds it
+    val web = read().filter(col("src") === "web")
+    assert(roots(web) == 1,
+      s"dict must prune what intervals cannot:\n${web.queryExecution.optimizedPlan}")
+    assert(web.count() == 1)
+    // disjunction: each disjunct misses b1 and b2's dicts; b3 holds both
+    val or = read().filter(col("src") === "books" || col("src") === "wiki")
+    assert(roots(or) == 1)
+    assert(or.count() == 2)
+    // a disjunct nobody holds composes to empty
+    val orNone = read().filter(col("src") === "c4" || col("src") === "cc")
+    assert(roots(orNone) == 0)
+    assert(orNone.count() == 0)
+    // IN probes each point against the dict (envelope would keep all)
+    val in = read().filter(col("src").isin("web", "common"))
+    assert(roots(in) == 1)
+    assert(in.count() == 1)
+    // IS NOT NULL prunes the all-null batch; IS NULL the null-free one
+    val nn = read().filter(col("note").isNotNull)
+    assert(roots(nn) == 2, s"\n${nn.queryExecution.optimizedPlan}")
+    assert(nn.count() == 4)
+    val isn = read().filter(col("note").isNull)
+    assert(roots(isn) == 2, s"\n${isn.queryExecution.optimizedPlan}")
+    assert(isn.count() == 3)
+    // all-null short-circuit: ANY comparison misses b1's all-null note
+    val cmp = read().filter(col("note") >= "a")
+    assert(roots(cmp) == 2)
+    assert(cmp.count() == 4)
+    // prefix (LIKE 'wi%'): dict membership decides
+    val pre = read().filter(col("src").startsWith("wi"))
+    assert(roots(pre) == 1)
+    assert(pre.count() == 1)
+    // dictionaries survive compaction (union ≤ cap) — fold everything,
+    // re-load a disjoint wave, and the dict still separates the fold
+    // from the new batch
+    WarehouseLoad.compactCommitted(spark, wh, hist)
+    load("f4.json", """{"id": "30", "src": "web", "note": "v"}""")
+    assert(roots(read()) == 2)
+    val webAfter = read().filter(col("src") === "books")
+    assert(roots(webAfter) == 1, "merged dict must still prune")
+    assert(webAfter.count() == 1)
+    // and the merged null counts stay sound: the fold has 3 nulls of 7
+    // rows (no prune), the new batch is null-free (IS NULL prunes it)
+    val isnAfter = read().filter(col("note").isNull)
+    assert(roots(isnAfter) == 1)
+    assert(isnAfter.count() == 3)
+  }
 }
