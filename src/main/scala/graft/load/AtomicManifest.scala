@@ -129,17 +129,27 @@ object AtomicManifest {
     } finally fs.delete(tmp, false) // no-op when the rename moved it
   }
 
+  /** Temp names are UNIQUE per call (like [[createExclusive]]'s): a
+    * fixed `.name.tmp` let two concurrent writers of the same manifest
+    * (e.g. the `_COMMITTED` hint after racing CAS commits) overwrite
+    * each other's temp and fail the second rename with FNF — caught by
+    * the r14 CommitScale parallel-committer build. With unique temps
+    * both renames land and the last overwrite wins, which is exactly
+    * the hint's lagging-best-effort contract. */
   def write(spark: SparkSession, dir: String, name: String,
             content: String): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+    try org.apache.hadoop.fs.FileContext
       .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, new org.apache.hadoop.fs.Path(dir, name),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    finally fs.delete(tmp, false) // no-op when the rename moved it
   }
 }

@@ -196,6 +196,48 @@ object WarehouseLoad {
   private val VersionsDir = "_versions"
   private def versionName(v: Long): String = f"v$v%08d"
 
+  /** Marker first line of a DELTA version manifest (r14 — VERDICT r13
+    * #3, the CommitScale-motivated fix): an append commit's version
+    * file records only the appended ids (`+id` lines) instead of the
+    * full batch list, so N append commits write O(N) total manifest
+    * bytes instead of O(N²) — at 10k commits the difference between
+    * ~2 GB and ~30 MB of version log. Rewrites (compaction/takedown —
+    * any derive that is not a pure append) and every
+    * [[snapshotEvery]]-th version still write the FULL list (a
+    * SNAPSHOT — any file not starting with this marker, which is also
+    * every pre-r14 file: the formats coexist in one log), bounding
+    * [[versionBatches]]' reconstruction walk-back to one snapshot plus
+    * at most `snapshotEvery - 1` tiny delta reads. */
+  private val DeltaHeader = "#delta"
+
+  /** Snapshot cadence of the version log — every `k`-th version is a
+    * full batch list even when the commit is a pure append. Hadoop-conf
+    * knob (`graft.commit.snapshotEvery`) so specs can cross snapshot
+    * boundaries cheaply and operators can trade walk-back length
+    * against snapshot bytes; the default keeps reconstruction under
+    * 64 manifest reads while snapshots stay <2% of an all-snapshot
+    * log's volume. */
+  private def snapshotEvery(spark: SparkSession): Long =
+    math.max(1L, spark.sparkContext.hadoopConfiguration
+      .getLong("graft.commit.snapshotEvery", 64L))
+
+  /** Reconstructed version lists, keyed by the requested version
+    * FILE's (mtime, length) like [[zoneMapCache]]: version files are
+    * immutable once published (vacuum's cutoff snapshot-ification
+    * replaces one file, changing its state key), but a warehouse
+    * deleted and rebuilt under the same path within one JVM must never
+    * be served the old table's list. One getFileStatus validates a
+    * hit; a miss walks the delta chain. LRU-bounded: entries are
+    * O(batch count) strings, so the cap stays small. */
+  private val VersionListCacheMax = 64
+  private val versionListCache = new java.util.LinkedHashMap[
+      (String, Long, Long, Long), Seq[String]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Long, Long, Long),
+                               Seq[String]]): Boolean =
+      size() > VersionListCacheMax
+  }
+
   /** A change feed between two versions cannot be expressed as appends
     * because a batch present in `from` is gone in `to` (compaction or a
     * takedown rewrote the set) — the consumer must resync from a full
@@ -223,7 +265,14 @@ object WarehouseLoad {
     * jump to its max and re-probe. The common path pays one extra
     * exists() at most; the listing runs only on the stale-hint path. */
   def currentVersion(spark: SparkSession, historyDir: String): Long = {
-    val hint = AtomicManifest.read(spark, historyDir, CommitLog)
+    // The hint is advisory: concurrent committers overwrite it racily
+    // (on the local ChecksumFs a reader can even catch a torn
+    // data/.crc pair and exhaust the checksum retries), so ANY failure
+    // to read it degrades to "no hint" — the forward probe plus the
+    // stale-hint listing fallback below recover the true head.
+    val hint =
+      (try AtomicManifest.read(spark, historyDir, CommitLog)
+       catch { case scala.util.control.NonFatal(_) => None })
       .flatMap(_.linesIterator.find(_.startsWith("#v="))
         .flatMap(_.drop(3).toLongOption))
       .getOrElse(0L)
@@ -283,13 +332,36 @@ object WarehouseLoad {
             s"head version $head of $historyDir has no readable manifest"))
       val batches = derive(committed)
       if (batches == committed) return head // already committed: no-op
+      require(batches.forall(b =>
+          b.nonEmpty && b != DeltaHeader && !b.contains("\n")),
+        "batch ids must be non-empty single-line strings")
       val v = head + 1
+      // Pure appends — the N-commit hot path (loads, streamed epochs)
+      // — publish a DELTA manifest; rewrites and every snapshotEvery-th
+      // version publish the full list (see [[DeltaHeader]]).
+      val content =
+        if (v % snapshotEvery(spark) == 0 ||
+            !(batches.sizeIs > committed.size) ||
+            !batches.startsWith(committed))
+          batches.mkString("\n")
+        else
+          (DeltaHeader +: batches.drop(committed.size).map("+" + _))
+            .mkString("\n")
       failpoint("commit-attempt")
       if (AtomicManifest.createExclusive(spark, s"$historyDir/$VersionsDir",
-          versionName(v), batches.mkString("\n"))) {
+          versionName(v), content)) {
         failpoint("version-written")
-        AtomicManifest.write(spark, historyDir, CommitLog,
-          s"#v=$v\n" + batches.mkString("\n"))
+        // The hint is ONLY the head version number — readers resolve
+        // the batch list from the version log itself, and an O(N)-line
+        // hint per commit re-created the O(N²) write volume the delta
+        // log removes. BEST-EFFORT: concurrent committers race their
+        // hint overwrites (on the local ChecksumFs even the .crc
+        // sidecar rename can collide), and the commit is already
+        // durable at the version publish — a lost/failed hint write
+        // only costs the next reader a longer forward probe, so it
+        // must never fail a committed commit.
+        try AtomicManifest.write(spark, historyDir, CommitLog, s"#v=$v")
+        catch { case scala.util.control.NonFatal(_) => () }
         return v
       }
       attempt += 1 // lost the CAS: re-read head, re-derive, retry
@@ -307,9 +379,53 @@ object WarehouseLoad {
                      version: Long): Option[Seq[String]] =
     if (version == 0) Some(Nil)
     else if (version > currentVersion(spark, historyDir)) None
-    else AtomicManifest.read(spark, s"$historyDir/$VersionsDir",
-        versionName(version))
-      .map(_.split("\n").toSeq.filter(_.nonEmpty))
+    else readVersionList(spark, historyDir, version)
+
+  /** Reconstruct `version`'s batch list: walk the delta chain back to
+    * the nearest SNAPSHOT manifest (or v0 = the empty table),
+    * prepending each delta's appends — at most [[snapshotEvery]] tiny
+    * manifest reads, usually one cache hit. `None` when any file in
+    * the chain is gone (pruned by [[vacuum]], whose cutoff
+    * snapshot-ification guarantees every RETAINED version's chain
+    * terminates at or above the cutoff). */
+  private def readVersionList(spark: SparkSession, historyDir: String,
+                              version: Long): Option[Seq[String]] = {
+    val vroot = new org.apache.hadoop.fs.Path(s"$historyDir/$VersionsDir")
+    val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def key(v: Long): Option[(String, Long, Long, Long)] =
+      try {
+        val st = fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(vroot, versionName(v)))
+        Some((historyDir, v, st.getModificationTime, st.getLen))
+      } catch { case _: java.io.FileNotFoundException => None }
+    def cached(v: Long): Option[Seq[String]] = key(v).flatMap(k =>
+      versionListCache.synchronized(Option(versionListCache.get(k))))
+    def store(list: Seq[String]): Option[Seq[String]] = {
+      key(version).foreach(k =>
+        versionListCache.synchronized(versionListCache.put(k, list)))
+      Some(list)
+    }
+    var v = version
+    var suffix = Vector.empty[String] // appends of versions (v, version]
+    while (v > 0) {
+      cached(v) match {
+        case Some(base) =>
+          return if (v == version) Some(base) else store(base ++ suffix)
+        case None =>
+          AtomicManifest.read(spark, s"$historyDir/$VersionsDir",
+              versionName(v)) match {
+            case None => return None // chain pruned by vacuum retention
+            case Some(txt) =>
+              val lines = txt.linesIterator.filter(_.nonEmpty).toVector
+              if (lines.headOption.contains(DeltaHeader)) {
+                suffix = lines.tail.map(_.stripPrefix("+")) ++ suffix
+                v -= 1
+              } else return store(lines ++ suffix)
+          }
+      }
+    }
+    store(suffix) // chain terminated at v0: the empty table
+  }
 
   /** Time travel: the warehouse relation exactly as committed at
     * `version` — the snapshot-isolation read the versioned commit log
@@ -453,7 +569,47 @@ object WarehouseLoad {
     else if (dirs.sizeIs > 1 && info.exists(_._2))
       Some(dirs.map(reader.parquet(_))
         .reduce(_.unionByName(_, allowMissingColumns = true)))
-    else Some(reader.parquet(dirs: _*))
+    else knownSchema(spark, historyDir, info) match {
+      // KNOWN-SCHEMA scan (r14): every live batch recorded the schema
+      // its own write job produced, and they all agree — pass it to
+      // the scan and skip the mergeSchema footer pass entirely (a
+      // footer GET per FILE on an object store; the dominant
+      // readWarehouse construction cost at 10k roots, CommitScale
+      // r14). Any batch without the record, or any disagreement (an
+      // in-flight SchemaDrift evolution), falls back to footer
+      // merging — the fast path is never a correctness dependency.
+      case Some(schema) => Some(spark.read.schema(schema).parquet(dirs: _*))
+      case None => Some(reader.parquet(dirs: _*))
+    }
+  }
+
+  /** The single schema every live batch recorded, if they ALL did and
+    * ALL agree — `None` (fall back to footer merging) otherwise, and
+    * always for hive-partitioned batches (their on-disk data schema
+    * excludes the partition columns, so the recorded DataFrame schema
+    * is not the scan schema). Stats are LRU-cached; misses fetch in
+    * parallel inside [[batchStats]] callers' loops elsewhere, and here
+    * the ids were just listed, so one pass is metadata-cheap. */
+  private def knownSchema(spark: SparkSession, historyDir: String,
+      info: Seq[(String, Boolean)]): Option[StructType] = {
+    if (info.isEmpty || info.exists(_._2)) return None
+    import scala.jdk.CollectionConverters._
+    val jsons =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val missing = new java.util.concurrent.atomic.AtomicBoolean(false)
+    info.asJava.parallelStream().forEach { case (id, _) =>
+      batchStats(spark, historyDir, id).flatMap(_.schemaJson) match {
+        case Some(j) => jsons.put(id, j)
+        case None => missing.set(true)
+      }
+    }
+    if (missing.get) return None
+    val distinct = jsons.values().asScala.toSet
+    if (distinct.size != 1) None
+    else
+      try Some(org.apache.spark.sql.types.DataType
+        .fromJson(distinct.head).asInstanceOf[StructType])
+      catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** The committed load history — one row per loaded source file:
@@ -611,7 +767,8 @@ object WarehouseLoad {
         failpoint("data-written")
         freshFiles.select("file").write.mode("overwrite")
           .parquet(s"$historyDir/b$id")
-        writeZoneMap(spark, historyDir, id, zobs, zcols)
+        writeZoneMap(spark, historyDir, id, zobs, zcols,
+          Some(toWrite.schema))
         failpoint("history-written")
         // derive against the head AT COMMIT TIME (a concurrent writer
         // may have advanced it); a head already containing this id
@@ -655,9 +812,19 @@ object WarehouseLoad {
                             nulls: Option[Long])
 
   /** Everything a batch's `_ZONEMAP` manifest records: per-column
-    * [[ColStats]] plus the batch row count at write time. */
+    * [[ColStats]], the batch row count at write time, and (r14) the
+    * SCHEMA the write job produced (`#s` line, Spark schema JSON) —
+    * the Delta "schema in the log" move: when every live batch of a
+    * table records the same schema, [[readBatchDirs]] passes it to the
+    * scan and skips the mergeSchema footer pass entirely (one footer
+    * GET per FILE on an object store; the dominant readWarehouse cost
+    * at 10k commits, CommitScale r14). Batches that predate the line,
+    * or a mix of schemas (a [[graft.schema.SchemaDrift]] evolution in
+    * flight), fall back to footer merging — absent is never wrong,
+    * only slower. */
   final case class BatchStats(cols: Map[String, ColStats],
-                              rows: Option[Long]) {
+                              rows: Option[Long],
+                              schemaJson: Option[String] = None) {
     def zones: Map[String, Zone] =
       cols.collect { case (c, ColStats(Some(z), _, _)) => c -> z }
     /** Is `col` (CI match) recorded as all-null? A predicate comparing
@@ -759,8 +926,10 @@ object WarehouseLoad {
   }
 
   private def encodeZoneMap(entries: Seq[(String, ColStats)],
-                            rows: Option[Long]): String = {
+                            rows: Option[Long],
+                            schemaJson: Option[String] = None): String = {
     val lines = rows.map(r => s"#c $r").toSeq ++
+      schemaJson.map(s => s"#s ${enc(s)}") ++
       entries.flatMap { case (c, st) =>
         st.zone.map(encodeZoneLine(c, _)).toSeq ++
           st.dict.map(d =>
@@ -807,7 +976,7 @@ object WarehouseLoad {
     * no dict/interval respectively — absent is always "must scan". */
   private def writeZoneMap(spark: SparkSession, historyDir: String,
       id: String, zobs: Option[Observation],
-      zcols: Seq[StructField]): Unit =
+      zcols: Seq[StructField], schema: Option[StructType] = None): Unit =
     zobs.foreach { o =>
       val rows = o.get("zrows__").asInstanceOf[Long]
       val entries = zcols.flatMap { f =>
@@ -848,9 +1017,9 @@ object WarehouseLoad {
         if (st.zone.isEmpty && st.dict.isEmpty && st.nulls.isEmpty) None
         else Some(f.name -> st)
       }
-      if (entries.nonEmpty)
+      if (entries.nonEmpty || schema.isDefined)
         AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
-          encodeZoneMap(entries, Some(rows)))
+          encodeZoneMap(entries, Some(rows), schema.map(_.json)))
     }
 
   /** The streaming sink's epoch commit
@@ -877,7 +1046,8 @@ object WarehouseLoad {
         StructType(Seq(StructField("file", StringType))))
       .repartition(1)
       .write.mode("overwrite").parquet(s"$historyDir/b$id")
-    writeZoneMap(spark, historyDir, id, zobs, zcols)
+    writeZoneMap(spark, historyDir, id, zobs, zcols,
+      if (df.isStreaming) None else Some(toWrite.schema))
     commitBatches(spark, historyDir,
       cur => if (cur.contains(id)) cur else cur :+ id)
   }
@@ -902,7 +1072,12 @@ object WarehouseLoad {
     * LRU-bounded so a long-lived driver over a many-load table never
     * grows without bound (VERDICT r12 #4). Absence is NOT cached — a
     * mapless answer may be the read racing the commit. */
-  private val ZoneCacheMax = 4096
+  // Sized past the batch count the protocol is measured at (10k
+  // commits, CommitScale r14): an LRU smaller than the table's batch
+  // count thrashes on every pruning decision — each entry is a few
+  // hundred bytes, so 32k entries is ~10 MB of driver heap, bought
+  // against re-opening every manifest once per QUERY.
+  private val ZoneCacheMax = 32768
   private val zoneMapCache = new java.util.LinkedHashMap[
       (String, String, Long, Long), BatchStats](
       64, 0.75f, true) {
@@ -942,12 +1117,14 @@ object WarehouseLoad {
       id: String): Option[BatchStats] =
     AtomicManifest.read(spark, s"$historyDir/b$id", ZoneMapFile).map { txt =>
       var rows = Option.empty[Long]
+      var schema = Option.empty[String]
       val zones = Map.newBuilder[String, Zone]
       val dicts = Map.newBuilder[String, Set[String]]
       val nulls = Map.newBuilder[String, Long]
       txt.linesIterator.foreach { line =>
         line.split(" ") match {
           case Array("#c", r) => rows = r.toLongOption
+          case Array("#s", s) => schema = Some(dec(s))
           case Array("#n", c, n) =>
             n.toLongOption.foreach(v => nulls += dec(c) -> v)
           case Array("#d", c, vs @ _*) =>
@@ -966,7 +1143,7 @@ object WarehouseLoad {
       val cols = (zm.keySet ++ dm.keySet ++ nm.keySet).iterator.map { c =>
         c -> ColStats(zm.get(c), dm.get(c), nm.get(c))
       }.toMap
-      BatchStats(cols, rows)
+      BatchStats(cols, rows, schema)
     }
 
   /** Committed batch ids whose zone interval for `column` overlaps the
@@ -1047,11 +1224,27 @@ object WarehouseLoad {
     // [[currentVersion]] remains the backstop for hints corrupted
     // AFTER a vacuum.
     if (head > 0)
-      AtomicManifest.write(spark, historyDir, CommitLog,
-        s"#v=$head\n" + headBatches.mkString("\n"))
+      AtomicManifest.write(spark, historyDir, CommitLog, s"#v=$head")
     val conf = spark.sparkContext.hadoopConfiguration
     val vroot = new org.apache.hadoop.fs.Path(s"$historyDir/$VersionsDir")
     val vfs = vroot.getFileSystem(conf)
+    // SNAPSHOT-IFY THE CUTOFF before pruning below it (r14, delta
+    // version log): a retained version reconstructs by walking its
+    // delta chain back to the nearest snapshot, and every retained
+    // chain passes THROUGH the cutoff (versions are contiguous) — so
+    // rewriting the cutoff's manifest as a full list caps every
+    // retained walk at >= cutoff, and the files below are then dead to
+    // all retained reads. This is the one place a published version
+    // file is replaced; its content is semantically identical (the
+    // reconstruction cache keys on file state, so it re-reads).
+    if (cutoff <= head)
+      versionBatches(spark, historyDir, cutoff).foreach { list =>
+        val raw = AtomicManifest.read(spark, s"$historyDir/$VersionsDir",
+          versionName(cutoff))
+        if (raw.exists(_.linesIterator.nextOption().contains(DeltaHeader)))
+          AtomicManifest.write(spark, s"$historyDir/$VersionsDir",
+            versionName(cutoff), list.mkString("\n"))
+      }
     if (vfs.exists(vroot)) {
       val pruned = vfs.listStatus(vroot).filter { st =>
         val v = st.getPath.getName.stripPrefix("v").toLongOption
@@ -1133,7 +1326,8 @@ object WarehouseLoad {
     if (committed.size < minBatches) return true
     val id = "compact-" + java.util.UUID.nameUUIDFromBytes(
       committed.mkString("\n").getBytes("UTF-8")).toString.take(16)
-    readWarehouse(spark, warehouseDir, historyDir).foreach(
+    val foldRelation = readWarehouse(spark, warehouseDir, historyDir)
+    foldRelation.foreach(
       _.write.mode("overwrite").partitionBy(partitionCols: _*)
         .parquet(s"$warehouseDir/b$id"))
     loadedFiles(spark, historyDir).foreach(
@@ -1141,8 +1335,11 @@ object WarehouseLoad {
     // the folded batch's zone map is the interval union of its inputs
     // (a column only survives if EVERY input recorded it — a missing
     // interval means an unknown range, and a merged map must never
-    // understate one). Metadata-only, no scan.
-    mergeZoneMaps(spark, historyDir, committed, id)
+    // understate one). Metadata-only, no scan. The fold's schema is
+    // the UNION relation's own (footer-merged) schema — exact even
+    // when the inputs straddle a SchemaDrift evolution.
+    mergeZoneMaps(spark, historyDir, committed, id,
+      foldRelation.map(_.schema))
     failpoint("fold-written")
     // CAS derive: batches committed AFTER the fold's snapshot (a load
     // that raced the compaction) are NOT in the folded batch — retain
@@ -1173,8 +1370,18 @@ object WarehouseLoad {
     * union (dropped past [[DictMax]]), null counts and row counts
     * add. Metadata-only, no scan. */
   private def mergeZoneMaps(spark: SparkSession, historyDir: String,
-      inputs: Seq[String], id: String): Unit = {
-    val inputStats = inputs.map(batchStats(spark, historyDir, _))
+      inputs: Seq[String], id: String,
+      foldSchema: Option[StructType] = None): Unit = {
+    // parallel stats fetch (same shape as liveBatchInfo): a 10k-input
+    // fold spent ~20 s reading manifests one at a time (CommitScale r14)
+    val fetched = {
+      import scala.jdk.CollectionConverters._
+      val m = new java.util.concurrent.ConcurrentHashMap[String, BatchStats]()
+      inputs.asJava.parallelStream().forEach(in =>
+        batchStats(spark, historyDir, in).foreach(st => m.put(in, st)))
+      m
+    }
+    val inputStats = inputs.map(in => Option(fetched.get(in)))
     if (inputStats.nonEmpty && inputStats.forall(_.isDefined)) {
       val stats = inputStats.map(_.get)
       val rows =
@@ -1195,10 +1402,15 @@ object WarehouseLoad {
         if (st.zone.isEmpty && st.dict.isEmpty && st.nulls.isEmpty) None
         else Some(c -> st)
       }
-      if (merged.nonEmpty || rows.isDefined)
+      if (merged.nonEmpty || rows.isDefined || foldSchema.isDefined)
         AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
-          encodeZoneMap(merged, rows))
-    }
+          encodeZoneMap(merged, rows, foldSchema.map(_.json)))
+    } else foldSchema.foreach(sc =>
+      // some input lacks stats entirely: no mergeable intervals, but
+      // the fold's schema is still exactly known — record it alone so
+      // the known-schema scan path survives the compaction
+      AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
+        encodeZoneMap(Nil, None, Some(sc.json))))
   }
 
   /** Delete-by-key on the committed batch warehouse — the
@@ -1315,8 +1527,11 @@ object WarehouseLoad {
         // membership, nulls==0, nulls==rows — are all monotone under
         // row removal; see [[ColStats]])
         batchStats(spark, historyDir, id).foreach { st =>
+          // schema carries too: an anti-join preserves the relation's
+          // columns exactly
           AtomicManifest.write(spark, s"$historyDir/b$nid", ZoneMapFile,
-            encodeZoneMap(st.cols.toSeq.sortBy(_._1), st.rows))
+            encodeZoneMap(st.cols.toSeq.sortBy(_._1), st.rows,
+              st.schemaJson))
         }
         nid
       }

@@ -106,13 +106,24 @@ object ZonePrune extends Rule[LogicalPlan] {
         if (!hasUsableLeaf(cond)) f
         else {
           val spark = fs.sparkSession
-          val keep = roots.filter { r =>
-            WarehouseLoad.batchStats(spark, h,
+          // stats reads run in PARALLEL across roots (driver-side
+          // metadata calls, same shape as liveBatchInfo): sequential
+          // reads were the pruning decision's dominant cost at 10k
+          // commits — ~6 s of one-at-a-time manifest opens for a
+          // decision that is embarrassingly parallel (CommitScale r14)
+          import scala.jdk.CollectionConverters._
+          val verdicts =
+            new java.util.concurrent.ConcurrentHashMap[
+              org.apache.hadoop.fs.Path, java.lang.Boolean]()
+          roots.asJava.parallelStream().forEach { r =>
+            val keep = WarehouseLoad.batchStats(spark, h,
                 r.getName.stripPrefix("b")) match {
               case None => true // no stats: must scan
               case Some(st) => !provenEmpty(st, cond)
             }
+            verdicts.put(r, keep)
           }
+          val keep = roots.filter(r => verdicts.get(r).booleanValue())
           if (keep.size == roots.size) f
           else if (keep.isEmpty) LocalRelation(f.output)
           else if (fs.partitionSchema.isEmpty) {

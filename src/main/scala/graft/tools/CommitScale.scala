@@ -30,6 +30,11 @@ object CommitScale {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(1000)
     val rowsPer = args.lift(1).map(_.toInt).getOrElse(10)
+    // N concurrent committer threads (r14): the build doubles as a
+    // CAS-contention stress at scale — every commit races for head+1
+    // and losers re-derive, exactly the multi-writer path the specs
+    // prove at small N.
+    val par = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = graft.GraftSession.create("local[8]", 8)
     spark.sparkContext.setLogLevel("WARN")
     val root = java.nio.file.Files
@@ -39,19 +44,38 @@ object CommitScale {
     import spark.implicits._
 
     val (_, buildS) = time {
-      (1 to n).foreach { i =>
+      def commit(i: Int): Unit = {
         val df = (i * 1000L until i * 1000L + rowsPer).toDF("id")
           .withColumn("commit", lit(i))
         WarehouseLoad.commitStreamedBatch(spark, df, wh, hist, f"s-$i%05d")
       }
+      if (par <= 1) (1 to n).foreach(commit)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        try {
+          val futs = (1 to n).map(i =>
+            pool.submit(new Runnable { def run(): Unit = commit(i) }))
+          futs.foreach(_.get())
+        } finally pool.shutdown()
+      }
     }
-    println(f"build_commits n=$n rowsPer=$rowsPer total=$buildS%.1f s " +
-      f"(${buildS / n * 1000}%.0f ms/commit)")
+    println(f"build_commits n=$n rowsPer=$rowsPer par=$par " +
+      f"total=$buildS%.1f s (${buildS / n * 1000}%.0f ms/commit)")
+
+    // version-log volume: with delta manifests this is O(N) + the
+    // snapshot cadence's O(N²/k), not the all-snapshot O(N²)
+    val vroot = new org.apache.hadoop.fs.Path(s"$hist/_versions")
+    val vfs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vsum = vfs.getContentSummary(vroot)
+    println(f"version_log files=${vsum.getFileCount} " +
+      f"bytes=${vsum.getLength} (${vsum.getLength / 1024.0 / 1024.0}%.1f MB)")
 
     val (head, headS) = time(WarehouseLoad.currentVersion(spark, hist))
     println(f"current_version head=$head wall=$headS%.3f s")
     val (ids, cbS) = time(WarehouseLoad.committedBatches(spark, hist))
-    println(f"committed_batches n=${ids.size} wall=$cbS%.3f s")
+    println(f"committed_batches n=${ids.size} wall=$cbS%.3f s (cold walk)")
+    val (_, cb2S) = time(WarehouseLoad.committedBatches(spark, hist))
+    println(f"committed_batches_cached wall=$cb2S%.3f s")
 
     val (df, planS) = time(WarehouseLoad.readWarehouse(spark, wh, hist).get)
     val (cnt, cntS) = time(df.count())

@@ -858,4 +858,63 @@ class PipelineSpec extends SparkSpec {
     assert(WarehouseLoad.currentVersion(spark, hist) == 3)
     assert(whIds(wh, hist) == Seq(1L, 2L, 3L))
   }
+
+  test("delta version log: appends write deltas, rewrites + cadence + vacuum cutoff write snapshots, reconstruction exact") {
+    import graft.load.{AtomicManifest, WarehouseLoad}
+    val staging = tmpDir("graft-dlstage-")
+    val wh = tmpDir("graft-dlwh-") + "/t"
+    val hist = tmpDir("graft-dlhist-") + "/h"
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setLong("graft.commit.snapshotEvery", 4L)
+    try {
+      (1 to 6).foreach(i =>
+        loadWave(staging, s"w$i.json", Seq(i.toLong), wh, hist))
+      def raw(v: Long): String =
+        AtomicManifest.read(spark, hist + "/_versions", f"v$v%08d").get
+      // append commits publish O(1) deltas; the cadence (every 4th
+      // version) publishes a full list even mid-append-run
+      Seq(1L, 2L, 3L, 5L, 6L).foreach(v => assert(
+        raw(v).startsWith("#delta"), s"v$v should be a delta manifest"))
+      assert(!raw(4).startsWith("#delta"), "v4 is the cadence snapshot")
+      // reconstruction is exact at EVERY version (walk-back across the
+      // snapshot boundary and down to v0 for v1..v3)
+      (1 to 6).foreach(v => assert(
+        WarehouseLoad.versionBatches(spark, hist, v.toLong).get.size == v))
+      assert(whIds(wh, hist) == (1L to 6L))
+      // time travel and the change feed read delta-only spans exactly
+      assert(WarehouseLoad.readWarehouseAt(spark, wh, hist, 2).get
+        .count() == 2)
+      assert(WarehouseLoad.changes(spark, wh, hist, 2, 6).get.count() == 4)
+
+      // a REWRITE (compaction: not a pure append) publishes a snapshot
+      WarehouseLoad.compactCommitted(spark, wh, hist) // v7
+      assert(!raw(7).startsWith("#delta"),
+        "a rewrite commit must publish a full snapshot")
+      assert(whIds(wh, hist) == (1L to 6L))
+
+      // pre-delta-format compat: a hand-published full-list manifest
+      // (the r13 format — no marker) reads as a snapshot, and the next
+      // append's delta chains on top of it
+      val head7 = WarehouseLoad.committedBatches(spark, hist)
+      assert(AtomicManifest.createExclusive(spark, hist + "/_versions",
+        "v00000008", head7.mkString("\n")))
+      loadWave(staging, "w7.json", Seq(7L), wh, hist) // v9: delta
+      assert(raw(9).startsWith("#delta"))
+      val v9 = WarehouseLoad.versionBatches(spark, hist, 9).get
+      assert(v9.take(head7.size) == head7 && v9.size == head7.size + 1,
+        s"v9 must reconstruct through the legacy-format snapshot, got $v9")
+      assert(whIds(wh, hist) == (1L to 7L))
+
+      // vacuum SNAPSHOT-IFIES the cutoff before pruning below it, so
+      // the retained head (a delta) stays reconstructible afterwards
+      WarehouseLoad.vacuum(spark, wh, hist, retainVersions = 1)
+      assert(!raw(9).startsWith("#delta"),
+        "vacuum must rewrite the cutoff version as a snapshot")
+      assert(WarehouseLoad.versionBatches(spark, hist, 9).get == v9)
+      assert(whIds(wh, hist) == (1L to 7L))
+      intercept[IllegalStateException] {
+        WarehouseLoad.readWarehouseAt(spark, wh, hist, 8)
+      }
+    } finally conf.unset("graft.commit.snapshotEvery")
+  }
 }

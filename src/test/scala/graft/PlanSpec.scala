@@ -853,4 +853,61 @@ class PlanSpec extends SparkSpec {
     assert(roots(isnAfter) == 1)
     assert(isnAfter.count() == 3)
   }
+
+  test("zone-prune: HIVE-PARTITIONED batches prune per union child (the per-root plan contract)") {
+    // Partitioned multi-root tables plan ONE relation per batch root
+    // unioned (readBatchDirs), so ZonePrune's partitioned fallback is
+    // all-or-nothing per root — this pins the reachability argument
+    // the rule's `case _ => f` comment makes (VERDICT r13 hygiene):
+    // pruning must still drop non-overlapping batches on a partitioned
+    // table, via empty union children, not via the file-index rewrite.
+    import java.nio.file.{Files, Paths}
+    import graft.load.WarehouseLoad
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val staging = tmpDir("graft-zpstage-")
+    val wh = tmpDir("graft-zpwh-") + "/t"
+    val hist = tmpDir("graft-zphist-") + "/h"
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("region",
+        org.apache.spark.sql.types.StringType)))
+    def load(name: String, rows: String*): Unit = {
+      Files.writeString(Paths.get(staging, name),
+        rows.mkString("", "\n", "\n"))
+      WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist,
+        partitionCols = Seq("region"))
+    }
+    load("f1.json", """{"id": "1", "region": "a"}""",
+      """{"id": "2", "region": "b"}""")
+    load("f2.json", """{"id": "100", "region": "a"}""",
+      """{"id": "101", "region": "c"}""")
+    load("f3.json", """{"id": "1000", "region": "c"}""")
+    def read() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    def roots(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            assert(fs.partitionSchema.nonEmpty,
+              "batches must have planned as hive-partitioned roots")
+            fs.location.rootPaths.size
+          case _ => 0
+        }
+      }.sum
+    assert(roots(read()) == 3)
+    // a DATA-column interval prunes whole batch roots out of the union
+    val mid = read().filter(col("id") >= 90 && col("id") <= 200)
+    assert(roots(mid) == 1,
+      s"partitioned roots must zone-prune per union child:\n" +
+      s"${mid.queryExecution.optimizedPlan}")
+    assert(mid.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(100L, 101L))
+    // and within a surviving root, the partition predicate still prunes
+    // DIRECTORIES (zone stats + hive layout compose)
+    val one = read().filter(col("id") >= 90 && col("id") <= 200 &&
+      col("region") === "c")
+    assert(one.select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(101L))
+  }
 }
