@@ -547,6 +547,17 @@ object WarehouseLoad {
                             historyDir: String,
                             ids: Seq[String]): Option[DataFrame] = {
     graft.plans.ZonePrune.register(spark, warehouseDir, historyDir)
+    if (ids.isEmpty) return None
+    // TIER 1 (r14): every batch's manifest records its schema AND its
+    // file list — build the scan FROM THE LOG via ManifestFileIndex:
+    // zero filesystem listing, zero footer I/O at plan time (the
+    // Delta/Iceberg move; at 10k commits the listing-based
+    // construction measured ~20 s, CommitScale r14). Falls through on
+    // any legacy batch, schema disagreement, or partitioned layout.
+    manifestRelation(spark, warehouseDir, historyDir, ids) match {
+      case Some(df) => return df
+      case None => ()
+    }
     val info = liveBatchInfo(spark, warehouseDir, ids)
     val dirs = info.map { case (id, _) => s"$warehouseDir/b$id" }
     // mergeSchema: batches loaded AFTER a SchemaDrift.evolve carry the
@@ -612,6 +623,51 @@ object WarehouseLoad {
       catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** TIER-1 committed read: the scan built entirely from the commit
+    * log's recorded file lists + schema ([[graft.plans.ManifestFileIndex]]
+    * — zero listing/footer I/O at plan time). Outer `None` = the tier
+    * does not apply (a legacy batch without the records, a schema
+    * disagreement mid-evolution, or a hive-partitioned layout — those
+    * fall back to the discovery paths); `Some(None)` = applies and the
+    * table has no live files; `Some(Some(df))` = the relation. */
+  private def manifestRelation(spark: SparkSession, warehouseDir: String,
+      historyDir: String, ids: Seq[String]): Option[Option[DataFrame]] = {
+    import scala.jdk.CollectionConverters._
+    val fetched =
+      new java.util.concurrent.ConcurrentHashMap[String, BatchStats]()
+    ids.asJava.parallelStream().forEach(id =>
+      batchStats(spark, historyDir, id).foreach(st => fetched.put(id, st)))
+    val stats = ids.map(id => Option(fetched.get(id)))
+    if (stats.exists(s =>
+        s.isEmpty || s.get.schemaJson.isEmpty || s.get.files.isEmpty))
+      return None
+    val all = ids.zip(stats.map(_.get))
+    // a subdir in any relative path = hive-partitioned batch: the
+    // per-root discovery path owns partition-column resolution
+    if (all.exists(_._2.files.get.exists(_._1.contains("/")))) return None
+    val live = all.filter(_._2.files.get.nonEmpty)
+    if (live.isEmpty) return Some(None)
+    val schemas = live.map(_._2.schemaJson.get).distinct
+    if (schemas.sizeIs != 1) return None
+    val schema =
+      try org.apache.spark.sql.types.DataType.fromJson(schemas.head)
+        .asInstanceOf[StructType]
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val base = new org.apache.hadoop.fs.Path(warehouseDir)
+    val qBase = base
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(base)
+    val roots = live.map { case (id, st) =>
+      val root = new org.apache.hadoop.fs.Path(qBase, s"b$id")
+      root -> st.files.get.map { case (rel, len) =>
+        new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L,
+          new org.apache.hadoop.fs.Path(root, rel))
+      }
+    }
+    Some(Some(org.apache.spark.sql.graftshim.GraftSqlShims.parquetScan(
+      spark, new graft.plans.ManifestFileIndex(roots), schema)))
+  }
+
   /** The committed load history — one row per loaded source file:
     * (file, batch). `None` before the first commit.
     *
@@ -629,10 +685,44 @@ object WarehouseLoad {
     import org.apache.spark.sql.functions.{col, regexp_extract}
     val ids = committedBatches(spark, historyDir)
     if (ids.isEmpty) None
-    else Some(
-      spark.read.parquet(ids.map(id => s"$historyDir/b$id"): _*)
-        .withColumn("batch",
-          regexp_extract(col("_metadata.file_path"), "/b([^/]+)/[^/]*$", 1)))
+    else {
+      // TIER 1 (r14): every commit records its history dir's file list
+      // (`#hf` lines) — and the history schema is the protocol's own
+      // constant (one `file` string column) — so the usual case plans
+      // with ZERO filesystem listing, like [[manifestRelation]]. Any
+      // legacy batch falls back to the listing-based multi-root read.
+      val rel = historyManifestRelation(spark, historyDir, ids).getOrElse(
+        spark.read.parquet(ids.map(id => s"$historyDir/b$id"): _*))
+      Some(rel.withColumn("batch",
+        regexp_extract(col("_metadata.file_path"), "/b([^/]+)/[^/]*$", 1)))
+    }
+  }
+
+  private def historyManifestRelation(spark: SparkSession,
+      historyDir: String, ids: Seq[String]): Option[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    val fetched =
+      new java.util.concurrent.ConcurrentHashMap[String, BatchStats]()
+    ids.asJava.parallelStream().forEach(id =>
+      batchStats(spark, historyDir, id).foreach(st => fetched.put(id, st)))
+    val lists = ids.map(id => Option(fetched.get(id)).flatMap(_.histFiles))
+    if (lists.exists(_.isEmpty)) return None
+    val base = new org.apache.hadoop.fs.Path(historyDir)
+    val qBase = base
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(base)
+    val roots = ids.zip(lists.map(_.get)).collect {
+      case (id, files) if files.nonEmpty =>
+        val root = new org.apache.hadoop.fs.Path(qBase, s"b$id")
+        root -> files.map { case (rel, len) =>
+          new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L,
+            new org.apache.hadoop.fs.Path(root, rel))
+        }
+    }
+    if (roots.isEmpty) return None
+    Some(org.apache.spark.sql.graftshim.GraftSqlShims.parquetScan(
+      spark, new graft.plans.ManifestFileIndex(roots),
+      StructType(Seq(StructField("file", StringType)))))
   }
 
   /** Batch load with COPY's per-file load-history dedup: every staged
@@ -768,7 +858,9 @@ object WarehouseLoad {
         freshFiles.select("file").write.mode("overwrite")
           .parquet(s"$historyDir/b$id")
         writeZoneMap(spark, historyDir, id, zobs, zcols,
-          Some(toWrite.schema))
+          Some(toWrite.schema),
+          Some(listBatchFiles(spark, s"$warehouseDir/b$id")),
+          Some(listBatchFiles(spark, s"$historyDir/b$id")))
         failpoint("history-written")
         // derive against the head AT COMMIT TIME (a concurrent writer
         // may have advanced it); a head already containing this id
@@ -824,7 +916,9 @@ object WarehouseLoad {
     * only slower. */
   final case class BatchStats(cols: Map[String, ColStats],
                               rows: Option[Long],
-                              schemaJson: Option[String] = None) {
+                              schemaJson: Option[String] = None,
+                              files: Option[Seq[(String, Long)]] = None,
+                              histFiles: Option[Seq[(String, Long)]] = None) {
     def zones: Map[String, Zone] =
       cols.collect { case (c, ColStats(Some(z), _, _)) => c -> z }
     /** Is `col` (CI match) recorded as all-null? A predicate comparing
@@ -927,9 +1021,16 @@ object WarehouseLoad {
 
   private def encodeZoneMap(entries: Seq[(String, ColStats)],
                             rows: Option[Long],
-                            schemaJson: Option[String] = None): String = {
+                            schemaJson: Option[String] = None,
+                            files: Option[Seq[(String, Long)]] = None,
+                            histFiles: Option[Seq[(String, Long)]] = None)
+      : String = {
+    def fileLines(tag: String, fs: Option[Seq[(String, Long)]]) =
+      fs.toSeq.flatMap(l => s"#${tag}c ${l.size}" +:
+        l.map { case (rel, len) => s"#$tag ${enc(rel)} $len" })
     val lines = rows.map(r => s"#c $r").toSeq ++
       schemaJson.map(s => s"#s ${enc(s)}") ++
+      fileLines("f", files) ++ fileLines("hf", histFiles) ++
       entries.flatMap { case (c, st) =>
         st.zone.map(encodeZoneLine(c, _)).toSeq ++
           st.dict.map(d =>
@@ -974,9 +1075,37 @@ object WarehouseLoad {
     * interval (their null count still prunes IS NOT NULL and every
     * comparison); over-cap dictionaries and over-long strings record
     * no dict/interval respectively — absent is always "must scan". */
+  /** One recursive listing of a just-written batch dir — the WRITER's
+    * own files, recorded into the manifest so readers never have to
+    * list again ([[graft.plans.ManifestFileIndex]]). `(relative path,
+    * length)` per real file; `_`/`.`-prefixed names (markers,
+    * sidecars) are skipped at every level. */
+  private def listBatchFiles(spark: SparkSession,
+      dir: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(p).toString
+    val out = Seq.newBuilder[(String, Long)]
+    try {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val full = st.getPath.toString
+        val rel = full.stripPrefix(base).stripPrefix("/")
+        if (st.isFile && rel.nonEmpty &&
+            !rel.split("/").exists(seg =>
+              seg.startsWith("_") || seg.startsWith(".")))
+          out += rel -> st.getLen
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
+    out.result()
+  }
+
   private def writeZoneMap(spark: SparkSession, historyDir: String,
       id: String, zobs: Option[Observation],
-      zcols: Seq[StructField], schema: Option[StructType] = None): Unit =
+      zcols: Seq[StructField], schema: Option[StructType] = None,
+      files: Option[Seq[(String, Long)]] = None,
+      histFiles: Option[Seq[(String, Long)]] = None): Unit =
     zobs.foreach { o =>
       val rows = o.get("zrows__").asInstanceOf[Long]
       val entries = zcols.flatMap { f =>
@@ -1019,7 +1148,8 @@ object WarehouseLoad {
       }
       if (entries.nonEmpty || schema.isDefined)
         AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
-          encodeZoneMap(entries, Some(rows), schema.map(_.json)))
+          encodeZoneMap(entries, Some(rows), schema.map(_.json),
+            files, histFiles))
     }
 
   /** The streaming sink's epoch commit
@@ -1047,7 +1177,9 @@ object WarehouseLoad {
       .repartition(1)
       .write.mode("overwrite").parquet(s"$historyDir/b$id")
     writeZoneMap(spark, historyDir, id, zobs, zcols,
-      if (df.isStreaming) None else Some(toWrite.schema))
+      if (df.isStreaming) None else Some(toWrite.schema),
+      Some(listBatchFiles(spark, s"$warehouseDir/b$id")),
+      Some(listBatchFiles(spark, s"$historyDir/b$id")))
     commitBatches(spark, historyDir,
       cur => if (cur.contains(id)) cur else cur :+ id)
   }
@@ -1118,6 +1250,12 @@ object WarehouseLoad {
     AtomicManifest.read(spark, s"$historyDir/b$id", ZoneMapFile).map { txt =>
       var rows = Option.empty[Long]
       var schema = Option.empty[String]
+      // file lists: the `#fc`/`#hfc` count line marks "recorded" (an
+      // empty recorded list is meaningful — the batch wrote no parts —
+      // and distinct from a legacy manifest that recorded nothing)
+      var filesRec = false; var histRec = false
+      val files = Seq.newBuilder[(String, Long)]
+      val hist = Seq.newBuilder[(String, Long)]
       val zones = Map.newBuilder[String, Zone]
       val dicts = Map.newBuilder[String, Set[String]]
       val nulls = Map.newBuilder[String, Long]
@@ -1125,6 +1263,12 @@ object WarehouseLoad {
         line.split(" ") match {
           case Array("#c", r) => rows = r.toLongOption
           case Array("#s", s) => schema = Some(dec(s))
+          case Array("#fc", _) => filesRec = true
+          case Array("#hfc", _) => histRec = true
+          case Array("#f", rel, len) =>
+            len.toLongOption.foreach(l => files += dec(rel) -> l)
+          case Array("#hf", rel, len) =>
+            len.toLongOption.foreach(l => hist += dec(rel) -> l)
           case Array("#n", c, n) =>
             n.toLongOption.foreach(v => nulls += dec(c) -> v)
           case Array("#d", c, vs @ _*) =>
@@ -1143,7 +1287,9 @@ object WarehouseLoad {
       val cols = (zm.keySet ++ dm.keySet ++ nm.keySet).iterator.map { c =>
         c -> ColStats(zm.get(c), dm.get(c), nm.get(c))
       }.toMap
-      BatchStats(cols, rows, schema)
+      BatchStats(cols, rows, schema,
+        if (filesRec) Some(files.result()) else None,
+        if (histRec) Some(hist.result()) else None)
     }
 
   /** Committed batch ids whose zone interval for `column` overlaps the
@@ -1339,7 +1485,9 @@ object WarehouseLoad {
     // the UNION relation's own (footer-merged) schema — exact even
     // when the inputs straddle a SchemaDrift evolution.
     mergeZoneMaps(spark, historyDir, committed, id,
-      foldRelation.map(_.schema))
+      foldRelation.map(_.schema),
+      Some(listBatchFiles(spark, s"$warehouseDir/b$id")),
+      Some(listBatchFiles(spark, s"$historyDir/b$id")))
     failpoint("fold-written")
     // CAS derive: batches committed AFTER the fold's snapshot (a load
     // that raced the compaction) are NOT in the folded batch — retain
@@ -1371,7 +1519,9 @@ object WarehouseLoad {
     * add. Metadata-only, no scan. */
   private def mergeZoneMaps(spark: SparkSession, historyDir: String,
       inputs: Seq[String], id: String,
-      foldSchema: Option[StructType] = None): Unit = {
+      foldSchema: Option[StructType] = None,
+      foldFiles: Option[Seq[(String, Long)]] = None,
+      foldHist: Option[Seq[(String, Long)]] = None): Unit = {
     // parallel stats fetch (same shape as liveBatchInfo): a 10k-input
     // fold spent ~20 s reading manifests one at a time (CommitScale r14)
     val fetched = {
@@ -1404,13 +1554,15 @@ object WarehouseLoad {
       }
       if (merged.nonEmpty || rows.isDefined || foldSchema.isDefined)
         AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
-          encodeZoneMap(merged, rows, foldSchema.map(_.json)))
+          encodeZoneMap(merged, rows, foldSchema.map(_.json),
+            foldFiles, foldHist))
     } else foldSchema.foreach(sc =>
       // some input lacks stats entirely: no mergeable intervals, but
-      // the fold's schema is still exactly known — record it alone so
-      // the known-schema scan path survives the compaction
+      // the fold's schema and file list are still exactly known —
+      // record them alone so the manifest-index scan path survives
+      // the compaction
       AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
-        encodeZoneMap(Nil, None, Some(sc.json))))
+        encodeZoneMap(Nil, None, Some(sc.json), foldFiles, foldHist)))
   }
 
   /** Delete-by-key on the committed batch warehouse — the
@@ -1527,11 +1679,14 @@ object WarehouseLoad {
         // membership, nulls==0, nulls==rows — are all monotone under
         // row removal; see [[ColStats]])
         batchStats(spark, historyDir, id).foreach { st =>
-          // schema carries too: an anti-join preserves the relation's
-          // columns exactly
+          // schema carries too (an anti-join preserves the relation's
+          // columns exactly); the FILE lists are re-listed from the
+          // just-rewritten dirs — the rewrite produced new files
           AtomicManifest.write(spark, s"$historyDir/b$nid", ZoneMapFile,
             encodeZoneMap(st.cols.toSeq.sortBy(_._1), st.rows,
-              st.schemaJson))
+              st.schemaJson,
+              Some(listBatchFiles(spark, s"$warehouseDir/b$nid")),
+              Some(listBatchFiles(spark, s"$historyDir/b$nid"))))
         }
         nid
       }

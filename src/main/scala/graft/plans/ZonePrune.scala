@@ -127,8 +127,13 @@ object ZonePrune extends Rule[LogicalPlan] {
           if (keep.size == roots.size) f
           else if (keep.isEmpty) LocalRelation(f.output)
           else if (fs.partitionSchema.isEmpty) {
-            val idx = new InMemoryFileIndex(spark, keep, fs.options,
-              Some(fs.dataSchema))
+            // a commit-log-backed index prunes by restriction — still
+            // zero I/O; a listing-based index re-lists the survivors
+            val idx = fs.location match {
+              case m: ManifestFileIndex => m.retain(keep.toSet)
+              case _ => new InMemoryFileIndex(spark, keep, fs.options,
+                Some(fs.dataSchema))
+            }
             Filter(cond, lr.copy(relation =
               fs.copy(location = idx)(spark)))
           } else f // partial prune of a partitioned multi-root scan:

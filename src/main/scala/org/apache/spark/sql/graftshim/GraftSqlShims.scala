@@ -24,4 +24,23 @@ object GraftSqlShims {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[CSparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** A parquet scan over a pre-resolved [[FileIndex]] (graft's
+    * commit-log-backed ManifestFileIndex): `DataFrameReader` has no
+    * way to supply a file index — it always builds an
+    * `InMemoryFileIndex`, i.e. a filesystem listing per root — and
+    * `LogicalRelation` has no public constructor path. One-liner
+    * bridge, same pattern as [[ofRows]]. */
+  def parquetScan(spark: SparkSession,
+      location: org.apache.spark.sql.execution.datasources.FileIndex,
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[CSparkSession]
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location, new org.apache.spark.sql.types.StructType(), dataSchema,
+      None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(cs)
+    Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+  }
 }

@@ -854,6 +854,71 @@ class PlanSpec extends SparkSpec {
     assert(isnAfter.count() == 3)
   }
 
+  test("manifest file index: committed scans + load history plan from the log, zero listing; legacy manifests fall back") {
+    import java.nio.file.{Files, Paths}
+    import graft.load.{AtomicManifest, WarehouseLoad}
+    import graft.plans.ManifestFileIndex
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val staging = tmpDir("graft-mfistage-")
+    val wh = tmpDir("graft-mfiwh-") + "/t"
+    val hist = tmpDir("graft-mfihist-") + "/h"
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    def load(name: String, rows: String*): Unit = {
+      Files.writeString(Paths.get(staging, name),
+        rows.mkString("", "\n", "\n"))
+      WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist)
+    }
+    load("f1.json", """{"id": "1"}""", """{"id": "2"}""")
+    load("f2.json", """{"id": "100"}""")
+    load("f3.json", """{"id": "1000"}""")
+    def read() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    def locations(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location
+        }
+      }
+
+    // the committed relation is built FROM THE LOG — no listing index
+    val locs = locations(read())
+    assert(locs.size == 1 && locs.head.isInstanceOf[ManifestFileIndex],
+      s"expected a ManifestFileIndex scan, got $locs")
+    assert(locs.head.rootPaths.size == 3)
+    assert(read().count() == 4)
+    // zone pruning RESTRICTS the manifest index — still zero I/O
+    val pruned = read().filter(col("id") >= 90 && col("id") <= 200)
+    val plocs = locations(pruned)
+    assert(plocs.size == 1 && plocs.head.isInstanceOf[ManifestFileIndex])
+    assert(plocs.head.rootPaths.size == 1,
+      s"zone pruning must restrict the manifest index:\n" +
+      s"${pruned.queryExecution.optimizedPlan}")
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(100L))
+    // the load history plans from the log too, and stays batch-exact
+    val lf = WarehouseLoad.loadedFiles(spark, hist).get
+    assert(locations(lf).forall(_.isInstanceOf[ManifestFileIndex]),
+      "loadedFiles must plan from the recorded history file lists")
+    assert(lf.select("batch").distinct().count() == 3)
+    assert(lf.count() == 3)
+
+    // LEGACY fallback: strip one batch's recorded file lines (a
+    // pre-r14 manifest) — the read falls back to a listing-based scan
+    // with the SAME answer
+    val anyId = WarehouseLoad.committedBatches(spark, hist).head
+    val txt = AtomicManifest.read(spark, s"$hist/b$anyId", "_ZONEMAP").get
+    AtomicManifest.write(spark, s"$hist/b$anyId", "_ZONEMAP",
+      txt.linesIterator.filterNot(l =>
+        l.startsWith("#f") || l.startsWith("#hf")).mkString("\n"))
+    val fallback = read()
+    assert(locations(fallback).forall(!_.isInstanceOf[ManifestFileIndex]),
+      "a legacy manifest must disable the log-built scan, not break it")
+    assert(fallback.count() == 4)
+    assert(WarehouseLoad.loadedFiles(spark, hist).get.count() == 3)
+  }
+
   test("zone-prune: HIVE-PARTITIONED batches prune per union child (the per-root plan contract)") {
     // Partitioned multi-root tables plan ONE relation per batch root
     // unioned (readBatchDirs), so ZonePrune's partitioned fallback is
