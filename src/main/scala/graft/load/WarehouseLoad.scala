@@ -1637,21 +1637,44 @@ object WarehouseLoad {
                            keyCols: Seq[String],
                            partitionCols: Seq[String],
                            failpoint: String => Unit): (Long, Boolean) = {
-    import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+    import org.apache.spark.sql.functions.{bit_xor, col, count, lit,
+      regexp_extract, xxhash64}
     val committed = committedBatches(spark, historyDir)
-    val live = liveBatchIds(spark, warehouseDir, committed)
-    if (live.isEmpty) return (0L, true)
     val k = graft.queries.Hints.broadcastIfSmall(
       keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
         .localCheckpoint(true))
     val BatchCol = "_graft_batch"
-    val hitsByBatch = live.map(id =>
-        spark.read.parquet(s"$warehouseDir/b$id")
-          .withColumn(BatchCol, lit(id)))
-      // allowMissingColumns: batches straddling a SchemaDrift.evolve
-      // differ by the added nullable columns; key columns are declared
-      // DDL so the semi-join below is unaffected.
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    // ONE probe relation, not one per batch: when the commit log
+    // records file lists ([[manifestRelation]]) the probe plans from
+    // the log with the batch id derived from `_metadata.file_path` —
+    // a constant-size plan at any load count (the loadedFiles lesson
+    // applied to the probe: the per-batch union paid a listing +
+    // footer read per committed load). Partitioned and legacy layouts
+    // keep the per-batch union — metadata columns do not resolve
+    // through a Union, and those reads discover per root anyway.
+    val probe = manifestRelation(spark, warehouseDir, historyDir,
+        committed) match {
+      case Some(None) => return (0L, true) // no live files committed
+      case Some(Some(rel)) =>
+        val p = new org.apache.hadoop.fs.Path(warehouseDir)
+        val qWh = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(p).toString
+        rel.withColumn(BatchCol,
+          regexp_extract(col("_metadata.file_path"),
+            java.util.regex.Pattern.quote(qWh) + "/b([^/]+)/", 1))
+      case None =>
+        val live = liveBatchIds(spark, warehouseDir, committed)
+        if (live.isEmpty) return (0L, true)
+        live.map(id =>
+            spark.read.parquet(s"$warehouseDir/b$id")
+              .withColumn(BatchCol, lit(id)))
+          // allowMissingColumns: batches straddling a
+          // SchemaDrift.evolve differ by the added nullable columns;
+          // key columns are declared DDL so the semi-join below is
+          // unaffected.
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    val hitsByBatch = probe
       .join(k, keyCols, "left_semi")
       .groupBy(BatchCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
