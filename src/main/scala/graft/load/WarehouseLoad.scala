@@ -472,17 +472,33 @@ object WarehouseLoad {
         s"(${removed.size} batch(es) replaced — compaction or takedown); " +
         "the append-only change feed cannot express it: resync from " +
         s"readWarehouseAt($toVersion)")
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract}
     val added = to.filterNot(from)
-    val live = liveBatchIds(spark, warehouseDir, added)
-    if (live.isEmpty) None
-    // allowMissingColumns: a window spanning a SchemaDrift.evolve has
-    // pre- and post-evolution batches; the feed surfaces the evolved
-    // column as null on the older rows instead of throwing.
-    else Some(live.map(id =>
-        spark.read.parquet(s"$warehouseDir/b$id")
-          .withColumn("_graft_batch", lit(id)))
-      .reduce(_.unionByName(_, allowMissingColumns = true)))
+    // log-built fast path (r14): one relation over the window's added
+    // batches, batch id from the file path — same shape as the
+    // takedown probe; bounded by the WINDOW either way, but a consumer
+    // draining a long outage (maxVersionsPerTrigger lag) stops paying
+    // a listing per recovered batch
+    manifestRelation(spark, warehouseDir, historyDir, added) match {
+      case Some(None) => None
+      case Some(Some(rel)) =>
+        val p = new org.apache.hadoop.fs.Path(warehouseDir)
+        val qWh = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(p).toString
+        Some(rel.withColumn("_graft_batch",
+          regexp_extract(col("_metadata.file_path"),
+            java.util.regex.Pattern.quote(qWh) + "/b([^/]+)/", 1)))
+      case None =>
+        val live = liveBatchIds(spark, warehouseDir, added)
+        if (live.isEmpty) None
+        // allowMissingColumns: a window spanning a SchemaDrift.evolve
+        // has pre- and post-evolution batches; the feed surfaces the
+        // evolved column as null on the older rows instead of throwing.
+        else Some(live.map(id =>
+            spark.read.parquet(s"$warehouseDir/b$id")
+              .withColumn("_graft_batch", lit(id)))
+          .reduce(_.unionByName(_, allowMissingColumns = true)))
+    }
   }
 
   /** The committed warehouse relation: the union of the committed batch
