@@ -316,9 +316,12 @@ object WarehouseLoad {
     * on top of this CAS: a compaction whose inputs vanished ABORTS its
     * fold ([[compactCommitted]]), a takedown whose probed batches
     * vanished RE-RUNS over the new snapshot ([[takedownCommitted]]).
-    * What remains operational: [[vacuum]] must not run concurrently
-    * with an in-flight writer (uncommitted batch dirs look like
-    * orphans — the CAS arbitrates manifests, not data-dir liveness). */
+    * Vacuum-vs-writer is arbitrated by intent markers
+    * ([[publishIntent]], r14): an in-flight writer's uncommitted batch
+    * dirs look like orphans to [[vacuum]] (the CAS arbitrates
+    * manifests, not data-dir liveness), so every writer marks its
+    * batch ids in flight before writing a dir and vacuum skips marked
+    * orphans until the marker's TTL expires. */
   private def commitBatches(spark: SparkSession, historyDir: String,
       derive: Seq[String] => Seq[String],
       failpoint: String => Unit = _ => ()): Long = {
@@ -700,19 +703,23 @@ object WarehouseLoad {
       Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
     val ids = committedBatches(spark, historyDir)
-    if (ids.isEmpty) None
-    else {
-      // TIER 1 (r14): every commit records its history dir's file list
-      // (`#hf` lines) — and the history schema is the protocol's own
-      // constant (one `file` string column) — so the usual case plans
-      // with ZERO filesystem listing, like [[manifestRelation]]. Any
-      // legacy batch falls back to the listing-based multi-root read.
-      val rel = historyManifestRelation(spark, historyDir, ids).getOrElse(
-        spark.read.parquet(ids.map(id => s"$historyDir/b$id"): _*))
-      Some(rel.withColumn("batch",
+    historyFileRelation(spark, historyDir, ids).map(rel =>
+      rel.withColumn("batch",
         regexp_extract(col("_metadata.file_path"), "/b([^/]+)/[^/]*$", 1)))
-    }
   }
+
+  /** One relation over the per-file history dirs of `ids`. TIER 1
+    * (r14): every commit records its history dir's file list (`#hf`
+    * lines) — and the history schema is the protocol's own constant
+    * (one `file` string column) — so the usual case plans with ZERO
+    * filesystem listing, like [[manifestRelation]]. Any legacy batch
+    * falls back to the listing-based multi-root read. `None` when
+    * `ids` is empty. */
+  private def historyFileRelation(spark: SparkSession, historyDir: String,
+      ids: Seq[String]): Option[DataFrame] =
+    if (ids.isEmpty) None
+    else historyManifestRelation(spark, historyDir, ids).orElse(
+      Some(spark.read.parquet(ids.map(id => s"$historyDir/b$id"): _*)))
 
   private def historyManifestRelation(spark: SparkSession,
       historyDir: String, ids: Seq[String]): Option[DataFrame] = {
@@ -824,6 +831,10 @@ object WarehouseLoad {
         var id = f"${parts.getAs[Long]("x1")}%016x-${parts.getAs[Long]("x2")}%016x-${parts.getAs[Long]("n")}"
         while (committed.contains(id)) id += "x" // hash-collision backstop
         val expect = parts.getAs[Seq[Long]]("expect").toSet
+        // in-flight marker BEFORE any dir write: a concurrent vacuum
+        // must not reclaim this batch's dirs between here and the
+        // commit (a retry of the same logical batch refreshes it)
+        publishIntent(spark, historyDir, id)
 
         val obs = new Observation()
         val observed = data.observe(obs,
@@ -883,6 +894,7 @@ object WarehouseLoad {
         // means this very batch committed (idempotent replay) — no-op
         commitBatches(spark, historyDir,
           cur => if (cur.contains(id)) cur else cur :+ id, failpoint)
+        clearIntent(spark, historyDir, id)
     }
 
   // ------------------------------------------------------------------
@@ -1181,6 +1193,7 @@ object WarehouseLoad {
       partitionCols: Seq[String] = Nil): Unit = {
     val committed = committedBatches(spark, historyDir)
     require(!committed.contains(id), s"batch $id is already committed")
+    publishIntent(spark, historyDir, id)
     // zone maps are optional: a plan that still reads as streaming
     // (an exotic source leaf the sink's flag-strip doesn't cover)
     // commits without one rather than failing the epoch
@@ -1198,6 +1211,7 @@ object WarehouseLoad {
       Some(listBatchFiles(spark, s"$historyDir/b$id")))
     commitBatches(spark, historyDir,
       cur => if (cur.contains(id)) cur else cur :+ id)
+    clearIntent(spark, historyDir, id)
   }
 
   /** The batch's zone map — per-column [min, max] intervals recorded by
@@ -1351,6 +1365,47 @@ object WarehouseLoad {
     readBatchDirs(spark, warehouseDir, historyDir,
       prunedBatchIds(spark, historyDir, column, StrZone(lo, hi)))
 
+  // ------------------------------------------------------------------
+  // In-flight intent markers: vacuum-vs-writer safety
+  // ------------------------------------------------------------------
+
+  private val IntentsDir = "_intents"
+
+  /** TTL under which an intent marker protects its batch dirs from
+    * [[vacuum]]. Hadoop-conf knob (`graft.vacuum.intentTtlMs`) so
+    * operators can match it to their longest write; past it an
+    * abandoned attempt's dirs become reclaimable garbage — the same
+    * bounded-abandonment trade every lakehouse vacuum makes. */
+  private def intentTtlMs(spark: SparkSession): Long =
+    spark.sparkContext.hadoopConfiguration
+      .getLong("graft.vacuum.intentTtlMs", 24L * 3600 * 1000)
+
+  /** Publish (or refresh — a crashed attempt's retry reuses its
+    * deterministic id) the in-flight marker for batch `id`: written
+    * BEFORE the batch's data/history dirs, cleared after the commit.
+    * The window it closes (VERDICT r13 carried it as an operational
+    * contract): a [[vacuum]] running between a writer's dir writes and
+    * its version commit sees uncommitted dirs that look exactly like
+    * crashed-attempt orphans — deleting them would let the commit land
+    * pointing at vanished data. The marker makes liveness explicit:
+    * vacuum skips any orphan whose intent is younger than
+    * [[intentTtlMs]], so the single-writer scheduling discipline is
+    * now mechanism. */
+  private def publishIntent(spark: SparkSession, historyDir: String,
+                            id: String): Unit =
+    AtomicManifest.write(spark, s"$historyDir/$IntentsDir", s"i$id",
+      s"${System.currentTimeMillis()} ${ProcessHandle.current.pid}")
+
+  /** Best-effort: a marker that outlives its commit only costs vacuum
+    * one TTL of patience on the (already-committed, kept) batch. */
+  private def clearIntent(spark: SparkSession, historyDir: String,
+                          id: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$historyDir/$IntentsDir", s"i$id")
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false)
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Delete batch dirs (data + history) that no RETAINED version
     * references — the garbage a crashed attempt leaves behind, plus
     * (once compaction or takedown rewrote the batch set) the old
@@ -1362,11 +1417,19 @@ object WarehouseLoad {
     * longer exist as a class: the exclusive version publish IS the
     * commit point, so a published version is committed by definition.)
     * Metadata only: one listing per root + per-orphan deletes, never a
-    * data scan. Single-writer assumption: run it from the same
-    * scheduler slot as the loads, never concurrently with one — an
-    * in-flight attempt's uncommitted batch DIRS look exactly like
-    * orphans (the commit CAS arbitrates manifest updates, not data-dir
-    * liveness). Returns the number of batch dirs removed. */
+    * data scan.
+    *
+    * SAFE AGAINST IN-FLIGHT WRITERS (r14): an uncommitted batch dir is
+    * indistinguishable from a crashed attempt's orphan by state alone,
+    * so every writer publishes an intent marker
+    * ([[publishIntent]] — written before its dirs, cleared after its
+    * commit) and vacuum skips any unreferenced dir whose marker is
+    * younger than [[intentTtlMs]]. A crashed attempt's dirs are
+    * therefore reclaimed one TTL late rather than a concurrent
+    * writer's dirs one commit early — the former costs disk for a day,
+    * the latter committed a version pointing at vanished data. Markers
+    * themselves are garbage-collected here too (committed or
+    * expired). Returns the number of batch dirs removed. */
   def vacuum(spark: SparkSession, warehouseDir: String,
              historyDir: String, retainVersions: Int = 1): Int = {
     require(retainVersions >= 1, "retainVersions must be >= 1")
@@ -1415,24 +1478,51 @@ object WarehouseLoad {
       java.util.Arrays.stream(pruned).parallel()
         .forEach(st => vfs.delete(st.getPath, false))
     }
+    // in-flight intents: one listing; `now` is pinned before it so a
+    // marker published mid-vacuum can only look YOUNGER (skipped —
+    // conservative), never older
+    val now = System.currentTimeMillis()
+    val ttl = intentTtlMs(spark)
+    val intentRoot = new org.apache.hadoop.fs.Path(s"$historyDir/$IntentsDir")
+    val ifs = intentRoot.getFileSystem(conf)
+    val intents: Map[String, (org.apache.hadoop.fs.Path, Long)] =
+      (try ifs.listStatus(intentRoot).toSeq
+       catch { case _: java.io.FileNotFoundException => Nil })
+        .iterator
+        .filter(st => st.isFile && st.getPath.getName.startsWith("i"))
+        .map(st => st.getPath.getName.drop(1) ->
+          (st.getPath, st.getModificationTime))
+        .toMap
+    def inflight(dirName: String): Boolean =
+      intents.get(dirName.stripPrefix("b"))
+        .exists { case (_, m) => now - m <= ttl }
     // per-orphan deletes run in PARALLEL (driver-side metadata calls;
     // sequential deletes were vacuum's dominant cost at 10k commits —
     // CommitScale r14)
     import scala.jdk.CollectionConverters._
-    Seq(warehouseDir, historyDir).map { root =>
+    val removed = Seq(warehouseDir, historyDir).map { root =>
       val p = new org.apache.hadoop.fs.Path(root)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) 0
       else {
         val doomed = fs.listStatus(p).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("b")
-            && !keep(st.getPath.getName))
+            && !keep(st.getPath.getName) && !inflight(st.getPath.getName))
         val n = new java.util.concurrent.atomic.AtomicInteger()
         doomed.asJava.parallelStream().forEach(st =>
           if (fs.delete(st.getPath, true)) n.incrementAndGet())
         n.get
       }
     }.sum
+    // marker GC: a marker whose batch COMMITTED (in the keep set — its
+    // writer crashed between commit and clear) or whose TTL expired is
+    // itself garbage
+    intents.foreach { case (id, (path, m)) =>
+      if (keep("b" + id) || now - m > ttl)
+        try ifs.delete(path, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
+    removed
   }
 
   /** Fold every committed batch into ONE batch (data + history) and
@@ -1463,15 +1553,56 @@ object WarehouseLoad {
     compactWithFailpoint(spark, warehouseDir, historyDir, minBatches,
       partitionCols)
 
+  /** SIZE-TIERED compaction — the bounded-work OPTIMIZE (r14). The
+    * full fold rewrites the whole table, which at warehouse scale is
+    * a 100 TB write to retire a few thousand tiny roots; this folds
+    * ONLY the committed batches whose recorded data size (the
+    * manifest's own file list — metadata, no listing) is at most
+    * `smallBytes`, leaving every larger batch's dir byte-identical.
+    * Trickle loads and streamed epochs — the root-count growth that
+    * motivates compaction in the first place — are exactly the small
+    * tail, so repeated application keeps the root count bounded with
+    * write amplification logarithmic in table size (the LSM
+    * size-tiering argument), instead of rewriting the accumulated
+    * bulk every pass. Batches WITHOUT a recorded file list (legacy
+    * manifests) have unknown size and are conservatively left alone —
+    * fold those with the full [[compactCommitted]]. Same CAS/abort
+    * semantics as the full fold. Returns the number of batches folded
+    * (0 = nothing small enough, no version churn). */
+  def compactSmall(spark: SparkSession, warehouseDir: String,
+                   historyDir: String, smallBytes: Long,
+                   minBatches: Int = 2,
+                   partitionCols: Seq[String] = Nil): Int =
+    compactWithFailpoint(spark, warehouseDir, historyDir, minBatches,
+      partitionCols, select = ids => {
+        import scala.jdk.CollectionConverters._
+        val sizes =
+          new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+        ids.asJava.parallelStream().forEach(id =>
+          batchBytes(spark, historyDir, id).foreach(b => sizes.put(id, b)))
+        ids.filter(id => Option(sizes.get(id)).exists(_ <= smallBytes))
+      })
+
+  /** A batch's recorded data size in bytes — the sum of its manifest's
+    * file-list lengths. `None` for legacy batches without the record
+    * (size unknown — callers must treat as "not small"). Metadata
+    * only: one cached manifest read. */
+  def batchBytes(spark: SparkSession, historyDir: String,
+                 id: String): Option[Long] =
+    batchStats(spark, historyDir, id).flatMap(_.files).map(_.map(_._2).sum)
+
   private[graft] def compactWithFailpoint(spark: SparkSession,
       warehouseDir: String, historyDir: String, minBatches: Int = 2,
       partitionCols: Seq[String] = Nil,
-      failpoint: String => Unit = _ => ()): Unit = {
+      failpoint: String => Unit = _ => (),
+      select: Seq[String] => Seq[String] = identity): Int = {
     var attempt = 0
     while (attempt < 20) {
-      if (compactOnce(spark, warehouseDir, historyDir, minBatches,
-          partitionCols, failpoint)) return
-      attempt += 1
+      compactOnce(spark, warehouseDir, historyDir, minBatches,
+          partitionCols, failpoint, select) match {
+        case Some(n) => return n
+        case None => attempt += 1
+      }
     }
     throw new IllegalStateException(
       "compaction aborted 20 times: its input batches keep being " +
@@ -1479,20 +1610,26 @@ object WarehouseLoad {
       "when the table quiesces")
   }
 
-  /** One compaction attempt; `false` = aborted because a concurrent
-    * rewrite replaced an input batch (retry from a fresh snapshot). */
+  /** One compaction attempt over `select`'s choice of the committed
+    * snapshot; `Some(n)` = committed (n inputs folded; 0 = nothing to
+    * do), `None` = aborted because a concurrent rewrite replaced an
+    * input batch (retry from a fresh snapshot). */
   private def compactOnce(spark: SparkSession, warehouseDir: String,
       historyDir: String, minBatches: Int, partitionCols: Seq[String],
-      failpoint: String => Unit): Boolean = {
+      failpoint: String => Unit,
+      select: Seq[String] => Seq[String]): Option[Int] = {
     val committed = committedBatches(spark, historyDir)
-    if (committed.size < minBatches) return true
+    val selected = select(committed)
+    if (selected.size < minBatches) return Some(0)
     val id = "compact-" + java.util.UUID.nameUUIDFromBytes(
-      committed.mkString("\n").getBytes("UTF-8")).toString.take(16)
-    val foldRelation = readWarehouse(spark, warehouseDir, historyDir)
+      selected.mkString("\n").getBytes("UTF-8")).toString.take(16)
+    publishIntent(spark, historyDir, id)
+    val foldRelation = readBatchDirs(spark, warehouseDir, historyDir,
+      selected)
     foldRelation.foreach(
       _.write.mode("overwrite").partitionBy(partitionCols: _*)
         .parquet(s"$warehouseDir/b$id"))
-    loadedFiles(spark, historyDir).foreach(
+    historyFileRelation(spark, historyDir, selected).foreach(
       _.select("file").write.mode("overwrite").parquet(s"$historyDir/b$id"))
     // the folded batch's zone map is the interval union of its inputs
     // (a column only survives if EVERY input recorded it — a missing
@@ -1500,31 +1637,43 @@ object WarehouseLoad {
     // understate one). Metadata-only, no scan. The fold's schema is
     // the UNION relation's own (footer-merged) schema — exact even
     // when the inputs straddle a SchemaDrift evolution.
-    mergeZoneMaps(spark, historyDir, committed, id,
+    mergeZoneMaps(spark, historyDir, selected, id,
       foldRelation.map(_.schema),
       Some(listBatchFiles(spark, s"$warehouseDir/b$id")),
       Some(listBatchFiles(spark, s"$historyDir/b$id")))
     failpoint("fold-written")
     // CAS derive: batches committed AFTER the fold's snapshot (a load
     // that raced the compaction) are NOT in the folded batch — retain
-    // them; folding replaces exactly the snapshot's inputs. A head
-    // already containing the fold id means this compaction committed
-    // (deterministic id ⇒ replay) — no-op. A folded input MISSING from
-    // the head means a rewrite won the race — abort (see scaladoc).
-    val folded = committed.toSet
+    // them; folding replaces exactly the snapshot's inputs, the fold
+    // id taking the FIRST input's position (commit order otherwise
+    // preserved — a tiered fold must not reorder the untouched bulk).
+    // A head already containing the fold id means this compaction
+    // committed (deterministic id ⇒ replay) — no-op. A folded input
+    // MISSING from the head means a rewrite won the race — abort (see
+    // scaladoc).
+    val folded = selected.toSet
     var aborted = false
     commitBatches(spark, historyDir, { cur =>
       if (cur.contains(id)) { aborted = false; cur }
       else if (!folded.subsetOf(cur.toSet)) { aborted = true; cur }
-      else { aborted = false; Seq(id) ++ cur.filterNot(folded) }
+      else {
+        aborted = false
+        var placed = false
+        cur.flatMap { b =>
+          if (!folded(b)) Some(b)
+          else if (placed) None
+          else { placed = true; Some(id) }
+        }
+      }
     })
+    clearIntent(spark, historyDir, id)
     // An aborted fold's dirs are NOT swept here: an identical
     // concurrent compactor may have committed this very id into a
     // version that is now historical (same snapshot ⇒ same
     // deterministic id), and only [[vacuum]]'s keep-set — which spans
     // every retained version — can tell an orphan from a time-travel
     // reference. Vacuum reclaims true orphans on its next run.
-    !aborted
+    if (aborted) None else Some(selected.size)
   }
 
   /** The folded batch's zone map: the per-column stat union of its
@@ -1705,6 +1854,7 @@ object WarehouseLoad {
       if (!hitsByBatch.contains(id)) id
       else {
         val nid = id + suffix
+        publishIntent(spark, historyDir, nid)
         spark.read.parquet(s"$warehouseDir/b$id")
           .join(k, keyCols, "left_anti")
           .write.mode("overwrite").partitionBy(partitionCols: _*)
@@ -1743,6 +1893,7 @@ object WarehouseLoad {
       vanished = remap.keySet -- cur.toSet
       cur.map(i => remap.getOrElse(i, i))
     })
+    remap.values.foreach(clearIntent(spark, historyDir, _))
     // A vanished remap's orphan dirs are NOT swept here: a concurrent
     // IDENTICAL takedown (same keys ⇒ same deterministic rewrite id)
     // may have committed that very dir — [[vacuum]]'s keep-set is the

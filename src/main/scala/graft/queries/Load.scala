@@ -678,6 +678,87 @@ object Load {
            CAST(3 AS BIGINT) AS n_total
     FROM orders"""
 
+  // ---------------------------------------------------------------- q88
+  // SIZE-TIERED compaction — the bounded-work OPTIMIZE. The full fold
+  // (q81's lifecycle) rewrites the whole table to retire small roots;
+  // at 100 TB that is a 100 TB write to fold a trickle tail. Every
+  // batch's manifest records its own file list, so batch size is
+  // metadata-known, and `compactSmall` folds ONLY batches at or below
+  // the threshold — the bulk batch's dir must stay BYTE-IDENTICAL
+  // (asserted from its (name, length, mtime) file states), the LSM
+  // size-tiering argument applied to the commit log. Fixture: orders
+  // staged as three ~1% waves (the trickle) + one ~97% wave (the
+  // bulk); threshold set just under the bulk's recorded size. The
+  // oracle checks the folded relation's content against the full
+  // table and the pruning-shape constants (4 before, 3 folded, 2
+  // after, bulk untouched, idempotent second pass).
+  //
+  // Scale shape: selection is one cached manifest read per committed
+  // load (metadata); the fold reads/writes only the small tail —
+  // bounded by the TRICKLE volume, not table size — and the no-op
+  // second pass commits no version (no churn under a scheduler loop).
+  val q88: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = Fixtures.scratchRoot(s, "tiered", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType)))
+
+    (0 to 2).foreach { k =>
+      Fixtures.stageJsonWave(s, root, staging, s"small$k.json",
+        Tables.orders(s, d).filter(col("o_orderkey") % 100 === k)
+          .select(col("o_orderkey"), col("o_custkey")))
+      WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+    }
+    Fixtures.stageJsonWave(s, root, staging, "bulk.json",
+      Tables.orders(s, d).filter(col("o_orderkey") % 100 >= 3)
+        .select(col("o_orderkey"), col("o_custkey")))
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+
+    val before = WarehouseLoad.committedBatches(s, hist)
+    val sizes = before.map(id =>
+      id -> WarehouseLoad.batchBytes(s, hist, id).get).toMap
+    val bigId = sizes.maxBy(_._2)._1
+    val bigDir = new org.apache.hadoop.fs.Path(s"$wh/b$bigId")
+    val fs = bigDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def bigState() = fs.listStatus(bigDir)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    val bigBefore = bigState()
+
+    val folded = WarehouseLoad.compactSmall(s, wh, hist,
+      smallBytes = sizes(bigId) - 1)
+    val after = WarehouseLoad.committedBatches(s, hist)
+    val untouched = after.contains(bigId) && bigState() == bigBefore
+    // idempotent second pass: fold + bulk both out of scope → no churn
+    val head = WarehouseLoad.currentVersion(s, hist)
+    val folded2 = WarehouseLoad.compactSmall(s, wh, hist,
+      smallBytes = sizes(bigId) - 1)
+    val noChurn = folded2 == 0 &&
+      WarehouseLoad.currentVersion(s, hist) == head
+
+    val agg = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
+    import s.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), before.size.toLong,
+        folded.toLong, after.size.toLong, untouched, noChurn))
+      .toDF("n_rows", "sum_key", "n_before", "n_folded", "n_after",
+        "bulk_untouched", "second_pass_noop")
+  }
+
+  val q88Sql: String = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(4 AS BIGINT) AS n_before,
+           CAST(3 AS BIGINT) AS n_folded,
+           CAST(2 AS BIGINT) AS n_after,
+           TRUE AS bulk_untouched,
+           TRUE AS second_pass_noop
+    FROM orders"""
+
   val queries: Map[String, Q] = Map(
     "q79_quarantine_load" -> q79,
     "q80_schema_drift" -> q80,
@@ -687,7 +768,8 @@ object Load {
     "q84_zone_prune" -> q84,
     "q85_zone_prune_str" -> q85,
     "q86_zone_prune_dict" -> q86,
-    "q87_zone_prune_null" -> q87)
+    "q87_zone_prune_null" -> q87,
+    "q88_compact_tiered" -> q88)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
@@ -698,5 +780,6 @@ object Load {
     "q84_zone_prune" -> q84Sql,
     "q85_zone_prune_str" -> q85Sql,
     "q86_zone_prune_dict" -> q86Sql,
-    "q87_zone_prune_null" -> q87Sql)
+    "q87_zone_prune_null" -> q87Sql,
+    "q88_compact_tiered" -> q88Sql)
 }

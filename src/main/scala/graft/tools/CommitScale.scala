@@ -35,6 +35,12 @@ object CommitScale {
     // and losers re-derive, exactly the multi-writer path the specs
     // prove at small N.
     val par = args.lift(2).map(_.toInt).getOrElse(1)
+    // bulkRows > 0 commits one BULK batch before the trickle and
+    // measures compactSmall (fold the N-batch tail, leave the bulk)
+    // against the full fold — the size-tiered contrast. 0 = legacy
+    // flow (full compact over N uniform batches), kept so the
+    // SCALE.md N=1k/10k rows stay reproducible.
+    val bulkRows = args.lift(3).map(_.toInt).getOrElse(0)
     val spark = graft.GraftSession.create("local[8]", 8)
     spark.sparkContext.setLogLevel("WARN")
     val root = java.nio.file.Files
@@ -42,6 +48,12 @@ object CommitScale {
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
     import spark.implicits._
+
+    if (bulkRows > 0) // negative ids: the bulk zone never overlaps the
+      WarehouseLoad.commitStreamedBatch(spark, // pruning probe below
+        spark.range(bulkRows.toLong).select((-col("id") - 1).as("id"))
+          .withColumn("commit", lit(-1)),
+        wh, hist, "bulk")
 
     val (_, buildS) = time {
       def commit(i: Int): Unit = {
@@ -111,8 +123,17 @@ object CommitScale {
       WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist))
     println(f"load_atomic_at_n wall=$loadS%.2f s")
 
+    if (bulkRows > 0) {
+      val bulkBytes = WarehouseLoad.batchBytes(spark, hist, "bulk").get
+      val (nFold, tierS) = time(
+        WarehouseLoad.compactSmall(spark, wh, hist, bulkBytes - 1))
+      println(f"compact_small folded=$nFold wall=$tierS%.2f s " +
+        f"(bulk $bulkBytes B left untouched)")
+    }
     val (_, compS) = time(WarehouseLoad.compactCommitted(spark, wh, hist))
-    println(f"compact wall=$compS%.2f s")
+    println(f"compact wall=$compS%.2f s" +
+      (if (bulkRows > 0) " (full fold AFTER the tiered pass: tail fold + bulk)"
+       else ""))
     val (nDel, vacS) = time(WarehouseLoad.vacuum(spark, wh, hist))
     println(f"vacuum removed=$nDel wall=$vacS%.2f s")
     val (cnt2, cnt2S) = time(

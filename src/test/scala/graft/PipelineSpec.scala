@@ -526,6 +526,13 @@ class PipelineSpec extends SparkSpec {
     def rows() = WarehouseLoad.readWarehouse(spark, wh, hist).get
       .select("customerid").collect().map(_.getLong(0)).sorted.toSeq
     assert(rows() == Seq(1L, 2L, 3L))
+    // the crashed attempt's intent marker is still young: vacuum must
+    // treat its dirs as possibly-in-flight and leave them alone…
+    assert(WarehouseLoad.vacuum(spark, wh, hist) == 0,
+      "vacuum reclaimed dirs under a live intent marker")
+    // …until the marker ages past the TTL (backdated here), at which
+    // point the attempt counts as abandoned and the orphans reclaim
+    backdateIntents(hist)
     assert(WarehouseLoad.vacuum(spark, wh, hist) == 2,
       "expected exactly the crashed attempt's data+history orphans")
     assert(rows() == Seq(1L, 2L, 3L), "vacuum touched committed data")
@@ -542,6 +549,98 @@ class PipelineSpec extends SparkSpec {
     // …and the load history still dedups: re-running loads nothing new
     WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
     assert(rows() == Seq(1L, 2L, 3L))
+  }
+
+  /** Age every in-flight intent marker past the vacuum TTL — the
+    * spec-side clock for "this writer is abandoned, not racing". */
+  private def backdateIntents(hist: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$hist/_intents")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach(st =>
+      fs.setTimes(st.getPath,
+        System.currentTimeMillis() - 25L * 3600 * 1000, -1))
+  }
+
+  test("vacuum racing an in-flight load cannot reclaim its uncommitted dirs") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-intstage-")
+    val wh = tmpDir("graft-intwh-") + "/t"
+    val hist = tmpDir("graft-inthist-") + "/h"
+    Files.writeString(Paths.get(staging, "f1.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+    // the deterministic race, driven through the failpoint seam: a
+    // vacuum lands BETWEEN the writer's dir writes and its version
+    // commit. Without intent markers it would delete the uncommitted
+    // b<id> dirs (they are not in any version's keep set) and the
+    // commit would then land pointing at vanished data.
+    var vacMid = -1
+    WarehouseLoad.loadAtomic(spark, staging, Schemas.customers, wh, hist,
+      failpoint = at =>
+        if (at == "history-written")
+          vacMid = WarehouseLoad.vacuum(spark, wh, hist))
+    assert(vacMid == 0, "mid-flight vacuum reclaimed the writer's dirs")
+    val got = WarehouseLoad.readWarehouse(spark, wh, hist).get
+      .select("customerid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), "the raced load lost its data")
+    // the commit cleared the marker: nothing is in flight afterwards,
+    // and a later vacuum finds neither orphans nor stale markers
+    assert(WarehouseLoad.vacuum(spark, wh, hist) == 0)
+    val intents = new org.apache.hadoop.fs.Path(s"$hist/_intents")
+    val fs = intents.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(intents) || fs.listStatus(intents).isEmpty,
+      "intent marker survived its commit + vacuum")
+  }
+
+  test("size-tiered compaction folds only the small tail; the large batch dir stays byte-identical") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-tierstage-")
+    val wh = tmpDir("graft-tierwh-") + "/t"
+    val hist = tmpDir("graft-tierhist-") + "/h"
+    // three 1-row loads (the trickle tail) + one 300-row load (the bulk)
+    def stage(name: String, lo: Int, n: Int): Unit = {
+      val sb = new StringBuilder
+      (lo until lo + n).foreach(i =>
+        sb.append(s"""{"CustomerID": "$i", "FirstName": "n$i"}""" + "\n"))
+      Files.writeString(Paths.get(staging, name), sb.toString)
+      WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh,
+        hist)
+    }
+    stage("big.json", 1000, 300)
+    stage("s1.json", 1, 1); stage("s2.json", 2, 1); stage("s3.json", 3, 1)
+    val before = WarehouseLoad.committedBatches(spark, hist)
+    assert(before.size == 4)
+    val sizes = before.map(id =>
+      id -> WarehouseLoad.batchBytes(spark, hist, id).get).toMap
+    val bigId = sizes.maxBy(_._2)._1
+    val bigDir = new org.apache.hadoop.fs.Path(s"$wh/b$bigId")
+    val fs = bigDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bigState() = fs.listStatus(bigDir)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    val bigBefore = bigState()
+    // threshold below the bulk: exactly the three 1-row batches fold
+    val folded = WarehouseLoad.compactSmall(spark, wh, hist,
+      smallBytes = sizes(bigId) - 1)
+    assert(folded == 3, s"expected 3 folded, got $folded")
+    val after = WarehouseLoad.committedBatches(spark, hist)
+    assert(after.size == 2 && after.contains(bigId),
+      s"expected [fold, $bigId], got $after")
+    assert(bigState() == bigBefore, "tiered fold touched the large batch dir")
+    def ids() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+      .select("customerid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids() == (Seq(1L, 2L, 3L) ++ (1000L until 1300L)).sorted)
+    // load history intact: nothing re-loads
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    assert(WarehouseLoad.committedBatches(spark, hist) == after)
+    // second pass: the fold + the bulk are both above the threshold
+    // (or below minBatches) — a no-op, no version churn
+    val head = WarehouseLoad.currentVersion(spark, hist)
+    assert(WarehouseLoad.compactSmall(spark, wh, hist,
+      smallBytes = sizes(bigId) - 1, minBatches = 2) == 0)
+    assert(WarehouseLoad.currentVersion(spark, hist) == head)
+    // the retired 1-row dirs reclaim (intents were cleared at commit)
+    assert(WarehouseLoad.vacuum(spark, wh, hist) == 6)
+    assert(ids() == (Seq(1L, 2L, 3L) ++ (1000L until 1300L)).sorted)
   }
 
   test("time travel reads retained versions; change feed is exact and refuses rewrites") {
