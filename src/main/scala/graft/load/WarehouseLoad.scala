@@ -921,8 +921,12 @@ object WarehouseLoad {
     *  - `dict`: the EXACT distinct non-null value set when the batch
     *    held at most [[DictMax]] of them (VERDICT r13 #2 — min/max
     *    intervals cannot prune `source = 'web'` when every batch mixes
-    *    sources; the set can). Always a SUPERSET of the current values
-    *    (row-removing rewrites only shrink the true set);
+    *    sources; the set can). Strings record their raw value;
+    *    integral columns (r14) record the exact-decimal cast-to-string
+    *    canonical form, matched literal-side by ZonePrune — the
+    *    `shard = 3` / `year IN (…)` probe class. Always a SUPERSET of
+    *    the current values (row-removing rewrites only shrink the true
+    *    set);
     *  - `nulls`: the null count at write time. Row-removing rewrites
     *    can only DECREASE it, so the two prune triggers stay sound:
     *    `nulls == 0` (no row is null — IS NULL proven empty) and
@@ -1087,6 +1091,17 @@ object WarehouseLoad {
             graft.functions.BoundedDistinct(
               expression(col(f.name)), DictMax).toAggregateExpression())
             .as(s"zdict__${f.name}"))
+          // integral columns dictionary too (r14): `shard = 3` /
+          // `year IN (…)` probes on low-NDV ints are as common as the
+          // string class and intervals cannot prune them when batches
+          // mix values. Canonical form = Spark's own integral→string
+          // cast (exact decimal), matched literal-side by ZonePrune.
+          case ByteType | ShortType | IntegerType | LongType =>
+            Seq(column(
+              graft.functions.BoundedDistinct(
+                expression(col(f.name).cast(StringType)), DictMax)
+                .toAggregateExpression())
+              .as(s"zdict__${f.name}"))
           case _ => Nil
         }
         Seq(
@@ -1160,7 +1175,7 @@ object WarehouseLoad {
               } yield NumZone(lo - pad, hi + pad)
           }
         val dict = f.dataType match {
-          case StringType =>
+          case StringType | ByteType | ShortType | IntegerType | LongType =>
             Option(o.get(s"zdict__${f.name}"))
               .map(_.asInstanceOf[Seq[String]].toSet)
               .filter(d => d.nonEmpty && d.forall(_.length <= ZoneStrMax))

@@ -36,9 +36,10 @@ import graft.load.WarehouseLoad.{BatchStats, NumZone, StrZone, Zone}
   *  - comparison leaves check the recorded [min, max] interval —
   *    equality/IN check each point separately (tighter than the
   *    envelope), and against the DICTIONARY (exact distinct-value set,
-  *    recorded for ≤64-NDV string columns) when one exists:
-  *    membership prunes `source = 'web'` on batches whose interval
-  *    spans the probe but whose value set misses it;
+  *    recorded for ≤64-NDV string AND integral columns — integrals in
+  *    exact-decimal cast-to-string canonical form) when one exists:
+  *    membership prunes `source = 'web'` and `shard = 3` on batches
+  *    whose interval spans the probe but whose value set misses it;
   *  - `IS NULL` is proven empty by a zero null count, `IS NOT NULL`
   *    (and EVERY comparison — null never compares true) by an
   *    all-null count;
@@ -236,8 +237,16 @@ object ZonePrune extends Rule[LogicalPlan] {
     val pts = ls.flatMap { l =>
       bound(l, loSide = true).zip(bound(l, loSide = false)).map {
         case (lo, hi) =>
+          // the dictionary key: strings raw; integrals in the same
+          // exact-decimal canonical form the write side records (the
+          // integral→string cast) — analysis guarantees the literal's
+          // type matches the column's, so a numeric key never probes
+          // a string column's dictionary
           val raw = l.dataType match {
             case StringType if l.value != null => Some(l.value.toString)
+            case ByteType | ShortType | IntegerType | LongType
+                if l.value != null =>
+              Some(l.value.asInstanceOf[Number].longValue().toString)
             case _ => None
           }
           (raw, lo, hi)

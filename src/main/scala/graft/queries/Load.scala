@@ -759,6 +759,70 @@ object Load {
            TRUE AS second_pass_noop
     FROM orders"""
 
+  // ---------------------------------------------------------------- q89
+  // INTEGRAL dictionary zone pruning — q86's probe class on numbers:
+  // `shard = 3` / `bucket IN (…)` equality probes on low-cardinality
+  // int columns are as common as the string class (shard ids, year
+  // partitions, category codes), and min/max intervals cannot prune
+  // them when every batch spans the value range. Each load's write
+  // job records the ≤64-value exact distinct set for integral columns
+  // too (canonical exact-decimal strings via the same BoundedDistinct
+  // aggregate), and ZonePrune matches equality/IN literals in the
+  // same canonical form. Fixture: `orders` staged in two waves by
+  // o_orderkey parity with `shard = o_orderkey % 10` — the even wave
+  // holds shards {0,2,4,6,8} (interval [0,8]), the odd {1,3,5,7,9}
+  // (interval [1,9]); both intervals span shard=3, only the odd
+  // wave's value set holds it. The IN (2,4) probe keeps the even
+  // wave alone the same way.
+  //
+  // Scale shape: identical to q84–q87 — the pruning decision is one
+  // cached manifest read per committed load; each surviving root
+  // scans half the rows; one map-side-combined aggregate row.
+  val q89: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = Fixtures.scratchRoot(s, "zoneint", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("shard", LongType)))
+
+    (0 to 1).foreach { k =>
+      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === k)
+          .select(col("o_orderkey"),
+            (col("o_orderkey") % 10).as("shard")))
+      WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+    }
+
+    val nTotal = WarehouseLoad.committedBatches(s, hist).size
+    val eq = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .filter(col("shard") === 3)
+    val scannedEq = scanRoots(eq)
+    val aggEq = eq
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
+    val in = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .filter(col("shard").isin(2, 4))
+    val scannedIn = scanRoots(in)
+    val nIn = in.agg(count(lit(1))).head().getLong(0)
+
+    import s.implicits._
+    Seq((aggEq.getLong(0), aggEq.getLong(1), scannedEq.toLong,
+        nIn, scannedIn.toLong, nTotal.toLong))
+      .toDF("n_eq", "sum_eq", "scanned_eq", "n_in", "scanned_in",
+        "n_total")
+  }
+
+  val q89Sql: String = """
+    SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 10 = 3) AS BIGINT) AS n_eq,
+           CAST(SUM(o_orderkey) FILTER (WHERE o_orderkey % 10 = 3) AS BIGINT) AS sum_eq,
+           CAST(1 AS BIGINT) AS scanned_eq,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 10 IN (2, 4)) AS BIGINT) AS n_in,
+           CAST(1 AS BIGINT) AS scanned_in,
+           CAST(2 AS BIGINT) AS n_total
+    FROM orders"""
+
   val queries: Map[String, Q] = Map(
     "q79_quarantine_load" -> q79,
     "q80_schema_drift" -> q80,
@@ -769,7 +833,8 @@ object Load {
     "q85_zone_prune_str" -> q85,
     "q86_zone_prune_dict" -> q86,
     "q87_zone_prune_null" -> q87,
-    "q88_compact_tiered" -> q88)
+    "q88_compact_tiered" -> q88,
+    "q89_zone_prune_int" -> q89)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
@@ -781,5 +846,6 @@ object Load {
     "q85_zone_prune_str" -> q85Sql,
     "q86_zone_prune_dict" -> q86Sql,
     "q87_zone_prune_null" -> q87Sql,
-    "q88_compact_tiered" -> q88Sql)
+    "q88_compact_tiered" -> q88Sql,
+    "q89_zone_prune_int" -> q89Sql)
 }

@@ -838,6 +838,22 @@ class PlanSpec extends SparkSpec {
     val pre = read().filter(col("src").startsWith("wi"))
     assert(roots(pre) == 1)
     assert(pre.count() == 1)
+    // INTEGRAL dictionaries (r14): the id intervals so far are
+    // [1,2],[10,12],[20,21] — load a GAPPED wave {5, 9} whose
+    // interval [5,9] spans 7; only the value set proves the miss
+    load("f3b.json",
+      """{"id": "5", "src": "arxiv", "note": "g"}""",
+      """{"id": "9", "src": "zlib", "note": "h"}""")
+    val idMiss = read().filter(col("id") === 7)
+    assert(roots(idMiss) == 0,
+      s"int dict must prune inside the interval:\n${idMiss.queryExecution.optimizedPlan}")
+    assert(idMiss.count() == 0)
+    val idHit = read().filter(col("id") === 9)
+    assert(roots(idHit) == 1)
+    assert(idHit.count() == 1)
+    val idIn = read().filter(col("id").isin(2, 9))
+    assert(roots(idIn) == 2)
+    assert(idIn.count() == 2)
     // dictionaries survive compaction (union ≤ cap) — fold everything,
     // re-load a disjoint wave, and the dict still separates the fold
     // from the new batch
