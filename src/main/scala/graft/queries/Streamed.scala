@@ -1565,6 +1565,84 @@ object Streamed {
            CAST(2 AS BIGINT) AS head_version
     FROM orders GROUP BY 1 ORDER BY 1"""
 
+  // --------------------------------------------------------------- st26
+  // STREAMING ZONE SKIP: a consumer filter stacked on the commit-log
+  // stream prunes whole ADDED batches from each micro-batch plan —
+  // IncrementalExecution runs the session optimizer, the source
+  // registers its table with graft.plans.ZonePrune, and the filter
+  // pushes through the conform-projection and the union to each
+  // single-root batch relation, so a batch whose recorded stats prove
+  // the predicate empty never schedules a scan task. The index-
+  // maintainer story: a consumer materializing only the upper key
+  // range reads the lower range's commits at METADATA cost. Fixture:
+  // `orders` committed as two key-disjoint halves before the stream
+  // starts (one micro-batch window spanning both); the query reports
+  // the delivered aggregate plus the EXECUTED micro-batch plan's
+  // surviving root count (via the last-execution observability shim).
+  //
+  // Scale shape: the skip decision is one cached manifest read per
+  // added batch; on a sharded ingest a range-scoped consumer's
+  // steady-state cost is the matching shard's batches only.
+  val st26: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = Fixtures.scratchRoot(s, "feedzskip", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType)))
+    val sink = "st26_zskip_" + d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
+    val mx = graft.sources.Tables.orders(s, d)
+      .agg(max("o_orderkey")).head().getLong(0)
+    val m = (mx + 1) / 2
+    Seq(("lo.json", col("o_orderkey") <= m),
+        ("hi.json", col("o_orderkey") > m)).foreach { case (name, pred) =>
+      Fixtures.stageJsonWave(s, root, staging, name,
+        graft.sources.Tables.orders(s, d).filter(pred)
+          .select(col("o_orderkey"), col("o_orderstatus")))
+      WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+    }
+    val nCommitted = WarehouseLoad.committedBatches(s, hist).size
+
+    val q = s.readStream
+      .format(classOf[graft.streaming.CommitLogStreamProvider].getName)
+      .schema(target)
+      .option("warehouseDir", wh).option("historyDir", hist)
+      .load()
+      // >= m+1 (≡ > m on integer keys): the prover widens strict
+      // bounds to inclusive ones, so the closed form is the one whose
+      // prune is guaranteed when the lo batch's max IS the median
+      .filter(col("o_orderkey") >= m + 1)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .start()
+    val scannedRoots =
+      try {
+        q.processAllAvailable()
+        org.apache.spark.sql.graftshim.GraftSqlShims.lastExecutedPlan(q)
+          .collect {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+              sc.relation.location.rootPaths.size
+          }.sum
+      } finally q.stop()
+
+    s.table(sink)
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_key"))
+      .withColumn("scanned_roots", lit(scannedRoots.toLong))
+      .withColumn("n_committed", lit(nCommitted.toLong))
+  }
+
+  val st26Sql: String = """
+    WITH m AS (SELECT (MAX(o_orderkey) + 1) // 2 AS q FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS scanned_roots,
+           CAST(2 AS BIGINT) AS n_committed
+    FROM orders, m WHERE o_orderkey > m.q"""
+
   val queries: Map[String, Q] = Map(
     "st01_stream_tumbling" -> st01,
     "st02_stream_session" -> st02,
@@ -1590,7 +1668,8 @@ object Streamed {
     "st22_stream_asof" -> st22,
     "st23_stream_heavy_hitters" -> st23,
     "st24_stream_commitlog" -> st24,
-    "st25_stream_sink" -> st25)
+    "st25_stream_sink" -> st25,
+    "st26_stream_zone_skip" -> st26)
   val oracle: Map[String, String] = Map(
     "st01_stream_tumbling" -> st01Sql,
     "st02_stream_session" -> st02Sql,
@@ -1626,5 +1705,6 @@ object Streamed {
     // SF, so the sketch's top-3 equals the exact GROUP BY top-3
     "st23_stream_heavy_hitters" -> st23Sql,
     "st24_stream_commitlog" -> st24Sql,
-    "st25_stream_sink" -> st25Sql)
+    "st25_stream_sink" -> st25Sql,
+    "st26_stream_zone_skip" -> st26Sql)
 }

@@ -58,9 +58,17 @@ class CommitLogStreamProvider extends StreamSourceProvider
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,
-      params: Map[String, String]): (String, StructType) =
+      params: Map[String, String]): (String, StructType) = {
+    // Register the table with ZonePrune HERE — `.load()` time, on the
+    // ORIGINAL session — not first inside getBatch: StreamExecution
+    // CLONES the session at stream start and the clone snapshots
+    // `experimental.extraOptimizations`, so a rule registered only
+    // after the first micro-batch began would never reach the
+    // streaming optimizer (the streaming-zone-skip contract, st26).
+    CommitLogSource.registerZonePrune(ctx.sparkSession, params)
     (shortName(), CommitLogSource.resolveSchema(
       ctx.sparkSession, schema, params))
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -80,6 +88,14 @@ class CommitLogStreamProvider extends StreamSourceProvider
 
 object CommitLogSource {
   val BatchCol = "_graft_batch"
+
+  /** Best-effort ZonePrune registration from source options — must run
+    * on the PRE-CLONE session (see the provider's sourceSchema note). */
+  private[streaming] def registerZonePrune(spark: SparkSession,
+      params: Map[String, String]): Unit =
+    opt(params, "warehouseDir").zip(opt(params, "historyDir")).foreach {
+      case (wh, hist) => graft.plans.ZonePrune.register(spark, wh, hist)
+    }
 
   private[streaming] def opt(params: Map[String, String],
                              key: String): Option[String] =
@@ -235,6 +251,19 @@ class CommitLogSource(spark: SparkSession, declared: StructType,
     val to = end.json.toLong
     advanceFloor(to) // restart recovery: resume admission from the
     recordSpan(from, to) // replayed batch's planned end
+    // STREAMING ZONE SKIP (r14): with the table registered (provider
+    // sourceSchema — pre-clone), a filter the consumer stacks on this
+    // stream prunes whole ADDED batches at micro-batch OPTIMIZATION
+    // time — IncrementalExecution runs the session optimizer
+    // (including the ZonePrune rule), the filter pushes through the
+    // conform-projection and the union to each single-root batch
+    // relation, and a batch whose recorded stats prove the predicate
+    // empty never schedules a scan task. An index maintainer consuming
+    // only `source = 'web'` commits skips the other sources' epochs at
+    // metadata cost. This re-register covers recovered sources whose
+    // provider hook never ran in THIS session (a restart path) —
+    // effective from the stream's next (re)start.
+    graft.plans.ZonePrune.register(spark, warehouseDir, historyDir)
     val ids = addedBatches(from, to)
     val live = WarehouseLoad.liveBatchIds(spark, warehouseDir, ids)
     val base =

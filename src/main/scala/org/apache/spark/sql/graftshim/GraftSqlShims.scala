@@ -25,6 +25,16 @@ object GraftSqlShims {
     spark.asInstanceOf[CSparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
 
+  /** The physical plan of a streaming query's LAST executed
+    * micro-batch — spec-side observability for plan-shape contracts
+    * inside streaming execution (e.g. zone pruning of a micro-batch's
+    * batch roots), which the public API does not expose. */
+  def lastExecutedPlan(q: org.apache.spark.sql.streaming.StreamingQuery):
+      org.apache.spark.sql.execution.SparkPlan =
+    q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime
+        .StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
+
   /** A parquet scan over a pre-resolved [[FileIndex]] (graft's
     * commit-log-backed ManifestFileIndex): `DataFrameReader` has no
     * way to supply a file index — it always builds an

@@ -313,6 +313,49 @@ class CommitLogStreamSpec extends SparkSpec {
     assert(spans.forall(_(1) <= 4L))
   }
 
+  test("a consumer filter zone-prunes whole batch roots inside micro-batch plans") {
+    val staging = tmpDir("graft-clstage-")
+    val wh = tmpDir("graft-clwh-") + "/t"
+    val hist = tmpDir("graft-clhist-") + "/h"
+    val ckpt = tmpDir("graft-clckpt-") + "/cp"
+    // two ZONE-DISJOINT commits before the stream starts, so the first
+    // micro-batch window spans both and plans two batch roots
+    writeStaged(staging, "lo.json",
+      """{"CustomerID": "1", "FirstName": "a"}""",
+      """{"CustomerID": "2", "FirstName": "b"}""")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    writeStaged(staging, "hi.json",
+      """{"CustomerID": "10", "FirstName": "c"}""",
+      """{"CustomerID": "11", "FirstName": "d"}""")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    // the consumer's own filter — IncrementalExecution runs the session
+    // optimizer, so ZonePrune (registered by the source's getBatch)
+    // must drop the lo batch's root from the micro-batch plan: an
+    // index maintainer consuming one key range skips the others'
+    // epochs at metadata cost, no scan task ever scheduled
+    val q = spark.readStream.format(provider)
+      .schema(Schemas.customers)
+      .option("warehouseDir", wh).option("historyDir", hist)
+      .load()
+      .filter(org.apache.spark.sql.functions.col("customerid") >= 10)
+      .writeStream.format("memory").queryName("cl_zp")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(sinkIds("cl_zp") == Seq(10L, 11L))
+      val plan = org.apache.spark.sql.graftshim.GraftSqlShims
+        .lastExecutedPlan(q)
+      val scannedRoots = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.size
+      }.sum
+      assert(scannedRoots == 1,
+        s"the lo batch root must leave the micro-batch plan:\n$plan")
+    } finally q.stop()
+  }
+
   test("schema inference requires a first commit; version pruning demands resync") {
     val staging = tmpDir("graft-clstage-")
     val wh = tmpDir("graft-clwh-") + "/t"
