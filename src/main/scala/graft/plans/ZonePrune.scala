@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
   EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In,
-  InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or,
+  InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or,
   StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation,
   LogicalPlan}
@@ -165,6 +165,8 @@ object ZonePrune extends Rule[LogicalPlan] {
          GreaterThanOrEqual(_, _) | LessThan(_, _) |
          LessThanOrEqual(_, _) | In(_, _) | _: InSet |
          StartsWith(_, _) => true
+    case Not(EqualTo(_, _) | EqualNullSafe(_, _) | In(_, _) |
+             _: InSet) => true
     case _ => false
   }
 
@@ -218,6 +220,31 @@ object ZonePrune extends Rule[LogicalPlan] {
     case StartsWith(a: AttributeReference, Literal(p, StringType))
         if p != null =>
       prefixMiss(st, a.name, p.toString)
+    // NOT-equality over the dictionary (`source != 'web'`, NOT IN —
+    // the curation EXCLUDE class): proven empty when every value the
+    // batch can hold is in the excluded set. Null rows need no
+    // separate proof for `!=`/NOT IN: null != v is null → the filter
+    // drops the row anyway (and an all-null column drops every row).
+    // `<=>` differs — NOT(null <=> v) is TRUE — so its form also
+    // demands a zero null count.
+    case Not(EqualTo(a: AttributeReference, l: Literal)) =>
+      dictCovered(st, a.name, Seq(l), needNoNulls = false)
+    case Not(EqualTo(l: Literal, a: AttributeReference)) =>
+      dictCovered(st, a.name, Seq(l), needNoNulls = false)
+    case Not(EqualNullSafe(a: AttributeReference, l: Literal))
+        if l.value != null =>
+      dictCovered(st, a.name, Seq(l), needNoNulls = true)
+    case Not(EqualNullSafe(l: Literal, a: AttributeReference))
+        if l.value != null =>
+      dictCovered(st, a.name, Seq(l), needNoNulls = true)
+    case Not(In(a: AttributeReference, vs))
+        if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      dictCovered(st, a.name, vs.map(_.asInstanceOf[Literal]),
+        needNoNulls = false)
+    case Not(InSet(a: AttributeReference, hset)) if hset.nonEmpty =>
+      dictCovered(st, a.name,
+        hset.toSeq.filter(_ != null).map(v => Literal(v, a.dataType)),
+        needNoNulls = false)
     case _ => false
   }
 
@@ -233,26 +260,41 @@ object ZonePrune extends Rule[LogicalPlan] {
   private final case class PointsProbe(
       pts: Seq[(Option[String], B, B)], allValid: Boolean) extends Probe
 
+  /** The dictionary key of a literal: strings raw; integrals in the
+    * same exact-decimal canonical form the write side records (the
+    * integral→string cast) — analysis guarantees the literal's type
+    * matches the column's, so a numeric key never probes a string
+    * column's dictionary. */
+  private def dictKey(l: Literal): Option[String] = l.dataType match {
+    case StringType if l.value != null => Some(l.value.toString)
+    case ByteType | ShortType | IntegerType | LongType if l.value != null =>
+      Some(l.value.asInstanceOf[Number].longValue().toString)
+    case _ => None
+  }
+
   private def points(ls: Seq[Literal]): Probe = {
     val pts = ls.flatMap { l =>
       bound(l, loSide = true).zip(bound(l, loSide = false)).map {
-        case (lo, hi) =>
-          // the dictionary key: strings raw; integrals in the same
-          // exact-decimal canonical form the write side records (the
-          // integral→string cast) — analysis guarantees the literal's
-          // type matches the column's, so a numeric key never probes
-          // a string column's dictionary
-          val raw = l.dataType match {
-            case StringType if l.value != null => Some(l.value.toString)
-            case ByteType | ShortType | IntegerType | LongType
-                if l.value != null =>
-              Some(l.value.asInstanceOf[Number].longValue().toString)
-            case _ => None
-          }
-          (raw, lo, hi)
+        case (lo, hi) => (dictKey(l), lo, hi)
       }
     }
     PointsProbe(pts, allValid = pts.size == ls.size)
+  }
+
+  /** Is every value the batch can still hold excluded by `ls`? True
+    * only when the recorded dictionary (a SUPERSET of the live values)
+    * is covered by the literals' key set — the NOT-equality prune.
+    * `needNoNulls` adds a zero-null-count demand for the `<=>` form,
+    * whose negation passes null rows. */
+  private def dictCovered(st: BatchStats, col: String, ls: Seq[Literal],
+                          needNoNulls: Boolean): Boolean = {
+    if (st.allNull(col)) return !needNoNulls
+    st.colStats(col).exists { cs =>
+      val keys = ls.flatMap(dictKey)
+      keys.size == ls.size &&
+      cs.dict.exists(_.subsetOf(keys.toSet)) &&
+      (!needNoNulls || cs.nulls.contains(0L))
+    }
   }
 
   private def lowBound(l: Literal): Probe =

@@ -148,6 +148,24 @@ class CommitLogSource(spark: SparkSession, declared: StructType,
       require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
       n
     }
+  /** Byte-based admission (r14, completing the r13 version-count
+    * bound): cap each micro-batch window by the RECORDED data bytes of
+    * its added batches — batch size is metadata-known from the commit
+    * manifests ([[WarehouseLoad.batchBytes]]), so the walk costs one
+    * cached manifest read per admitted batch, never a listing. An
+    * operator sizes executors in bytes, not commit counts, and commit
+    * sizes vary over a table's life (trickle loads vs compacted
+    * folds) — the version bound alone cannot hold a memory envelope.
+    * At least one version is always admitted per trigger (progress);
+    * a batch with no recorded size (legacy manifest) conservatively
+    * consumes the whole budget. Composes with `maxVersionsPerTrigger`
+    * (both caps apply). */
+  private val maxBytesPerTrigger =
+    opt(params, "maxBytesPerTrigger").map { v =>
+      val n = v.trim.toLong
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+      n
+    }
 
   /** The admission floor: the highest version this source has handed
     * out (offered via getOffset or recovered via getBatch). Persisted
@@ -161,15 +179,17 @@ class CommitLogSource(spark: SparkSession, declared: StructType,
     * offset (crash between getOffset and the offset-log write), so a
     * recovered batch spans at most 2N versions — still bounded. */
   private val FloorFile = "graft-admission-floor"
+  private def admissionBounded: Boolean =
+    maxVersionsPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty
   private var floor: Long =
-    if (maxVersionsPerTrigger.isEmpty || metadataPath.isEmpty) 0L
+    if (!admissionBounded || metadataPath.isEmpty) 0L
     else graft.load.AtomicManifest.read(spark, metadataPath, FloorFile)
       .flatMap(_.toLongOption).getOrElse(0L)
 
   private def advanceFloor(v: Long): Unit =
     if (v > floor) {
       floor = v
-      if (maxVersionsPerTrigger.nonEmpty && metadataPath.nonEmpty)
+      if (admissionBounded && metadataPath.nonEmpty)
         graft.load.AtomicManifest.write(spark, metadataPath, FloorFile,
           v.toString)
     }
@@ -213,11 +233,48 @@ class CommitLogSource(spark: SparkSession, declared: StructType,
     val head = WarehouseLoad.currentVersion(spark, historyDir)
     if (head == 0) None
     else {
-      val end = maxVersionsPerTrigger
+      val capped = maxVersionsPerTrigger
         .fold(head)(n => math.min(head, floor + n))
+      val end = maxBytesPerTrigger match {
+        case None => capped
+        case Some(cap) => admitByBytes(capped, cap)
+      }
       advanceFloor(end)
       Some(LongOffset(end))
     }
+  }
+
+  /** The largest end version in `(floor, capped]` whose window's
+    * added-batch bytes fit `cap` — always at least `floor + 1` when
+    * lag exists (one version per trigger is the progress floor, the
+    * FileStreamSource convention for an over-cap single file). The
+    * walk reads one (cached) version list + one (cached) manifest per
+    * examined batch and stops at the first over-budget version — cost
+    * bounded by the ADMITTED window, not the lag. */
+  private def admitByBytes(capped: Long, cap: Long): Long = {
+    def batches(v: Long): Seq[String] =
+      WarehouseLoad.versionBatches(spark, historyDir, v).getOrElse(
+        throw new IllegalStateException(
+          s"commit-log stream cannot read version $v: pruned by vacuum " +
+          "retention (consumer lag exceeded retainVersions) — resync " +
+          "from a fresh stream over readWarehouseAt"))
+    var v = floor
+    var acc = 0L
+    var over = false
+    while (!over && v < capped) {
+      val prev = batches(v).toSet
+      // per-version bytes clamped to cap: keeps the accumulator
+      // overflow-free and makes an unknown-size batch (legacy
+      // manifest) consume exactly one whole budget
+      val bytes = math.min(cap,
+        batches(v + 1).filterNot(prev)
+          .map(id => WarehouseLoad.batchBytes(spark, historyDir, id)
+            .getOrElse(cap))
+          .foldLeft(0L)((a, b) => math.min(cap, a + math.min(b, cap))))
+      if (v == floor || acc + bytes <= cap) { acc += bytes; v += 1 }
+      else over = true
+    }
+    v
   }
 
   /** Batch ids added across `(from, to]`, stepping version by version

@@ -313,6 +313,50 @@ class CommitLogStreamSpec extends SparkSpec {
     assert(spans.forall(_(1) <= 4L))
   }
 
+  test("maxBytesPerTrigger drains a backlog as byte-bounded micro-batches") {
+    val staging = tmpDir("graft-clbadm-")
+    val wh = tmpDir("graft-clbadmwh-") + "/t"
+    val hist = tmpDir("graft-clbadmhist-") + "/h"
+    val ckpt = tmpDir("graft-clbadmckpt-") + "/cp"
+    // 4 similarly-sized commits land while the consumer is down; the
+    // byte budget is set to exactly the first two batches' recorded
+    // sizes, so the backlog must drain as (0,2] then (2,4]
+    (1 to 4).foreach { i =>
+      writeStaged(staging, s"f$i.json",
+        s"""{"CustomerID": "$i", "FirstName": "x$i"}""")
+      WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers,
+        wh, hist)
+    }
+    val sizes = WarehouseLoad.committedBatches(spark, hist)
+      .map(id => WarehouseLoad.batchBytes(spark, hist, id).get)
+    // two batches fit, three never do (sizes are near-equal, so
+    // 2·max >= any pair and < any triple)
+    val cap = 2 * sizes.max
+    assert(sizes.min > 0, "fixture batches must have recorded bytes")
+    assert(3 * sizes.min > cap, "fixture sizes drifted beyond the 1.5x " +
+      "band the two-per-window cap depends on")
+    val q = spark.readStream.format(provider)
+      .schema(Schemas.customers)
+      .option("warehouseDir", wh).option("historyDir", hist)
+      .option("maxBytesPerTrigger", cap.toString)
+      .load()
+      .writeStream.format("memory").queryName("cl_badm")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(sinkIds("cl_badm") == Seq(1L, 2L, 3L, 4L),
+        "byte-bounded drain must still deliver everything exactly once")
+    } finally q.stop()
+    // the span log proves the window shape: two 2-version batches
+    val spans = Files.readString(
+        Paths.get(ckpt, "sources", "0", "graft-admission-spans"))
+      .linesIterator.map(_.split(" ").map(_.toLong)).toSeq
+    assert(spans.map(_.toSeq) == Seq(Seq(2L, 2L), Seq(4L, 2L)),
+      s"expected (0,2] then (2,4], got: ${spans.map(_.toSeq)}")
+  }
+
   test("a consumer filter zone-prunes whole batch roots inside micro-batch plans") {
     val staging = tmpDir("graft-clstage-")
     val wh = tmpDir("graft-clwh-") + "/t"

@@ -868,6 +868,16 @@ class PlanSpec extends SparkSpec {
     val isnAfter = read().filter(col("note").isNull)
     assert(roots(isnAfter) == 1)
     assert(isnAfter.count() == 3)
+    // NOT-equality (the curation EXCLUDE class): the single-source f4
+    // batch's dict {web} is covered by the excluded set, so
+    // `src != 'web'` plans only the fold; NOT IN likewise
+    val ne = read().filter(col("src") =!= "web")
+    assert(roots(ne) == 1,
+      s"!= must prune the single-value batch:\n${ne.queryExecution.optimizedPlan}")
+    assert(ne.count() == 8)
+    val nin = read().filter(!col("src").isin("web", "arxiv"))
+    assert(roots(nin) == 1)
+    assert(nin.count() == 5)
   }
 
   test("manifest file index: committed scans + load history plan from the log, zero listing; legacy manifests fall back") {
