@@ -587,15 +587,17 @@ object WarehouseLoad {
     // pass — bounded by file count, no data read.
     val reader = spark.read.option("mergeSchema", "true")
     if (dirs.isEmpty) None
-    // hive-partitioned batch roots refuse a single multi-path read
-    // (each root is its own partition-discovery base), so they load
-    // per root and union — still bounded by the COMMITTED LOAD count,
-    // and a partition predicate pushes through the union into every
-    // scan's PartitionFilters (directory pruning per batch root).
-    // NOTE for ZonePrune: this is why a PARTITIONED multi-root scan
-    // never reaches its file-index rewrite — partitioned roots plan
-    // one relation each, so its partitioned fallback is all-or-nothing
-    // per root (ZonePrune.pruneScan's partitionSchema branch).
+    // LEGACY hive-partitioned batch roots (no recorded file lists)
+    // refuse a single multi-path read (each root is its own
+    // partition-discovery base), so they load per root and union —
+    // still bounded by the COMMITTED LOAD count, and a partition
+    // predicate pushes through the union into every scan's
+    // PartitionFilters (directory pruning per batch root). Recorded
+    // partitioned layouts plan from the log above (manifestRelation's
+    // partitioned branch). NOTE for ZonePrune: this union is why a
+    // partitioned NON-manifest scan never reaches its file-index
+    // rewrite — these roots plan one relation each, so that fallback
+    // is all-or-nothing per root.
     else if (dirs.sizeIs > 1 && info.exists(_._2))
       Some(dirs.map(reader.parquet(_))
         .reduce(_.unionByName(_, allowMissingColumns = true)))
@@ -644,11 +646,14 @@ object WarehouseLoad {
 
   /** TIER-1 committed read: the scan built entirely from the commit
     * log's recorded file lists + schema ([[graft.plans.ManifestFileIndex]]
-    * — zero listing/footer I/O at plan time). Outer `None` = the tier
-    * does not apply (a legacy batch without the records, a schema
-    * disagreement mid-evolution, or a hive-partitioned layout — those
-    * fall back to the discovery paths); `Some(None)` = applies and the
-    * table has no live files; `Some(Some(df))` = the relation. */
+    * — zero listing/footer I/O at plan time), for BOTH layouts:
+    * hive-partitioned batches (r14) parse partition values from the
+    * recorded paths and the index evaluates partition filters itself.
+    * Outer `None` = the tier does not apply (a legacy batch without
+    * the records, a schema disagreement mid-evolution, or a
+    * partition path the parse rejects — those fall back to the
+    * discovery paths); `Some(None)` = applies and the table has no
+    * live files; `Some(Some(df))` = the relation. */
   private def manifestRelation(spark: SparkSession, warehouseDir: String,
       historyDir: String, ids: Seq[String]): Option[Option[DataFrame]] = {
     import scala.jdk.CollectionConverters._
@@ -661,9 +666,6 @@ object WarehouseLoad {
         s.isEmpty || s.get.schemaJson.isEmpty || s.get.files.isEmpty))
       return None
     val all = ids.zip(stats.map(_.get))
-    // a subdir in any relative path = hive-partitioned batch: the
-    // per-root discovery path owns partition-column resolution
-    if (all.exists(_._2.files.get.exists(_._1.contains("/")))) return None
     val live = all.filter(_._2.files.get.nonEmpty)
     if (live.isEmpty) return Some(None)
     val schemas = live.map(_._2.schemaJson.get).distinct
@@ -676,15 +678,44 @@ object WarehouseLoad {
     val qBase = base
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(base)
-    val roots = live.map { case (id, st) =>
-      val root = new org.apache.hadoop.fs.Path(qBase, s"b$id")
-      root -> st.files.get.map { case (rel, len) =>
-        new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L,
-          new org.apache.hadoop.fs.Path(root, rel))
+    def roots[T](mk: (String, Long, org.apache.hadoop.fs.FileStatus) => T) =
+      live.map { case (id, st) =>
+        val root = new org.apache.hadoop.fs.Path(qBase, s"b$id")
+        root -> st.files.get.map { case (rel, len) =>
+          mk(rel, len, new org.apache.hadoop.fs.FileStatus(
+            len, false, 1, 134217728L, 0L,
+            new org.apache.hadoop.fs.Path(root, rel)))
+        }
       }
+    if (!all.exists(_._2.files.get.exists(_._1.contains("/"))))
+      return Some(Some(org.apache.spark.sql.graftshim.GraftSqlShims
+        .parquetScan(spark,
+          new graft.plans.ManifestFileIndex(roots((_, _, st) => st)),
+          schema)))
+    // HIVE-PARTITIONED layout (r14): the partition column sequence is
+    // the `col=value` dir spelling of any file; types come from the
+    // commit's recorded schema (CI match). The index parses values
+    // from the recorded paths and evaluates pushed partition filters
+    // itself — the partitioned table now plans from the log too, one
+    // relation at any batch count, with the per-root discovery union
+    // remaining the fallback for anything the parse rejects.
+    val firstRel = live.head._2.files.get.head._1
+    val partNames = firstRel.split("/").init.toSeq.map { seg =>
+      val eq = seg.indexOf('=')
+      if (eq <= 0) return None
+      seg.substring(0, eq)
     }
-    Some(Some(org.apache.spark.sql.graftshim.GraftSqlShims.parquetScan(
-      spark, new graft.plans.ManifestFileIndex(roots), schema)))
+    val partFields = partNames.map(n =>
+      schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(return None))
+    val partSchema = StructType(partFields.map(f =>
+      StructField(f.name, f.dataType, nullable = true)))
+    val dataSchema = StructType(schema.fields.filterNot(f =>
+      partFields.exists(_.name == f.name)))
+    if (dataSchema.isEmpty) return None
+    graft.plans.ManifestFileIndex.partitioned(spark,
+        roots((rel, _, st) => rel -> st), partSchema)
+      .map(idx => Some(org.apache.spark.sql.graftshim.GraftSqlShims
+        .parquetScan(spark, idx, dataSchema, partSchema)))
   }
 
   /** The committed load history — one row per loaded source file:

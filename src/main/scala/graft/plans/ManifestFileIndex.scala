@@ -2,10 +2,13 @@ package graft.plans
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
+  BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   PartitionDirectory}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A [[FileIndex]] materialized from the commit log's recorded
   * per-batch file lists — ZERO filesystem listing or footer I/O at
@@ -25,14 +28,28 @@ import org.apache.spark.sql.types.StructType
   * never go stale — the same immutability argument the zone
   * intervals rely on.
   *
-  * Partitioning is deliberately NOT supported (`partitionSchema` is
-  * empty): hive-partitioned batches plan per-root relations via the
-  * discovery path (see `readBatchDirs`), and this index only serves
-  * the unpartitioned fast path. [[ZonePrune]] recognizes the type and
-  * prunes it by rebuilding with the surviving roots' entries — still
-  * zero I/O. */
+  * HIVE-PARTITIONED layouts are served too (r14): partition values
+  * are parsed once from the recorded RELATIVE paths (the
+  * `col=value/…` segments partitionBy wrote — unescaped with the
+  * hive `%XX` convention and cast through Spark's own string→type
+  * Cast, the same conversion the discovery path applies to a
+  * user-specified partition schema), and [[listFiles]] evaluates the
+  * pushed partition filters against those rows — REQUIRED for
+  * correctness, not an optimization: FileSourceStrategy removes
+  * partition filters from the after-scan filter set, so an index
+  * that ignored them would serve rows from excluded partitions.
+  * Construction is via [[ManifestFileIndex.partitioned]], which
+  * returns None on ANY path it cannot parse losslessly — callers
+  * fall back to the listing/discovery scan, so the fast path is
+  * never a correctness dependency. [[ZonePrune]] recognizes the type
+  * and prunes either layout by rebuilding with the surviving roots'
+  * entries — still zero I/O. */
 final class ManifestFileIndex(
-    val rootsWithFiles: Seq[(Path, Seq[FileStatus])]) extends FileIndex {
+    val rootsWithFiles: Seq[(Path, Seq[FileStatus])],
+    val partSchema: StructType = new StructType(),
+    // (partition-values row, files) groups; Nil for unpartitioned
+    val partGroups: Seq[(InternalRow, Seq[FileStatus])] = Nil)
+  extends FileIndex {
 
   override val rootPaths: Seq[Path] = rootsWithFiles.map(_._1)
 
@@ -40,7 +57,25 @@ final class ManifestFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    Seq(PartitionDirectory(InternalRow.empty, all))
+    if (partSchema.isEmpty) Seq(PartitionDirectory(InternalRow.empty, all))
+    else {
+      // bind by name against the partition schema — the same move
+      // PartitioningAwareFileIndex makes; a name that does not bind
+      // fails loudly (BoundReference(-1)) rather than silently
+      // serving excluded partitions
+      val pred = partitionFilters.reduceOption(And).map { e =>
+        Predicate.create(e.transform {
+          case a: AttributeReference =>
+            val i = partSchema.fieldIndex(a.name)
+            BoundReference(i, partSchema(i).dataType, nullable = true)
+        })
+      }
+      partGroups.collect {
+        case (values, files)
+            if pred.forall(_.eval(values)) =>
+          PartitionDirectory(values, files.toArray)
+      }
+    }
 
   override def inputFiles: Array[String] = all.map(_.getPath.toString)
 
@@ -48,10 +83,92 @@ final class ManifestFileIndex(
 
   override val sizeInBytes: Long = all.iterator.map(_.getLen).sum
 
-  override def partitionSchema: StructType = new StructType()
+  override def partitionSchema: StructType = partSchema
 
   /** The index restricted to `keep` roots — [[ZonePrune]]'s rewrite,
-    * still metadata-only. */
-  def retain(keep: Set[Path]): ManifestFileIndex =
-    new ManifestFileIndex(rootsWithFiles.filter(rf => keep(rf._1)))
+    * still metadata-only. Partition groups re-filter by file root
+    * membership (a group can span roots: same partition value written
+    * by several batches). */
+  def retain(keep: Set[Path]): ManifestFileIndex = {
+    val kept = rootsWithFiles.filter(rf => keep(rf._1))
+    val keptFiles = kept.flatMap(_._2).toSet
+    new ManifestFileIndex(kept, partSchema,
+      partGroups
+        .map { case (v, fs) => (v, fs.filter(keptFiles)) }
+        .filter(_._2.nonEmpty))
+  }
+}
+
+object ManifestFileIndex {
+  /** Unescape one hive partition-path value: `%XX` byte escapes only
+    * (NOT URLDecoder — hive escaping leaves `+` literal). Returns
+    * None on malformed escapes (fall back to discovery). */
+  private def unescape(s: String): Option[String] = {
+    if (!s.contains('%')) return Some(s)
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        if (i + 3 > s.length) return None
+        try out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        catch { case _: NumberFormatException => return None }
+        i += 3
+      } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+    }
+    Some(new String(out.toByteArray, "UTF-8"))
+  }
+
+  private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Build a PARTITIONED index from recorded file lists whose relative
+    * paths carry `col=value` segments. `partSchema` supplies the
+    * declared types (from the commit's recorded schema); values cast
+    * through Spark's string→type Cast in the session timezone — the
+    * semantics the discovery path applies to a user-specified
+    * partition schema. None when any path deviates (segment without
+    * `=`, column-sequence mismatch, malformed escape, or a non-null
+    * value the cast rejects): absent is never wrong, only slower. */
+  def partitioned(spark: org.apache.spark.sql.SparkSession,
+      rootsWithFiles: Seq[(Path, Seq[(String, FileStatus)])],
+      partSchema: StructType): Option[ManifestFileIndex] = {
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val names = partSchema.fieldNames
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[String], (InternalRow, Seq[FileStatus])]
+    val plain = Seq.newBuilder[(Path, Seq[FileStatus])]
+    for ((root, files) <- rootsWithFiles) {
+      val sts = Seq.newBuilder[FileStatus]
+      for ((rel, st) <- files) {
+        val segs = rel.split("/").toSeq
+        if (segs.size != names.length + 1) return None
+        val raw = segs.init.zip(names).map { case (seg, n) =>
+          val eq = seg.indexOf('=')
+          if (eq <= 0 || seg.substring(0, eq) != n) return None
+          seg.substring(eq + 1)
+        }
+        groups.get(raw) match {
+          case Some((row, fs)) => groups(raw) = (row, fs :+ st)
+          case None =>
+            val vals = new Array[Any](names.length)
+            raw.zipWithIndex.foreach { case (r, i) =>
+              val s = unescape(r).getOrElse(return None)
+              if (s == HiveNull) vals(i) = null
+              else {
+                val v = Cast(
+                  Literal(UTF8String.fromString(s), StringType),
+                  partSchema(i).dataType, tz).eval(null)
+                if (v == null) return None // value the type rejects
+                vals(i) = v
+              }
+            }
+            groups(raw) = (new GenericInternalRow(vals), Seq(st))
+        }
+        sts += st
+      }
+      plain += root -> sts.result()
+    }
+    Some(new ManifestFileIndex(plain.result(), partSchema,
+      groups.values.toSeq))
+  }
 }

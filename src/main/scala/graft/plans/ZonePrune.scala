@@ -127,23 +127,26 @@ object ZonePrune extends Rule[LogicalPlan] {
           val keep = roots.filter(r => verdicts.get(r).booleanValue())
           if (keep.size == roots.size) f
           else if (keep.isEmpty) LocalRelation(f.output)
-          else if (fs.partitionSchema.isEmpty) {
+          else fs.location match {
             // a commit-log-backed index prunes by restriction — still
-            // zero I/O; a listing-based index re-lists the survivors
-            val idx = fs.location match {
-              case m: ManifestFileIndex => m.retain(keep.toSet)
-              case _ => new InMemoryFileIndex(spark, keep, fs.options,
-                Some(fs.dataSchema))
-            }
-            Filter(cond, lr.copy(relation =
-              fs.copy(location = idx)(spark)))
-          } else f // partial prune of a partitioned multi-root scan:
-                   // unreachable via readBatchDirs — partitioned
-                   // multi-root reads plan PER ROOT and union
-                   // (WarehouseLoad.readBatchDirs keeps that contract
-                   // next to its union branch), so a partitioned scan
-                   // here always has exactly one root and keep is
-                   // all-or-nothing
+            // zero I/O, and it works for BOTH layouts (the partitioned
+            // form re-filters its value groups by surviving files)
+            case m: ManifestFileIndex =>
+              Filter(cond, lr.copy(relation =
+                fs.copy(location = m.retain(keep.toSet))(spark)))
+            case _ if fs.partitionSchema.isEmpty =>
+              // a listing-based index re-lists the survivors
+              Filter(cond, lr.copy(relation = fs.copy(location =
+                new InMemoryFileIndex(spark, keep, fs.options,
+                  Some(fs.dataSchema)))(spark)))
+            case _ => f // discovery-planned PARTITIONED scans plan one
+                        // relation per root and union
+                        // (WarehouseLoad.readBatchDirs keeps that
+                        // contract next to its union branch), so a
+                        // partitioned non-manifest scan here always
+                        // has exactly one root and keep is
+                        // all-or-nothing
+          }
         }
     }
   }

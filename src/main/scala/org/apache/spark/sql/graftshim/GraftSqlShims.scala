@@ -43,10 +43,12 @@ object GraftSqlShims {
     * bridge, same pattern as [[ofRows]]. */
   def parquetScan(spark: SparkSession,
       location: org.apache.spark.sql.execution.datasources.FileIndex,
-      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+      dataSchema: org.apache.spark.sql.types.StructType,
+      partitionSchema: org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType()): DataFrame = {
     val cs = spark.asInstanceOf[CSparkSession]
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      location, new org.apache.spark.sql.types.StructType(), dataSchema,
+      location, partitionSchema, dataSchema,
       None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty[String, String])(cs)

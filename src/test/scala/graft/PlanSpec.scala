@@ -945,15 +945,80 @@ class PlanSpec extends SparkSpec {
     assert(WarehouseLoad.loadedFiles(spark, hist).get.count() == 3)
   }
 
-  test("zone-prune: HIVE-PARTITIONED batches prune per union child (the per-root plan contract)") {
-    // Partitioned multi-root tables plan ONE relation per batch root
-    // unioned (readBatchDirs), so ZonePrune's partitioned fallback is
-    // all-or-nothing per root — this pins the reachability argument
-    // the rule's `case _ => f` comment makes (VERDICT r13 hygiene):
-    // pruning must still drop non-overlapping batches on a partitioned
-    // table, via empty union children, not via the file-index rewrite.
+  test("log-planned partitions: typed, null, and escaped values round-trip; filters prune exactly") {
+    // The partitioned manifest index OWNS partition-filter evaluation
+    // (FileSourceStrategy strips partition filters from the after-scan
+    // set), so value parsing must be lossless for every class the
+    // layout can spell: a non-string type (cast through Spark's own
+    // string→type Cast), the hive null marker, and %XX-escaped
+    // metacharacters.
     import java.nio.file.{Files, Paths}
     import graft.load.WarehouseLoad
+    import graft.plans.ManifestFileIndex
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val staging = tmpDir("graft-pvstage-")
+    val wh = tmpDir("graft-pvwh-") + "/t"
+    val hist = tmpDir("graft-pvhist-") + "/h"
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    def load(name: String, rows: String*): Unit = {
+      Files.writeString(Paths.get(staging, name),
+        rows.mkString("", "\n", "\n"))
+      WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist,
+        partitionCols = Seq("y", "tag"))
+    }
+    load("f1.json",
+      """{"id": "1", "y": "2023", "tag": "a b"}""",
+      """{"id": "2", "y": "2024", "tag": "x=y"}""")
+    load("f2.json",
+      """{"id": "3", "y": "2024"}""", // null tag → hive null marker dir
+      """{"id": "4", "y": "2025", "tag": "p%q"}""")
+    def read() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    read().queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          assert(fs.location.isInstanceOf[ManifestFileIndex],
+            s"expected the log-planned index, got ${fs.location.getClass}")
+          assert(fs.partitionSchema.fieldNames.toSeq == Seq("y", "tag"))
+        case _ => fail("expected a HadoopFsRelation")
+      }
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(read()) == Seq(1L, 2L, 3L, 4L))
+    // values round-trip exactly
+    val byId = read().collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("y"), r.getAs[String]("tag"))).toMap
+    assert(byId(1L) == (2023L, "a b"))
+    assert(byId(2L) == (2024L, "x=y"))
+    assert(byId(3L) == (2024L, null))
+    assert(byId(4L) == (2025L, "p%q"))
+    // partition filters evaluated by the index — every class exact
+    assert(ids(read().filter(col("y") === 2024)) == Seq(2L, 3L))
+    assert(ids(read().filter(col("tag") === "x=y")) == Seq(2L))
+    assert(ids(read().filter(col("tag") === "p%q")) == Seq(4L))
+    assert(ids(read().filter(col("tag").isNull)) == Seq(3L))
+    assert(ids(read().filter(col("tag").isNotNull && col("y") >= 2024)) ==
+      Seq(2L, 4L))
+  }
+
+  test("zone-prune: HIVE-PARTITIONED batches plan from the log and prune roots + directories") {
+    // r14: partitioned tables plan from the commit log too — ONE
+    // ManifestFileIndex-backed relation at any batch count (partition
+    // values parsed from the recorded paths, partition filters
+    // evaluated by the index), with the per-root discovery union as
+    // the legacy fallback. ZonePrune prunes the partitioned manifest
+    // index by restriction like the unpartitioned one.
+    import java.nio.file.{Files, Paths}
+    import graft.load.WarehouseLoad
+    import graft.plans.ManifestFileIndex
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val staging = tmpDir("graft-zpstage-")
@@ -982,6 +1047,9 @@ class PlanSpec extends SparkSpec {
           case fs: HadoopFsRelation =>
             assert(fs.partitionSchema.nonEmpty,
               "batches must have planned as hive-partitioned roots")
+            assert(fs.location.isInstanceOf[ManifestFileIndex],
+              "a partitioned committed table must plan from the log, " +
+              s"not discovery: ${fs.location.getClass}")
             fs.location.rootPaths.size
           case _ => 0
         }
