@@ -1452,6 +1452,70 @@ object WarehouseLoad {
     catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  // ------------------------------------------------------------------
+  // Observability: DESCRIBE HISTORY / DESCRIBE DETAIL over the log
+  // ------------------------------------------------------------------
+
+  /** One row per RETAINED version, oldest first — the DESCRIBE
+    * HISTORY analog, derived entirely from the version log (cached
+    * manifest reads, no data I/O): `(version, kind, n_added,
+    * n_removed, n_batches)` where kind is `append` (only additions),
+    * `rewrite` (a compaction/takedown replaced batches), or
+    * `unknown` (the predecessor's manifest is vacuum-pruned, so the
+    * diff cannot be computed — the retention horizon's first retained
+    * version). Bounded by the RETAINED version count: [[vacuum]]'s
+    * `retainVersions` is the history depth, exactly the lakehouse
+    * DESCRIBE HISTORY contract. */
+  def tableHistory(spark: SparkSession, historyDir: String): DataFrame = {
+    import spark.implicits._
+    val head = currentVersion(spark, historyDir)
+    val rows = (1L to head).flatMap { v =>
+      versionBatches(spark, historyDir, v).map { cur =>
+        versionBatches(spark, historyDir, v - 1) match {
+          case Some(prev) =>
+            val p = prev.toSet
+            val added = cur.count(!p(_))
+            val removed = prev.count(!cur.toSet(_))
+            val kind = if (removed > 0) "rewrite" else "append"
+            (v, kind, added.toLong, removed.toLong, cur.size.toLong)
+          case None => (v, "unknown", -1L, -1L, cur.size.toLong)
+        }
+      }
+    }
+    rows.toDF("version", "kind", "n_added", "n_removed", "n_batches")
+  }
+
+  /** One row per batch in the committed HEAD — the DESCRIBE DETAIL
+    * analog at batch granularity, from the recorded manifests alone
+    * (cached metadata, no listing, no scan): `(batch, position,
+    * n_rows, n_bytes, n_files, n_stat_cols)`. Nulls where a legacy
+    * batch recorded nothing — absent stats read as unknown, never
+    * guessed. `n_rows` is the AT-WRITE count each manifest records:
+    * a takedown-rewritten batch carries its map forward, so the
+    * figure can overstate the live count (the same superset contract
+    * the pruning stats rely on) — count the relation for exactness. */
+  def describeWarehouse(spark: SparkSession,
+                        historyDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = committedBatches(spark, historyDir)
+    import scala.jdk.CollectionConverters._
+    val fetched =
+      new java.util.concurrent.ConcurrentHashMap[String, BatchStats]()
+    ids.asJava.parallelStream().forEach(id =>
+      batchStats(spark, historyDir, id).foreach(st => fetched.put(id, st)))
+    ids.zipWithIndex.map { case (id, i) =>
+      val st = Option(fetched.get(id))
+      (id, i.toLong,
+        st.flatMap(_.rows).map(java.lang.Long.valueOf).orNull,
+        st.flatMap(_.files).map(f => java.lang.Long.valueOf(f.map(_._2).sum))
+          .orNull,
+        st.flatMap(_.files).map(f => java.lang.Long.valueOf(f.size.toLong))
+          .orNull,
+        st.map(s => s.cols.size.toLong).map(java.lang.Long.valueOf).orNull)
+    }.toDF("batch", "position", "n_rows", "n_bytes", "n_files",
+      "n_stat_cols")
+  }
+
   /** Delete batch dirs (data + history) that no RETAINED version
     * references — the garbage a crashed attempt leaves behind, plus
     * (once compaction or takedown rewrote the batch set) the old

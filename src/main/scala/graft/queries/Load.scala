@@ -823,6 +823,67 @@ object Load {
            CAST(2 AS BIGINT) AS n_total
     FROM orders"""
 
+  // ---------------------------------------------------------------- q90
+  // Observability over the commit log — the DESCRIBE HISTORY /
+  // DESCRIBE DETAIL analogs: `tableHistory` derives each retained
+  // version's kind (append / rewrite) and batch-set delta purely from
+  // the version log (cached manifest reads, no data I/O), and
+  // `describeWarehouse` reports per-batch rows/bytes/files from the
+  // recorded manifests (no listing, no scan). Lifecycle under test:
+  // two appends → a compaction rewrite (2 folded into 1) → a takedown
+  // rewrite (1 replaced) — the oracle pins the version-kind table
+  // exactly, plus the head relation's row count and the
+  // all-bytes-known detail contract.
+  //
+  // Scale shape: history is bounded by RETAINED versions (vacuum's
+  // retention is the history depth) and detail by the head's batch
+  // count — both metadata-only; nothing here touches a data file.
+  val q90: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = Fixtures.scratchRoot(s, "describe", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType)))
+
+    (0 to 1).foreach { k =>
+      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === k)
+          .select(col("o_orderkey"), col("o_custkey")))
+      WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+    }
+    WarehouseLoad.compactCommitted(s, wh, hist)               // v3
+    import s.implicits._
+    val victim = Tables.orders(s, d)
+      .agg(min("o_orderkey")).head().getLong(0)
+    WarehouseLoad.takedownCommitted(s, wh, hist,              // v4
+      Seq(victim).toDF("o_orderkey"), Seq("o_orderkey"))
+
+    val headRows = WarehouseLoad.readWarehouse(s, wh, hist).get.count()
+    val detail = WarehouseLoad.describeWarehouse(s, hist).collect()
+    val bytesKnown = detail.nonEmpty &&
+      detail.forall(r => !r.isNullAt(r.fieldIndex("n_bytes")) &&
+        r.getAs[Long]("n_bytes") > 0)
+    WarehouseLoad.tableHistory(s, hist)
+      .withColumn("head_rows", lit(headRows))
+      .withColumn("detail_bytes_known", lit(bytesKnown))
+      .orderBy("version")
+  }
+
+  val q90Sql: String = """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) - 1 AS head_rows
+               FROM orders)
+    SELECT v.*, n.head_rows, TRUE AS detail_bytes_known
+    FROM (VALUES
+      (CAST(1 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'rewrite', CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'rewrite', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)))
+      AS v(version, kind, n_added, n_removed, n_batches), n
+    ORDER BY version"""
+
   val queries: Map[String, Q] = Map(
     "q79_quarantine_load" -> q79,
     "q80_schema_drift" -> q80,
@@ -834,7 +895,8 @@ object Load {
     "q86_zone_prune_dict" -> q86,
     "q87_zone_prune_null" -> q87,
     "q88_compact_tiered" -> q88,
-    "q89_zone_prune_int" -> q89)
+    "q89_zone_prune_int" -> q89,
+    "q90_describe_history" -> q90)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
@@ -847,5 +909,6 @@ object Load {
     "q86_zone_prune_dict" -> q86Sql,
     "q87_zone_prune_null" -> q87Sql,
     "q88_compact_tiered" -> q88Sql,
-    "q89_zone_prune_int" -> q89Sql)
+    "q89_zone_prune_int" -> q89Sql,
+    "q90_describe_history" -> q90Sql)
 }

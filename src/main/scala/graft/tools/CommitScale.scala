@@ -41,6 +41,12 @@ object CommitScale {
     // flow (full compact over N uniform batches), kept so the
     // SCALE.md N=1k/10k rows stay reproducible.
     val bulkRows = args.lift(3).map(_.toInt).getOrElse(0)
+    // partitioned=1 hive-partitions every commit by its `commit`
+    // column — measures the r14 log-planned partitioned read path
+    // (partition values from recorded paths, zero discovery) on the
+    // protocol's own axis
+    val partCols =
+      if (args.lift(4).exists(_.toInt > 0)) Seq("commit") else Nil
     val spark = graft.GraftSession.create("local[8]", 8)
     spark.sparkContext.setLogLevel("WARN")
     val root = java.nio.file.Files
@@ -59,7 +65,8 @@ object CommitScale {
       def commit(i: Int): Unit = {
         val df = (i * 1000L until i * 1000L + rowsPer).toDF("id")
           .withColumn("commit", lit(i))
-        WarehouseLoad.commitStreamedBatch(spark, df, wh, hist, f"s-$i%05d")
+        WarehouseLoad.commitStreamedBatch(spark, df, wh, hist,
+          f"s-$i%05d", partCols)
       }
       if (par <= 1) (1 to n).foreach(commit)
       else {
@@ -105,6 +112,19 @@ object CommitScale {
     println(f"zone_pruned_filter plan=$pplanS%.2f s count=$pcnt " +
       f"wall=$pcntS%.2f s")
 
+    if (partCols.nonEmpty) {
+      // partition-directory pruning through the log-planned index
+      val (qdf, qplanS) = time {
+        val x = WarehouseLoad.readWarehouse(spark, wh, hist).get
+          .filter(col("commit") === n / 2)
+        x.queryExecution.optimizedPlan
+        x
+      }
+      val (qcnt, qcntS) = time(qdf.count())
+      println(f"partition_filter plan=$qplanS%.2f s count=$qcnt " +
+        f"wall=$qcntS%.2f s")
+    }
+
     val (feedRows, chS) = time(
       WarehouseLoad.changes(spark, wh, hist, head - 10, head).get.count())
     println(f"changes_last10 rows=$feedRows wall=$chS%.2f s")
@@ -120,7 +140,8 @@ object CommitScale {
     val target = StructType(Seq(
       StructField("id", LongType), StructField("commit", IntegerType)))
     val (_, loadS) = time(
-      WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist))
+      WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist,
+        partitionCols = partCols))
     println(f"load_atomic_at_n wall=$loadS%.2f s")
 
     if (bulkRows > 0) {
@@ -130,7 +151,9 @@ object CommitScale {
       println(f"compact_small folded=$nFold wall=$tierS%.2f s " +
         f"(bulk $bulkBytes B left untouched)")
     }
-    val (_, compS) = time(WarehouseLoad.compactCommitted(spark, wh, hist))
+    val (_, compS) = time(
+      WarehouseLoad.compactCommitted(spark, wh, hist,
+        partitionCols = partCols))
     println(f"compact wall=$compS%.2f s" +
       (if (bulkRows > 0) " (full fold AFTER the tiered pass: tail fold + bulk)"
        else ""))

@@ -710,6 +710,12 @@ class PipelineSpec extends SparkSpec {
     }
     assert(ids(WarehouseLoad.readWarehouse(spark, wh, hist).get) == Seq(1L, 2L),
       "vacuum retention touched the committed head")
+    // DESCRIBE HISTORY under retention: only the head survives, and
+    // its predecessor's manifest is pruned — the kind is honestly
+    // `unknown`, never guessed
+    val th = WarehouseLoad.tableHistory(spark, hist).collect()
+    assert(th.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((3L, "unknown")), s"got ${th.toSeq}")
   }
 
   test("commit CAS: two interleaved committers both land, no lost update") {
