@@ -1663,6 +1663,23 @@ object WarehouseLoad {
     compactWithFailpoint(spark, warehouseDir, historyDir, minBatches,
       partitionCols)
 
+  /** Compaction that RE-CLUSTERS while it folds — the OPTIMIZE ZORDER
+    * analog: the folded batch is written Z-ordered on `(a, b)`
+    * ([[Layout.writeZOrdered]]'s plan shape: one range shuffle on the
+    * codegen'd Morton value, local sort, `numFiles` balanced files),
+    * so parquet row-group/file min-max stats become selective on BOTH
+    * dimensions at once — the file-level rung below the batch-level
+    * zone maps, and the step that turns a trickle-accumulated table
+    * back into a skippable layout. Same CAS/abort semantics as the
+    * plain fold; unpartitioned layouts only (a hive layout already
+    * clusters its partition dims — Z-order the residual inside each
+    * partition with a partition-scoped table instead). */
+  def compactZOrdered(spark: SparkSession, warehouseDir: String,
+                      historyDir: String, a: String, b: String,
+                      numFiles: Int, minBatches: Int = 2): Unit =
+    compactWithFailpoint(spark, warehouseDir, historyDir, minBatches,
+      Nil, zorder = Some((a, b, numFiles)))
+
   /** SIZE-TIERED compaction — the bounded-work OPTIMIZE (r14). The
     * full fold rewrites the whole table, which at warehouse scale is
     * a 100 TB write to retire a few thousand tiny roots; this folds
@@ -1705,11 +1722,14 @@ object WarehouseLoad {
       warehouseDir: String, historyDir: String, minBatches: Int = 2,
       partitionCols: Seq[String] = Nil,
       failpoint: String => Unit = _ => (),
-      select: Seq[String] => Seq[String] = identity): Int = {
+      select: Seq[String] => Seq[String] = identity,
+      zorder: Option[(String, String, Int)] = None): Int = {
+    require(zorder.isEmpty || partitionCols.isEmpty,
+      "Z-ordered compaction applies to unpartitioned layouts")
     var attempt = 0
     while (attempt < 20) {
       compactOnce(spark, warehouseDir, historyDir, minBatches,
-          partitionCols, failpoint, select) match {
+          partitionCols, failpoint, select, zorder) match {
         case Some(n) => return n
         case None => attempt += 1
       }
@@ -1727,7 +1747,8 @@ object WarehouseLoad {
   private def compactOnce(spark: SparkSession, warehouseDir: String,
       historyDir: String, minBatches: Int, partitionCols: Seq[String],
       failpoint: String => Unit,
-      select: Seq[String] => Seq[String]): Option[Int] = {
+      select: Seq[String] => Seq[String],
+      zorder: Option[(String, String, Int)] = None): Option[Int] = {
     val committed = committedBatches(spark, historyDir)
     val selected = select(committed)
     if (selected.size < minBatches) return Some(0)
@@ -1736,9 +1757,15 @@ object WarehouseLoad {
     publishIntent(spark, historyDir, id)
     val foldRelation = readBatchDirs(spark, warehouseDir, historyDir,
       selected)
-    foldRelation.foreach(
-      _.write.mode("overwrite").partitionBy(partitionCols: _*)
-        .parquet(s"$warehouseDir/b$id"))
+    foldRelation.foreach { rel =>
+      zorder match {
+        case Some((a, b, numFiles)) =>
+          Layout.writeZOrdered(rel, a, b, s"$warehouseDir/b$id", numFiles)
+        case None =>
+          rel.write.mode("overwrite").partitionBy(partitionCols: _*)
+            .parquet(s"$warehouseDir/b$id")
+      }
+    }
     historyFileRelation(spark, historyDir, selected).foreach(
       _.select("file").write.mode("overwrite").parquet(s"$historyDir/b$id"))
     // the folded batch's zone map is the interval union of its inputs

@@ -16,6 +16,42 @@ class CompactionSpec extends SparkSpec {
     assert(bins.exists(b => b.toSet == Set("b", "d")))
   }
 
+  test("Z-ordered compaction folds committed batches into a two-dim skippable layout") {
+    import graft.load.WarehouseLoad
+    val root = tmpDir("graft-zfold-")
+    val wh = s"$root/t"
+    val hist = s"$root/h"
+    // four trickle commits, each spanning the FULL (x, y) domain — the
+    // accumulated-unclustered state OPTIMIZE ZORDER exists to repair
+    (0 until 4).foreach { k =>
+      val df = spark.range(4096).filter(col("id") % 4 === k)
+        .select((col("id") % 64).as("x"), floor(col("id") / 64).as("y"),
+          col("id"))
+      WarehouseLoad.commitStreamedBatch(spark, df, wh, hist, s"w$k")
+    }
+    def rows() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    val before = rows().select("id").collect().map(_.getLong(0)).sorted
+    WarehouseLoad.compactZOrdered(spark, wh, hist, "x", "y", numFiles = 16)
+    assert(WarehouseLoad.committedBatches(spark, hist).size == 1)
+    assert(rows().select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(before), "the Z-ordered fold changed the relation")
+    // per-file envelopes: a quarter-domain band on EITHER dimension
+    // must overlap well under half the files (a linear sort would
+    // leave the second dimension's envelopes at the full domain)
+    val envs = rows()
+      .groupBy(col("_metadata.file_path"))
+      .agg(min("x").as("xmn"), max("x").as("xmx"),
+        min("y").as("ymn"), max("y").as("ymx"))
+      .collect()
+    assert(envs.length == 16, s"expected 16 files, got ${envs.length}")
+    def overlapping(lo: Long, hi: Long, mn: String, mx: String) =
+      envs.count(r => r.getAs[Long](mn) <= hi && r.getAs[Long](mx) >= lo)
+    assert(overlapping(0, 15, "xmn", "xmx") <= 8,
+      s"x band must skip most files: ${envs.mkString("\n")}")
+    assert(overlapping(0, 15, "ymn", "ymx") <= 8,
+      s"y band must skip most files: ${envs.mkString("\n")}")
+  }
+
   test("compact shrinks a many-small-files table and preserves the data") {
     val dir = tmpDir("graft-compact-")
     // 20 single-row files — the streaming-ingest landing pattern
