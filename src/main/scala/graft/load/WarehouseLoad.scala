@@ -40,9 +40,17 @@ object WarehouseLoad {
   final class CoverageException(msg: String) extends RuntimeException(msg)
 
   private val StrictMarker = "GRAFT_COERCION_FAILURE"
+  private val CheckMarker = "GRAFT_CHECK_VIOLATION"
   private val CorruptCol = "_graft_corrupt_record"
   private val FileCol = "_graft_file"
   private val CommitLog = "_COMMITTED"
+
+  /** Thrown when a batch violates a declared CHECK constraint — the
+    * whole batch is refused BEFORE its commit (nothing becomes
+    * visible; orphan dirs reclaim via vacuum's intent TTL), the COPY
+    * abort-batch semantic extended to table constraints. */
+  final class CheckViolation(val constraint: String, msg: String)
+    extends RuntimeException(msg)
 
   /** Canonical file-URI spelling, so paths from the independent
     * producers — `FileStatus.getPath` ("file:/tmp/x") and the
@@ -872,10 +880,11 @@ object WarehouseLoad {
           collect_set(xxhash64(col(FileCol))).as("seen"))
         // zone-map stats ride the SAME write job as a second
         // observation over the ALIGNED (as-written) values — per-batch
-        // min/max per numeric/temporal column, zero extra scans
+        // min/max per numeric/temporal column, zero extra scans; the
+        // declared CHECK constraints fuse in as guard filters too
         val (toWrite, zobs, zcols) = observeZones(
-          align(observed, target, strict))
-        rethrowStrict {
+          applyChecks(spark, historyDir, align(observed, target, strict)))
+        rethrowCheck { rethrowStrict {
           // `partitionCols` hive-partitions EVERY committed batch dir
           // (the batch() semantic on the atomic path): downstream
           // partition-predicate scans prune whole directories under
@@ -885,7 +894,7 @@ object WarehouseLoad {
           toWrite
             .write.mode("overwrite").partitionBy(partitionCols: _*)
             .parquet(s"$warehouseDir/b$id")
-        }
+        } }
         val seen = obs.get("seen").asInstanceOf[Seq[Long]].toSet
         val missing = expect -- seen
         if (missing.nonEmpty) {
@@ -1244,9 +1253,12 @@ object WarehouseLoad {
     // (an exotic source leaf the sink's flag-strip doesn't cover)
     // commits without one rather than failing the epoch
     val (toWrite, zobs, zcols) =
-      if (df.isStreaming) (df, None, Nil) else observeZones(df)
-    toWrite.write.mode("overwrite").partitionBy(partitionCols: _*)
-      .parquet(s"$warehouseDir/b$id")
+      if (df.isStreaming) (df, None, Nil)
+      else observeZones(applyChecks(spark, historyDir, df))
+    rethrowCheck {
+      toWrite.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(s"$warehouseDir/b$id")
+    }
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         StructType(Seq(StructField("file", StringType))))
       .repartition(1)
@@ -1451,6 +1463,85 @@ object WarehouseLoad {
       .delete(p, false)
     catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  // ------------------------------------------------------------------
+  // CHECK constraints: declared once, enforced by every load's own job
+  // ------------------------------------------------------------------
+
+  private val ChecksFile = "_CONSTRAINTS"
+
+  /** Declare a CHECK constraint on the table: every subsequent load —
+    * file batch ([[batchIdempotent]]) or streamed epoch
+    * ([[commitStreamedBatch]]) — refuses its WHOLE batch when any row
+    * violates `expr` (SQL semantics: only an expression evaluating
+    * FALSE violates; null passes — spell `x IS NOT NULL` to forbid
+    * nulls). Enforcement rides the write job as a filter-fused
+    * assert guard, the same zero-extra-scan mechanism as strict
+    * coercion: no second pass of the batch, and nothing commits on a
+    * violation ([[CheckViolation]] names the constraint). The
+    * declaration is table metadata beside the commit log; already-
+    * committed data is NOT retro-validated (the lakehouse ADD
+    * CONSTRAINT contract is the operator's scan to run if wanted). */
+  def addCheck(spark: SparkSession, historyDir: String, name: String,
+               expr: String): Unit = {
+    require(name.nonEmpty && !name.contains(" ") && !name.contains("\n"),
+      s"constraint name must be a single token, got '$name'")
+    // fail fast on unparseable SQL — at declaration, not mid-load
+    org.apache.spark.sql.functions.expr(expr)
+    val cur = checks(spark, historyDir).filterNot(_._1 == name)
+    AtomicManifest.write(spark, historyDir, ChecksFile,
+      (cur :+ (name, expr)).map { case (n, e) => s"$n $e" }.mkString("\n"))
+  }
+
+  /** Retire a constraint; loads stop enforcing it immediately. */
+  def dropCheck(spark: SparkSession, historyDir: String,
+                name: String): Unit = {
+    val rest = checks(spark, historyDir).filterNot(_._1 == name)
+    AtomicManifest.write(spark, historyDir, ChecksFile,
+      rest.map { case (n, e) => s"$n $e" }.mkString("\n"))
+  }
+
+  /** The declared constraints, `(name, sql)` in declaration order. */
+  def checks(spark: SparkSession, historyDir: String): Seq[(String, String)] =
+    AtomicManifest.read(spark, historyDir, ChecksFile).toSeq
+      .flatMap(_.linesIterator)
+      .flatMap { line =>
+        val sp = line.indexOf(' ')
+        if (sp <= 0) None else Some((line.take(sp), line.drop(sp + 1)))
+      }
+
+  /** Fuse the declared checks into a batch about to be written: one
+    * guard filter per constraint, throwing from the executor on the
+    * first violating row — the strict-mode mechanism reused, so the
+    * cost is in-flight expression evaluation, never a second scan. */
+  private def applyChecks(spark: SparkSession, historyDir: String,
+                          df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
+    checks(spark, historyDir).foldLeft(df) { case (d, (name, sql)) =>
+      d.filter(coalesce(
+        assert_true(coalesce(expr(sql), lit(true)),
+          lit(s"$CheckMarker:$name: a row violates CHECK ($sql)")),
+        lit(true)))
+    }
+  }
+
+  private def rethrowCheck[T](f: => T): T =
+    try f catch {
+      case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .flatMap(c => Option(c.getMessage))
+          .collectFirst {
+            case m if m.contains(CheckMarker + ":") =>
+              val tail = m.substring(
+                m.indexOf(CheckMarker + ":") + CheckMarker.length + 1)
+              tail.takeWhile(_ != ':')
+          } match {
+            case Some(name) => throw new CheckViolation(name,
+              s"batch refused (nothing committed): CHECK constraint " +
+              s"'$name' is violated by at least one row")
+            case None => throw e
+          }
+    }
 
   // ------------------------------------------------------------------
   // Observability: DESCRIBE HISTORY / DESCRIBE DETAIL over the log

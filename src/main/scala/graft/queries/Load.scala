@@ -884,6 +884,86 @@ object Load {
       AS v(version, kind, n_added, n_removed, n_batches), n
     ORDER BY version"""
 
+  // ---------------------------------------------------------------- q91
+  // CHECK constraints — the typed-load failure-policy family completed
+  // (strict = abort on coercion, permissive = null-through, quarantine
+  // = dead-letter, and now DECLARED TABLE CONSTRAINTS): `addCheck`
+  // records a named SQL predicate beside the commit log, and every
+  // subsequent load fuses it into its OWN write job as an assert
+  // guard (the strict-mode mechanism — zero extra scans), refusing
+  // the WHOLE batch pre-commit on a violation, with the exception
+  // naming the constraint. SQL CHECK semantics: only FALSE violates
+  // (null passes — `IS NOT NULL` spells null rejection). Lifecycle:
+  // declare two checks → clean wave loads → a negative-key wave is
+  // REFUSED (head unchanged, relation unchanged, the violating batch
+  // never visible) → the bad file is withdrawn → the remaining wave
+  // loads. Oracle: full-orders recompute + the refusal constants.
+  //
+  // Scale shape: enforcement cost is in-flight expression evaluation
+  // inside the load's codegen'd pipeline; declaration is one tiny
+  // manifest. Nothing here adds a scan or a shuffle.
+  val q91: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = Fixtures.scratchRoot(s, "checks", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType)))
+
+    WarehouseLoad.addCheck(s, hist, "key_present",
+      "o_orderkey IS NOT NULL")
+    WarehouseLoad.addCheck(s, hist, "key_positive", "o_orderkey >= 0")
+
+    Fixtures.stageJsonWave(s, root, staging, "w0.json",
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey")))
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)   // v1
+
+    // a corrupted feed: the same odd wave with NEGATED keys — every
+    // row violates key_positive, and the whole batch must refuse
+    Fixtures.stageJsonWave(s, root, staging, "bad.json",
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey")))
+    val violated =
+      try { WarehouseLoad.batchIdempotent(s, staging, target, wh, hist); "" }
+      catch { case v: WarehouseLoad.CheckViolation => v.constraint }
+    val headAfterRefusal = WarehouseLoad.currentVersion(s, hist)
+    val rowsAfterRefusal = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .count()
+
+    // the feed is fixed upstream: withdraw the bad file, load the wave
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$staging/bad.json"), false)
+    Fixtures.stageJsonWave(s, root, staging, "w1.json",
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey")))
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)   // v2
+
+    val agg = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
+    import s.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), violated,
+        headAfterRefusal, rowsAfterRefusal,
+        WarehouseLoad.checks(s, hist).size.toLong,
+        WarehouseLoad.currentVersion(s, hist)))
+      .toDF("n_rows", "sum_key", "violated", "head_at_refusal",
+        "rows_at_refusal", "n_checks", "head_version")
+  }
+
+  val q91Sql: String = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           'key_positive' AS violated,
+           CAST(1 AS BIGINT) AS head_at_refusal,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+             AS rows_at_refusal,
+           CAST(2 AS BIGINT) AS n_checks,
+           CAST(2 AS BIGINT) AS head_version
+    FROM orders"""
+
   val queries: Map[String, Q] = Map(
     "q79_quarantine_load" -> q79,
     "q80_schema_drift" -> q80,
@@ -896,7 +976,8 @@ object Load {
     "q87_zone_prune_null" -> q87,
     "q88_compact_tiered" -> q88,
     "q89_zone_prune_int" -> q89,
-    "q90_describe_history" -> q90)
+    "q90_describe_history" -> q90,
+    "q91_check_constraints" -> q91)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
@@ -910,5 +991,6 @@ object Load {
     "q87_zone_prune_null" -> q87Sql,
     "q88_compact_tiered" -> q88Sql,
     "q89_zone_prune_int" -> q89Sql,
-    "q90_describe_history" -> q90Sql)
+    "q90_describe_history" -> q90Sql,
+    "q91_check_constraints" -> q91Sql)
 }

@@ -643,6 +643,59 @@ class PipelineSpec extends SparkSpec {
     assert(ids() == (Seq(1L, 2L, 3L) ++ (1000L until 1300L)).sorted)
   }
 
+  test("CHECK constraints refuse whole batches pre-commit; drop re-admits; streamed epochs enforce too") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-ckstage-")
+    val wh = tmpDir("graft-ckwh-") + "/t"
+    val hist = tmpDir("graft-ckhist-") + "/h"
+    WarehouseLoad.addCheck(spark, hist, "id_positive", "customerid > 0")
+    // null passes a CHECK (SQL semantics) unless spelled IS NOT NULL
+    WarehouseLoad.addCheck(spark, hist, "name_present",
+      "firstname IS NOT NULL")
+    assert(WarehouseLoad.checks(spark, hist).map(_._1) ==
+      Seq("id_positive", "name_present"))
+    intercept[IllegalArgumentException] {
+      WarehouseLoad.addCheck(spark, hist, "bad name", "1 = 1")
+    }
+    Files.writeString(Paths.get(staging, "ok.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    def rows() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+      .select("customerid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows() == Seq(1L))
+    // a violating file batch refuses WHOLE, names the constraint, and
+    // commits nothing
+    Files.writeString(Paths.get(staging, "neg.json"),
+      """{"CustomerID": "-7", "FirstName": "z"}""" + "\n")
+    val v = intercept[WarehouseLoad.CheckViolation] {
+      WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers,
+        wh, hist)
+    }
+    assert(v.constraint == "id_positive", v.getMessage)
+    assert(rows() == Seq(1L), "a refused batch leaked rows")
+    assert(WarehouseLoad.currentVersion(spark, hist) == 1)
+    // the IS NOT NULL spelling catches missing values
+    Files.writeString(Paths.get(staging, "anon.json"),
+      """{"CustomerID": "8"}""" + "\n")
+    Files.delete(Paths.get(staging, "neg.json"))
+    assert(intercept[WarehouseLoad.CheckViolation] {
+      WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers,
+        wh, hist)
+    }.constraint == "name_present")
+    // streamed epochs enforce the same declarations
+    import spark.implicits._
+    intercept[WarehouseLoad.CheckViolation] {
+      WarehouseLoad.commitStreamedBatch(spark,
+        Seq((-1L, "x")).toDF("customerid", "firstname"), wh, hist, "ep-0")
+    }
+    assert(rows() == Seq(1L))
+    // retire the null check: the anonymous row is now admissible
+    WarehouseLoad.dropCheck(spark, hist, "name_present")
+    assert(WarehouseLoad.checks(spark, hist).map(_._1) == Seq("id_positive"))
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    assert(rows() == Seq(1L, 8L))
+  }
+
   test("time travel reads retained versions; change feed is exact and refuses rewrites") {
     import graft.load.WarehouseLoad
     val staging = tmpDir("graft-ttstage-")
