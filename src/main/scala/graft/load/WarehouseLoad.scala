@@ -454,6 +454,49 @@ object WarehouseLoad {
     readBatchDirs(spark, warehouseDir, historyDir, ids)
   }
 
+  /** The newest RETAINED version published at or before `tsMillis` —
+    * the AS OF TIMESTAMP resolution (Delta's contract: commit-file
+    * timestamps, made MONOTONIC by a running max over the version
+    * sequence, since a filesystem mtime is not ordered by itself and
+    * [[vacuum]]'s cutoff snapshot-ification rewrites one retained file
+    * with a later mtime — under the running max, a timestamp from
+    * before that rewrite resolves to a version below retention and
+    * the read fails loudly, consistent with its data having left the
+    * horizon). ONE `_versions` listing; `None` when no retained
+    * version is old enough. */
+  def versionAt(spark: SparkSession, historyDir: String,
+                tsMillis: Long): Option[Long] = {
+    val vroot = new org.apache.hadoop.fs.Path(s"$historyDir/$VersionsDir")
+    val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byVersion =
+      (try fs.listStatus(vroot).toSeq
+       catch { case _: java.io.FileNotFoundException => Nil })
+        .flatMap(st => st.getPath.getName.stripPrefix("v").toLongOption
+          .map(_ -> st.getModificationTime))
+        .sortBy(_._1)
+    var cummax = 0L
+    var best = Option.empty[Long]
+    byVersion.foreach { case (v, m) =>
+      cummax = math.max(cummax, m)
+      if (cummax <= tsMillis) best = Some(v)
+    }
+    best
+  }
+
+  /** Time travel by TIMESTAMP: [[readWarehouseAt]] at
+    * [[versionAt]]'s resolution. Throws when nothing retained is old
+    * enough (a timestamp before the first commit, or one whose
+    * version left vacuum retention). */
+  def readWarehouseAsOf(spark: SparkSession, warehouseDir: String,
+      historyDir: String, tsMillis: Long): Option[DataFrame] =
+    versionAt(spark, historyDir, tsMillis) match {
+      case Some(v) => readWarehouseAt(spark, warehouseDir, historyDir, v)
+      case None => throw new IllegalStateException(
+        s"no retained version was committed at or before $tsMillis — " +
+        "the timestamp predates the first commit or its version left " +
+        "vacuum retention")
+    }
+
   /** Change feed: the rows appended between `fromVersion` (exclusive)
     * and `toVersion` (inclusive), tagged with their `_graft_batch` id —
     * the incremental-consumer API (downstream index ingestion, dedup

@@ -964,6 +964,62 @@ object Load {
            CAST(2 AS BIGINT) AS head_version
     FROM orders"""
 
+  // ---------------------------------------------------------------- q92
+  // Timestamp time travel — the AS OF TIMESTAMP resolution over the
+  // commit log: `versionAt` maps a wall-clock instant to the newest
+  // retained version published at or before it (version-file publish
+  // times under a running max, so a vacuum's cutoff rewrite can never
+  // make an old timestamp resolve forward), and `readWarehouseAsOf`
+  // reads that snapshot. Lifecycle: wave 0 loads, an instant is
+  // captured, wave 1 loads after a deliberate publish-time gap; the
+  // as-of read must see exactly wave 0 while the current read sees
+  // both — the oracle restates both in closed form.
+  //
+  // Scale shape: resolution is ONE `_versions` listing (bounded by
+  // retained versions — vacuum's horizon), then the normal
+  // snapshot-read plan; no data I/O in the resolution itself.
+  val q92: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = Fixtures.scratchRoot(s, "asofts", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType)))
+
+    (0 to 1).foreach { k =>
+      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === k)
+          .select(col("o_orderkey"), col("o_custkey")))
+      WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+      if (k == 0) Thread.sleep(60) // separate the publishes' mtimes
+    }
+    // the instant between the publishes: just after v1's file time
+    val vroot = new org.apache.hadoop.fs.Path(s"$hist/_versions")
+    val fs = vroot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val t = fs.getFileStatus(new org.apache.hadoop.fs.Path(vroot,
+      "v00000001")).getModificationTime + 1
+
+    val v = WarehouseLoad.versionAt(s, hist, t).getOrElse(-1L)
+    val asOf = WarehouseLoad.readWarehouseAsOf(s, wh, hist, t).get
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
+    val now = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
+    import s.implicits._
+    Seq((v, asOf.getLong(0), asOf.getLong(1), now.getLong(0),
+        now.getLong(1)))
+      .toDF("version_at_ts", "n_at_ts", "sum_at_ts", "n_now", "sum_now")
+  }
+
+  val q92Sql: String = """
+    SELECT CAST(1 AS BIGINT) AS version_at_ts,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS n_at_ts,
+           CAST(SUM(o_orderkey) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS sum_at_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_now,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_now
+    FROM orders"""
+
   val queries: Map[String, Q] = Map(
     "q79_quarantine_load" -> q79,
     "q80_schema_drift" -> q80,
@@ -977,7 +1033,8 @@ object Load {
     "q88_compact_tiered" -> q88,
     "q89_zone_prune_int" -> q89,
     "q90_describe_history" -> q90,
-    "q91_check_constraints" -> q91)
+    "q91_check_constraints" -> q91,
+    "q92_time_travel_ts" -> q92)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
@@ -992,5 +1049,6 @@ object Load {
     "q88_compact_tiered" -> q88Sql,
     "q89_zone_prune_int" -> q89Sql,
     "q90_describe_history" -> q90Sql,
-    "q91_check_constraints" -> q91Sql)
+    "q91_check_constraints" -> q91Sql,
+    "q92_time_travel_ts" -> q92Sql)
 }

@@ -771,6 +771,41 @@ class PipelineSpec extends SparkSpec {
       Seq((3L, "unknown")), s"got ${th.toSeq}")
   }
 
+  test("timestamp time travel: monotonic publish-time resolution; retention fails loudly") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-tsstage-")
+    val wh = tmpDir("graft-tswh-") + "/t"
+    val hist = tmpDir("graft-tshist-") + "/h"
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("customerid").collect().map(_.getLong(0)).sorted.toSeq
+    Files.writeString(Paths.get(staging, "f1.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(30) // separate the two publishes' mtimes
+    Files.writeString(Paths.get(staging, "f2.json"),
+      """{"CustomerID": "2", "FirstName": "b"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    assert(WarehouseLoad.versionAt(spark, hist, t1) == Some(1L))
+    assert(ids(WarehouseLoad.readWarehouseAsOf(spark, wh, hist, t1).get) ==
+      Seq(1L))
+    assert(ids(WarehouseLoad.readWarehouseAsOf(spark, wh, hist,
+      System.currentTimeMillis()).get) == Seq(1L, 2L))
+    // a timestamp from before the first commit resolves nowhere
+    intercept[IllegalStateException] {
+      WarehouseLoad.readWarehouseAsOf(spark, wh, hist, 0L)
+    }
+    // once t1's version leaves retention, the read fails loudly — the
+    // cutoff snapshot-ification's later mtime cannot make an OLD
+    // timestamp resolve to a NEWER version (running-max monotonicity)
+    Thread.sleep(30)
+    WarehouseLoad.compactCommitted(spark, wh, hist)
+    WarehouseLoad.vacuum(spark, wh, hist)
+    intercept[IllegalStateException] {
+      WarehouseLoad.readWarehouseAsOf(spark, wh, hist, t1)
+    }
+  }
+
   test("commit CAS: two interleaved committers both land, no lost update") {
     import graft.load.WarehouseLoad
     val stagingA = tmpDir("graft-casa-")

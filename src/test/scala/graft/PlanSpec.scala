@@ -1009,6 +1009,61 @@ class PlanSpec extends SparkSpec {
       Seq(2L, 4L))
   }
 
+  test("log-planned partitions: adversarial values match the discovery read exactly") {
+    // Ground-truth equivalence: whatever the parse does with nasty
+    // partition values, the log-planned relation must agree row-for-
+    // row with Spark's own per-root discovery read of the SAME dirs —
+    // including the hive null-marker collapse (null and "" both write
+    // __HIVE_DEFAULT_PARTITION__ and read back null in stock Spark).
+    import graft.load.WarehouseLoad
+    import graft.plans.ManifestFileIndex
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val root = tmpDir("graft-pnasty-")
+    val wh = s"$root/t"
+    val hist = s"$root/h"
+    import spark.implicits._
+    // (non-ASCII values are excluded: this JVM's path encoding cannot
+    // even WRITE them — Spark's own writer throws InvalidPathException
+    // before any graft code runs)
+    val values = Seq("a b", "x=y", "p%q", "a/b", "plus+e",
+      "%2F", "tab\tchar", null)
+    values.zipWithIndex.foreach { case (v, i) =>
+      WarehouseLoad.commitStreamedBatch(spark,
+        Seq((i.toLong, v)).toDF("id", "tag"), wh, hist, s"w$i",
+        partitionCols = Seq("tag"))
+    }
+    val logRead = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    logRead.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          assert(fs.location.isInstanceOf[ManifestFileIndex],
+            s"nasty values must not silently disable the log plan: " +
+            s"${fs.location.getClass}")
+        case _ => ()
+      }
+    }
+    val discovery = WarehouseLoad.committedBatches(spark, hist)
+      .map(id => spark.read.parquet(s"$wh/b$id"))
+      .reduce(_.unionByName(_))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "tag").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    assert(rows(logRead) == rows(discovery),
+      "log-planned partition values diverge from the discovery read")
+    // point filters through the index, one per value class
+    values.zipWithIndex.foreach { case (v, i) =>
+      if (v != null) {
+        val got = logRead.filter(col("tag") === v)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(got == Seq(i.toLong), s"filter on '$v' returned $got")
+      }
+    }
+    assert(logRead.filter(col("tag").isNull)
+      .select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(values.indexOf(null).toLong))
+  }
+
   test("zone-prune: HIVE-PARTITIONED batches plan from the log and prune roots + directories") {
     // r14: partitioned tables plan from the commit log too — ONE
     // ManifestFileIndex-backed relation at any batch count (partition
