@@ -771,6 +771,40 @@ class PipelineSpec extends SparkSpec {
       Seq((3L, "unknown")), s"got ${th.toSeq}")
   }
 
+  test("size-tiered compaction racing a load retains the raced append in order") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-trstage-")
+    val wh = tmpDir("graft-trwh-") + "/t"
+    val hist = tmpDir("graft-trhist-") + "/h"
+    def load(name: String, id: Long): Unit = {
+      Files.writeString(Paths.get(staging, name),
+        s"""{"CustomerID": "$id", "FirstName": "n$id"}""" + "\n")
+      WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers,
+        wh, hist)
+    }
+    load("f1.json", 1); load("f2.json", 2); load("f3.json", 3)
+    val snapshot = WarehouseLoad.committedBatches(spark, hist)
+    // between the fold write and its commit, a LOAD lands — an append
+    // must never abort the fold (only rewrites do), and the derive
+    // must retain the raced batch AFTER the fold id (first-input
+    // position, commit order preserved)
+    var raced = ""
+    val folded = WarehouseLoad.compactWithFailpoint(spark, wh, hist,
+      failpoint = at => if (at == "fold-written" && raced.isEmpty) {
+        load("f4.json", 4)
+        raced = (WarehouseLoad.committedBatches(spark, hist).toSet --
+          snapshot.toSet).head
+      })
+    assert(folded == 3, s"fold must commit all three inputs, got $folded")
+    val after = WarehouseLoad.committedBatches(spark, hist)
+    assert(after.size == 2 && after(1) == raced &&
+      after.head.startsWith("compact-"),
+      s"expected [fold, raced-append], got $after")
+    assert(WarehouseLoad.readWarehouse(spark, wh, hist).get
+      .select("customerid").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L), "the raced append's rows were lost")
+  }
+
   test("timestamp time travel: monotonic publish-time resolution; retention fails loudly") {
     import graft.load.WarehouseLoad
     val staging = tmpDir("graft-tsstage-")
