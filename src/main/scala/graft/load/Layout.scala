@@ -48,6 +48,27 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-order COMPOSED with a hive-partitioned layout (r15): hash the
+    * rows to their partition-column groups (so each output directory
+    * is written by exactly one task — the bounded-fan-out shape the
+    * partitioned fold uses), then sort each task's rows by (partition
+    * cols, Z-value) so every directory's file(s) are Z-clustered on
+    * `(a, b)` WITHIN the partition. The plan is scan → narrow map →
+    * one hash shuffle → local sort — same single-shuffle cost as the
+    * unpartitioned form; parquet row-group/file min-max stats become
+    * selective on both residual dimensions inside each partition,
+    * which is the layout a date-partitioned 100 TB table wants
+    * (partition pruning first, Z-stat skipping within the day). */
+  def writeZOrderedPartitioned(df: DataFrame, partitionCols: Seq[String],
+                               a: String, b: String, path: String,
+                               bits: Int = 16): Unit = {
+    require(partitionCols.nonEmpty, "use writeZOrdered for flat layouts")
+    val z = zValue(col(a), col(b), bits)
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(partitionCols.map(col) :+ z: _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** Comparison baseline: the same write linearly sorted on `a` only. */
   def writeLinear(df: DataFrame, a: String, path: String,
                   numFiles: Int): Unit =

@@ -688,11 +688,49 @@ object WarehouseLoad {
     }
     if (missing.get) return None
     val distinct = jsons.values().asScala.toSet
-    if (distinct.size != 1) None
-    else
-      try Some(org.apache.spark.sql.types.DataType
-        .fromJson(distinct.head).asInstanceOf[StructType])
-      catch { case scala.util.control.NonFatal(_) => None }
+    mergeRecordedSchemas(distinct.toSeq)
+  }
+
+  /** Conform a set of per-batch recorded schemas to ONE read schema —
+    * the evolution-window fix (r15, VERDICT r14 #4): batches written
+    * before and after a [[graft.schema.SchemaDrift]] evolve record
+    * different schemas, and the old behavior dropped the whole table
+    * to discovery (footer-merge listing) for as long as both
+    * generations were live. Additive drift is exactly what the
+    * parquet reader already handles when HANDED the union schema — a
+    * file missing a requested nullable column reads it as null — so
+    * the merge is: union the fields by name in first-seen order;
+    * types must agree EXACTLY (a type change is not additive drift —
+    * fall back); a field absent from any batch is forced nullable
+    * (the reader fills nulls for it). `None` = schemas are not
+    * reconcilable this way; callers fall back to footer merging,
+    * so the fast path is never a correctness dependency. */
+  private def mergeRecordedSchemas(
+      jsons: Seq[String]): Option[StructType] = {
+    val parsed = jsons.map { j =>
+      try org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType]
+      catch { case scala.util.control.NonFatal(_) => return None }
+    }
+    if (parsed.sizeIs == 1) return Some(parsed.head)
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[String, StructField]
+    for (sc <- parsed; f <- sc.fields) {
+      order.get(f.name) match {
+        case None => order(f.name) = f
+        case Some(prev) =>
+          if (prev.dataType != f.dataType) return None
+          if (f.nullable && !prev.nullable)
+            order(f.name) = prev.copy(nullable = true)
+      }
+    }
+    // a field missing from ANY batch reads as null there → nullable
+    val counts = parsed.flatMap(_.fieldNames).groupBy(identity)
+    val merged = order.values.map { f =>
+      if (counts(f.name).sizeIs < parsed.size) f.copy(nullable = true)
+      else f
+    }
+    Some(StructType(merged.toSeq))
   }
 
   /** TIER-1 committed read: the scan built entirely from the commit
@@ -701,7 +739,8 @@ object WarehouseLoad {
     * hive-partitioned batches (r14) parse partition values from the
     * recorded paths and the index evaluates partition filters itself.
     * Outer `None` = the tier does not apply (a legacy batch without
-    * the records, a schema disagreement mid-evolution, or a
+    * the records, an IRRECONCILABLE schema disagreement — additive
+    * drift conforms via [[mergeRecordedSchemas]], r15 — or a
     * partition path the parse rejects — those fall back to the
     * discovery paths); `Some(None)` = applies and the table has no
     * live files; `Some(Some(df))` = the relation. */
@@ -719,18 +758,66 @@ object WarehouseLoad {
     val all = ids.zip(stats.map(_.get))
     val live = all.filter(_._2.files.get.nonEmpty)
     if (live.isEmpty) return Some(None)
-    val schemas = live.map(_._2.schemaJson.get).distinct
-    if (schemas.sizeIs != 1) return None
-    val schema =
-      try org.apache.spark.sql.types.DataType.fromJson(schemas.head)
-        .asInstanceOf[StructType]
-      catch { case scala.util.control.NonFatal(_) => return None }
+    // GROUP BY LAYOUT (r15): a table whose life spans a layout change
+    // (flat loads, then hive-partitioned ones — or two partition-col
+    // generations) plans one log-built relation PER layout group and
+    // unions them — bounded by the number of layout GENERATIONS (1–2
+    // in practice), never the batch count. Pre-r15 any mix rejected
+    // the tier whole and fell to the per-root discovery union (one
+    // relation per batch: measured 80 s to PLAN at 1,001 mixed
+    // commits, CommitScale r15). unionByName fills the partition
+    // columns a flat generation lacks with null — the same semantics
+    // the discovery union gave the mix.
+    val grouped = {
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[String], Vector[(String, BatchStats)]]
+      for ((id, st) <- live) {
+        val lay = batchLayout(st).getOrElse(return None)
+        m(lay) = m.getOrElse(lay, Vector.empty) :+ ((id, st))
+      }
+      m.toSeq
+    }
+    val rels = grouped.map { case (partNames, batches) =>
+      layoutRelation(spark, warehouseDir, partNames, batches)
+        .getOrElse(return None)
+    }
+    Some(Some(rels.reduce(_.unionByName(_, allowMissingColumns = true))))
+  }
+
+  /** One batch's hive layout: the partition-column sequence every one
+    * of its recorded file paths spells (`Nil` = flat). `None` when the
+    * batch's own files disagree or a segment has no `col=` shape —
+    * absent is never wrong, only slower (discovery fallback). */
+  private def batchLayout(st: BatchStats): Option[Seq[String]] = {
+    val seqs = st.files.get.iterator.map { case (rel, _) =>
+      rel.split("/").init.toSeq.map { seg =>
+        val eq = seg.indexOf('=')
+        if (eq <= 0) return None
+        seg.substring(0, eq)
+      }
+    }.toSeq.distinct
+    if (seqs.sizeIs == 1) Some(seqs.head) else None
+  }
+
+  /** The log-built scan relation for ONE layout group of live batches
+    * (shared partition-column sequence; `Nil` = flat). Schema is the
+    * group's own merged record ([[mergeRecordedSchemas]] — additive
+    * drift conforms, r15); partition values parse from the recorded
+    * paths and the index evaluates pushed partition filters itself
+    * (r14). `None` = something in the group resists (type-changing
+    * drift, unparseable partition value, a partition column missing
+    * from the recorded schema) — callers fall back to discovery. */
+  private def layoutRelation(spark: SparkSession, warehouseDir: String,
+      partNames: Seq[String],
+      batches: Seq[(String, BatchStats)]): Option[DataFrame] = {
+    val schema = mergeRecordedSchemas(
+      batches.map(_._2.schemaJson.get).distinct).getOrElse(return None)
     val base = new org.apache.hadoop.fs.Path(warehouseDir)
     val qBase = base
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(base)
     def roots[T](mk: (String, Long, org.apache.hadoop.fs.FileStatus) => T) =
-      live.map { case (id, st) =>
+      batches.map { case (id, st) =>
         val root = new org.apache.hadoop.fs.Path(qBase, s"b$id")
         root -> st.files.get.map { case (rel, len) =>
           mk(rel, len, new org.apache.hadoop.fs.FileStatus(
@@ -738,24 +825,11 @@ object WarehouseLoad {
             new org.apache.hadoop.fs.Path(root, rel)))
         }
       }
-    if (!all.exists(_._2.files.get.exists(_._1.contains("/"))))
-      return Some(Some(org.apache.spark.sql.graftshim.GraftSqlShims
+    if (partNames.isEmpty)
+      return Some(org.apache.spark.sql.graftshim.GraftSqlShims
         .parquetScan(spark,
           new graft.plans.ManifestFileIndex(roots((_, _, st) => st)),
-          schema)))
-    // HIVE-PARTITIONED layout (r14): the partition column sequence is
-    // the `col=value` dir spelling of any file; types come from the
-    // commit's recorded schema (CI match). The index parses values
-    // from the recorded paths and evaluates pushed partition filters
-    // itself — the partitioned table now plans from the log too, one
-    // relation at any batch count, with the per-root discovery union
-    // remaining the fallback for anything the parse rejects.
-    val firstRel = live.head._2.files.get.head._1
-    val partNames = firstRel.split("/").init.toSeq.map { seg =>
-      val eq = seg.indexOf('=')
-      if (eq <= 0) return None
-      seg.substring(0, eq)
-    }
+          schema))
     val partFields = partNames.map(n =>
       schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(return None))
     val partSchema = StructType(partFields.map(f =>
@@ -765,8 +839,8 @@ object WarehouseLoad {
     if (dataSchema.isEmpty) return None
     graft.plans.ManifestFileIndex.partitioned(spark,
         roots((rel, _, st) => rel -> st), partSchema)
-      .map(idx => Some(org.apache.spark.sql.graftshim.GraftSqlShims
-        .parquetScan(spark, idx, dataSchema, partSchema)))
+      .map(idx => org.apache.spark.sql.graftshim.GraftSqlShims
+        .parquetScan(spark, idx, dataSchema, partSchema))
   }
 
   /** The committed load history — one row per loaded source file:
@@ -1294,9 +1368,11 @@ object WarehouseLoad {
     publishIntent(spark, historyDir, id)
     // zone maps are optional: a plan that still reads as streaming
     // (an exotic source leaf the sink's flag-strip doesn't cover)
-    // commits without one rather than failing the epoch
+    // commits without one rather than failing the epoch. CHECK
+    // constraints are NOT optional (ADVICE r14): the filter-fused
+    // guard composes with a streaming plan, so both branches enforce.
     val (toWrite, zobs, zcols) =
-      if (df.isStreaming) (df, None, Nil)
+      if (df.isStreaming) (applyChecks(spark, historyDir, df), None, Nil)
       else observeZones(applyChecks(spark, historyDir, df))
     rethrowCheck {
       toWrite.write.mode("overwrite").partitionBy(partitionCols: _*)
@@ -1527,8 +1603,12 @@ object WarehouseLoad {
     * CONSTRAINT contract is the operator's scan to run if wanted). */
   def addCheck(spark: SparkSession, historyDir: String, name: String,
                expr: String): Unit = {
-    require(name.nonEmpty && !name.contains(" ") && !name.contains("\n"),
-      s"constraint name must be a single token, got '$name'")
+    // ':' is the violation-marker delimiter ([[rethrowCheck]] recovers
+    // the name with takeWhile(_ != ':')) — a name containing it would
+    // be silently truncated in every CheckViolation
+    require(name.nonEmpty && !name.contains(" ") && !name.contains("\n")
+        && !name.contains(":"),
+      s"constraint name must be a single token without ':', got '$name'")
     // fail fast on unparseable SQL — at declaration, not mid-load
     org.apache.spark.sql.functions.expr(expr)
     val cur = checks(spark, historyDir).filterNot(_._1 == name)
@@ -1675,7 +1755,20 @@ object WarehouseLoad {
     * themselves are garbage-collected here too (committed or
     * expired). Returns the number of batch dirs removed. */
   def vacuum(spark: SparkSession, warehouseDir: String,
-             historyDir: String, retainVersions: Int = 1): Int = {
+             historyDir: String, retainVersions: Int = 1): Int =
+    vacuumWithFailpoint(spark, warehouseDir, historyDir, retainVersions)
+
+  /** [[vacuum]] with a race-injection seam: `failpoint` runs at named
+    * points so specs can interleave a concurrent writer
+    * deterministically (same pattern as [[compactWithFailpoint]]).
+    * Seams: `versions-pruned` (before any batch-dir listing),
+    * `candidates-listed` (after the doomed-dir candidate listings,
+    * BEFORE the intent listing — the window the r14 TOCTOU fix
+    * closes: a marker published here must still protect its dir). */
+  private[graft] def vacuumWithFailpoint(spark: SparkSession,
+             warehouseDir: String, historyDir: String,
+             retainVersions: Int = 1,
+             failpoint: String => Unit = _ => ()): Int = {
     require(retainVersions >= 1, "retainVersions must be >= 1")
     val head = currentVersion(spark, historyDir)
     val cutoff = math.max(1L, head - retainVersions + 1)
@@ -1722,6 +1815,28 @@ object WarehouseLoad {
       java.util.Arrays.stream(pruned).parallel()
         .forEach(st => vfs.delete(st.getPath, false))
     }
+    failpoint("versions-pruned")
+    // Collect doomed-dir CANDIDATES for both roots BEFORE listing
+    // intents (ADVICE r14 TOCTOU): a writer publishes its marker
+    // before writing its dirs, so any dir visible in these listings
+    // had its intent published strictly earlier — hence visible to
+    // the LATER intent listing below. The old order (intents first)
+    // let a writer publish after the intent snapshot yet land its dir
+    // before the dir listing, and vacuum deleted the in-flight dir.
+    import scala.jdk.CollectionConverters._
+    val candidates: Seq[(org.apache.hadoop.fs.FileSystem,
+                         Seq[org.apache.hadoop.fs.FileStatus])] =
+      Seq(warehouseDir, historyDir).map { root =>
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(conf)
+        val sts =
+          if (!fs.exists(p)) Seq.empty[org.apache.hadoop.fs.FileStatus]
+          else fs.listStatus(p).toSeq.filter(st =>
+            st.isDirectory && st.getPath.getName.startsWith("b")
+              && !keep(st.getPath.getName))
+        (fs, sts)
+      }
+    failpoint("candidates-listed")
     // in-flight intents: one listing; `now` is pinned before it so a
     // marker published mid-vacuum can only look YOUNGER (skipped —
     // conservative), never older
@@ -1743,20 +1858,12 @@ object WarehouseLoad {
     // per-orphan deletes run in PARALLEL (driver-side metadata calls;
     // sequential deletes were vacuum's dominant cost at 10k commits —
     // CommitScale r14)
-    import scala.jdk.CollectionConverters._
-    val removed = Seq(warehouseDir, historyDir).map { root =>
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) 0
-      else {
-        val doomed = fs.listStatus(p).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("b")
-            && !keep(st.getPath.getName) && !inflight(st.getPath.getName))
-        val n = new java.util.concurrent.atomic.AtomicInteger()
-        doomed.asJava.parallelStream().forEach(st =>
-          if (fs.delete(st.getPath, true)) n.incrementAndGet())
-        n.get
-      }
+    val removed = candidates.map { case (fs, sts) =>
+      val doomed = sts.filter(st => !inflight(st.getPath.getName))
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      doomed.asJava.parallelStream().forEach(st =>
+        if (fs.delete(st.getPath, true)) n.incrementAndGet())
+      n.get
     }.sum
     // marker GC: a marker whose batch COMMITTED (in the keep set — its
     // writer crashed between commit and clear) or whose TTL expired is
@@ -1805,14 +1912,17 @@ object WarehouseLoad {
     * dimensions at once — the file-level rung below the batch-level
     * zone maps, and the step that turns a trickle-accumulated table
     * back into a skippable layout. Same CAS/abort semantics as the
-    * plain fold; unpartitioned layouts only (a hive layout already
-    * clusters its partition dims — Z-order the residual inside each
-    * partition with a partition-scoped table instead). */
+    * plain fold. With `partitionCols` (r15) the fold keeps the hive
+    * layout and Z-orders the residual WITHIN each partition
+    * ([[Layout.writeZOrderedPartitioned]] — one hash shuffle, each
+    * directory written Z-clustered by one task; `numFiles` is ignored,
+    * file count follows the partition count). */
   def compactZOrdered(spark: SparkSession, warehouseDir: String,
                       historyDir: String, a: String, b: String,
-                      numFiles: Int, minBatches: Int = 2): Unit =
+                      numFiles: Int, minBatches: Int = 2,
+                      partitionCols: Seq[String] = Nil): Unit =
     compactWithFailpoint(spark, warehouseDir, historyDir, minBatches,
-      Nil, zorder = Some((a, b, numFiles)))
+      partitionCols, zorder = Some((a, b, numFiles)))
 
   /** SIZE-TIERED compaction — the bounded-work OPTIMIZE (r14). The
     * full fold rewrites the whole table, which at warehouse scale is
@@ -1858,8 +1968,6 @@ object WarehouseLoad {
       failpoint: String => Unit = _ => (),
       select: Seq[String] => Seq[String] = identity,
       zorder: Option[(String, String, Int)] = None): Int = {
-    require(zorder.isEmpty || partitionCols.isEmpty,
-      "Z-ordered compaction applies to unpartitioned layouts")
     var attempt = 0
     while (attempt < 20) {
       compactOnce(spark, warehouseDir, historyDir, minBatches,
@@ -1893,8 +2001,25 @@ object WarehouseLoad {
       selected)
     foldRelation.foreach { rel =>
       zorder match {
-        case Some((a, b, numFiles)) =>
+        case Some((a, b, numFiles)) if partitionCols.isEmpty =>
           Layout.writeZOrdered(rel, a, b, s"$warehouseDir/b$id", numFiles)
+        case Some((a, b, _)) =>
+          Layout.writeZOrderedPartitioned(rel, partitionCols, a, b,
+            s"$warehouseDir/b$id")
+        case None if partitionCols.nonEmpty =>
+          // BOUND THE FAN-OUT (r15): an un-shuffled dynamic-partition
+          // write has every task open a writer per partition value it
+          // sees — tasks × partitions files and the committer renaming
+          // all of them (the 1,000-dir fixture measured 228.7 s,
+          // SCALE.md r14). Hashing to partition-column groups first
+          // makes each directory the work of exactly one task: the
+          // file count collapses to O(distinct partition values in the
+          // fold) and the extra shuffle moves only data the fold
+          // rewrites anyway.
+          rel.repartition(partitionCols.map(
+              org.apache.spark.sql.functions.col): _*)
+            .write.mode("overwrite").partitionBy(partitionCols: _*)
+            .parquet(s"$warehouseDir/b$id")
         case None =>
           rel.write.mode("overwrite").partitionBy(partitionCols: _*)
             .parquet(s"$warehouseDir/b$id")

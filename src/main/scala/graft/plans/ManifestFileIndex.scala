@@ -103,7 +103,7 @@ object ManifestFileIndex {
   /** Unescape one hive partition-path value: `%XX` byte escapes only
     * (NOT URLDecoder — hive escaping leaves `+` literal). Returns
     * None on malformed escapes (fall back to discovery). */
-  private def unescape(s: String): Option[String] = {
+  private[graft] def unescape(s: String): Option[String] = {
     if (!s.contains('%')) return Some(s)
     val out = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
@@ -114,7 +114,16 @@ object ManifestFileIndex {
         try out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
         catch { case _: NumberFormatException => return None }
         i += 3
-      } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+      } else {
+        // encode the whole non-escape run at once: char-at-a-time
+        // getBytes turns each half of a surrogate pair into the '?'
+        // replacement byte, silently corrupting supplementary-plane
+        // (emoji/CJK-ext) partition values Spark writes unescaped
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != '%') j += 1
+        out.write(s.substring(i, j).getBytes("UTF-8"))
+        i = j
+      }
     }
     Some(new String(out.toByteArray, "UTF-8"))
   }

@@ -759,6 +759,116 @@ object Load {
            TRUE AS second_pass_noop
     FROM orders"""
 
+  // ---------------------------------------------------------------- q93
+  // PARTITIONED size-tiered compaction (r15) — q88's contract on the
+  // layout a warehouse actually uses: every wave lands hive-partitioned
+  // by o_orderpriority, and `compactSmall` folds the trickle tail into
+  // ONE partitioned batch while the bulk batch's whole directory TREE
+  // (partition subdirs included) stays byte-identical. The fold write
+  // is fan-out-BOUNDED: rows hash to their partition group before the
+  // write, so each partition directory inside the fold is produced by
+  // exactly one task — asserted as "no partition dir holds more than
+  // one data file" (the un-shuffled dynamic-partition write measured
+  // 228.7 s at 1,000 dirs precisely because every task opened a writer
+  // per value — SCALE.md r14).
+  //
+  // Scale shape: selection is metadata (one cached manifest read per
+  // batch); the fold reads/writes only the trickle tail; the write is
+  // one hash shuffle of that tail + O(distinct partition values in the
+  // tail) files. The bulk — the table's mass — is never read.
+  val q93: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = Fixtures.scratchRoot(s, "tieredpart", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderpriority", StringType)))
+    val parts = Seq("o_orderpriority")
+
+    (0 to 2).foreach { k =>
+      Fixtures.stageJsonWave(s, root, staging, s"small$k.json",
+        Tables.orders(s, d).filter(col("o_orderkey") % 100 === k)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority")))
+      WarehouseLoad.batchIdempotent(s, staging, target, wh, hist,
+        partitionCols = parts)
+    }
+    Fixtures.stageJsonWave(s, root, staging, "bulk.json",
+      Tables.orders(s, d).filter(col("o_orderkey") % 100 >= 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority")))
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist,
+      partitionCols = parts)
+
+    val before = WarehouseLoad.committedBatches(s, hist)
+    val sizes = before.map(id =>
+      id -> WarehouseLoad.batchBytes(s, hist, id).get).toMap
+    val bigId = sizes.maxBy(_._2)._1
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the bulk's WHOLE TREE (partition dirs + files), not just the top
+    def bigState() = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$wh/b$bigId"), true)
+      val b = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        b += ((st.getPath.toString, st.getLen, st.getModificationTime))
+      }
+      b.result().sortBy(_._1)
+    }
+    val bigBefore = bigState()
+
+    val folded = WarehouseLoad.compactSmall(s, wh, hist,
+      smallBytes = sizes(bigId) - 1, partitionCols = parts)
+    val after = WarehouseLoad.committedBatches(s, hist)
+    val untouched = after.contains(bigId) && bigState() == bigBefore
+    // the fold kept the hive layout, with a BOUNDED fan-out: one data
+    // file per partition directory (each dir written by one task)
+    val foldId = after.filterNot(before.contains).headOption
+    val foldShape = foldId.exists { id =>
+      val subs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$wh/b$id"))
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      subs.nonEmpty && subs.forall { sub =>
+        fs.listStatus(sub.getPath)
+          .count(st => st.getPath.getName.startsWith("part-")) == 1
+      }
+    }
+    val head = WarehouseLoad.currentVersion(s, hist)
+    val folded2 = WarehouseLoad.compactSmall(s, wh, hist,
+      smallBytes = sizes(bigId) - 1, partitionCols = parts)
+    val noChurn = folded2 == 0 &&
+      WarehouseLoad.currentVersion(s, hist) == head
+
+    // content + partition pruning still exact after the tiered fold
+    val rel = WarehouseLoad.readWarehouse(s, wh, hist).get
+    val agg = rel.agg(count(lit(1)).as("n"),
+      sum("o_orderkey").as("sk")).head()
+    val urgent = rel.filter(col("o_orderpriority") === "1-URGENT")
+      .agg(count(lit(1))).head().getLong(0)
+    import s.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), urgent, before.size.toLong,
+        folded.toLong, after.size.toLong, untouched, foldShape, noChurn))
+      .toDF("n_rows", "sum_key", "n_urgent", "n_before", "n_folded",
+        "n_after", "bulk_untouched", "fold_bounded", "second_pass_noop")
+  }
+
+  val q93Sql: String = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(4 AS BIGINT) AS n_before,
+           CAST(3 AS BIGINT) AS n_folded,
+           CAST(2 AS BIGINT) AS n_after,
+           TRUE AS bulk_untouched,
+           TRUE AS fold_bounded,
+           TRUE AS second_pass_noop
+    FROM orders"""
+
   // ---------------------------------------------------------------- q89
   // INTEGRAL dictionary zone pruning — q86's probe class on numbers:
   // `shard = 3` / `bucket IN (…)` equality probes on low-cardinality
@@ -1034,7 +1144,8 @@ object Load {
     "q89_zone_prune_int" -> q89,
     "q90_describe_history" -> q90,
     "q91_check_constraints" -> q91,
-    "q92_time_travel_ts" -> q92)
+    "q92_time_travel_ts" -> q92,
+    "q93_compact_tiered_part" -> q93)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
@@ -1050,5 +1161,6 @@ object Load {
     "q89_zone_prune_int" -> q89Sql,
     "q90_describe_history" -> q90Sql,
     "q91_check_constraints" -> q91Sql,
-    "q92_time_travel_ts" -> q92Sql)
+    "q92_time_travel_ts" -> q92Sql,
+    "q93_compact_tiered_part" -> q93Sql)
 }

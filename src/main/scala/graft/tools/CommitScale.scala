@@ -59,7 +59,13 @@ object CommitScale {
       WarehouseLoad.commitStreamedBatch(spark, // pruning probe below
         spark.range(bulkRows.toLong).select((-col("id") - 1).as("id"))
           .withColumn("commit", lit(-1)),
-        wh, hist, "bulk")
+        wh, hist, "bulk",
+        // SAME layout as the trickle: one unpartitioned batch in an
+        // otherwise hive-partitioned table rejects the manifest tier
+        // for the WHOLE table (mixed layouts fall to the per-root
+        // discovery union), which measures the fallback, not the
+        // protocol
+        partCols)
 
     val (_, buildS) = time {
       def commit(i: Int): Unit = {
@@ -147,9 +153,11 @@ object CommitScale {
     if (bulkRows > 0) {
       val bulkBytes = WarehouseLoad.batchBytes(spark, hist, "bulk").get
       val (nFold, tierS) = time(
-        WarehouseLoad.compactSmall(spark, wh, hist, bulkBytes - 1))
+        WarehouseLoad.compactSmall(spark, wh, hist, bulkBytes - 1,
+          partitionCols = partCols))
       println(f"compact_small folded=$nFold wall=$tierS%.2f s " +
-        f"(bulk $bulkBytes B left untouched)")
+        f"(bulk $bulkBytes B left untouched)" +
+        (if (partCols.nonEmpty) " [partitioned fold]" else ""))
     }
     val (_, compS) = time(
       WarehouseLoad.compactCommitted(spark, wh, hist,

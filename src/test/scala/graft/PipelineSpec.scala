@@ -591,6 +591,40 @@ class PipelineSpec extends SparkSpec {
       "intent marker survived its commit + vacuum")
   }
 
+  test("vacuum lists intents AFTER doomed-dir candidates: a marker landing between the listings still protects its dir") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-toctstage-")
+    val wh = tmpDir("graft-toctwh-") + "/t"
+    val hist = tmpDir("graft-tocthist-") + "/h"
+    Files.writeString(Paths.get(staging, "f1.json"),
+      """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers, wh, hist)
+    // an uncommitted batch dir with NO marker yet — the writer that
+    // publishes its intent in the window between vacuum's two listings
+    // (ADVICE r14 TOCTOU: with intents listed FIRST, this marker was
+    // invisible and the dir was reclaimed mid-flight)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val orphan = new org.apache.hadoop.fs.Path(s"$wh/binflight7")
+    val fs = orphan.getFileSystem(conf)
+    fs.mkdirs(orphan)
+    val f = fs.create(new org.apache.hadoop.fs.Path(orphan, "part-0"))
+    f.write(Array.fill(8)(1.toByte)); f.close()
+    val removed = WarehouseLoad.vacuumWithFailpoint(spark, wh, hist,
+      failpoint = at =>
+        if (at == "candidates-listed") {
+          val m = fs.create(new org.apache.hadoop.fs.Path(
+            s"$hist/_intents/iinflight7"))
+          m.write("race".getBytes("UTF-8")); m.close()
+        })
+    assert(removed == 0,
+      "vacuum reclaimed a dir whose intent landed between the listings")
+    assert(fs.exists(orphan), "the in-flight writer's dir vanished")
+    // once the marker ages out the dir is an abandoned orphan again
+    backdateIntents(hist)
+    assert(WarehouseLoad.vacuum(spark, wh, hist) == 1)
+    assert(!fs.exists(orphan))
+  }
+
   test("size-tiered compaction folds only the small tail; the large batch dir stays byte-identical") {
     import graft.load.WarehouseLoad
     val staging = tmpDir("graft-tierstage-")
@@ -656,6 +690,11 @@ class PipelineSpec extends SparkSpec {
       Seq("id_positive", "name_present"))
     intercept[IllegalArgumentException] {
       WarehouseLoad.addCheck(spark, hist, "bad name", "1 = 1")
+    }
+    // ':' is the violation-marker delimiter — a name carrying it would
+    // truncate in every CheckViolation ("ns:key" reporting as "ns")
+    intercept[IllegalArgumentException] {
+      WarehouseLoad.addCheck(spark, hist, "ns:key_positive", "1 = 1")
     }
     Files.writeString(Paths.get(staging, "ok.json"),
       """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
@@ -874,6 +913,55 @@ class PipelineSpec extends SparkSpec {
     // and the version log is exact: v1 = B alone, v2 = B then A
     assert(WarehouseLoad.versionBatches(spark, hist, 1).get.size == 1)
     assert(WarehouseLoad.versionBatches(spark, hist, 2).get.size == 2)
+  }
+
+  test("commit CAS routes through a registered conditional-put backend (the S3 If-None-Match seam)") {
+    import graft.load.{AtomicManifest, ConditionalPut, WarehouseLoad}
+    // The object-store fake: conditional create (CREATE_NEW = the
+    // If-None-Match PUT), no rename anywhere — exactly the primitive
+    // an S3-class deployment registers via its SDK. Call/loss counts
+    // prove the CAS actually ran through the backend.
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    val losses = new java.util.concurrent.atomic.AtomicInteger
+    val fake = new ConditionalPut {
+      def putIfAbsent(uri: java.net.URI, content: Array[Byte]): Boolean =
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(uri.getPath), content,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          calls.incrementAndGet(); true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            calls.incrementAndGet(); losses.incrementAndGet(); false
+        }
+    }
+    AtomicManifest.registerConditionalPut("file", fake)
+    try {
+      val stagingA = tmpDir("graft-cpa-")
+      val stagingB = tmpDir("graft-cpb-")
+      val wh = tmpDir("graft-cpwh-") + "/t"
+      val hist = tmpDir("graft-cphist-") + "/h"
+      Files.writeString(Paths.get(stagingA, "a.json"),
+        """{"CustomerID": "1", "FirstName": "a"}""" + "\n")
+      Files.writeString(Paths.get(stagingB, "b.json"),
+        """{"CustomerID": "2", "FirstName": "b"}""" + "\n")
+      var attempts = 0
+      WarehouseLoad.loadAtomic(spark, stagingA, Schemas.customers, wh, hist,
+        failpoint = at => if (at == "commit-attempt") {
+          attempts += 1
+          if (attempts == 1)
+            WarehouseLoad.batchIdempotent(spark, stagingB,
+              Schemas.customers, wh, hist)
+        })
+      assert(attempts == 2, "writer A must lose the CAS once and retry")
+      assert(calls.get >= 3, "the CAS must route through the backend")
+      assert(losses.get >= 1, "A's losing publish must be a backend miss")
+      assert(WarehouseLoad.currentVersion(spark, hist) == 2)
+      assert(WarehouseLoad.readWarehouse(spark, wh, hist).get
+        .select("customerid").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L), "the CAS loser's batch was lost through the backend")
+    } finally AtomicManifest.unregisterConditionalPut("file")
   }
 
   test("committed-warehouse takedown rewrites only hit batches; vacuum completes the deletion") {

@@ -945,6 +945,90 @@ class PlanSpec extends SparkSpec {
     assert(WarehouseLoad.loadedFiles(spark, hist).get.count() == 3)
   }
 
+  test("additive schema drift keeps the log-planned scan: one ManifestFileIndex, old batches read the new column as null") {
+    // VERDICT r14 #4: pre-r15 the manifest tier required every live
+    // batch to record the IDENTICAL schema, so an evolution window
+    // (old + new batches both live) silently dropped the table to
+    // discovery listing until a compaction unified it. Additive drift
+    // now conforms per batch: the scan gets the merged union schema
+    // and parquet fills the missing column with null.
+    import java.nio.file.{Files, Paths}
+    import graft.load.WarehouseLoad
+    import graft.plans.ManifestFileIndex
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val staging = tmpDir("graft-driftstage-")
+    val wh = tmpDir("graft-driftwh-") + "/t"
+    val hist = tmpDir("graft-drifthist-") + "/h"
+    val v1 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    Files.writeString(Paths.get(staging, "f1.json"), """{"id": "1"}""" + "\n")
+    WarehouseLoad.batchIdempotent(spark, staging, v1, wh, hist)
+    // drift: a new staged field appears; evolve widens the target
+    Files.writeString(Paths.get(staging, "f2.json"),
+      """{"id": "2", "tier": "gold"}""" + "\n")
+    val v2 = graft.schema.SchemaDrift.evolve(spark, staging, v1)
+    WarehouseLoad.batchIdempotent(spark, staging, v2, wh, hist)
+    val df = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    val locs = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location
+      }
+    }
+    assert(locs.size == 1 && locs.head.isInstanceOf[ManifestFileIndex],
+      s"an additive evolution window must keep the log plan, got $locs")
+    assert(locs.head.rootPaths.size == 2)
+    val got = df.select("id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> None, 2L -> Some("gold")),
+      "old batches must read the evolved column as null")
+  }
+
+  test("mixed flat + partitioned batch layouts plan from the log: one relation per layout generation, not per batch") {
+    // r15: a table whose life spans a layout change (flat loads, then
+    // hive-partitioned ones) used to reject the manifest tier WHOLE
+    // and fall to the per-batch discovery union — measured 80 s to
+    // plan at 1,001 mixed commits (CommitScale r15). Now each layout
+    // generation plans one log-built relation and the mix unions.
+    import graft.load.WarehouseLoad
+    import graft.plans.ManifestFileIndex
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val root = tmpDir("graft-mixlay-")
+    val wh = s"$root/t"
+    val hist = s"$root/h"
+    import spark.implicits._
+    // generation 1: two flat batches (tag is a data column)
+    WarehouseLoad.commitStreamedBatch(spark,
+      Seq((1L, "a")).toDF("id", "tag"), wh, hist, "f0")
+    WarehouseLoad.commitStreamedBatch(spark,
+      Seq((2L, "b")).toDF("id", "tag"), wh, hist, "f1")
+    // generation 2: two hive-partitioned batches (tag is the layout)
+    WarehouseLoad.commitStreamedBatch(spark,
+      Seq((3L, "a")).toDF("id", "tag"), wh, hist, "p0",
+      partitionCols = Seq("tag"))
+    WarehouseLoad.commitStreamedBatch(spark,
+      Seq((4L, "b")).toDF("id", "tag"), wh, hist, "p1",
+      partitionCols = Seq("tag"))
+    val df = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    val locs = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location
+      }
+    }
+    assert(locs.size == 2, s"expected one relation per layout, got $locs")
+    assert(locs.forall(_.isInstanceOf[ManifestFileIndex]),
+      s"both layout generations must plan from the log: $locs")
+    val got = df.select("id", "tag").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "b"))
+    // a tag filter prunes the partitioned generation's directories and
+    // plain-filters the flat one — same answer as discovery semantics
+    assert(df.filter(col("tag") === "a").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("log-planned partitions: typed, null, and escaped values round-trip; filters prune exactly") {
     // The partitioned manifest index OWNS partition-filter evaluation
     // (FileSourceStrategy strips partition filters from the after-scan
@@ -1062,6 +1146,26 @@ class PlanSpec extends SparkSpec {
     assert(logRead.filter(col("tag").isNull)
       .select("id").collect().map(_.getLong(0)).toSeq ==
       Seq(values.indexOf(null).toLong))
+  }
+
+  test("partition-path unescape is lossless for supplementary-plane values and refuses malformed escapes") {
+    // ADVICE r14: char-at-a-time UTF-8 encoding split surrogate pairs
+    // into '?' replacement bytes whenever the value ALSO carried a
+    // %XX escape (a pure non-ASCII value short-circuits before the
+    // loop). The JVM here cannot write such paths (tested above), but
+    // the decode must still be lossless for clusters that can.
+    import graft.plans.ManifestFileIndex.unescape
+    assert(unescape("plain") == Some("plain"))
+    assert(unescape("a%20b") == Some("a b"))
+    assert(unescape("🎉") == Some("🎉"))
+    // emoji + escaped '=' in one value: the regression case
+    assert(unescape("🎉%3Dx") == Some("🎉=x"))
+    assert(unescape("x%3D🎉tail") == Some("x=🎉tail"))
+    // multi-byte escapes still reassemble into one code point
+    assert(unescape("%F0%9F%8E%89") == Some("🎉"))
+    // malformed escapes → None (discovery fallback, never a guess)
+    assert(unescape("%G1").isEmpty)
+    assert(unescape("trunc%2").isEmpty)
   }
 
   test("zone-prune: HIVE-PARTITIONED batches plan from the log and prune roots + directories") {
