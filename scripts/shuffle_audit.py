@@ -52,3 +52,24 @@ print(f"\ntotal input {mb(tot_i)}, total shuffle {mb(tot_s)} "
       f"({tot_s / tot_i:4.2f}x of input)")
 zero = sum(1 for v in qm.values() if v["shufW"] == 0)
 print(f"queries with ZERO shuffle bytes: {zero}/{len(qm)}")
+
+# Driver-overhead attribution (r15): wall seconds vs summed executor
+# run time on the warm pass. A query whose wall far exceeds its task
+# time is driver-dominated (analysis/optimization/planning/fixture
+# setup) — the signature that separated r14's "session pollution"
+# suspicion from a plan regression. Only meaningful for bench JSONs
+# whose qmetrics carry execMs (r15+).
+if any("execMs" in v for v in qm.values()):
+    walls = d.get("queries", {})
+    gaps = []
+    for k, v in qm.items():
+        if "execMs" not in v or k not in walls:
+            continue
+        wall = walls[k]
+        exec_s = v["execMs"] / 1000.0
+        gaps.append((wall - exec_s, wall, exec_s, v.get("tasks", 0), k))
+    gaps.sort(reverse=True)
+    print(f"\ntop driver-overhead queries (wall - executor time, warm pass):")
+    print(f"{'query':34s} {'wall':>7s} {'exec':>7s} {'gap':>7s} tasks")
+    for gap, wall, exec_s, nt, k in gaps[:top_n]:
+        print(f"{k:34s} {wall:6.2f}s {exec_s:6.2f}s {gap:6.2f}s {nt:5d}")

@@ -93,8 +93,10 @@ object Bench {
           org.apache.spark.graftshim.GraftCoreShims
             .waitListenerBusEmpty(spark.sparkContext)
           val (in, sr, sw, sm, sd) = metricsListener.snapshot()
+          val (ex, nt) = metricsListener.execSnapshot()
           qmetrics(name) =
-            s"""{"in":$in,"shufR":$sr,"shufW":$sw,"spillM":$sm,"spillD":$sd}"""
+            s"""{"in":$in,"shufR":$sr,"shufW":$sw,"spillM":$sm,""" +
+            s""""spillD":$sd,"execMs":$ex,"tasks":$nt}"""
         }
         name -> dt
       }

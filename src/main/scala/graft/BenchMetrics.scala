@@ -18,6 +18,8 @@ final class BenchMetricsListener extends SparkListener {
   private val spillDisk = new AtomicLong
   private val spillMem = new AtomicLong
   private val input = new AtomicLong
+  private val execMs = new AtomicLong
+  private val tasks = new AtomicLong
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val m = t.taskMetrics
@@ -27,13 +29,24 @@ final class BenchMetricsListener extends SparkListener {
       spillDisk.addAndGet(m.diskBytesSpilled)
       spillMem.addAndGet(m.memoryBytesSpilled)
       input.addAndGet(m.inputMetrics.bytesRead)
+      execMs.addAndGet(m.executorRunTime)
+      tasks.incrementAndGet()
     }
   }
 
   def reset(): Unit =
-    Seq(shufRead, shufWrite, spillDisk, spillMem, input).foreach(_.set(0L))
+    Seq(shufRead, shufWrite, spillDisk, spillMem, input, execMs, tasks)
+      .foreach(_.set(0L))
 
   /** (input, shuffleRead, shuffleWrite, spillMemory, spillDisk) bytes */
   def snapshot(): (Long, Long, Long, Long, Long) =
     (input.get, shufRead.get, shufWrite.get, spillMem.get, spillDisk.get)
+
+  /** (sum executorRunTime ms, task count) for the window — the
+    * driver-overhead attribution VERDICT r14 #1 asked for: a query
+    * whose wall grows while (bytes, execMs, tasks) stay flat is
+    * losing its time on the DRIVER (analysis/optimization/planning/
+    * scheduling), not in data work — exactly the signature that
+    * separates session pollution from a plan regression. */
+  def execSnapshot(): (Long, Long) = (execMs.get, tasks.get)
 }
