@@ -63,9 +63,18 @@ if any("execMs" in v for v in qm.values()):
     walls = d.get("queries", {})
     gaps = []
     for k, v in qm.items():
-        if "execMs" not in v or k not in walls:
+        if "execMs" not in v:
             continue
-        wall = walls[k]
+        # wallMs is the SAME pass the executor metrics came from;
+        # the top-level "queries" map is min-of-passes and must not
+        # be paired with pass-2 executor time (falls back to it only
+        # for artifacts predating wallMs).
+        if "wallMs" in v:
+            wall = v["wallMs"] / 1000.0
+        elif k in walls:
+            wall = walls[k]
+        else:
+            continue
         exec_s = v["execMs"] / 1000.0
         gaps.append((wall - exec_s, wall, exec_s, v.get("tasks", 0), k))
     gaps.sort(reverse=True)

@@ -94,9 +94,14 @@ object Bench {
             .waitListenerBusEmpty(spark.sparkContext)
           val (in, sr, sw, sm, sd) = metricsListener.snapshot()
           val (ex, nt) = metricsListener.execSnapshot()
+          // wallMs is THIS pass's wall — the same pass execMs/tasks
+          // came from. The top-level "queries" map is min-of-passes,
+          // which must never be paired with pass-2 executor time
+          // (r15 review #4).
           qmetrics(name) =
             s"""{"in":$in,"shufR":$sr,"shufW":$sw,"spillM":$sm,""" +
-            s""""spillD":$sd,"execMs":$ex,"tasks":$nt}"""
+            s""""spillD":$sd,"execMs":$ex,"tasks":$nt,""" +
+            s""""wallMs":${(dt * 1000).toLong}}"""
         }
         name -> dt
       }

@@ -48,6 +48,12 @@ object Probe {
     val expanded = names.flatMap {
       case s if s.startsWith("ALL_BEFORE:") =>
         val target = s.stripPrefix("ALL_BEFORE:")
+        // a misspelled target would silently expand to the WHOLE suite
+        // (takeWhile never matches) and corrupt the bisect; the one
+        // deliberate full-suite spelling is documented as ALL_BEFORE:*
+        require(target == "*" || order.contains(target),
+          s"ALL_BEFORE target '$target' is not a registered query " +
+          "(use ALL_BEFORE:* for the full suite)")
         val prefix = order.takeWhile(_ != target)
         slice.map { case (a, b) => prefix.slice(a, b) }.getOrElse(prefix)
       case s => Seq(s)

@@ -61,11 +61,22 @@ object Layout {
     * (partition pruning first, Z-stat skipping within the day). */
   def writeZOrderedPartitioned(df: DataFrame, partitionCols: Seq[String],
                                a: String, b: String, path: String,
-                               bits: Int = 16): Unit = {
+                               bits: Int = 16, slices: Int = 1): Unit = {
     require(partitionCols.nonEmpty, "use writeZOrdered for flat layouts")
     val z = zValue(col(a), col(b), bits)
-    df.repartition(partitionCols.map(col): _*)
-      .sortWithinPartitions(partitionCols.map(col) :+ z: _*)
+    // `slices` > 1 salts the shuffle key so a fat partition value
+    // splits across up to that many tasks instead of serializing into
+    // one (sized from fold bytes by the caller). Each salted file is
+    // still Z-sorted over its random 1/slices sample, so contiguous
+    // row-group slices keep tight envelopes (order statistics of a
+    // sorted sample) — selectivity degrades ~slices×, never to the
+    // full domain.
+    val parts = partitionCols.map(col)
+    val keys =
+      if (slices <= 1) parts
+      else parts :+ pmod(hash(df.columns.map(col): _*), lit(slices))
+    df.repartition(keys: _*)
+      .sortWithinPartitions(parts :+ z: _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 

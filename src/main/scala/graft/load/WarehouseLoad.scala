@@ -533,15 +533,18 @@ object WarehouseLoad {
     // takedown probe; bounded by the WINDOW either way, but a consumer
     // draining a long outage (maxVersionsPerTrigger lag) stops paying
     // a listing per recovered batch
-    manifestRelation(spark, warehouseDir, historyDir, added) match {
+    manifestGroupRelations(spark, warehouseDir, historyDir, added) match {
       case Some(None) => None
-      case Some(Some(rel)) =>
+      case Some(Some(rels)) =>
         val p = new org.apache.hadoop.fs.Path(warehouseDir)
         val qWh = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .makeQualified(p).toString
-        Some(rel.withColumn("_graft_batch",
-          regexp_extract(col("_metadata.file_path"),
-            java.util.regex.Pattern.quote(qWh) + "/b([^/]+)/", 1)))
+        // tag PER GROUP relation, then union: _metadata resolves only
+        // against a single file relation, never through a Union
+        Some(rels.map(_.withColumn("_graft_batch",
+            regexp_extract(col("_metadata.file_path"),
+              java.util.regex.Pattern.quote(qWh) + "/b([^/]+)/", 1)))
+          .reduce(_.unionByName(_, allowMissingColumns = true)))
       case None =>
         val live = liveBatchIds(spark, warehouseDir, added)
         if (live.isEmpty) None
@@ -745,7 +748,20 @@ object WarehouseLoad {
     * discovery paths); `Some(None)` = applies and the table has no
     * live files; `Some(Some(df))` = the relation. */
   private def manifestRelation(spark: SparkSession, warehouseDir: String,
-      historyDir: String, ids: Seq[String]): Option[Option[DataFrame]] = {
+      historyDir: String, ids: Seq[String]): Option[Option[DataFrame]] =
+    manifestGroupRelations(spark, warehouseDir, historyDir, ids).map(_.map(
+      _.reduce(_.unionByName(_, allowMissingColumns = true))))
+
+  /** [[manifestRelation]] BEFORE the cross-layout union: one relation
+    * per layout generation. Consumers that derive the batch id from
+    * `_metadata.file_path` ([[changes]], the takedown probe) must tag
+    * each group relation BEFORE unioning — metadata columns do not
+    * resolve through a Union — so they take this form and union the
+    * tagged results (r15 review find #1: the grouped union broke them
+    * on layout-mixed tables). */
+  private def manifestGroupRelations(spark: SparkSession,
+      warehouseDir: String, historyDir: String,
+      ids: Seq[String]): Option[Option[Seq[DataFrame]]] = {
     import scala.jdk.CollectionConverters._
     val fetched =
       new java.util.concurrent.ConcurrentHashMap[String, BatchStats]()
@@ -781,7 +797,7 @@ object WarehouseLoad {
       layoutRelation(spark, warehouseDir, partNames, batches)
         .getOrElse(return None)
     }
-    Some(Some(rels.reduce(_.unionByName(_, allowMissingColumns = true))))
+    Some(Some(rels))
   }
 
   /** One batch's hive layout: the partition-column sequence every one
@@ -1855,11 +1871,25 @@ object WarehouseLoad {
     def inflight(dirName: String): Boolean =
       intents.get(dirName.stripPrefix("b"))
         .exists { case (_, m) => now - m <= ttl }
+    // RE-DERIVE the keep set against the CURRENT head before any
+    // delete (r15 review #2): a writer that committed AND cleared its
+    // marker between this vacuum's entry keep-snapshot and the intent
+    // listing above is in neither — the stale keep would reclaim a
+    // COMMITTED batch's dirs. Interleaving coverage: a commit whose
+    // clearIntent ran before the intent listing necessarily committed
+    // before it, hence before this re-read (fresh keep spares it); a
+    // commit after the intent listing still held its marker through
+    // it (markers clear only post-commit), so `inflight` spares it.
+    val head2 = currentVersion(spark, historyDir)
+    val keep2 = ((math.max(1L, head2 - retainVersions + 1) to head2)
+      .flatMap(v => versionBatches(spark, historyDir, v).getOrElse(Nil)) ++
+      committedBatches(spark, historyDir)).map("b" + _).toSet
     // per-orphan deletes run in PARALLEL (driver-side metadata calls;
     // sequential deletes were vacuum's dominant cost at 10k commits —
     // CommitScale r14)
     val removed = candidates.map { case (fs, sts) =>
-      val doomed = sts.filter(st => !inflight(st.getPath.getName))
+      val doomed = sts.filter(st => !inflight(st.getPath.getName)
+        && !keep2(st.getPath.getName))
       val n = new java.util.concurrent.atomic.AtomicInteger()
       doomed.asJava.parallelStream().forEach(st =>
         if (fs.delete(st.getPath, true)) n.incrementAndGet())
@@ -1954,6 +1984,19 @@ object WarehouseLoad {
         ids.filter(id => Option(sizes.get(id)).exists(_ <= smallBytes))
       })
 
+  /** Salt width for a partitioned fold write: one slice per 512 MB of
+    * the fold's METADATA-known input bytes, capped at 64 — so the
+    * hash-to-partition-group shuffle that bounds the committer's file
+    * set can never also serialize a fat partition value into a single
+    * straggler task (r15 review #3). Legacy batches without recorded
+    * sizes contribute 0 (conservatively fewer slices — correctness is
+    * unaffected, only file granularity). */
+  private def foldSlices(spark: SparkSession, historyDir: String,
+                         ids: Seq[String]): Int = {
+    val bytes = ids.flatMap(id => batchBytes(spark, historyDir, id)).sum
+    math.max(1L, math.min(64L, bytes / (512L << 20) + 1)).toInt
+  }
+
   /** A batch's recorded data size in bytes — the sum of its manifest's
     * file-list lengths. `None` for legacy batches without the record
     * (size unknown — callers must treat as "not small"). Metadata
@@ -2005,19 +2048,29 @@ object WarehouseLoad {
           Layout.writeZOrdered(rel, a, b, s"$warehouseDir/b$id", numFiles)
         case Some((a, b, _)) =>
           Layout.writeZOrderedPartitioned(rel, partitionCols, a, b,
-            s"$warehouseDir/b$id")
+            s"$warehouseDir/b$id", slices = foldSlices(spark, historyDir,
+              selected))
         case None if partitionCols.nonEmpty =>
           // BOUND THE FAN-OUT (r15): an un-shuffled dynamic-partition
           // write has every task open a writer per partition value it
           // sees — tasks × partitions files and the committer renaming
           // all of them (the 1,000-dir fixture measured 228.7 s,
-          // SCALE.md r14). Hashing to partition-column groups first
-          // makes each directory the work of exactly one task: the
-          // file count collapses to O(distinct partition values in the
-          // fold) and the extra shuffle moves only data the fold
-          // rewrites anyway.
-          rel.repartition(partitionCols.map(
-              org.apache.spark.sql.functions.col): _*)
+          // SCALE.md r14). Hashing to (partition cols, bounded salt)
+          // groups first caps the file count at O(values × slices)
+          // while the salt — sized from the fold's METADATA-known byte
+          // total (r15 review #3) — keeps a fat partition value from
+          // serializing into one straggler task: slices ≈
+          // foldBytes / 512 MB, so each task's slice stays
+          // executor-sized at any partition skew. The extra shuffle
+          // moves only data the fold rewrites anyway.
+          import org.apache.spark.sql.functions.{col => fcol, hash, lit,
+            pmod}
+          val k = foldSlices(spark, historyDir, selected)
+          val parts = partitionCols.map(fcol)
+          val keys =
+            if (k <= 1) parts
+            else parts :+ pmod(hash(rel.columns.map(fcol): _*), lit(k))
+          rel.repartition(keys: _*)
             .write.mode("overwrite").partitionBy(partitionCols: _*)
             .parquet(s"$warehouseDir/b$id")
         case None =>
@@ -2210,19 +2263,23 @@ object WarehouseLoad {
     // the log with the batch id derived from `_metadata.file_path` —
     // a constant-size plan at any load count (the loadedFiles lesson
     // applied to the probe: the per-batch union paid a listing +
-    // footer read per committed load). Partitioned and legacy layouts
-    // keep the per-batch union — metadata columns do not resolve
-    // through a Union, and those reads discover per root anyway.
-    val probe = manifestRelation(spark, warehouseDir, historyDir,
+    // footer read per committed load); r15 layout-mixed tables get one
+    // tagged relation per layout generation. Legacy layouts (no
+    // recorded file lists) keep the per-batch union — those reads
+    // discover per root anyway.
+    val probe = manifestGroupRelations(spark, warehouseDir, historyDir,
         committed) match {
       case Some(None) => return (0L, true) // no live files committed
-      case Some(Some(rel)) =>
+      case Some(Some(rels)) =>
         val p = new org.apache.hadoop.fs.Path(warehouseDir)
         val qWh = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .makeQualified(p).toString
-        rel.withColumn(BatchCol,
-          regexp_extract(col("_metadata.file_path"),
-            java.util.regex.Pattern.quote(qWh) + "/b([^/]+)/", 1))
+        // tag per layout-group relation BEFORE the cross-group union:
+        // _metadata never resolves through a Union (r15 review #1)
+        rels.map(_.withColumn(BatchCol,
+            regexp_extract(col("_metadata.file_path"),
+              java.util.regex.Pattern.quote(qWh) + "/b([^/]+)/", 1)))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
       case None =>
         val live = liveBatchIds(spark, warehouseDir, committed)
         if (live.isEmpty) return (0L, true)

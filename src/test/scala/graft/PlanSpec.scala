@@ -1027,6 +1027,22 @@ class PlanSpec extends SparkSpec {
     // plain-filters the flat one — same answer as discovery semantics
     assert(df.filter(col("tag") === "a").select("id").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // the _metadata.file_path consumers survive the mix (r15 review
+    // #1: metadata never resolves through a Union — each layout
+    // generation must be tagged before the cross-group union): the
+    // change feed tags batch ids exactly…
+    val head = WarehouseLoad.currentVersion(spark, hist)
+    val feed = WarehouseLoad.changes(spark, wh, hist, 0, head).get
+      .select("id", "_graft_batch").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feed == Map(1L -> "f0", 2L -> "f1", 3L -> "p0", 4L -> "p1"))
+    // …and the takedown probe finds + rewrites only the hit batches
+    import spark.implicits._
+    WarehouseLoad.takedownCommitted(spark, wh, hist,
+      Seq(1L).toDF("id"), Seq("id"))
+    val after = WarehouseLoad.readWarehouse(spark, wh, hist).get
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == Seq(2L, 3L, 4L), "mixed-layout takedown broke")
   }
 
   test("log-planned partitions: typed, null, and escaped values round-trip; filters prune exactly") {
