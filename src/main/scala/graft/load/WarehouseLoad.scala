@@ -454,6 +454,39 @@ object WarehouseLoad {
     readBatchDirs(spark, warehouseDir, historyDir, ids)
   }
 
+  /** RESTORE the table head to `version` — the WRITE-side completion
+    * of time travel (the Delta `RESTORE TABLE ... TO VERSION` analog,
+    * and the operational undo for an errant load): the retained
+    * version's batch list is committed AS A NEW VERSION through the
+    * same CAS as every other commit, so the current relation becomes
+    * exactly that snapshot while history stays intact —
+    * [[readWarehouseAt]] still reads every retained version,
+    * including the ones being undone, because restore only ADDS a
+    * version, never rewrites one. Pure metadata: no data dir is
+    * written or deleted; the undone commits' dirs stay referenced by
+    * their historical versions until [[vacuum]]'s retention makes the
+    * restore physical (the same DELETE-then-VACUUM contract as
+    * takedown). A change feed spanning the restore sees a REWRITE
+    * (batches leave the head) and throws `RewriteException` —
+    * consumers resync from the restored snapshot. Undone source FILES
+    * become loadable again: [[loadedFiles]] derives from the head's
+    * batch set, so re-staging a rolled-back file re-ingests it — the
+    * COPY semantics a restore is expected to reset. A commit racing
+    * the restore loses by design (restore means "the table IS
+    * snapshot V"; the CAS retry re-asserts the target list). Returns
+    * the new head — or the current head unchanged when it already
+    * equals the target (idempotent). Throws when `version` is beyond
+    * the head or pruned by vacuum retention. */
+  def restoreWarehouse(spark: SparkSession, historyDir: String,
+                       version: Long): Long = {
+    val target = versionBatches(spark, historyDir, version).getOrElse(
+      throw new IllegalStateException(
+        s"version $version is not restorable: beyond the committed head " +
+        s"(${currentVersion(spark, historyDir)}) or pruned by vacuum " +
+        "retention"))
+    commitBatches(spark, historyDir, _ => target)
+  }
+
   /** The newest RETAINED version published at or before `tsMillis` —
     * the AS OF TIMESTAMP resolution (Delta's contract: commit-file
     * timestamps, made MONOTONIC by a running max over the version

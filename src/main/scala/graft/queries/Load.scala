@@ -869,6 +869,76 @@ object Load {
            TRUE AS second_pass_noop
     FROM orders"""
 
+  // ---------------------------------------------------------------- q94
+  // RESTORE TO VERSION (r15) — the write-side completion of time
+  // travel and the operational undo for an errant load (Delta
+  // `RESTORE TABLE` analog; the reference's warehouse delegates the
+  // same story to Snowflake UNDROP/time-travel clones). Fixture: two
+  // staged waves of `orders` (even keys, then odd keys) load as v1 and
+  // v2; `restoreWarehouse(v1)` commits v1's batch list as v3. The
+  // oracle pins: the restored relation is exactly wave 1 (row count +
+  // key sum in closed form), the head advanced to 3 (restore ADDS a
+  // version), time travel still reads the undone v2 (full table —
+  // history is never rewritten), a change feed spanning the restore
+  // refuses (RewriteException — batches left the head), the restore
+  // is idempotent (second call = no-op, no version churn), and the
+  // rolled-back files are loadable again (loadedFiles shrinks to
+  // wave 1's file).
+  //
+  // Scale shape: restore is PURE METADATA — one version-manifest read
+  // + one CAS publish, zero data I/O at any table size; the summary
+  // scans are the fixture's, not the operator's.
+  val q94: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = Fixtures.scratchRoot(s, "restore", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType)))
+    Fixtures.stageJsonWave(s, root, staging, "even.json",
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey")))
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+    Fixtures.stageJsonWave(s, root, staging, "odd.json",
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey")))
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+
+    val newHead = WarehouseLoad.restoreWarehouse(s, hist, 1)
+    val restored = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
+    // the undone v2 still time-travels (restore never rewrites history)
+    val atV2 = WarehouseLoad.readWarehouseAt(s, wh, hist, 2).get.count()
+    // a feed spanning the restore is a rewrite — it must refuse
+    val feedRefused =
+      try { WarehouseLoad.changes(s, wh, hist, 2, 3); false }
+      catch { case _: WarehouseLoad.RewriteException => true }
+    // idempotent: restoring to the current content is a no-op commit
+    val noChurn = WarehouseLoad.restoreWarehouse(s, hist, 3) == newHead &&
+      WarehouseLoad.currentVersion(s, hist) == newHead
+    // COPY semantics reset: only wave 1's file remains "loaded"
+    val filesLoaded = WarehouseLoad.loadedFiles(s, hist).get.count()
+    import s.implicits._
+    Seq((restored.getLong(0), restored.getLong(1), newHead, atV2,
+        feedRefused, noChurn, filesLoaded))
+      .toDF("n_rows", "sum_key", "head", "n_at_v2", "feed_refused",
+        "second_restore_noop", "n_files_loaded")
+  }
+
+  val q94Sql: String = """
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey
+                         ELSE 0 END) AS BIGINT) AS sum_key,
+           CAST(3 AS BIGINT) AS head,
+           CAST(COUNT(*) AS BIGINT) AS n_at_v2,
+           TRUE AS feed_refused,
+           TRUE AS second_restore_noop,
+           CAST(1 AS BIGINT) AS n_files_loaded
+    FROM orders"""
+
   // ---------------------------------------------------------------- q89
   // INTEGRAL dictionary zone pruning — q86's probe class on numbers:
   // `shard = 3` / `bucket IN (…)` equality probes on low-cardinality
@@ -1145,7 +1215,8 @@ object Load {
     "q90_describe_history" -> q90,
     "q91_check_constraints" -> q91,
     "q92_time_travel_ts" -> q92,
-    "q93_compact_tiered_part" -> q93)
+    "q93_compact_tiered_part" -> q93,
+    "q94_restore_version" -> q94)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
@@ -1162,5 +1233,6 @@ object Load {
     "q90_describe_history" -> q90Sql,
     "q91_check_constraints" -> q91Sql,
     "q92_time_travel_ts" -> q92Sql,
-    "q93_compact_tiered_part" -> q93Sql)
+    "q93_compact_tiered_part" -> q93Sql,
+    "q94_restore_version" -> q94Sql)
 }

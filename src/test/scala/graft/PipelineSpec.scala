@@ -735,6 +735,53 @@ class PipelineSpec extends SparkSpec {
     assert(rows() == Seq(1L, 8L))
   }
 
+  test("restore commits an old snapshot as the new head: history intact, feed refuses, vacuum makes it physical, appends resume") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-rststage-")
+    val wh = tmpDir("graft-rstwh-") + "/t"
+    val hist = tmpDir("graft-rsthist-") + "/h"
+    def load(name: String, rows: String*): Unit = {
+      Files.writeString(Paths.get(staging, name),
+        rows.mkString("", "\n", "\n"))
+      WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers,
+        wh, hist)
+    }
+    def ids() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+      .select("customerid").collect().map(_.getLong(0)).sorted.toSeq
+    load("a.json", """{"CustomerID": "1", "FirstName": "a"}""")
+    load("b.json", """{"CustomerID": "2", "FirstName": "b"}""")
+    assert(ids() == Seq(1L, 2L))
+    // restore to v1: a NEW version whose content is the old snapshot
+    assert(WarehouseLoad.restoreWarehouse(spark, hist, 1) == 3)
+    assert(ids() == Seq(1L))
+    // history intact: the undone v2 still time-travels
+    assert(WarehouseLoad.readWarehouseAt(spark, wh, hist, 2).get
+      .count() == 2)
+    // a feed spanning the restore is a rewrite — refuse, never replay
+    intercept[WarehouseLoad.RewriteException] {
+      WarehouseLoad.changes(spark, wh, hist, 2, 3)
+    }
+    // idempotent: restoring to the current content commits nothing
+    assert(WarehouseLoad.restoreWarehouse(spark, hist, 3) == 3)
+    assert(WarehouseLoad.currentVersion(spark, hist) == 3)
+    // appends resume on top of the restored head; the rolled-back
+    // FILE is loadable again (COPY history follows the head)
+    load("b.json", """{"CustomerID": "2", "FirstName": "b"}""")
+    assert(ids() == Seq(1L, 2L))
+    assert(WarehouseLoad.currentVersion(spark, hist) == 4)
+    // vacuum (retain=1) makes the restore physical: the undone batch
+    // dir was re-added by the reload, so only nothing-or-orphans go —
+    // restore again and vacuum to see the dir actually reclaim
+    WarehouseLoad.restoreWarehouse(spark, hist, 3)
+    backdateIntents(hist)
+    assert(WarehouseLoad.vacuum(spark, wh, hist) == 2,
+      "the rolled-back batch's data+history dirs must reclaim")
+    assert(ids() == Seq(1L))
+    intercept[IllegalStateException] {
+      WarehouseLoad.restoreWarehouse(spark, hist, 4) // pruned by vacuum
+    }
+  }
+
   test("time travel reads retained versions; change feed is exact and refuses rewrites") {
     import graft.load.WarehouseLoad
     val staging = tmpDir("graft-ttstage-")
