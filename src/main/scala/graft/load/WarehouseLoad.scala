@@ -477,14 +477,61 @@ object WarehouseLoad {
     * the new head — or the current head unchanged when it already
     * equals the target (idempotent). Throws when `version` is beyond
     * the head or pruned by vacuum retention. */
-  def restoreWarehouse(spark: SparkSession, historyDir: String,
-                       version: Long): Long = {
+  def restoreWarehouse(spark: SparkSession, warehouseDir: String,
+                       historyDir: String, version: Long): Long = {
+    val head = currentVersion(spark, historyDir)
+    // versionBatches(v <= 0) legitimately reconstructs the empty
+    // pre-first-commit list — a negative/zero argument here would
+    // silently EMPTY the table instead of failing (r15 review)
+    require(version >= 1 && version <= head,
+      s"version $version is not restorable: the committed range is " +
+      s"[1, $head]")
     val target = versionBatches(spark, historyDir, version).getOrElse(
       throw new IllegalStateException(
-        s"version $version is not restorable: beyond the committed head " +
-        s"(${currentVersion(spark, historyDir)}) or pruned by vacuum " +
+        s"version $version is not restorable: pruned by vacuum " +
         "retention"))
-    commitBatches(spark, historyDir, _ => target)
+    val before = committedBatches(spark, historyDir)
+    // RESURRECTION GUARD (r15 review): restore is the one writer that
+    // re-introduces batches NOT in the current head — exactly the dirs
+    // a concurrent vacuum (whose keep set predates our CAS) is allowed
+    // to reclaim. Publish intent markers for them BEFORE the CAS (the
+    // same writers' contract every load follows; vacuum re-checks
+    // markers per doomed dir immediately before each delete), and
+    // VERIFY every resurrected batch's recorded files after the CAS —
+    // a lost race rolls the head back to the pre-restore list and
+    // fails loudly instead of leaving a head that references vanished
+    // data. (Racing appends between the CAS and a rollback lose, the
+    // documented restore semantics.)
+    val resurrected = target.filterNot(before.toSet)
+    resurrected.foreach(publishIntent(spark, historyDir, _))
+    try {
+      val v = commitBatches(spark, historyDir, _ => target)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val missing = resurrected.filter { id =>
+        def gone(root: String, rels: Seq[String]): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(conf)
+          !fs.exists(p) || rels.exists(rel =>
+            !fs.exists(new org.apache.hadoop.fs.Path(p, rel)))
+        }
+        batchStats(spark, historyDir, id) match {
+          case None => false // legacy manifest: nothing recorded to check
+          case Some(st) =>
+            st.files.exists(fl =>
+              gone(s"$warehouseDir/b$id", fl.map(_._1))) ||
+            st.histFiles.exists(fl =>
+              gone(s"$historyDir/b$id", fl.map(_._1)))
+        }
+      }
+      if (missing.nonEmpty) {
+        commitBatches(spark, historyDir, _ => before)
+        throw new IllegalStateException(
+          s"restore to version $version lost a race with vacuum " +
+          s"retention (${missing.size} resurrected batch(es) no longer " +
+          "on disk); the head was rolled back to the pre-restore state")
+      }
+      v
+    } finally resurrected.foreach(clearIntent(spark, historyDir, _))
   }
 
   /** The newest RETAINED version published at or before `tsMillis` —
@@ -1034,7 +1081,27 @@ object WarehouseLoad {
             .as("expect")).head()
         val committed = committedBatches(spark, historyDir)
         var id = f"${parts.getAs[Long]("x1")}%016x-${parts.getAs[Long]("x2")}%016x-${parts.getAs[Long]("n")}"
-        while (committed.contains(id)) id += "x" // hash-collision backstop
+        // Bump past ids that would CLOBBER history (r15 review #1): a
+        // path-derived id can regenerate after [[restoreWarehouse]]
+        // rolled its batch out of the head — the staged files are
+        // legitimately loadable again, but the OLD batch dir is still
+        // referenced by retained historical versions, and reusing the
+        // id would mode("overwrite") time travel's data in place. The
+        // version walk runs only in the rare dir-exists-but-uncommitted
+        // branch; a crashed attempt's own orphans (in NO version) and a
+        // concurrent identical writer (converging on one id is the
+        // content-derived idempotence feature) still reuse the id.
+        def clobbersHistory(i: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(s"$historyDir/b$i")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(p) && {
+            val head = currentVersion(spark, historyDir)
+            (1L to head).exists(v =>
+              versionBatches(spark, historyDir, v).exists(_.contains(i)))
+          }
+        }
+        while (committed.contains(id) || clobbersHistory(id))
+          id += "x" // hash-collision / history-clobber backstop
         val expect = parts.getAs[Seq[Long]]("expect").toSet
         // in-flight marker BEFORE any dir write: a concurrent vacuum
         // must not reclaim this batch's dirs between here and the
@@ -1920,12 +1987,26 @@ object WarehouseLoad {
     // per-orphan deletes run in PARALLEL (driver-side metadata calls;
     // sequential deletes were vacuum's dominant cost at 10k commits —
     // CommitScale r14)
+    // per-dir marker RE-CHECK at delete time (r15 review #2): restore
+    // is the one writer that re-introduces non-head batch dirs, and
+    // its marker can land after the bulk intent listing above — one
+    // fresh exists() per doomed dir (deletes are the rare path)
+    // closes that window to the delete-dispatch instant, and
+    // restore's own post-CAS file verification turns the residual
+    // instant into a loud rollback instead of silent loss.
+    def inflightNow(dirName: String): Boolean =
+      try {
+        val st = ifs.getFileStatus(new org.apache.hadoop.fs.Path(
+          intentRoot, "i" + dirName.stripPrefix("b")))
+        System.currentTimeMillis() - st.getModificationTime <= ttl
+      } catch { case _: java.io.FileNotFoundException => false }
     val removed = candidates.map { case (fs, sts) =>
       val doomed = sts.filter(st => !inflight(st.getPath.getName)
         && !keep2(st.getPath.getName))
       val n = new java.util.concurrent.atomic.AtomicInteger()
       doomed.asJava.parallelStream().forEach(st =>
-        if (fs.delete(st.getPath, true)) n.incrementAndGet())
+        if (!inflightNow(st.getPath.getName) &&
+            fs.delete(st.getPath, true)) n.incrementAndGet())
       n.get
     }.sum
     // marker GC: a marker whose batch COMMITTED (in the keep set — its

@@ -906,7 +906,7 @@ object Load {
         .select(col("o_orderkey"), col("o_custkey")))
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
 
-    val newHead = WarehouseLoad.restoreWarehouse(s, hist, 1)
+    val newHead = WarehouseLoad.restoreWarehouse(s, wh, hist, 1)
     val restored = WarehouseLoad.readWarehouse(s, wh, hist).get
       .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
     // the undone v2 still time-travels (restore never rewrites history)
@@ -916,7 +916,7 @@ object Load {
       try { WarehouseLoad.changes(s, wh, hist, 2, 3); false }
       catch { case _: WarehouseLoad.RewriteException => true }
     // idempotent: restoring to the current content is a no-op commit
-    val noChurn = WarehouseLoad.restoreWarehouse(s, hist, 3) == newHead &&
+    val noChurn = WarehouseLoad.restoreWarehouse(s, wh, hist, 3) == newHead &&
       WarehouseLoad.currentVersion(s, hist) == newHead
     // COPY semantics reset: only wave 1's file remains "loaded"
     val filesLoaded = WarehouseLoad.loadedFiles(s, hist).get.count()

@@ -752,7 +752,7 @@ class PipelineSpec extends SparkSpec {
     load("b.json", """{"CustomerID": "2", "FirstName": "b"}""")
     assert(ids() == Seq(1L, 2L))
     // restore to v1: a NEW version whose content is the old snapshot
-    assert(WarehouseLoad.restoreWarehouse(spark, hist, 1) == 3)
+    assert(WarehouseLoad.restoreWarehouse(spark, wh, hist, 1) == 3)
     assert(ids() == Seq(1L))
     // history intact: the undone v2 still time-travels
     assert(WarehouseLoad.readWarehouseAt(spark, wh, hist, 2).get
@@ -762,24 +762,68 @@ class PipelineSpec extends SparkSpec {
       WarehouseLoad.changes(spark, wh, hist, 2, 3)
     }
     // idempotent: restoring to the current content commits nothing
-    assert(WarehouseLoad.restoreWarehouse(spark, hist, 3) == 3)
+    assert(WarehouseLoad.restoreWarehouse(spark, wh, hist, 3) == 3)
     assert(WarehouseLoad.currentVersion(spark, hist) == 3)
     // appends resume on top of the restored head; the rolled-back
     // FILE is loadable again (COPY history follows the head)
     load("b.json", """{"CustomerID": "2", "FirstName": "b"}""")
     assert(ids() == Seq(1L, 2L))
     assert(WarehouseLoad.currentVersion(spark, hist) == 4)
-    // vacuum (retain=1) makes the restore physical: the undone batch
-    // dir was re-added by the reload, so only nothing-or-orphans go —
-    // restore again and vacuum to see the dir actually reclaim
-    WarehouseLoad.restoreWarehouse(spark, hist, 3)
+    // vacuum (retain=1) makes the restore physical: BOTH b-batch
+    // generations reclaim — the original (undone by the restores) and
+    // the reload's (which committed under a BUMPED id precisely so it
+    // could not clobber the original's historical dir) — 2 dirs each
+    WarehouseLoad.restoreWarehouse(spark, wh, hist, 3)
     backdateIntents(hist)
-    assert(WarehouseLoad.vacuum(spark, wh, hist) == 2,
-      "the rolled-back batch's data+history dirs must reclaim")
+    assert(WarehouseLoad.vacuum(spark, wh, hist) == 4,
+      "the rolled-back batches' data+history dirs must reclaim")
     assert(ids() == Seq(1L))
     intercept[IllegalStateException] {
-      WarehouseLoad.restoreWarehouse(spark, hist, 4) // pruned by vacuum
+      WarehouseLoad.restoreWarehouse(spark, wh, hist, 4) // pruned by vacuum
     }
+    // out-of-range versions refuse instead of silently emptying the
+    // table (versionBatches(v <= 0) reconstructs the empty pre-commit
+    // list — r15 review)
+    intercept[IllegalArgumentException] {
+      WarehouseLoad.restoreWarehouse(spark, wh, hist, -1)
+    }
+    intercept[IllegalArgumentException] {
+      WarehouseLoad.restoreWarehouse(spark, wh, hist, 99)
+    }
+  }
+
+  test("reloading a rolled-back file after restore cannot clobber the historical batch dir (path-derived id bumps)") {
+    import graft.load.WarehouseLoad
+    val staging = tmpDir("graft-clobstage-")
+    val wh = tmpDir("graft-clobwh-") + "/t"
+    val hist = tmpDir("graft-clobhist-") + "/h"
+    def load(name: String, rows: String*): Unit = {
+      Files.writeString(Paths.get(staging, name),
+        rows.mkString("", "\n", "\n"))
+      WarehouseLoad.batchIdempotent(spark, staging, Schemas.customers,
+        wh, hist)
+    }
+    load("a.json", """{"CustomerID": "1", "FirstName": "a"}""")
+    load("b.json", """{"CustomerID": "2", "FirstName": "OLD"}""")
+    WarehouseLoad.restoreWarehouse(spark, wh, hist, 1)
+    // the errant file is FIXED and re-staged under the SAME path: the
+    // path-derived batch id regenerates identically, and pre-fix the
+    // reload mode("overwrite")-replaced the historical dir v2 still
+    // references — time travel silently served the NEW rows
+    load("b.json", """{"CustomerID": "2", "FirstName": "NEW"}""")
+    import org.apache.spark.sql.functions.col
+    def nameAt(df: org.apache.spark.sql.DataFrame): String =
+      df.filter(col("customerid") === 2)
+        .select("firstname").head().getString(0)
+    assert(nameAt(WarehouseLoad.readWarehouse(spark, wh, hist).get)
+      == "NEW")
+    assert(nameAt(WarehouseLoad.readWarehouseAt(spark, wh, hist, 2).get)
+      == "OLD",
+      "the reload clobbered the historical batch dir in place")
+    // the two generations commit under DISTINCT batch ids
+    assert(WarehouseLoad.committedBatches(spark, hist).size == 2)
+    assert(WarehouseLoad.readWarehouseAt(spark, wh, hist, 2).get
+      .count() == 2)
   }
 
   test("time travel reads retained versions; change feed is exact and refuses rewrites") {
