@@ -21,6 +21,25 @@ import org.apache.spark.sql.SparkSession
   *  - Concurrent callers on one uri: exactly one `true`. */
 trait ConditionalPut {
   def putIfAbsent(uri: java.net.URI, content: Array[Byte]): Boolean
+
+  /** Unconditional atomic put (last-writer-wins overwrite) — the
+    * primitive behind [[AtomicManifest.write]]'s manifest OVERWRITES
+    * (the `_COMMITTED` hint refresh, vacuum's cutoff snapshot-ify,
+    * CHECK-constraint declarations). Object stores offer this natively
+    * (a plain PUT is atomic per key), so the default would be a
+    * one-liner — but it is NOT defaulted to putIfAbsent-or-ignore,
+    * because silently skipping an overwrite corrupts vacuum's cutoff
+    * rewrite. A backend that implements only the CAS throws here with
+    * the operation named (ADVICE r15: registering a backend must not
+    * silently leave vacuum/addCheck on the rename path the backend
+    * exists to avoid). */
+  def put(uri: java.net.URI, content: Array[Byte]): Unit =
+    throw new UnsupportedOperationException(
+      s"ConditionalPut backend for $uri implements only putIfAbsent " +
+      "(the commit CAS); manifest overwrites (the _COMMITTED hint, " +
+      "vacuum's cutoff snapshot-ify, CHECK declarations) need the " +
+      "unconditional put(uri, content) — implement it (object stores: " +
+      "a plain PUT) to run vacuum/addCheck on this scheme")
 }
 
 /** Write-temp + atomic-rename manifest — the single commit primitive
@@ -182,6 +201,18 @@ object AtomicManifest {
             content: String): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A registered backend carries overwrites too (ADVICE r15): on the
+    // S3-class schemes the backend targets, FileContext.rename below
+    // either throws (no AbstractFileSystem binding) or is a non-atomic
+    // copy+delete — the exact primitive the rename gate declares
+    // unsafe. The conditional-put store's plain PUT is atomic per key.
+    conditionalPuts.get(Option(fs.getUri.getScheme).getOrElse("file"))
+      .foreach { backend =>
+        if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
+        backend.put(new org.apache.hadoop.fs.Path(dir, name).toUri,
+          content.getBytes("UTF-8"))
+        return
+      }
     if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")

@@ -2,6 +2,7 @@ package graft.load
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, ArrayType, MapType, StructType}
 
 /** Multi-dimensional data layout (Z-order clustering) for scan pruning.
   *
@@ -22,6 +23,26 @@ import org.apache.spark.sql.functions._
   * Z-values to build balanced output files at any scale.
   */
 object Layout {
+
+  /** Does Spark's `hash()` accept this type? It rejects MapType at
+    * ANY nesting depth (since 3.0) — a salt key hashing every column
+    * would fail analysis on a table with a map column (ADVICE r15). */
+  private def hashSafe(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case ArrayType(et, _) => hashSafe(et)
+    case st: StructType => st.fields.forall(f => hashSafe(f.dataType))
+    case _ => true
+  }
+
+  /** A `slices`-way salt expression over `df`'s rows — distribution is
+    * all a salt needs, not determinism: hash the hash-safe columns
+    * when any exist (spreads even constant-row data by value), else
+    * round-robin on the partition-local row id. */
+  private[load] def saltKey(df: DataFrame, slices: Int): Column = {
+    val safe = df.schema.fields.filter(f => hashSafe(f.dataType))
+    if (safe.nonEmpty) pmod(hash(safe.map(f => col(f.name)): _*), lit(slices))
+    else pmod(monotonically_increasing_id(), lit(slices.toLong)).cast("int")
+  }
 
   /** Morton (Z-order) interleave of the low `bits` bits of two
     * non-negative integer columns: bit i of `a` lands at position 2i,
@@ -74,7 +95,7 @@ object Layout {
     val parts = partitionCols.map(col)
     val keys =
       if (slices <= 1) parts
-      else parts :+ pmod(hash(df.columns.map(col): _*), lit(slices))
+      else parts :+ saltKey(df, slices)
     df.repartition(keys: _*)
       .sortWithinPartitions(parts :+ z: _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)

@@ -770,8 +770,12 @@ object WarehouseLoad {
       }
     }
     if (missing.get) return None
-    val distinct = jsons.values().asScala.toSet
-    mergeRecordedSchemas(distinct.toSeq)
+    // commit order + order-preserving distinct (ADVICE r15): hash-set
+    // iteration made the merged column order arbitrary, so SELECT * /
+    // positional consumers could see column order shift between this
+    // path and the manifest tier (layoutRelation, which is ordered)
+    val distinct = info.flatMap(i => Option(jsons.get(i._1))).distinct
+    mergeRecordedSchemas(distinct)
   }
 
   /** Conform a set of per-batch recorded schemas to ONE read schema —
@@ -1991,9 +1995,14 @@ object WarehouseLoad {
     // is the one writer that re-introduces non-head batch dirs, and
     // its marker can land after the bulk intent listing above — one
     // fresh exists() per doomed dir (deletes are the rare path)
-    // closes that window to the delete-dispatch instant, and
-    // restore's own post-CAS file verification turns the residual
-    // instant into a loud rollback instead of silent loss.
+    // closes that window to the delete-dispatch instant. Restore's
+    // post-CAS file verification USUALLY turns the residual instant
+    // into a loud rollback, but not always (ADVICE r15): a delete
+    // dispatched after this check yet landing after restore's
+    // verification passes is silent — the honest residual contract is
+    // "don't run vacuum concurrently with restore below the dirs it
+    // resurrects", the same narrow instant every check-then-act GC
+    // carries without a store-level fence.
     def inflightNow(dirName: String): Boolean =
       try {
         val st = ifs.getFileStatus(new org.apache.hadoop.fs.Path(
@@ -2177,13 +2186,14 @@ object WarehouseLoad {
           // foldBytes / 512 MB, so each task's slice stays
           // executor-sized at any partition skew. The extra shuffle
           // moves only data the fold rewrites anyway.
-          import org.apache.spark.sql.functions.{col => fcol, hash, lit,
-            pmod}
+          import org.apache.spark.sql.functions.{col => fcol}
           val k = foldSlices(spark, historyDir, selected)
           val parts = partitionCols.map(fcol)
           val keys =
             if (k <= 1) parts
-            else parts :+ pmod(hash(rel.columns.map(fcol): _*), lit(k))
+            // MapType-safe salt (ADVICE r15): hash() rejects map
+            // columns, so the key hashes only hash-safe fields
+            else parts :+ Layout.saltKey(rel, k)
           rel.repartition(keys: _*)
             .write.mode("overwrite").partitionBy(partitionCols: _*)
             .parquet(s"$warehouseDir/b$id")

@@ -65,4 +65,27 @@ class LayoutSpec extends SparkSpec {
     // and the data survives the layout intact
     assert(spark.read.parquet(zDir).count() == 65536L)
   }
+
+  test("salted partitioned Z-write survives a MapType column (hash() rejects maps)") {
+    // ADVICE r15: the salt key hashed EVERY column, and Spark's hash()
+    // fails analysis on MapType — any sliced fold/Z-write over a table
+    // with a map column threw. The salt now hashes only hash-safe
+    // columns (distribution, not determinism, is all it needs).
+    import spark.implicits._
+    val df = spark.range(1000)
+      .select((col("id") % 2).as("p"), (col("id") % 100).as("a"),
+        expr("id div 10").as("b"),
+        expr("map('k', cast(id as string))").as("props"))
+    val dir = tmpDir("graft-zmap-")
+    Layout.writeZOrderedPartitioned(df.toDF(), Seq("p"), "a", "b", dir,
+      slices = 3)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000L)
+    assert(back.select("props").head().getMap[String, String](0)
+      .nonEmpty)
+    // (no file-count assert: AQE legitimately coalesces a test-sized
+    // salted shuffle back to one partition — the defect under test was
+    // the ANALYSIS failure, which would have thrown above)
+    assert(back.groupBy("p").count().count() == 2L)
+  }
 }

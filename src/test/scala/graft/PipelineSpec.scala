@@ -1014,6 +1014,7 @@ class PipelineSpec extends SparkSpec {
     // prove the CAS actually ran through the backend.
     val calls = new java.util.concurrent.atomic.AtomicInteger
     val losses = new java.util.concurrent.atomic.AtomicInteger
+    val puts = new java.util.concurrent.atomic.AtomicInteger
     val fake = new ConditionalPut {
       def putIfAbsent(uri: java.net.URI, content: Array[Byte]): Boolean =
         try {
@@ -1026,6 +1027,15 @@ class PipelineSpec extends SparkSpec {
           case _: java.nio.file.FileAlreadyExistsException =>
             calls.incrementAndGet(); losses.incrementAndGet(); false
         }
+      // the unconditional overwrite (ADVICE r15): the hint refresh,
+      // vacuum's cutoff snapshot-ify, intent markers, zone maps and
+      // CHECK declarations all route here instead of the rename path
+      // the backend exists to avoid
+      override def put(uri: java.net.URI, content: Array[Byte]): Unit = {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(uri.getPath), content)
+        puts.incrementAndGet()
+      }
     }
     AtomicManifest.registerConditionalPut("file", fake)
     try {
@@ -1052,6 +1062,18 @@ class PipelineSpec extends SparkSpec {
       assert(WarehouseLoad.readWarehouse(spark, wh, hist).get
         .select("customerid").collect().map(_.getLong(0)).sorted.toSeq ==
         Seq(1L, 2L), "the CAS loser's batch was lost through the backend")
+      // manifest OVERWRITES route through the backend too (ADVICE
+      // r15): addCheck's declaration + vacuum's hint refresh / cutoff
+      // snapshot-ify all went through put(), never the rename path —
+      // and both operations work end-to-end on the backend scheme
+      assert(puts.get >= 1, "overwrites must route through put()")
+      val putsBefore = puts.get
+      WarehouseLoad.addCheck(spark, hist, "pos", "customerid > 0")
+      assert(WarehouseLoad.checks(spark, hist).map(_._1) == Seq("pos"))
+      WarehouseLoad.vacuum(spark, wh, hist, retainVersions = 1)
+      assert(puts.get > putsBefore,
+        "addCheck/vacuum overwrites must route through put()")
+      assert(WarehouseLoad.currentVersion(spark, hist) == 2)
     } finally AtomicManifest.unregisterConditionalPut("file")
   }
 
