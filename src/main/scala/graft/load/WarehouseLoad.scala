@@ -1161,10 +1161,16 @@ object WarehouseLoad {
         failpoint("data-written")
         freshFiles.select("file").write.mode("overwrite")
           .parquet(s"$historyDir/b$id")
+        val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$id")
         writeZoneMap(spark, historyDir, id, zobs, zcols,
           Some(toWrite.schema),
-          Some(listBatchFiles(spark, s"$warehouseDir/b$id")),
-          Some(listBatchFiles(spark, s"$historyDir/b$id")))
+          Some(dataFiles),
+          Some(listBatchFiles(spark, s"$historyDir/b$id")),
+          // per-FILE stats (r16): footer read of the batch's own
+          // just-written files, write-side only — the file-level
+          // pruning tier readers get for free from the manifest
+          FileZones.read(spark, s"$warehouseDir/b$id", dataFiles,
+            toWrite.schema))
         failpoint("history-written")
         // derive against the head AT COMMIT TIME (a concurrent writer
         // may have advanced it); a head already containing this id
@@ -1227,7 +1233,13 @@ object WarehouseLoad {
                               rows: Option[Long],
                               schemaJson: Option[String] = None,
                               files: Option[Seq[(String, Long)]] = None,
-                              histFiles: Option[Seq[(String, Long)]] = None) {
+                              histFiles: Option[Seq[(String, Long)]] = None,
+                              // per-FILE [min,max] intervals (r16 —
+                              // the file-level pruning tier,
+                              // [[FileZones]]): rel path → col → zone;
+                              // an absent (file, col) is "must scan"
+                              fileZones: Map[String, Map[String, Zone]] =
+                                Map.empty) {
     def zones: Map[String, Zone] =
       cols.collect { case (c, ColStats(Some(z), _, _)) => c -> z }
     /** Is `col` (CI match) recorded as all-null? A predicate comparing
@@ -1297,7 +1309,7 @@ object WarehouseLoad {
     * interval is dropped for the batch (conservative must-scan) —
     * storing a truncated max would understate the true range, and
     * padding tricks buy little for manifest bloat. */
-  private val ZoneStrMax = 512
+  private[load] val ZoneStrMax = 512
 
   private def zoneVal(v: Any): Option[Double] = v match {
     case null => None
@@ -1332,14 +1344,27 @@ object WarehouseLoad {
                             rows: Option[Long],
                             schemaJson: Option[String] = None,
                             files: Option[Seq[(String, Long)]] = None,
-                            histFiles: Option[Seq[(String, Long)]] = None)
+                            histFiles: Option[Seq[(String, Long)]] = None,
+                            fileZones: Map[String, Map[String, Zone]] =
+                              Map.empty)
       : String = {
     def fileLines(tag: String, fs: Option[Seq[(String, Long)]]) =
       fs.toSeq.flatMap(l => s"#${tag}c ${l.size}" +:
         l.map { case (rel, len) => s"#$tag ${enc(rel)} $len" })
+    // per-file intervals (r16): `#z <rel> <col> <lo> <hi>` numeric
+    // (one-ulp-widened like the batch lines), `#zS` string — the
+    // file-level pruning tier ([[FileZones]])
+    val fzLines = fileZones.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
+      cols.toSeq.sortBy(_._1).map {
+        case (c, NumZone(lo, hi)) =>
+          s"#z ${enc(rel)} ${enc(c)} ${Math.nextDown(lo)} ${Math.nextUp(hi)}"
+        case (c, StrZone(lo, hi)) =>
+          s"#zS ${enc(rel)} ${enc(c)} ${enc(lo)} ${enc(hi)}"
+      }
+    }
     val lines = rows.map(r => s"#c $r").toSeq ++
       schemaJson.map(s => s"#s ${enc(s)}") ++
-      fileLines("f", files) ++ fileLines("hf", histFiles) ++
+      fileLines("f", files) ++ fileLines("hf", histFiles) ++ fzLines ++
       entries.flatMap { case (c, st) =>
         st.zone.map(encodeZoneLine(c, _)).toSeq ++
           st.dict.map(d =>
@@ -1425,7 +1450,8 @@ object WarehouseLoad {
       id: String, zobs: Option[Observation],
       zcols: Seq[StructField], schema: Option[StructType] = None,
       files: Option[Seq[(String, Long)]] = None,
-      histFiles: Option[Seq[(String, Long)]] = None): Unit =
+      histFiles: Option[Seq[(String, Long)]] = None,
+      fileZones: Map[String, Map[String, Zone]] = Map.empty): Unit =
     zobs.foreach { o =>
       val rows = o.get("zrows__").asInstanceOf[Long]
       val entries = zcols.flatMap { f =>
@@ -1469,7 +1495,7 @@ object WarehouseLoad {
       if (entries.nonEmpty || schema.isDefined)
         AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
           encodeZoneMap(entries, Some(rows), schema.map(_.json),
-            files, histFiles))
+            files, histFiles, fileZones))
     }
 
   /** The streaming sink's epoch commit
@@ -1502,10 +1528,13 @@ object WarehouseLoad {
         StructType(Seq(StructField("file", StringType))))
       .repartition(1)
       .write.mode("overwrite").parquet(s"$historyDir/b$id")
+    val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$id")
     writeZoneMap(spark, historyDir, id, zobs, zcols,
       if (df.isStreaming) None else Some(toWrite.schema),
-      Some(listBatchFiles(spark, s"$warehouseDir/b$id")),
-      Some(listBatchFiles(spark, s"$historyDir/b$id")))
+      Some(dataFiles),
+      Some(listBatchFiles(spark, s"$historyDir/b$id")),
+      FileZones.read(spark, s"$warehouseDir/b$id", dataFiles,
+        toWrite.schema))
     commitBatches(spark, historyDir,
       cur => if (cur.contains(id)) cur else cur :+ id)
     clearIntent(spark, historyDir, id)
@@ -1586,6 +1615,8 @@ object WarehouseLoad {
       val zones = Map.newBuilder[String, Zone]
       val dicts = Map.newBuilder[String, Set[String]]
       val nulls = Map.newBuilder[String, Long]
+      val fz = scala.collection.mutable.LinkedHashMap
+        .empty[String, Map[String, Zone]]
       txt.linesIterator.foreach { line =>
         line.split(" ") match {
           case Array("#c", r) => rows = r.toLongOption
@@ -1596,6 +1627,18 @@ object WarehouseLoad {
             len.toLongOption.foreach(l => files += dec(rel) -> l)
           case Array("#hf", rel, len) =>
             len.toLongOption.foreach(l => hist += dec(rel) -> l)
+          case Array("#z", rel, c, lo, hi) =>
+            (lo.toDoubleOption, hi.toDoubleOption) match {
+              case (Some(l), Some(h)) =>
+                val r = dec(rel)
+                fz(r) = fz.getOrElse(r, Map.empty) +
+                  (dec(c) -> NumZone(l, h))
+              case _ => ()
+            }
+          case Array("#zS", rel, c, lo, hi) =>
+            val r = dec(rel)
+            fz(r) = fz.getOrElse(r, Map.empty) +
+              (dec(c) -> StrZone(dec(lo), dec(hi)))
           case Array("#n", c, n) =>
             n.toLongOption.foreach(v => nulls += dec(c) -> v)
           case Array("#d", c, vs @ _*) =>
@@ -1616,7 +1659,8 @@ object WarehouseLoad {
       }.toMap
       BatchStats(cols, rows, schema,
         if (filesRec) Some(files.result()) else None,
-        if (histRec) Some(hist.result()) else None)
+        if (histRec) Some(hist.result()) else None,
+        fz.toMap)
     }
 
   /** Committed batch ids whose zone interval for `column` overlaps the
@@ -2120,6 +2164,35 @@ object WarehouseLoad {
     math.max(1L, math.min(64L, bytes / (512L << 20) + 1)).toInt
   }
 
+  /** Z-value bit width for a fold over `ids`, derived from the inputs'
+    * RECORDED zone intervals (metadata, no scan — r16): the default
+    * 16 bits cover a 65k×65k grid, and a column whose domain outgrew
+    * it (an sf1 order key is ~6M) would interleave only its LOW bits —
+    * wrapping the Morton curve and destroying the per-file envelopes
+    * the Z-order exists to tighten. When every input records both
+    * columns' intervals, size the width to the larger max (clamped to
+    * [16, 31] so two dims stay in one long); any unknown falls back to
+    * 16 — the pre-r16 behavior, layout-degraded but never wrong. */
+  private def zBitsFor(spark: SparkSession, historyDir: String,
+      ids: Seq[String], a: String, b: String): Int = {
+    val his = ids.flatMap { id =>
+      batchStats(spark, historyDir, id) match {
+        case None => return 16
+        case Some(st) =>
+          Seq(a, b).map { c =>
+            st.colStats(c).flatMap(_.zone) match {
+              case Some(NumZone(_, hi)) => hi
+              case _ => return 16
+            }
+          }
+      }
+    }
+    val mx = his.max
+    if (!java.lang.Double.isFinite(mx) || mx < 65536.0) 16
+    else math.min(31,
+      64 - java.lang.Long.numberOfLeadingZeros(math.ceil(mx).toLong))
+  }
+
   /** A batch's recorded data size in bytes — the sum of its manifest's
     * file-list lengths. `None` for legacy batches without the record
     * (size unknown — callers must treat as "not small"). Metadata
@@ -2168,11 +2241,13 @@ object WarehouseLoad {
     foldRelation.foreach { rel =>
       zorder match {
         case Some((a, b, numFiles)) if partitionCols.isEmpty =>
-          Layout.writeZOrdered(rel, a, b, s"$warehouseDir/b$id", numFiles)
+          Layout.writeZOrdered(rel, a, b, s"$warehouseDir/b$id", numFiles,
+            bits = zBitsFor(spark, historyDir, selected, a, b))
         case Some((a, b, _)) =>
           Layout.writeZOrderedPartitioned(rel, partitionCols, a, b,
-            s"$warehouseDir/b$id", slices = foldSlices(spark, historyDir,
-              selected))
+            s"$warehouseDir/b$id",
+            bits = zBitsFor(spark, historyDir, selected, a, b),
+            slices = foldSlices(spark, historyDir, selected))
         case None if partitionCols.nonEmpty =>
           // BOUND THE FAN-OUT (r15): an un-shuffled dynamic-partition
           // write has every task open a writer per partition value it
@@ -2210,10 +2285,18 @@ object WarehouseLoad {
     // understate one). Metadata-only, no scan. The fold's schema is
     // the UNION relation's own (footer-merged) schema — exact even
     // when the inputs straddle a SchemaDrift evolution.
+    val foldFiles = listBatchFiles(spark, s"$warehouseDir/b$id")
     mergeZoneMaps(spark, historyDir, selected, id,
       foldRelation.map(_.schema),
-      Some(listBatchFiles(spark, s"$warehouseDir/b$id")),
-      Some(listBatchFiles(spark, s"$historyDir/b$id")))
+      Some(foldFiles),
+      Some(listBatchFiles(spark, s"$historyDir/b$id")),
+      // per-FILE stats of the fold's OWN files (r16): this is where
+      // the tier pays — a Z-ordered fold gives every file a tight
+      // envelope on both dims, and recording it keeps range predicates
+      // pruning k-of-n FILES after batch-root pruning went to 1 root
+      foldRelation.map(rel => FileZones.read(spark,
+          s"$warehouseDir/b$id", foldFiles, rel.schema))
+        .getOrElse(Map.empty))
     failpoint("fold-written")
     // CAS derive: batches committed AFTER the fold's snapshot (a load
     // that raced the compaction) are NOT in the folded batch — retain
@@ -2259,7 +2342,8 @@ object WarehouseLoad {
       inputs: Seq[String], id: String,
       foldSchema: Option[StructType] = None,
       foldFiles: Option[Seq[(String, Long)]] = None,
-      foldHist: Option[Seq[(String, Long)]] = None): Unit = {
+      foldHist: Option[Seq[(String, Long)]] = None,
+      foldFileZones: Map[String, Map[String, Zone]] = Map.empty): Unit = {
     // parallel stats fetch (same shape as liveBatchInfo): a 10k-input
     // fold spent ~20 s reading manifests one at a time (CommitScale r14)
     val fetched = {
@@ -2293,14 +2377,15 @@ object WarehouseLoad {
       if (merged.nonEmpty || rows.isDefined || foldSchema.isDefined)
         AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
           encodeZoneMap(merged, rows, foldSchema.map(_.json),
-            foldFiles, foldHist))
+            foldFiles, foldHist, foldFileZones))
     } else foldSchema.foreach(sc =>
       // some input lacks stats entirely: no mergeable intervals, but
       // the fold's schema and file list are still exactly known —
       // record them alone so the manifest-index scan path survives
       // the compaction
       AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
-        encodeZoneMap(Nil, None, Some(sc.json), foldFiles, foldHist)))
+        encodeZoneMap(Nil, None, Some(sc.json), foldFiles, foldHist,
+          foldFileZones)))
   }
 
   /** Delete-by-key on the committed batch warehouse — the
@@ -2447,12 +2532,20 @@ object WarehouseLoad {
         batchStats(spark, historyDir, id).foreach { st =>
           // schema carries too (an anti-join preserves the relation's
           // columns exactly); the FILE lists are re-listed from the
-          // just-rewritten dirs — the rewrite produced new files
+          // just-rewritten dirs — the rewrite produced new files, so
+          // per-file zones are RECOMPUTED from their footers (r16)
+          val newFiles = listBatchFiles(spark, s"$warehouseDir/b$nid")
+          val fz = st.schemaJson.flatMap { j =>
+            try Some(org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[StructType])
+            catch { case scala.util.control.NonFatal(_) => None }
+          }.map(sc => FileZones.read(spark, s"$warehouseDir/b$nid",
+            newFiles, sc)).getOrElse(Map.empty)
           AtomicManifest.write(spark, s"$historyDir/b$nid", ZoneMapFile,
             encodeZoneMap(st.cols.toSeq.sortBy(_._1), st.rows,
               st.schemaJson,
-              Some(listBatchFiles(spark, s"$warehouseDir/b$nid")),
-              Some(listBatchFiles(spark, s"$historyDir/b$nid"))))
+              Some(newFiles),
+              Some(listBatchFiles(spark, s"$historyDir/b$nid")), fz))
         }
         nid
       }
@@ -2480,6 +2573,254 @@ object WarehouseLoad {
     // replacing batch.
     (hitsByBatch.filterNot { case (b, _) => vanished(b) }.values.sum,
       vanished.isEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // MERGE INTO: keyed upsert on the committed warehouse
+  // ------------------------------------------------------------------
+
+  /** Thrown when a MERGE source carries duplicate keys — the standard
+    * MERGE cardinality error (Snowflake/Delta: a target row matched by
+    * more than one source row is non-deterministic). */
+  final class MergeCardinalityException(msg: String)
+    extends RuntimeException(msg)
+
+  /** MERGE INTO the committed batch warehouse (r16, VERDICT r15 #2) —
+    * the keyed UPSERT commit the CDC ingest pattern needs and the
+    * reference's warehouse exposes as `MERGE INTO` (Snowflake;
+    * /root/reference/modules/snowflake.py:145-156 loads COPY-append
+    * only, the MERGE is what its users run next):
+    * `WHEN MATCHED THEN UPDATE SET *` / `WHEN NOT MATCHED THEN
+    * INSERT *` over `keyCols`. Matched TARGET rows are updated IN
+    * PLACE (their batch is rewritten with the source row's non-key
+    * values — cardinality preserved: a target key appearing k times
+    * updates k rows, the SQL MERGE contract); source rows matching
+    * nothing append as ONE new batch. Everything commits as ONE
+    * version: hit-batch remaps plus the insert batch land atomically,
+    * so readers see the pre-merge or post-merge table, never a mix.
+    * An update-only/mixed merge is a REWRITE commit (a [[changes]]
+    * window spanning it throws — updates are not appends); an
+    * insert-only merge commits as a pure APPEND and the feed carries
+    * it.
+    *
+    * Scale shape (takedown's): ONE probe pass over the committed union
+    * (broadcast semi-join on the bounded source keys) finds hit
+    * batches and matched keys; only hit batches are rewritten (each a
+    * broadcast join against the source); untouched batches keep their
+    * dirs byte-identical; the insert anti-join runs on two
+    * source-bounded key sets. Rewritten and inserted batches observe
+    * FRESH zone/file stats through their own write jobs — an update
+    * can EXPAND a column's range, so carrying the old map (sound for
+    * row-removing takedown) would be a pruning correctness bug here.
+    * CHECK constraints fuse into both write jobs.
+    *
+    * IDEMPOTENT RE-APPLY: the merge id is content-derived from the
+    * source rows; a head already carrying it (crash-retry, or the same
+    * CDC batch delivered twice) no-ops with zero version churn. After
+    * a compaction folds the marker away, a re-apply is still
+    * CONTENT-idempotent: matched rows already equal the source, the
+    * insert keys all match — the table converges to the same rows.
+    *
+    * CONCURRENT-REWRITE SAFE like takedown: a probed batch replaced
+    * underneath the merge (compaction/another rewrite) aborts that
+    * batch's remap and the merge RE-RUNS over the new snapshot until a
+    * pass commits with nothing vanished; its own prior-pass output
+    * (tag-marked) is never re-rewritten. Racing appends stay out of
+    * scope (snapshot semantics — re-run to cover new data).
+    *
+    * `source` must be keyed-unique on `keyCols`
+    * ([[MergeCardinalityException]]) and spell the table's columns
+    * (case-insensitively; values coerce through [[SchemaAlign]]).
+    * Returns (rows updated, rows inserted). */
+  def mergeCommitted(spark: SparkSession, warehouseDir: String,
+                     historyDir: String, source: DataFrame,
+                     keyCols: Seq[String],
+                     partitionCols: Seq[String] = Nil): (Long, Long) = {
+    import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val src = source.dropDuplicates().localCheckpoint()
+    require(keyCols.forall(k =>
+        src.columns.exists(_.equalsIgnoreCase(k))),
+      s"source must carry the key columns ${keyCols.mkString(", ")}")
+    if (src.isEmpty) return (0L, 0L)
+    val dup = src.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
+    if (!dup.isEmpty)
+      throw new MergeCardinalityException(
+        "MERGE source has duplicate keys: a target row matched by more " +
+        "than one source row is non-deterministic — deduplicate the " +
+        "source on the key columns first")
+    // content-derived tag: order-independent combine of the full source
+    // rows under two seeds — the idempotence marker every batch this
+    // merge writes carries in its id
+    val hrow = src.agg(
+      bit_xor(xxhash64(src.columns.map(col): _*)).as("h1"),
+      bit_xor(xxhash64(lit(1) +: src.columns.map(col): _*)).as("h2"))
+      .head()
+    val tag = f"mg${hrow.getAs[Long]("h1")}%016x${hrow.getAs[Long]("h2")}%016x"
+    if (committedBatches(spark, historyDir).exists(_.contains(tag)))
+      return (0L, 0L) // this exact merge already applied: no-op
+    var updated = 0L
+    var inserted = 0L
+    var attempt = 0
+    while (attempt < 20) {
+      val (u, i, converged) = mergeOnce(spark, warehouseDir, historyDir,
+        src, keyCols, partitionCols, tag)
+      updated += u; inserted += i
+      if (converged) return (updated, inserted)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      "merge cannot converge after 20 passes: probed batches keep being " +
+      "rewritten underneath it — retire the racing rewriter and re-run " +
+      s"(rows updated so far: $updated, inserted: $inserted)")
+  }
+
+  /** One merge pass; `(updated, inserted, converged)` — see
+    * [[takedownOnce]] for the vanished-input re-run contract. */
+  private def mergeOnce(spark: SparkSession, warehouseDir: String,
+      historyDir: String, src: DataFrame, keyCols: Seq[String],
+      partitionCols: Seq[String], tag: String): (Long, Long, Boolean) = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit,
+      regexp_extract, sum, when}
+    val committed = committedBatches(spark, historyDir)
+    val BatchCol = "_graft_batch"
+    // the committed union, batch-tagged (takedown's probe shape: one
+    // log-built relation per layout generation, else per-batch legacy)
+    val probeOpt: Option[DataFrame] =
+      manifestGroupRelations(spark, warehouseDir, historyDir,
+          committed) match {
+        case Some(None) => None
+        case Some(Some(rels)) =>
+          val p = new org.apache.hadoop.fs.Path(warehouseDir)
+          val qWh = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .makeQualified(p).toString
+          Some(rels.map(_.withColumn(BatchCol,
+              regexp_extract(col("_metadata.file_path"),
+                java.util.regex.Pattern.quote(qWh) + "/b([^/]+)/", 1)))
+            .reduce(_.unionByName(_, allowMissingColumns = true)))
+        case None =>
+          val live = liveBatchIds(spark, warehouseDir, committed)
+          if (live.isEmpty) None
+          else Some(live.map(id =>
+              spark.read.parquet(s"$warehouseDir/b$id")
+                .withColumn(BatchCol, lit(id)))
+            .reduce(_.unionByName(_, allowMissingColumns = true)))
+      }
+    val tableSchema = probeOpt.map(p => StructType(
+      p.schema.fields.filterNot(_.name == BatchCol)))
+    // coerce the source to the table's own schema once (CI resolution
+    // + cast — the COPY alignment semantics); an empty table takes the
+    // source's schema as the table's
+    val s2 = tableSchema.map(SchemaAlign(src, _)).getOrElse(src)
+      .localCheckpoint()
+    val srcKeys = s2.select(keyCols.map(col): _*)
+    // ONE table pass: per-(batch, key) hit counts, source-bounded
+    val hitKeys = probeOpt.map(_
+        .join(broadcast(srcKeys), keyCols, "left_semi")
+        .groupBy((BatchCol +: keyCols).map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint())
+    // this merge's own prior-pass batches (tag in the id) already hold
+    // the source values for their matched keys — never re-rewritten
+    val hitsByBatch: Map[String, Long] = hitKeys
+      .map(_.groupBy(BatchCol).agg(sum("n").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .filter { case (id, _) => !id.contains(tag) })
+      .getOrElse(Map.empty)
+    val matchedKeys = hitKeys.map(_.select(keyCols.map(col): _*).distinct())
+    val inserts = matchedKeys
+      .map(mk => s2.join(broadcast(mk), keyCols, "left_anti"))
+      .getOrElse(s2).localCheckpoint()
+    val nInserts = inserts.count()
+    if (hitsByBatch.isEmpty && nInserts == 0) return (0L, 0L, true)
+
+    // rewrite each hit batch: matched rows take the source's non-key
+    // values (cast to the batch's own types), unmatched pass through
+    val Marker = "_graft_matched"
+    val newIds = committed.map { id =>
+      if (!hitsByBatch.contains(id)) id
+      else {
+        val nid = id + "-" + tag
+        publishIntent(spark, historyDir, nid)
+        val batchDf = spark.read.parquet(s"$warehouseDir/b$id")
+        val valCols = batchDf.columns.filterNot(c =>
+          keyCols.exists(_.equalsIgnoreCase(c)))
+        val srcR = s2.select(keyCols.map(col) ++ valCols.map(c =>
+            col(c).as(s"__src_$c")): _*)
+          .withColumn(Marker, lit(true))
+        val updatedDf = batchDf.join(broadcast(srcR), keyCols, "left_outer")
+          .select(batchDf.schema.fields.map { f =>
+            if (keyCols.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+            else when(col(Marker), col(s"__src_${f.name}")
+                .cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          }.toSeq: _*)
+        // FRESH stats (zone map, dictionaries, per-file intervals):
+        // updates can expand a column's range — the carried-forward
+        // map takedown uses would understate it, a pruning
+        // correctness bug
+        val (toWrite, zobs, zcols) =
+          observeZones(applyChecks(spark, historyDir, updatedDf))
+        rethrowCheck {
+          toWrite.write.mode("overwrite").partitionBy(partitionCols: _*)
+            .parquet(s"$warehouseDir/b$nid")
+        }
+        // source files stay loaded: carry the per-file history forward
+        spark.read.parquet(s"$historyDir/b$id")
+          .write.mode("overwrite").parquet(s"$historyDir/b$nid")
+        val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$nid")
+        writeZoneMap(spark, historyDir, nid, zobs, zcols,
+          Some(toWrite.schema), Some(dataFiles),
+          Some(listBatchFiles(spark, s"$historyDir/b$nid")),
+          FileZones.read(spark, s"$warehouseDir/b$nid", dataFiles,
+            toWrite.schema))
+        nid
+      }
+    }
+    // the insert batch (streamed-epoch shape: no source files)
+    val insId = s"merge-$tag"
+    if (nInserts > 0) {
+      publishIntent(spark, historyDir, insId)
+      val (toW, zo, zc) = observeZones(applyChecks(spark, historyDir,
+        inserts))
+      rethrowCheck {
+        toW.write.mode("overwrite").partitionBy(partitionCols: _*)
+          .parquet(s"$warehouseDir/b$insId")
+      }
+      spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("file", StringType))))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$historyDir/b$insId")
+      val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$insId")
+      writeZoneMap(spark, historyDir, insId, zo, zc, Some(toW.schema),
+        Some(dataFiles),
+        Some(listBatchFiles(spark, s"$historyDir/b$insId")),
+        FileZones.read(spark, s"$warehouseDir/b$insId", dataFiles,
+          toW.schema))
+    }
+    // ONE atomic commit: still-valid remaps + the insert batch. A
+    // probed batch absent from the commit-time head vanished under a
+    // concurrent rewrite — its replacing batch may still hold the OLD
+    // rows, so the caller re-runs (its keys re-match and re-update).
+    // (a RACING IDENTICAL merge needs no special arbitration: its
+    // deterministic ids equal ours, so whichever commit wins, the
+    // loser's next pass probes its twin's batches as tag-marked — no
+    // hits, no inserts — and exits converged with nothing re-applied)
+    val remap = committed.zip(newIds).filter { case (a, b) => a != b }.toMap
+    var vanished = Set.empty[String]
+    var insLanded = false
+    commitBatches(spark, historyDir, { cur =>
+      vanished = remap.keySet -- cur.toSet
+      val remapped = cur.map(i => remap.getOrElse(i, i))
+      insLanded = nInserts > 0 && !cur.contains(insId)
+      if (insLanded) remapped :+ insId else remapped
+    })
+    remap.values.foreach(clearIntent(spark, historyDir, _))
+    if (nInserts > 0) clearIntent(spark, historyDir, insId)
+    (hitsByBatch.filterNot { case (b, _) => vanished(b) }.values.sum,
+      if (insLanded) nInserts else 0L, vanished.isEmpty)
   }
 
   /** How many fresh files the idempotent leg samples to pin the staged

@@ -89,8 +89,18 @@ final class ManifestFileIndex(
     * still metadata-only. Partition groups re-filter by file root
     * membership (a group can span roots: same partition value written
     * by several batches). */
-  def retain(keep: Set[Path]): ManifestFileIndex = {
-    val kept = rootsWithFiles.filter(rf => keep(rf._1))
+  def retain(keep: Set[Path]): ManifestFileIndex =
+    retainWhere(keep, _ => true)
+
+  /** [[retain]] plus a per-FILE predicate (r16 — the file-level
+    * pruning tier): within kept roots, only files `keepFile` admits
+    * survive; a root whose files all prune drops entirely (same
+    * whole-root semantics as batch-level pruning). Still zero I/O. */
+  def retainWhere(keep: Set[Path],
+                  keepFile: Path => Boolean): ManifestFileIndex = {
+    val kept = rootsWithFiles.collect {
+      case (r, fs) if keep(r) => r -> fs.filter(st => keepFile(st.getPath))
+    }.filter(_._2.nonEmpty)
     val keptFiles = kept.flatMap(_._2).toSet
     new ManifestFileIndex(kept, partSchema,
       partGroups

@@ -125,15 +125,26 @@ object ZonePrune extends Rule[LogicalPlan] {
             verdicts.put(r, keep)
           }
           val keep = roots.filter(r => verdicts.get(r).booleanValue())
-          if (keep.size == roots.size) f
-          else if (keep.isEmpty) LocalRelation(f.output)
+          if (keep.isEmpty) LocalRelation(f.output)
           else fs.location match {
             // a commit-log-backed index prunes by restriction — still
             // zero I/O, and it works for BOTH layouts (the partitioned
-            // form re-filters its value groups by surviving files)
+            // form re-filters its value groups by surviving files).
+            // Within surviving roots, the FILE-LEVEL tier (r16) then
+            // drops files whose recorded per-file interval proves the
+            // predicate empty — the add-file-stats rung that keeps a
+            // compacted multi-file root skippable after batch-root
+            // pruning went blind.
             case m: ManifestFileIndex =>
-              Filter(cond, lr.copy(relation =
-                fs.copy(location = m.retain(keep.toSet))(spark)))
+              val doomed = prunedFiles(spark, h, m, keep, cond)
+              if (keep.size == roots.size && doomed.isEmpty) f
+              else {
+                val m2 = m.retainWhere(keep.toSet, p => !doomed(p))
+                if (m2.rootsWithFiles.isEmpty) LocalRelation(f.output)
+                else Filter(cond,
+                  lr.copy(relation = fs.copy(location = m2)(spark)))
+              }
+            case _ if keep.size == roots.size => f
             case _ if fs.partitionSchema.isEmpty =>
               // a listing-based index re-lists the survivors
               Filter(cond, lr.copy(relation = fs.copy(location =
@@ -149,6 +160,43 @@ object ZonePrune extends Rule[LogicalPlan] {
           }
         }
     }
+  }
+
+  /** FILES inside `keep` roots whose recorded per-file interval
+    * ([[WarehouseLoad.BatchStats.fileZones]] — footer stats captured
+    * once, write-side) proves `cond` empty. The per-file stats carry
+    * only intervals (no dictionaries/null counts), so the proof runs
+    * through the same prover with a zone-only synthetic stats row —
+    * every conservative branch (absent file entry, absent column,
+    * unknown leaf) keeps the file. Decision cost: the batch manifests
+    * were just read for the root verdicts, so this is pure in-memory
+    * evaluation per (file, leaf). */
+  private def prunedFiles(spark: SparkSession, hist: String,
+      m: ManifestFileIndex, keep: Seq[org.apache.hadoop.fs.Path],
+      cond: Expression): Set[org.apache.hadoop.fs.Path] = {
+    import scala.jdk.CollectionConverters._
+    val doomed = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[org.apache.hadoop.fs.Path]()
+    keep.asJava.parallelStream().forEach { r =>
+      WarehouseLoad.batchStats(spark, hist, r.getName.stripPrefix("b"))
+        .filter(_.fileZones.nonEmpty).foreach { st =>
+          val rootStr = r.toString
+          m.rootsWithFiles.find(_._1 == r).foreach { case (_, files) =>
+            files.foreach { fst =>
+              val rel = fst.getPath.toString
+                .stripPrefix(rootStr).stripPrefix("/")
+              st.fileZones.get(rel).foreach { colZones =>
+                val synth = BatchStats(
+                  colZones.map { case (c, z) =>
+                    c -> WarehouseLoad.ColStats(Some(z), None, None)
+                  }, rows = None)
+                if (provenEmpty(synth, cond)) doomed.add(fst.getPath)
+              }
+            }
+          }
+        }
+    }
+    doomed.asScala.toSet
   }
 
   // ------------------------------------------------------------------

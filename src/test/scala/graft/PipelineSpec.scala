@@ -1077,6 +1077,67 @@ class PipelineSpec extends SparkSpec {
     } finally AtomicManifest.unregisterConditionalPut("file")
   }
 
+  test("committed-warehouse MERGE: upsert edges — cardinality, empty table, checks, multi-match") {
+    import graft.load.WarehouseLoad
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val staging = tmpDir("graft-mgstage-")
+    val wh = tmpDir("graft-mgwh-") + "/t"
+    val hist = tmpDir("graft-mghist-") + "/h"
+    def cust(rows: (Long, String)*) =
+      rows.toSeq.toDF("customerid", "firstname")
+
+    // merge into an EMPTY table = pure insert, committed as an APPEND
+    // (the change feed carries it — no rewrite in the window)
+    val (u0, i0) = WarehouseLoad.mergeCommitted(spark, wh, hist,
+      cust(1L -> "a", 2L -> "b"), Seq("customerid"))
+    assert((u0, i0) == ((0L, 2L)))
+    assert(WarehouseLoad.currentVersion(spark, hist) == 1)
+    assert(WarehouseLoad.changes(spark, wh, hist, 0, 1).get.count() == 2,
+      "an insert-only merge must be a feed-visible append")
+
+    // duplicate-key source refuses (MERGE cardinality error)
+    intercept[WarehouseLoad.MergeCardinalityException] {
+      WarehouseLoad.mergeCommitted(spark, wh, hist,
+        cust(1L -> "x", 1L -> "y"), Seq("customerid"))
+    }
+    assert(WarehouseLoad.currentVersion(spark, hist) == 1,
+      "a refused merge must commit nothing")
+
+    // multi-match: load a batch with a DUPLICATED key through the file
+    // path; the merge updates BOTH copies (SQL MERGE cardinality —
+    // target dups each update, count reflects rows not keys)
+    Files.writeString(Paths.get(staging, "dup.json"),
+      """{"customerid": "3", "firstname": "c1"}""" + "\n" +
+      """{"customerid": "3", "firstname": "c2"}""" + "\n")
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("customerid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("firstname",
+        org.apache.spark.sql.types.StringType)))
+    WarehouseLoad.batchIdempotent(spark, staging, target, wh, hist)
+    val (u1, i1) = WarehouseLoad.mergeCommitted(spark, wh, hist,
+      cust(3L -> "C", 4L -> "d"), Seq("customerid"))
+    assert((u1, i1) == ((2L, 1L)), s"got ($u1, $i1)")
+    val rel = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    assert(rel.count() == 5)
+    assert(rel.filter(col("customerid") === 3L && col("firstname") === "C")
+      .count() == 2, "both copies of the duplicated key must update")
+
+    // CHECK constraints fuse into merge writes too: an update that
+    // violates refuses the WHOLE merge, nothing commits
+    WarehouseLoad.addCheck(spark, hist, "named", "firstname IS NOT NULL")
+    val head = WarehouseLoad.currentVersion(spark, hist)
+    intercept[WarehouseLoad.CheckViolation] {
+      WarehouseLoad.mergeCommitted(spark, wh, hist,
+        Seq((2L, null.asInstanceOf[String])).toDF("customerid", "firstname"),
+        Seq("customerid"))
+    }
+    assert(WarehouseLoad.currentVersion(spark, hist) == head)
+    assert(WarehouseLoad.readWarehouse(spark, wh, hist).get
+      .filter(col("firstname").isNull).count() == 0)
+  }
+
   test("committed-warehouse takedown rewrites only hit batches; vacuum completes the deletion") {
     import graft.load.WarehouseLoad
     val staging = tmpDir("graft-tdstage-")

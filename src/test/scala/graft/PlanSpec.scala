@@ -762,6 +762,60 @@ class PlanSpec extends SparkSpec {
     assert(WarehouseLoad.prunedBatchIds(spark, hist, "id", 90, 200).size == 1)
   }
 
+  test("zone-prune r16: per-file stats drop FILES inside surviving batch roots") {
+    // The file-level tier (VERDICT r15 #1, Delta add-file stats): a
+    // multi-file batch whose files have disjoint recorded ranges plans
+    // only the overlapping FILES — before a scan task or footer read
+    // of the pruned files exists. Batch-root pruning composes on top.
+    import graft.load.WarehouseLoad
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val wh = tmpDir("graft-fzwh-") + "/t"
+    val hist = tmpDir("graft-fzhist-") + "/h"
+    // 4 files with disjoint k ranges: [0,99] [100,199] [200,299] [300,399]
+    val df = spark.range(400)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    WarehouseLoad.commitStreamedBatch(spark, df.toDF(), wh, hist, "fz0")
+    // second batch far away: [1000, 1099], one file
+    WarehouseLoad.commitStreamedBatch(spark,
+      spark.range(1000, 1100).select(col("id").as("k"),
+        (col("id") % 7).as("v")).coalesce(1).toDF(), wh, hist, "fz1")
+    def read() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    def scan(dfq: org.apache.spark.sql.DataFrame): (Int, Int) =
+      dfq.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            (fs.location.rootPaths.size, fs.location.inputFiles.length)
+          case _ => (0, 0)
+        }
+      }.foldLeft((0, 0))((a, b) => (a._1 + b._1, a._2 + b._2))
+
+    assert(scan(read()) == ((2, 5)), "baseline: 2 roots, 4+1 files")
+    // point-ish range inside file 2 of batch 1: 1 root, 1 file
+    val one = read().filter(col("k") >= 150 && col("k") <= 160)
+    assert(scan(one) == ((1, 1)),
+      s"expected 1 root / 1 file:\n${one.queryExecution.optimizedPlan}")
+    assert(one.count() == 11L, "file pruning changed the answer")
+    // half-open range: files 1-3 of batch 1 survive, batch 2 pruned
+    val lo = read().filter(col("k") < 250)
+    assert(scan(lo) == ((1, 3)),
+      s"expected 1 root / 3 files:\n${lo.queryExecution.optimizedPlan}")
+    assert(lo.count() == 250L)
+    // spans both batches: batch 1 keeps 1 file, batch 2 keeps its file
+    val both = read().filter(col("k") >= 350)
+    assert(scan(both) == ((2, 2)),
+      s"expected 2 roots / 2 files:\n${both.queryExecution.optimizedPlan}")
+    assert(both.count() == 150L)
+    // conservative: a non-literal predicate prunes nothing
+    assert(scan(read().filter(col("k") >= col("v"))) == ((2, 5)))
+    // and the recorded manifest actually carries per-file intervals
+    val ids = WarehouseLoad.committedBatches(spark, hist)
+    val st0 = WarehouseLoad.batchStats(spark, hist, ids.head).get
+    assert(st0.fileZones.size == 4, st0.fileZones.keys.toString)
+    assert(st0.fileZones.values.forall(_.contains("k")))
+  }
+
   test("zone-prune r14: dictionary, OR, IS [NOT] NULL, prefix, and IN prune past what intervals can") {
     import java.nio.file.{Files, Paths}
     import graft.load.WarehouseLoad
