@@ -792,8 +792,43 @@ object WarehouseLoad {
     * (the reader fills nulls for it). `None` = schemas are not
     * reconcilable this way; callers fall back to footer merging,
     * so the fast path is never a correctness dependency. */
-  private def mergeRecordedSchemas(
-      jsons: Seq[String]): Option[StructType] = {
+  /** The wider of two Parquet-safe-promotable types (r16, VERDICT r15
+    * #3): the integral chain (byte→short→int→long), float→double, and
+    * decimal precision/scale growth — promotions whose Cast is exact,
+    * so conforming an old generation to the widened schema can never
+    * change a value. Everything else (int↔double, string↔anything) is
+    * NOT additive drift. */
+  private def widenType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.DecimalType
+    if (a == b) return Some(a)
+    val ints = Seq[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val fps = Seq[org.apache.spark.sql.types.DataType](
+      FloatType, DoubleType)
+    (ints.indexOf(a), ints.indexOf(b)) match {
+      case (i, j) if i >= 0 && j >= 0 => return Some(ints(math.max(i, j)))
+      case _ => ()
+    }
+    (fps.indexOf(a), fps.indexOf(b)) match {
+      case (i, j) if i >= 0 && j >= 0 => return Some(fps(math.max(i, j)))
+      case _ => ()
+    }
+    (a, b) match {
+      case (x: DecimalType, y: DecimalType) =>
+        val scale = math.max(x.scale, y.scale)
+        val intDigits = math.max(x.precision - x.scale,
+          y.precision - y.scale)
+        if (intDigits + scale <= DecimalType.MAX_PRECISION)
+          Some(DecimalType(intDigits + scale, scale))
+        else None
+      case _ => None
+    }
+  }
+
+  private def mergeRecordedSchemas(jsons: Seq[String],
+      widening: Boolean = false): Option[StructType] = {
     val parsed = jsons.map { j =>
       try org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType]
@@ -806,9 +841,12 @@ object WarehouseLoad {
       order.get(f.name) match {
         case None => order(f.name) = f
         case Some(prev) =>
-          if (prev.dataType != f.dataType) return None
-          if (f.nullable && !prev.nullable)
-            order(f.name) = prev.copy(nullable = true)
+          val merged =
+            if (prev.dataType == f.dataType) prev.dataType
+            else if (!widening) return None
+            else widenType(prev.dataType, f.dataType).getOrElse(return None)
+          order(f.name) = prev.copy(dataType = merged,
+            nullable = prev.nullable || f.nullable)
       }
     }
     // a field missing from ANY batch reads as null there → nullable
@@ -910,8 +948,65 @@ object WarehouseLoad {
   private def layoutRelation(spark: SparkSession, warehouseDir: String,
       partNames: Seq[String],
       batches: Seq[(String, BatchStats)]): Option[DataFrame] = {
-    val schema = mergeRecordedSchemas(
-      batches.map(_._2.schemaJson.get).distinct).getOrElse(return None)
+    val distinctJsons = batches.map(_._2.schemaJson.get).distinct
+    mergeRecordedSchemas(distinctJsons) match {
+      case Some(exact) =>
+        // types agree exactly (possibly additive drift): ONE log-built
+        // relation with the union schema — parquet fills absent
+        // nullable columns with null (the r15 drift-window path)
+        layoutScan(spark, warehouseDir, partNames, batches, exact)
+      case None =>
+        // TYPE-WIDENING window (r16, VERDICT r15 #3): an int→long or
+        // float→double retype wave used to drop the whole table to
+        // the discovery union (the measured 80 s plan-cliff class at
+        // 1,001 commits) until a compaction unified it. Parquet-safe
+        // promotions instead plan one log-built relation PER recorded
+        // schema generation — each read AT ITS OWN recorded type —
+        // cast exactly to the widened union schema and unioned:
+        // bounded by distinct-schema count (1–2 in practice), never
+        // batch count, still zero listing/footer I/O. (The cast
+        // projection sits between scan and filter, so batch-level
+        // zone pruning does not fire across a widening window —
+        // conservative, and compaction restores it.)
+        val widened = mergeRecordedSchemas(distinctJsons,
+          widening = true).getOrElse(return None)
+        import org.apache.spark.sql.functions.{col, lit}
+        val groups = {
+          val m = scala.collection.mutable.LinkedHashMap
+            .empty[String, Vector[(String, BatchStats)]]
+          for (b <- batches) {
+            val j = b._2.schemaJson.get
+            m(j) = m.getOrElse(j, Vector.empty) :+ b
+          }
+          m.toSeq
+        }
+        val rels = groups.map { case (json, g) =>
+          val own =
+            try org.apache.spark.sql.types.DataType.fromJson(json)
+              .asInstanceOf[StructType]
+            catch { case scala.util.control.NonFatal(_) => return None }
+          layoutScan(spark, warehouseDir, partNames, g, own)
+            .getOrElse(return None)
+        }
+        val conformed = rels.map { rel =>
+          val have = rel.columns.map(c => c.toLowerCase -> c).toMap
+          rel.select(widened.fields.toSeq.map { f =>
+            have.get(f.name.toLowerCase) match {
+              case Some(c) => col(c).cast(f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
+          }: _*)
+        }
+        Some(conformed.reduce(_.unionByName(_)))
+    }
+  }
+
+  /** One log-built scan over `batches` (shared layout, shared exact
+    * read schema) — the ManifestFileIndex construction shared by the
+    * exact and widened paths of [[layoutRelation]]. */
+  private def layoutScan(spark: SparkSession, warehouseDir: String,
+      partNames: Seq[String], batches: Seq[(String, BatchStats)],
+      schema: StructType): Option[DataFrame] = {
     val base = new org.apache.hadoop.fs.Path(warehouseDir)
     val qBase = base
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2455,6 +2550,32 @@ object WarehouseLoad {
     * means at least one probed batch vanished from the head before the
     * commit (replaced by a concurrent rewrite) and the caller must
     * re-run over the new snapshot to cover its rows. */
+  /** Carry one immutable file into a rewritten batch dir WITHOUT
+    * decoding it (r16, VERDICT r15 #4 — file-granular takedown): a
+    * hard link where the store supports one (local fs — zero bytes
+    * moved, the carried file IS the old inode, so byte-identity is
+    * structural), a raw FS copy otherwise (object stores: wire this to
+    * the server-side copy; still no scan/decode/shuffle — the win over
+    * rewriting is the whole read-decode-encode pipeline, not just
+    * I/O). The new dir was just (re)created by a mode=overwrite write,
+    * so a retry never collides with a prior attempt's carry. */
+  private def carryFile(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    fs.mkdirs(dst.getParent)
+    if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+      try {
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(dst.toUri.getPath))
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        return
+      } catch { case _: java.io.IOException => () } // cross-device etc.
+    }
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf)
+  }
+
   private def takedownOnce(spark: SparkSession, warehouseDir: String,
                            historyDir: String, keys: DataFrame,
                            keyCols: Seq[String],
@@ -2467,6 +2588,7 @@ object WarehouseLoad {
       keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
         .localCheckpoint(true))
     val BatchCol = "_graft_batch"
+    val FpCol = "_graft_fp"
     // ONE probe relation, not one per batch: when the commit log
     // records file lists ([[manifestRelation]]) the probe plans from
     // the log with the batch id derived from `_metadata.file_path` —
@@ -2485,26 +2607,37 @@ object WarehouseLoad {
           .makeQualified(p).toString
         // tag per layout-group relation BEFORE the cross-group union:
         // _metadata never resolves through a Union (r15 review #1)
-        rels.map(_.withColumn(BatchCol,
+        rels.map(r => r.withColumn(BatchCol,
             regexp_extract(col("_metadata.file_path"),
-              java.util.regex.Pattern.quote(qWh) + "/b([^/]+)/", 1)))
+              java.util.regex.Pattern.quote(qWh) + "/b([^/]+)/", 1))
+            .withColumn(FpCol, normCol(col("_metadata.file_path"))))
           .reduce(_.unionByName(_, allowMissingColumns = true))
       case None =>
         val live = liveBatchIds(spark, warehouseDir, committed)
         if (live.isEmpty) return (0L, true)
         live.map(id =>
             spark.read.parquet(s"$warehouseDir/b$id")
-              .withColumn(BatchCol, lit(id)))
+              .withColumn(BatchCol, lit(id))
+              .withColumn(FpCol, normCol(col("_metadata.file_path"))))
           // allowMissingColumns: batches straddling a
           // SchemaDrift.evolve differ by the added nullable columns;
           // key columns are declared DDL so the semi-join below is
           // unaffected.
           .reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    val hitsByBatch = probe
+    // per-(batch, FILE) hit counts (r16): the same one probe pass now
+    // tells which FILES inside a hit batch contain hits — rows
+    // bounded by the hit file count, never table size
+    val hitRows = probe
       .join(k, keyCols, "left_semi")
-      .groupBy(BatchCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .groupBy(BatchCol, FpCol).agg(count(lit(1)).as("n"))
+      .collect()
+    val hitsByBatch: Map[String, Long] = hitRows
+      .groupBy(_.getString(0))
+      .map { case (b, rs) => b -> rs.map(_.getLong(2)).sum }
+    val hitFiles: Map[String, Set[String]] = hitRows
+      .groupBy(_.getString(0))
+      .map { case (b, rs) => b -> rs.map(_.getString(1)).toSet }
     if (hitsByBatch.isEmpty) return (0L, true)
     // Deterministic rewrite suffix from the key set: a crash mid-rewrite
     // leaves orphans the RETRY overwrites under the same ids (and
@@ -2517,10 +2650,47 @@ object WarehouseLoad {
       else {
         val nid = id + suffix
         publishIntent(spark, historyDir, nid)
-        spark.read.parquet(s"$warehouseDir/b$id")
-          .join(k, keyCols, "left_anti")
-          .write.mode("overwrite").partitionBy(partitionCols: _*)
-          .parquet(s"$warehouseDir/b$nid")
+        // FILE-GRANULAR rewrite (r16, VERDICT r15 #4): only files the
+        // probe saw hits in are decoded and rewritten; every other
+        // file of the batch carries over byte-identically (hard link
+        // on local fs, raw copy elsewhere — no decode, no shuffle).
+        // After compaction folds a table into few large multi-file
+        // roots, one takedown key stops rewriting the whole root —
+        // the difference between a minutes-SLA and an hours-SLA
+        // takedown at 100 TB. Falls back to the whole-batch rewrite
+        // when the manifest records no file list (legacy) or any hit
+        // path fails to match a recorded file (spelling divergence
+        // must never let a hit row slip through in a carried file).
+        val conf = spark.sparkContext.hadoopConfiguration
+        val rootP = new org.apache.hadoop.fs.Path(s"$warehouseDir/b$id")
+        val bfs = rootP.getFileSystem(conf)
+        val qRoot = bfs.makeQualified(rootP)
+        val hits = hitFiles.getOrElse(id, Set.empty)
+        val split = batchStats(spark, historyDir, id).flatMap(_.files)
+          .map(_.partition { case (rel, _) =>
+            hits(norm(new org.apache.hadoop.fs.Path(qRoot, rel)
+              .toUri.toString))
+          })
+        split match {
+          case Some((hit, carry))
+              if hit.size == hits.size && carry.nonEmpty =>
+            spark.read.option("basePath", qRoot.toString)
+              .parquet(hit.map { case (rel, _) =>
+                new org.apache.hadoop.fs.Path(qRoot, rel).toString }: _*)
+              .join(k, keyCols, "left_anti")
+              .write.mode("overwrite").partitionBy(partitionCols: _*)
+              .parquet(s"$warehouseDir/b$nid")
+            carry.foreach { case (rel, _) =>
+              carryFile(bfs, new org.apache.hadoop.fs.Path(qRoot, rel),
+                new org.apache.hadoop.fs.Path(s"$warehouseDir/b$nid", rel),
+                conf)
+            }
+          case _ =>
+            spark.read.parquet(s"$warehouseDir/b$id")
+              .join(k, keyCols, "left_anti")
+              .write.mode("overwrite").partitionBy(partitionCols: _*)
+              .parquet(s"$warehouseDir/b$nid")
+        }
         // carry the file history forward: the source files stay loaded
         spark.read.parquet(s"$historyDir/b$id")
           .write.mode("overwrite").parquet(s"$historyDir/b$nid")

@@ -1146,6 +1146,72 @@ object Load {
              AS BIGINT) AS n_updated_scanned
     FROM orders"""
 
+  // ---------------------------------------------------------------- q97
+  // Type-widening retype window (r16, VERDICT r15 #3): an upstream
+  // producer retypes its keys (int → long — the commonest drift after
+  // column addition), and the table's life now spans two recorded
+  // schema GENERATIONS. Pre-r16 the log-built scan demanded exact
+  // type agreement and such a window dropped to the discovery union —
+  // where Spark's footer merge REFUSES int vs bigint outright, so the
+  // table wasn't just slower, it was unreadable until compaction
+  // unified it. Parquet-safe promotions now plan one log-built
+  // relation per schema generation, each read at its recorded type
+  // and cast exactly to the widened union schema. The oracle pins the
+  // full-table content through the window plus the plan contracts:
+  // the read schema is the widened one and BOTH generations plan from
+  // the log (ManifestFileIndex relations, zero listing).
+  //
+  // Scale shape: bounded by distinct-schema count (2), never batch
+  // count; the conforming casts are row-local and exact.
+  val q97: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val root = Fixtures.scratchRoot(s, "widening", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val tInt = StructType(Seq(
+      StructField("o_orderkey", IntegerType),
+      StructField("o_custkey", IntegerType)))
+    val tLong = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType)))
+    Fixtures.stageJsonWave(s, root, staging, "gen1.json",
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey")))
+    WarehouseLoad.batchIdempotent(s, staging, tInt, wh, hist)
+    Fixtures.stageJsonWave(s, root, staging, "gen2.json",
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey")))
+    WarehouseLoad.batchIdempotent(s, staging, tLong, wh, hist)
+
+    val rel = WarehouseLoad.readWarehouse(s, wh, hist).get
+    val widened = rel.schema("o_orderkey").dataType == LongType &&
+      rel.schema("o_custkey").dataType == LongType
+    val locs = rel.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location
+        case _ => null
+      }
+    }
+    val logBuilt = locs.size == 2 &&
+      locs.forall(_.isInstanceOf[graft.plans.ManifestFileIndex])
+    val agg = rel.agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk"),
+      sum("o_custkey").as("sc")).head()
+    import s.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), widened,
+        logBuilt))
+      .toDF("n_rows", "sum_key", "sum_cust", "widened", "log_built")
+  }
+
+  val q97Sql: String = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           TRUE AS widened,
+           TRUE AS log_built
+    FROM orders"""
+
   // ---------------------------------------------------------------- q89
   // INTEGRAL dictionary zone pruning — q86's probe class on numbers:
   // `shard = 3` / `bucket IN (…)` equality probes on low-cardinality
@@ -1425,7 +1491,8 @@ object Load {
     "q93_compact_tiered_part" -> q93,
     "q94_restore_version" -> q94,
     "q95_file_prune" -> q95,
-    "q96_merge_into" -> q96)
+    "q96_merge_into" -> q96,
+    "q97_type_widening" -> q97)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
@@ -1445,5 +1512,6 @@ object Load {
     "q93_compact_tiered_part" -> q93Sql,
     "q94_restore_version" -> q94Sql,
     "q95_file_prune" -> q95Sql,
-    "q96_merge_into" -> q96Sql)
+    "q96_merge_into" -> q96Sql,
+    "q97_type_widening" -> q97Sql)
 }

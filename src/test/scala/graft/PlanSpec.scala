@@ -1039,6 +1039,61 @@ class PlanSpec extends SparkSpec {
       "old batches must read the evolved column as null")
   }
 
+  test("type-widening retype window plans from the log: one relation per schema generation, cast to the widened union") {
+    // VERDICT r15 #3: an int→long (or float→double) retype wave used
+    // to drop the table to the discovery union — the same plan-cliff
+    // class the r15 layout-generation work killed — because the
+    // manifest tier demanded exact type agreement. Parquet-safe
+    // promotions now plan one log-built relation per recorded schema
+    // generation, each read AT ITS OWN type and cast exactly to the
+    // widened schema.
+    import graft.load.WarehouseLoad
+    import graft.plans.ManifestFileIndex
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val wh = tmpDir("graft-widwh-") + "/t"
+    val hist = tmpDir("graft-widhist-") + "/h"
+    // generation 1: id INT, score FLOAT; generation 2: id LONG, DOUBLE
+    WarehouseLoad.commitStreamedBatch(spark,
+      spark.range(3).select(col("id").cast("int").as("id"),
+        (col("id") * 2).cast("float").as("score")).toDF(),
+      wh, hist, "gen1")
+    WarehouseLoad.commitStreamedBatch(spark,
+      spark.range(10, 13).select(col("id").as("id"),
+        (col("id") * 2).cast("double").as("score")).toDF(),
+      wh, hist, "gen2")
+    val df = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    // widened read schema, both generations log-built (no discovery)
+    assert(df.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val locs = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location
+      }
+    }
+    assert(locs.size == 2 && locs.forall(_.isInstanceOf[ManifestFileIndex]),
+      s"a retype window must keep the log plan, got ${locs.size}: $locs")
+    // values exact through the widening casts
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 10L, 11L, 12L))
+    assert(df.filter(col("id") >= 10L).agg(
+        org.apache.spark.sql.functions.sum("score")).head().getDouble(0)
+      == 66.0)
+    // an UNWIDENABLE retype (string vs long) is NOT conformable by any
+    // exact cast: the table falls to discovery, where Spark's own
+    // footer merge refuses loudly — an incompatible retype is an
+    // error, never a silently-coerced read
+    WarehouseLoad.commitStreamedBatch(spark,
+      spark.range(20, 21).select(col("id").cast("string").as("id"),
+        (col("id") * 2).cast("double").as("score")).toDF(),
+      wh, hist, "gen3")
+    intercept[org.apache.spark.SparkException] {
+      WarehouseLoad.readWarehouse(spark, wh, hist).get.count()
+    }
+  }
+
   test("mixed flat + partitioned batch layouts plan from the log: one relation per layout generation, not per batch") {
     // r15: a table whose life spans a layout change (flat loads, then
     // hive-partitioned ones) used to reject the manifest tier WHOLE
