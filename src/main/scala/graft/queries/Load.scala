@@ -1087,12 +1087,18 @@ object Load {
     }
     val oddBefore = dirState(oddId)
 
+    // scale-independent update shift: past the table's own max, so the
+    // "updated rows" scan band is disjoint from every original value
+    val custShift = Tables.orders(s, d)
+      .agg(max(col("o_custkey"))).head().getLong(0) + 1L
+    val keyShift = Tables.orders(s, d)
+      .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
     val tenth = Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), col("o_custkey"))
     val source = tenth.select(col("o_orderkey"),
-        (col("o_custkey") + 10000000L).as("o_custkey"))
+        (col("o_custkey") + custShift).as("o_custkey"))
       .unionByName(tenth.select(
-        (col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        (col("o_orderkey") + keyShift).as("o_orderkey"),
         col("o_custkey")))
     val (updated, inserted) = WarehouseLoad.mergeCommitted(s, wh, hist,
       source, Seq("o_orderkey"))
@@ -1117,7 +1123,7 @@ object Load {
     // fresh stats: a scan of the updated value range finds every
     // updated row (a stale carried zone map would prune them away)
     val updScanned = WarehouseLoad.readWarehouse(s, wh, hist).get
-      .filter(col("o_custkey") >= 10000000L).count()
+      .filter(col("o_custkey") >= custShift).count()
     import s.implicits._
     Seq((agg.getLong(0), agg.getLong(1), updated, inserted, nAtPre,
         oneCommit && untouched, feedRefused, reapplyNoop, updScanned))
@@ -1132,7 +1138,9 @@ object Load {
              AS n_rows,
            CAST(SUM(o_custkey)
                 + SUM(CASE WHEN o_orderkey % 10 = 0
-                           THEN o_custkey + 10000000 ELSE 0 END)
+                           THEN o_custkey
+                                + (SELECT MAX(o_custkey) + 1 FROM orders)
+                           ELSE 0 END)
              AS BIGINT) AS sum_cust,
            CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)
              AS BIGINT) AS n_updated,
