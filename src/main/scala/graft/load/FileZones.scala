@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType,
   FloatType, IntegerType, LongType, ShortType, StringType, StructType,
   TimestampType}
 
-import graft.load.WarehouseLoad.{NumZone, StrZone, Zone}
+import graft.load.WarehouseLoad.{ColStats, FileStats, NumZone, StrZone,
+  Zone}
 
 /** Per-FILE [min, max] column statistics for a just-committed batch —
   * the file-level pruning tier below the per-batch zone maps (r16,
@@ -46,7 +47,7 @@ object FileZones {
     * bounded by THIS batch's file count). A file that cannot be read
     * records nothing — absent is never wrong, only unprunable. */
   def read(spark: SparkSession, dir: String, files: Seq[(String, Long)],
-           schema: StructType): Map[String, Map[String, Zone]] = {
+           schema: StructType): Map[String, FileStats] = {
     val wanted: Map[String, DataType] = schema.fields.iterator.collect {
       case f if zoneable(f.dataType) => f.name -> f.dataType
     }.toMap
@@ -54,12 +55,12 @@ object FileZones {
     val conf = spark.sparkContext.hadoopConfiguration
     import scala.jdk.CollectionConverters._
     val out =
-      new java.util.concurrent.ConcurrentHashMap[String, Map[String, Zone]]()
+      new java.util.concurrent.ConcurrentHashMap[String, FileStats]()
     files.asJava.parallelStream().forEach { case (rel, _) =>
-      val z =
-        try fileZones(conf, new Path(dir, rel), wanted)
-        catch { case scala.util.control.NonFatal(_) => Map.empty[String, Zone] }
-      if (z.nonEmpty) out.put(rel, z)
+      val st =
+        try Some(fileStats(conf, new Path(dir, rel), wanted))
+        catch { case scala.util.control.NonFatal(_) => None }
+      st.filter(_.cols.nonEmpty).foreach(out.put(rel, _))
     }
     out.asScala.toMap
   }
@@ -70,42 +71,60 @@ object FileZones {
     case _ => false
   }
 
-  private def fileZones(conf: Configuration, p: Path,
-      wanted: Map[String, DataType]): Map[String, Zone] = {
+  private def fileStats(conf: Configuration, p: Path,
+      wanted: Map[String, DataType]): FileStats = {
     import scala.jdk.CollectionConverters._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try {
-      val acc = scala.collection.mutable.Map.empty[String, Zone]
-      // a column is invalid for the WHOLE file the moment ANY of its
-      // chunks lacks trustworthy stats — a blind chunk could hold
-      // anything, and a recorded interval must cover every row
-      val invalid = scala.collection.mutable.Set.empty[String]
-      for (block <- reader.getFooter.getBlocks.asScala;
-           cc <- block.getColumns.asScala) {
-        val segs = cc.getPath.toArray
-        if (segs.length == 1) wanted.get(segs(0)) match {
-          case Some(dt) if !invalid(segs(0)) =>
-            val name = segs(0)
-            val st = cc.getStatistics
-            if (st == null || st.isEmpty) invalid += name
-            else if (!st.hasNonNullValue) () // all-null chunk: no values
-            else chunkZone(dt, st) match {
-              case None => invalid += name
-              case Some(z) =>
-                acc.get(name) match {
-                  case None => acc(name) = z
-                  case Some(prev) => union(prev, z) match {
-                    case Some(u) => acc(name) = u
-                    case None => invalid += name
-                  }
-                }
-            }
-          case _ => ()
+      val zones = scala.collection.mutable.Map.empty[String, Zone]
+      // a column's interval (or null count) is invalid for the WHOLE
+      // file the moment ANY of its chunks lacks that trustworthy stat
+      // — a blind chunk could hold anything, and a recorded stat must
+      // cover every row. The two validities are INDEPENDENT: a
+      // NaN-polluted float chunk voids the interval but its null
+      // count still prunes IS NULL.
+      val zoneBad = scala.collection.mutable.Set.empty[String]
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+      val nullBad = scala.collection.mutable.Set.empty[String]
+      var rows = 0L
+      for (block <- reader.getFooter.getBlocks.asScala) {
+        rows += block.getRowCount
+        for (cc <- block.getColumns.asScala) {
+          val segs = cc.getPath.toArray
+          if (segs.length == 1) wanted.get(segs(0)) match {
+            case Some(dt) =>
+              val name = segs(0)
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty) {
+                zoneBad += name; nullBad += name
+              } else {
+                if (st.isNumNullsSet && st.getNumNulls >= 0)
+                  nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+                else nullBad += name
+                if (st.hasNonNullValue && !zoneBad(name))
+                  chunkZone(dt, st) match {
+                    case None => zoneBad += name
+                    case Some(z) =>
+                      zones.get(name) match {
+                        case None => zones(name) = z
+                        case Some(prev) => union(prev, z) match {
+                          case Some(u) => zones(name) = u
+                          case None => zoneBad += name
+                        }
+                      }
+                  } // an all-null chunk contributes nothing to the zone
+              }
+            case _ => ()
+          }
         }
       }
-      invalid.foreach(acc.remove)
-      acc.toMap
+      zoneBad.foreach(zones.remove)
+      nullBad.foreach(nulls.remove)
+      val cols = (zones.keySet ++ nulls.keySet).iterator.map { c =>
+        c -> ColStats(zones.get(c), None, nulls.get(c))
+      }.toMap
+      FileStats(Some(rows), cols)
     } finally reader.close()
   }
 

@@ -1324,17 +1324,30 @@ object WarehouseLoad {
     * or a mix of schemas (a [[graft.schema.SchemaDrift]] evolution in
     * flight), fall back to footer merging — absent is never wrong,
     * only slower. */
+  /** One FILE's recorded stats inside a batch manifest (r16 — the
+    * file-level pruning tier, [[FileZones]]): row count plus per-column
+    * [[ColStats]] (interval + null count; never a dictionary — footers
+    * don't carry one). Same conservatism contract as the batch level:
+    * absent is "must scan", and the prover evaluates a file exactly
+    * like a batch. */
+  final case class FileStats(rows: Option[Long],
+                             cols: Map[String, ColStats])
+
   final case class BatchStats(cols: Map[String, ColStats],
                               rows: Option[Long],
                               schemaJson: Option[String] = None,
                               files: Option[Seq[(String, Long)]] = None,
                               histFiles: Option[Seq[(String, Long)]] = None,
-                              // per-FILE [min,max] intervals (r16 —
-                              // the file-level pruning tier,
-                              // [[FileZones]]): rel path → col → zone;
-                              // an absent (file, col) is "must scan"
-                              fileZones: Map[String, Map[String, Zone]] =
+                              // per-FILE stats (r16): rel path →
+                              // [[FileStats]]; an absent (file, col)
+                              // is "must scan"
+                              fileStats: Map[String, FileStats] =
                                 Map.empty) {
+    /** Interval-only view of [[fileStats]] (spec/report convenience). */
+    def fileZones: Map[String, Map[String, Zone]] =
+      fileStats.view.mapValues(_.cols.collect {
+        case (c, ColStats(Some(z), _, _)) => c -> z
+      }.toMap).toMap
     def zones: Map[String, Zone] =
       cols.collect { case (c, ColStats(Some(z), _, _)) => c -> z }
     /** Is `col` (CI match) recorded as all-null? A predicate comparing
@@ -1440,22 +1453,27 @@ object WarehouseLoad {
                             schemaJson: Option[String] = None,
                             files: Option[Seq[(String, Long)]] = None,
                             histFiles: Option[Seq[(String, Long)]] = None,
-                            fileZones: Map[String, Map[String, Zone]] =
+                            fileStats: Map[String, FileStats] =
                               Map.empty)
       : String = {
     def fileLines(tag: String, fs: Option[Seq[(String, Long)]]) =
       fs.toSeq.flatMap(l => s"#${tag}c ${l.size}" +:
         l.map { case (rel, len) => s"#$tag ${enc(rel)} $len" })
-    // per-file intervals (r16): `#z <rel> <col> <lo> <hi>` numeric
-    // (one-ulp-widened like the batch lines), `#zS` string — the
-    // file-level pruning tier ([[FileZones]])
-    val fzLines = fileZones.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
-      cols.toSeq.sortBy(_._1).map {
-        case (c, NumZone(lo, hi)) =>
-          s"#z ${enc(rel)} ${enc(c)} ${Math.nextDown(lo)} ${Math.nextUp(hi)}"
-        case (c, StrZone(lo, hi)) =>
-          s"#zS ${enc(rel)} ${enc(c)} ${enc(lo)} ${enc(hi)}"
-      }
+    // per-file stats (r16): `#z <rel> <col> <lo> <hi>` numeric interval
+    // (one-ulp-widened like the batch lines), `#zS` string interval,
+    // `#zc <rel> <rows>` row count, `#zn <rel> <col> <nulls>` null
+    // count — the file-level pruning tier ([[FileZones]])
+    val fzLines = fileStats.toSeq.sortBy(_._1).flatMap { case (rel, fst) =>
+      fst.rows.map(r => s"#zc ${enc(rel)} $r").toSeq ++
+        fst.cols.toSeq.sortBy(_._1).flatMap { case (c, cs) =>
+          cs.zone.map {
+            case NumZone(lo, hi) =>
+              s"#z ${enc(rel)} ${enc(c)} ${Math.nextDown(lo)} ${Math.nextUp(hi)}"
+            case StrZone(lo, hi) =>
+              s"#zS ${enc(rel)} ${enc(c)} ${enc(lo)} ${enc(hi)}"
+          }.toSeq ++
+            cs.nulls.map(n => s"#zn ${enc(rel)} ${enc(c)} $n")
+        }
     }
     val lines = rows.map(r => s"#c $r").toSeq ++
       schemaJson.map(s => s"#s ${enc(s)}") ++
@@ -1546,7 +1564,7 @@ object WarehouseLoad {
       zcols: Seq[StructField], schema: Option[StructType] = None,
       files: Option[Seq[(String, Long)]] = None,
       histFiles: Option[Seq[(String, Long)]] = None,
-      fileZones: Map[String, Map[String, Zone]] = Map.empty): Unit =
+      fileStats: Map[String, FileStats] = Map.empty): Unit =
     zobs.foreach { o =>
       val rows = o.get("zrows__").asInstanceOf[Long]
       val entries = zcols.flatMap { f =>
@@ -1590,7 +1608,7 @@ object WarehouseLoad {
       if (entries.nonEmpty || schema.isDefined)
         AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
           encodeZoneMap(entries, Some(rows), schema.map(_.json),
-            files, histFiles, fileZones))
+            files, histFiles, fileStats))
     }
 
   /** The streaming sink's epoch commit
@@ -1710,8 +1728,12 @@ object WarehouseLoad {
       val zones = Map.newBuilder[String, Zone]
       val dicts = Map.newBuilder[String, Set[String]]
       val nulls = Map.newBuilder[String, Long]
-      val fz = scala.collection.mutable.LinkedHashMap
-        .empty[String, Map[String, Zone]]
+      val fzZones = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), Zone]
+      val fzNulls = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), Long]
+      val fzRows = scala.collection.mutable.LinkedHashMap
+        .empty[String, Long]
       txt.linesIterator.foreach { line =>
         line.split(" ") match {
           case Array("#c", r) => rows = r.toLongOption
@@ -1725,15 +1747,15 @@ object WarehouseLoad {
           case Array("#z", rel, c, lo, hi) =>
             (lo.toDoubleOption, hi.toDoubleOption) match {
               case (Some(l), Some(h)) =>
-                val r = dec(rel)
-                fz(r) = fz.getOrElse(r, Map.empty) +
-                  (dec(c) -> NumZone(l, h))
+                fzZones((dec(rel), dec(c))) = NumZone(l, h)
               case _ => ()
             }
           case Array("#zS", rel, c, lo, hi) =>
-            val r = dec(rel)
-            fz(r) = fz.getOrElse(r, Map.empty) +
-              (dec(c) -> StrZone(dec(lo), dec(hi)))
+            fzZones((dec(rel), dec(c))) = StrZone(dec(lo), dec(hi))
+          case Array("#zc", rel, r) =>
+            r.toLongOption.foreach(v => fzRows(dec(rel)) = v)
+          case Array("#zn", rel, c, n) =>
+            n.toLongOption.foreach(v => fzNulls((dec(rel), dec(c))) = v)
           case Array("#n", c, n) =>
             n.toLongOption.foreach(v => nulls += dec(c) -> v)
           case Array("#d", c, vs @ _*) =>
@@ -1752,10 +1774,24 @@ object WarehouseLoad {
       val cols = (zm.keySet ++ dm.keySet ++ nm.keySet).iterator.map { c =>
         c -> ColStats(zm.get(c), dm.get(c), nm.get(c))
       }.toMap
+      val fzRels = (fzZones.keysIterator.map(_._1) ++
+        fzNulls.keysIterator.map(_._1) ++ fzRows.keysIterator)
+        .toSeq.distinct
+      val fileStats = fzRels.map { rel =>
+        val fcols = (fzZones.keysIterator.collect {
+            case (r, c) if r == rel => c
+          } ++ fzNulls.keysIterator.collect {
+            case (r, c) if r == rel => c
+          }).toSeq.distinct.map { c =>
+          c -> ColStats(fzZones.get((rel, c)), None,
+            fzNulls.get((rel, c)))
+        }.toMap
+        rel -> FileStats(fzRows.get(rel), fcols)
+      }.toMap
       BatchStats(cols, rows, schema,
         if (filesRec) Some(files.result()) else None,
         if (histRec) Some(hist.result()) else None,
-        fz.toMap)
+        fileStats)
     }
 
   /** Committed batch ids whose zone interval for `column` overlaps the
@@ -2438,7 +2474,7 @@ object WarehouseLoad {
       foldSchema: Option[StructType] = None,
       foldFiles: Option[Seq[(String, Long)]] = None,
       foldHist: Option[Seq[(String, Long)]] = None,
-      foldFileZones: Map[String, Map[String, Zone]] = Map.empty): Unit = {
+      foldFileStats: Map[String, FileStats] = Map.empty): Unit = {
     // parallel stats fetch (same shape as liveBatchInfo): a 10k-input
     // fold spent ~20 s reading manifests one at a time (CommitScale r14)
     val fetched = {
@@ -2472,7 +2508,7 @@ object WarehouseLoad {
       if (merged.nonEmpty || rows.isDefined || foldSchema.isDefined)
         AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
           encodeZoneMap(merged, rows, foldSchema.map(_.json),
-            foldFiles, foldHist, foldFileZones))
+            foldFiles, foldHist, foldFileStats))
     } else foldSchema.foreach(sc =>
       // some input lacks stats entirely: no mergeable intervals, but
       // the fold's schema and file list are still exactly known —
@@ -2480,7 +2516,7 @@ object WarehouseLoad {
       // the compaction
       AtomicManifest.write(spark, s"$historyDir/b$id", ZoneMapFile,
         encodeZoneMap(Nil, None, Some(sc.json), foldFiles, foldHist,
-          foldFileZones)))
+          foldFileStats)))
   }
 
   /** Delete-by-key on the committed batch warehouse — the

@@ -162,15 +162,17 @@ object ZonePrune extends Rule[LogicalPlan] {
     }
   }
 
-  /** FILES inside `keep` roots whose recorded per-file interval
-    * ([[WarehouseLoad.BatchStats.fileZones]] — footer stats captured
-    * once, write-side) proves `cond` empty. The per-file stats carry
-    * only intervals (no dictionaries/null counts), so the proof runs
-    * through the same prover with a zone-only synthetic stats row —
-    * every conservative branch (absent file entry, absent column,
-    * unknown leaf) keeps the file. Decision cost: the batch manifests
-    * were just read for the root verdicts, so this is pure in-memory
-    * evaluation per (file, leaf). */
+  /** FILES inside `keep` roots whose recorded per-file stats
+    * ([[WarehouseLoad.BatchStats.fileStats]] — footer stats captured
+    * once, write-side: intervals, null counts, row counts) prove
+    * `cond` empty. The proof runs through the SAME prover as the
+    * batch tier — a file is just a smaller stats row — so intervals
+    * answer range/point probes, a zero null count proves IS NULL
+    * empty, and an all-null file (nulls == rows) proves IS NOT NULL
+    * and every comparison empty; every conservative branch (absent
+    * file entry, absent column, unknown leaf) keeps the file.
+    * Decision cost: the batch manifests were just read for the root
+    * verdicts, so this is pure in-memory evaluation per (file, leaf). */
   private def prunedFiles(spark: SparkSession, hist: String,
       m: ManifestFileIndex, keep: Seq[org.apache.hadoop.fs.Path],
       cond: Expression): Set[org.apache.hadoop.fs.Path] = {
@@ -179,18 +181,15 @@ object ZonePrune extends Rule[LogicalPlan] {
       .newKeySet[org.apache.hadoop.fs.Path]()
     keep.asJava.parallelStream().forEach { r =>
       WarehouseLoad.batchStats(spark, hist, r.getName.stripPrefix("b"))
-        .filter(_.fileZones.nonEmpty).foreach { st =>
+        .filter(_.fileStats.nonEmpty).foreach { st =>
           val rootStr = r.toString
           m.rootsWithFiles.find(_._1 == r).foreach { case (_, files) =>
             files.foreach { fst =>
               val rel = fst.getPath.toString
                 .stripPrefix(rootStr).stripPrefix("/")
-              st.fileZones.get(rel).foreach { colZones =>
-                val synth = BatchStats(
-                  colZones.map { case (c, z) =>
-                    c -> WarehouseLoad.ColStats(Some(z), None, None)
-                  }, rows = None)
-                if (provenEmpty(synth, cond)) doomed.add(fst.getPath)
+              st.fileStats.get(rel).foreach { fs =>
+                if (provenEmpty(BatchStats(fs.cols, fs.rows), cond))
+                  doomed.add(fst.getPath)
               }
             }
           }

@@ -814,6 +814,36 @@ class PlanSpec extends SparkSpec {
     val st0 = WarehouseLoad.batchStats(spark, hist, ids.head).get
     assert(st0.fileZones.size == 4, st0.fileZones.keys.toString)
     assert(st0.fileZones.values.forall(_.contains("k")))
+
+    // per-file NULL COUNTS prune too: one batch, two files split at a
+    // record boundary — the lower file's v is all null, the upper's
+    // never null. IS NULL keeps only the all-null file; IS NOT NULL
+    // (and every comparison) proves the all-null file empty.
+    val mrpf = "spark.sql.files.maxRecordsPerFile"
+    val old = spark.conf.getOption(mrpf)
+    spark.conf.set(mrpf, "100")
+    try {
+      WarehouseLoad.commitStreamedBatch(spark,
+        spark.range(500, 700).select(col("id").as("k"),
+          org.apache.spark.sql.functions.when(col("id") < 600,
+            org.apache.spark.sql.functions.lit(null))
+            .otherwise(col("id") % 7).as("v"))
+          .coalesce(1).sortWithinPartitions("k").toDF(),
+        wh, hist, "fz2")
+    } finally old match {
+      case Some(v) => spark.conf.set(mrpf, v)
+      case None => spark.conf.unset(mrpf)
+    }
+    assert(scan(read()) == ((3, 7)))
+    val isNull = read().filter(col("v").isNull)
+    assert(scan(isNull) == ((1, 1)),
+      s"IS NULL must keep only the all-null file:\n${isNull.queryExecution.optimizedPlan}")
+    assert(isNull.count() == 100L)
+    val notNull = read().filter(col("v").isNotNull &&
+      col("k") >= 500 && col("k") <= 699)
+    assert(scan(notNull) == ((1, 1)),
+      s"IS NOT NULL must drop the all-null file:\n${notNull.queryExecution.optimizedPlan}")
+    assert(notNull.count() == 100L)
   }
 
   test("zone-prune r14: dictionary, OR, IS [NOT] NULL, prefix, and IN prune past what intervals can") {
