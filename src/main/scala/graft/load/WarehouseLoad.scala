@@ -631,9 +631,12 @@ object WarehouseLoad {
         // allowMissingColumns: a window spanning a SchemaDrift.evolve
         // has pre- and post-evolution batches; the feed surfaces the
         // evolved column as null on the older rows instead of throwing.
-        else Some(live.map(id =>
-            spark.read.parquet(s"$warehouseDir/b$id")
-              .withColumn("_graft_batch", lit(id)))
+        else Some(live.map { id =>
+            val raw = spark.read.parquet(s"$warehouseDir/b$id")
+            dvCondition(spark, warehouseDir, historyDir, Seq(id))
+              .map(raw.filter).getOrElse(raw)
+              .withColumn("_graft_batch", lit(id))
+          }
           .reduce(_.unionByName(_, allowMissingColumns = true)))
     }
   }
@@ -713,6 +716,11 @@ object WarehouseLoad {
     }
     val info = liveBatchInfo(spark, warehouseDir, ids)
     val dirs = info.map { case (id, _) => s"$warehouseDir/b$id" }
+    // deletion vectors must hold on the DISCOVERY fallbacks too (a
+    // table with one legacy batch still reads DV'd batches filtered)
+    val dv = dvCondition(spark, warehouseDir, historyDir, info.map(_._1))
+    def dvF(df: DataFrame): DataFrame =
+      dv.map(df.filter).getOrElse(df)
     // mergeSchema: batches loaded AFTER a SchemaDrift.evolve carry the
     // added nullable columns; without the merged read Spark keys the
     // scan schema off one arbitrary footer and an evolved column can
@@ -733,7 +741,7 @@ object WarehouseLoad {
     // rewrite — these roots plan one relation each, so that fallback
     // is all-or-nothing per root.
     else if (dirs.sizeIs > 1 && info.exists(_._2))
-      Some(dirs.map(reader.parquet(_))
+      Some(dirs.map(d => dvF(reader.parquet(d)))
         .reduce(_.unionByName(_, allowMissingColumns = true)))
     else knownSchema(spark, historyDir, info) match {
       // KNOWN-SCHEMA scan (r14): every live batch recorded the schema
@@ -744,8 +752,9 @@ object WarehouseLoad {
       // r14). Any batch without the record, or any disagreement (an
       // in-flight SchemaDrift evolution), falls back to footer
       // merging — the fast path is never a correctness dependency.
-      case Some(schema) => Some(spark.read.schema(schema).parquet(dirs: _*))
-      case None => Some(reader.parquet(dirs: _*))
+      case Some(schema) =>
+        Some(dvF(spark.read.schema(schema).parquet(dirs: _*)))
+      case None => Some(dvF(reader.parquet(dirs: _*)))
     }
   }
 
@@ -858,6 +867,44 @@ object WarehouseLoad {
     Some(StructType(merged.toSeq))
   }
 
+  /** The combined deletion-vector filter for `ids` as ONE Column over
+    * the scan's `_metadata` (r16): for every (batch, file, hidden row
+    * index) recorded in the manifests, drop that row. `None` when no
+    * batch carries a DV — the overwhelmingly common case pays one
+    * cached manifest-map lookup per batch and adds NOTHING to the
+    * plan. Conditions are FILE-scoped (`file_path === …`), so applying
+    * the table-wide filter to any sub-relation is harmless — which is
+    * what lets two choke points ([[manifestGroupRelations]] and
+    * [[readBatchDirs]]'s fallbacks) cover every committed read:
+    * readWarehouse, time travel, change feed, compaction folds, and
+    * the takedown/merge probes all inherit it, so a hidden row can
+    * never resurrect through ANY path. Row indexes are
+    * `_metadata.row_index` positions — stable because batch files are
+    * immutable (a rewrite commits new files and drops the DV). */
+  private def dvCondition(spark: SparkSession, warehouseDir: String,
+      historyDir: String, ids: Seq[String]): Option[Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    val withDv = ids.flatMap(id =>
+      batchStats(spark, historyDir, id)
+        .filter(_.dvRows.exists(_._2.nonEmpty)).map(id -> _))
+    if (withDv.isEmpty) return None
+    val base = new org.apache.hadoop.fs.Path(warehouseDir)
+    val qBase = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(base)
+    val conds = for {
+      (id, st) <- withDv
+      (rel, rows) <- st.dvRows.toSeq.sortBy(_._1)
+      if rows.nonEmpty
+    } yield {
+      val abs = norm(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(qBase, s"b$id"), rel)
+        .toUri.toString)
+      not(normCol(col("_metadata.file_path")) === lit(abs) &&
+        col("_metadata.row_index").isInCollection(rows))
+    }
+    conds.reduceOption(_ && _)
+  }
+
   /** TIER-1 committed read: the scan built entirely from the commit
     * log's recorded file lists + schema ([[graft.plans.ManifestFileIndex]]
     * — zero listing/footer I/O at plan time), for BOTH layouts:
@@ -919,7 +966,16 @@ object WarehouseLoad {
       layoutRelation(spark, warehouseDir, partNames, batches)
         .getOrElse(return None)
     }
-    Some(Some(rels))
+    // deletion vectors apply HERE, per generation relation (r16):
+    // every consumer of the tier — readWarehouse, time travel, the
+    // change feed, compaction folds, the takedown/merge probes —
+    // inherits the filter, so a hidden row cannot resurrect
+    val filtered = dvCondition(spark, warehouseDir, historyDir,
+        live.map(_._1)) match {
+      case Some(c) => rels.map(_.filter(c))
+      case None => rels
+    }
+    Some(Some(filtered))
   }
 
   /** One batch's hive layout: the partition-column sequence every one
@@ -1342,6 +1398,14 @@ object WarehouseLoad {
                               // [[FileStats]]; an absent (file, col)
                               // is "must scan"
                               fileStats: Map[String, FileStats] =
+                                Map.empty,
+                              // DELETION VECTORS (r16): rel path →
+                              // hidden row indexes (`_metadata
+                              // .row_index` positions). Every
+                              // committed read of this batch filters
+                              // them out; compaction materializes the
+                              // removal physically.
+                              dvRows: Map[String, Seq[Long]] =
                                 Map.empty) {
     /** Interval-only view of [[fileStats]] (spec/report convenience). */
     def fileZones: Map[String, Map[String, Zone]] =
@@ -1454,7 +1518,8 @@ object WarehouseLoad {
                             files: Option[Seq[(String, Long)]] = None,
                             histFiles: Option[Seq[(String, Long)]] = None,
                             fileStats: Map[String, FileStats] =
-                              Map.empty)
+                              Map.empty,
+                            dvRows: Map[String, Seq[Long]] = Map.empty)
       : String = {
     def fileLines(tag: String, fs: Option[Seq[(String, Long)]]) =
       fs.toSeq.flatMap(l => s"#${tag}c ${l.size}" +:
@@ -1463,6 +1528,12 @@ object WarehouseLoad {
     // (one-ulp-widened like the batch lines), `#zS` string interval,
     // `#zc <rel> <rows>` row count, `#zn <rel> <col> <nulls>` null
     // count — the file-level pruning tier ([[FileZones]])
+    // deletion vectors: `#dv <rel> <i1,i2,...>` — chunked so no line
+    // grows unbounded; readers accumulate per rel
+    val dvLines = dvRows.toSeq.sortBy(_._1).flatMap { case (rel, rows) =>
+      rows.sorted.grouped(1000).map(g =>
+        s"#dv ${enc(rel)} ${g.mkString(",")}")
+    }
     val fzLines = fileStats.toSeq.sortBy(_._1).flatMap { case (rel, fst) =>
       fst.rows.map(r => s"#zc ${enc(rel)} $r").toSeq ++
         fst.cols.toSeq.sortBy(_._1).flatMap { case (c, cs) =>
@@ -1477,7 +1548,8 @@ object WarehouseLoad {
     }
     val lines = rows.map(r => s"#c $r").toSeq ++
       schemaJson.map(s => s"#s ${enc(s)}") ++
-      fileLines("f", files) ++ fileLines("hf", histFiles) ++ fzLines ++
+      fileLines("f", files) ++ fileLines("hf", histFiles) ++ dvLines ++
+      fzLines ++
       entries.flatMap { case (c, st) =>
         st.zone.map(encodeZoneLine(c, _)).toSeq ++
           st.dict.map(d =>
@@ -1734,6 +1806,8 @@ object WarehouseLoad {
         .empty[(String, String), Long]
       val fzRows = scala.collection.mutable.LinkedHashMap
         .empty[String, Long]
+      val dvs = scala.collection.mutable.LinkedHashMap
+        .empty[String, Vector[Long]]
       txt.linesIterator.foreach { line =>
         line.split(" ") match {
           case Array("#c", r) => rows = r.toLongOption
@@ -1754,6 +1828,10 @@ object WarehouseLoad {
             fzZones((dec(rel), dec(c))) = StrZone(dec(lo), dec(hi))
           case Array("#zc", rel, r) =>
             r.toLongOption.foreach(v => fzRows(dec(rel)) = v)
+          case Array("#dv", rel, csv) =>
+            val r = dec(rel)
+            dvs(r) = dvs.getOrElse(r, Vector.empty) ++
+              csv.split(",").iterator.flatMap(_.toLongOption)
           case Array("#zn", rel, c, n) =>
             n.toLongOption.foreach(v => fzNulls((dec(rel), dec(c))) = v)
           case Array("#n", c, n) =>
@@ -1791,7 +1869,8 @@ object WarehouseLoad {
       BatchStats(cols, rows, schema,
         if (filesRec) Some(files.result()) else None,
         if (histRec) Some(hist.result()) else None,
-        fileStats)
+        fileStats,
+        dvs.view.mapValues(_.toSeq).toMap)
     }
 
   /** Committed batch ids whose zone interval for `column` overlaps the
@@ -2582,6 +2661,198 @@ object WarehouseLoad {
       s"re-run (rows removed so far: $total)")
   }
 
+  /** DELETION-VECTOR takedown (r16 — the metadata endpoint of the
+    * takedown ladder, Delta's deletion-vector design): delete-by-key
+    * WITHOUT rewriting or even decoding any data file. One probe pass
+    * finds the hit (batch, file, `_metadata.row_index`) triples; each
+    * hit batch commits under a new id whose dir CARRIES every file
+    * byte-identically (hard link on local fs — zero bytes moved — raw
+    * copy elsewhere) and whose manifest records the hidden row
+    * indexes. Every committed read applies the vector (two choke
+    * points cover readWarehouse, time travel, the change feed,
+    * compaction folds and the takedown/merge probes), so the rows are
+    * logically gone everywhere at once; the next COMPACTION
+    * materializes the removal physically (its fold reads through the
+    * filter and its output drops the vector), and [[vacuum]] then
+    * reclaims the bytes — the DELETE → OPTIMIZE → VACUUM privacy
+    * pipeline. Where [[takedownCommitted]]'s cost is proportional to
+    * HIT FILES (decode + rewrite), this is proportional to the HIT
+    * ROWS' index list — the right tool when keys scatter across every
+    * file of a Z-ordered fold. Falls back to the physical rewrite per
+    * batch when the manifest records no file list, a hit path fails
+    * to match a recorded file, or the accumulated vector would exceed
+    * `graft.dv.maxRows` (default 100k rows/batch — the vector lives
+    * in the plan as an InSet, so it must stay plan-sized). Same
+    * REWRITE commit semantics as takedown (feed refuses, idempotent
+    * re-apply is a zero-churn no-op because the probe itself reads
+    * through the vector). Returns rows hidden. */
+  def takedownVectorized(spark: SparkSession, warehouseDir: String,
+                         historyDir: String, keys: DataFrame,
+                         keyCols: Seq[String],
+                         partitionCols: Seq[String] = Nil): Long = {
+    var total = 0L
+    var attempt = 0
+    while (attempt < 20) {
+      val (hidden, converged) = takedownVecOnce(spark, warehouseDir,
+        historyDir, keys, keyCols, partitionCols)
+      total += hidden
+      if (converged) return total
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      "vectorized takedown cannot converge after 20 passes: probed " +
+      "batches keep being rewritten underneath it — retire the racing " +
+      s"rewriter and re-run (rows hidden so far: $total)")
+  }
+
+  private def takedownVecOnce(spark: SparkSession, warehouseDir: String,
+      historyDir: String, keys: DataFrame, keyCols: Seq[String],
+      partitionCols: Seq[String]): (Long, Boolean) = {
+    import org.apache.spark.sql.functions.{bit_xor, col, collect_list,
+      lit, regexp_extract, xxhash64}
+    val committed = committedBatches(spark, historyDir)
+    val k = graft.queries.Hints.broadcastIfSmall(
+      keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+        .localCheckpoint(true))
+    val BatchCol = "_graft_batch"
+    val FpCol = "_graft_fp"
+    val RiCol = "_graft_ri"
+    val probe = manifestGroupRelations(spark, warehouseDir, historyDir,
+        committed) match {
+      case Some(None) => return (0L, true)
+      case Some(Some(rels)) =>
+        val p = new org.apache.hadoop.fs.Path(warehouseDir)
+        val qWh = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(p).toString
+        rels.map(r => r.withColumn(BatchCol,
+            regexp_extract(col("_metadata.file_path"),
+              java.util.regex.Pattern.quote(qWh) + "/b([^/]+)/", 1))
+            .withColumn(FpCol, normCol(col("_metadata.file_path")))
+            .withColumn(RiCol, col("_metadata.row_index")))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      case None =>
+        val live = liveBatchIds(spark, warehouseDir, committed)
+        if (live.isEmpty) return (0L, true)
+        live.map { id =>
+            val raw = spark.read.parquet(s"$warehouseDir/b$id")
+            dvCondition(spark, warehouseDir, historyDir, Seq(id))
+              .map(raw.filter).getOrElse(raw)
+              .withColumn(BatchCol, lit(id))
+              .withColumn(FpCol, normCol(col("_metadata.file_path")))
+              .withColumn(RiCol, col("_metadata.row_index"))
+          }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    val hitRows = probe.join(k, keyCols, "left_semi")
+      .groupBy(BatchCol, FpCol).agg(collect_list(col(RiCol)).as("ris"))
+      .collect()
+    if (hitRows.isEmpty) return (0L, true)
+    val byBatch: Map[String, Map[String, Seq[Long]]] = hitRows
+      .groupBy(_.getString(0))
+      .map { case (b, rs) =>
+        b -> rs.map(r => r.getString(1) -> r.getSeq[Long](2)).toMap
+      }
+    val keyHash = k.agg(bit_xor(xxhash64(keyCols.map(col): _*)).as("h"))
+      .head().getLong(0)
+    val suffix = f"-dv$keyHash%016x"
+    val maxDv = spark.sparkContext.hadoopConfiguration
+      .getLong("graft.dv.maxRows", 100000L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    var hidden = 0L
+    val newIds = committed.map { id =>
+      byBatch.get(id) match {
+        case None => id
+        case Some(fileHits) =>
+          val nid = id + suffix
+          publishIntent(spark, historyDir, nid)
+          val rootP = new org.apache.hadoop.fs.Path(s"$warehouseDir/b$id")
+          val bfs = rootP.getFileSystem(conf)
+          val qRoot = bfs.makeQualified(rootP)
+          val st = batchStats(spark, historyDir, id)
+          val filesOpt = st.flatMap(_.files)
+          // abs hit path → recorded rel; EVERY hit must map, or the
+          // batch falls back to the physical rewrite (a spelling
+          // divergence must never leave a hit row visible)
+          val relHits: Option[Map[String, Seq[Long]]] = filesOpt.map {
+            files =>
+              val absToRel = files.map { case (rel, _) =>
+                norm(new org.apache.hadoop.fs.Path(qRoot, rel)
+                  .toUri.toString) -> rel
+              }.toMap
+              fileHits.flatMap { case (fp, ris) =>
+                absToRel.get(fp).map(_ -> ris)
+              }
+          }.filter(_.size == fileHits.size)
+          val existingDv = st.map(_.dvRows).getOrElse(
+            Map.empty[String, Seq[Long]])
+          val total = relHits.map(m => m.valuesIterator.map(_.size).sum
+            + existingDv.valuesIterator.map(_.size).sum)
+          relHits match {
+            case Some(m) if total.exists(_ <= maxDv) =>
+              // METADATA path: carry every file, merge the vector
+              filesOpt.get.foreach { case (rel, _) =>
+                carryFile(bfs, new org.apache.hadoop.fs.Path(qRoot, rel),
+                  new org.apache.hadoop.fs.Path(
+                    s"$warehouseDir/b$nid", rel), conf)
+              }
+              spark.read.parquet(s"$historyDir/b$id")
+                .write.mode("overwrite").parquet(s"$historyDir/b$nid")
+              val merged = (existingDv.keySet ++ m.keySet).iterator
+                .map(rel => rel -> (existingDv.getOrElse(rel, Nil) ++
+                  m.getOrElse(rel, Nil)).distinct.sorted)
+                .toMap
+              st.foreach { s0 =>
+                val newFiles =
+                  listBatchFiles(spark, s"$warehouseDir/b$nid")
+                val fz = s0.schemaJson.flatMap { j =>
+                  try Some(org.apache.spark.sql.types.DataType.fromJson(j)
+                    .asInstanceOf[StructType])
+                  catch { case scala.util.control.NonFatal(_) => None }
+                }.map(sc => FileZones.read(spark, s"$warehouseDir/b$nid",
+                  newFiles, sc)).getOrElse(Map.empty)
+                AtomicManifest.write(spark, s"$historyDir/b$nid",
+                  ZoneMapFile,
+                  encodeZoneMap(s0.cols.toSeq.sortBy(_._1), s0.rows,
+                    s0.schemaJson, Some(newFiles),
+                    Some(listBatchFiles(spark, s"$historyDir/b$nid")),
+                    fz, merged))
+              }
+            case _ =>
+              // fallback: physical rewrite through the existing vector
+              val raw = spark.read.parquet(s"$warehouseDir/b$id")
+              dvCondition(spark, warehouseDir, historyDir, Seq(id))
+                .map(raw.filter).getOrElse(raw)
+                .join(k, keyCols, "left_anti")
+                .write.mode("overwrite").partitionBy(partitionCols: _*)
+                .parquet(s"$warehouseDir/b$nid")
+              spark.read.parquet(s"$historyDir/b$id")
+                .write.mode("overwrite").parquet(s"$historyDir/b$nid")
+              st.foreach { s0 =>
+                val newFiles =
+                  listBatchFiles(spark, s"$warehouseDir/b$nid")
+                AtomicManifest.write(spark, s"$historyDir/b$nid",
+                  ZoneMapFile,
+                  encodeZoneMap(s0.cols.toSeq.sortBy(_._1), s0.rows,
+                    s0.schemaJson, Some(newFiles),
+                    Some(listBatchFiles(spark, s"$historyDir/b$nid"))))
+              }
+          }
+          hidden += fileHits.valuesIterator.map(_.size.toLong).sum
+          nid
+      }
+    }
+    val remap = committed.zip(newIds).filter { case (a, b) => a != b }.toMap
+    var vanished = Set.empty[String]
+    commitBatches(spark, historyDir, { cur =>
+      vanished = remap.keySet -- cur.toSet
+      cur.map(i => remap.getOrElse(i, i))
+    })
+    remap.values.foreach(clearIntent(spark, historyDir, _))
+    val lost = byBatch.filter { case (b, _) => vanished(b) }
+      .valuesIterator.flatMap(_.valuesIterator.map(_.size.toLong)).sum
+    (hidden - lost, vanished.isEmpty)
+  }
+
   /** One takedown pass; `(rowsRemoved, converged)` — `converged=false`
     * means at least one probed batch vanished from the head before the
     * commit (replaced by a concurrent rewrite) and the caller must
@@ -2651,10 +2922,13 @@ object WarehouseLoad {
       case None =>
         val live = liveBatchIds(spark, warehouseDir, committed)
         if (live.isEmpty) return (0L, true)
-        live.map(id =>
-            spark.read.parquet(s"$warehouseDir/b$id")
+        live.map { id =>
+            val raw = spark.read.parquet(s"$warehouseDir/b$id")
+            dvCondition(spark, warehouseDir, historyDir, Seq(id))
+              .map(raw.filter).getOrElse(raw)
               .withColumn(BatchCol, lit(id))
-              .withColumn(FpCol, normCol(col("_metadata.file_path"))))
+              .withColumn(FpCol, normCol(col("_metadata.file_path")))
+          }
           // allowMissingColumns: batches straddling a
           // SchemaDrift.evolve differ by the added nullable columns;
           // key columns are declared DDL so the semi-join below is
@@ -2707,12 +2981,19 @@ object WarehouseLoad {
             hits(norm(new org.apache.hadoop.fs.Path(qRoot, rel)
               .toUri.toString))
           })
+        // a DV'd batch's rewrite must apply its own deletion vector —
+        // rewriting the raw files would RESURRECT hidden rows
+        val selfDv = dvCondition(spark, warehouseDir, historyDir, Seq(id))
+        def withDv(df: DataFrame): DataFrame =
+          selfDv.map(df.filter).getOrElse(df)
+        var carriedRels = Set.empty[String]
         split match {
           case Some((hit, carry))
               if hit.size == hits.size && carry.nonEmpty =>
-            spark.read.option("basePath", qRoot.toString)
+            carriedRels = carry.map(_._1).toSet
+            withDv(spark.read.option("basePath", qRoot.toString)
               .parquet(hit.map { case (rel, _) =>
-                new org.apache.hadoop.fs.Path(qRoot, rel).toString }: _*)
+                new org.apache.hadoop.fs.Path(qRoot, rel).toString }: _*))
               .join(k, keyCols, "left_anti")
               .write.mode("overwrite").partitionBy(partitionCols: _*)
               .parquet(s"$warehouseDir/b$nid")
@@ -2722,7 +3003,7 @@ object WarehouseLoad {
                 conf)
             }
           case _ =>
-            spark.read.parquet(s"$warehouseDir/b$id")
+            withDv(spark.read.parquet(s"$warehouseDir/b$id"))
               .join(k, keyCols, "left_anti")
               .write.mode("overwrite").partitionBy(partitionCols: _*)
               .parquet(s"$warehouseDir/b$nid")
@@ -2751,7 +3032,11 @@ object WarehouseLoad {
             encodeZoneMap(st.cols.toSeq.sortBy(_._1), st.rows,
               st.schemaJson,
               Some(newFiles),
-              Some(listBatchFiles(spark, s"$historyDir/b$nid")), fz))
+              Some(listBatchFiles(spark, s"$historyDir/b$nid")), fz,
+              // CARRIED files keep their deletion vectors (same
+              // bytes, same row indexes, rel-keyed); rewritten files
+              // had theirs applied during the read
+              st.dvRows.filter { case (rel, _) => carriedRels(rel) }))
         }
         nid
       }
@@ -2908,9 +3193,12 @@ object WarehouseLoad {
         case None =>
           val live = liveBatchIds(spark, warehouseDir, committed)
           if (live.isEmpty) None
-          else Some(live.map(id =>
-              spark.read.parquet(s"$warehouseDir/b$id")
-                .withColumn(BatchCol, lit(id)))
+          else Some(live.map { id =>
+              val raw = spark.read.parquet(s"$warehouseDir/b$id")
+              dvCondition(spark, warehouseDir, historyDir, Seq(id))
+                .map(raw.filter).getOrElse(raw)
+                .withColumn(BatchCol, lit(id))
+            }
             .reduce(_.unionByName(_, allowMissingColumns = true)))
       }
     val tableSchema = probeOpt.map(p => StructType(
@@ -2949,7 +3237,11 @@ object WarehouseLoad {
       else {
         val nid = id + "-" + tag
         publishIntent(spark, historyDir, nid)
-        val batchDf = spark.read.parquet(s"$warehouseDir/b$id")
+        // a DV'd batch rewrites through its own deletion vector —
+        // raw files would resurrect hidden rows
+        val batchRaw = spark.read.parquet(s"$warehouseDir/b$id")
+        val batchDf = dvCondition(spark, warehouseDir, historyDir,
+          Seq(id)).map(batchRaw.filter).getOrElse(batchRaw)
         val valCols = batchDf.columns.filterNot(c =>
           keyCols.exists(_.equalsIgnoreCase(c)))
         val srcR = s2.select(keyCols.map(col) ++ valCols.map(c =>

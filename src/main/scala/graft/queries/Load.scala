@@ -1220,6 +1220,121 @@ object Load {
            TRUE AS log_built
     FROM orders"""
 
+  // ---------------------------------------------------------------- q98
+  // Deletion-vector takedown (r16 — the metadata endpoint of the
+  // delete ladder; Delta's deletion-vector design, and the form the
+  // reference's warehouse exposes as its zero-copy DELETE): keys
+  // scattered across every batch delete WITHOUT rewriting or decoding
+  // a single data file — each hit batch commits under a new id whose
+  // files carry byte-identically (hard links locally) and whose
+  // manifest records the hidden `_metadata.row_index` positions; every
+  // committed read applies the vector, and the next compaction
+  // materializes the removal physically. The oracle pins, in closed
+  // form over `orders`: the hidden count and post-delete content, that
+  // NO file of either batch was rewritten (byte-state equality), that
+  // the pre-delete version still time-travels, that a feed across the
+  // DV commit refuses (rewrite), that re-applying the same keys is a
+  // zero-churn no-op (the probe reads through the vector), and that
+  // compaction materializes (content stable, vector gone).
+  //
+  // Scale shape: one probe pass (broadcast semi-join) + per hit batch
+  // O(files) links and an O(hidden rows) manifest record — no
+  // decode, no shuffle, no data write; the deferred physical removal
+  // rides compaction's existing rewrite.
+  val q98: Q = (s, d) => {
+    import graft.load.WarehouseLoad
+    val root = Fixtures.scratchRoot(s, "dvtakedown", d)
+    val staging = s"$root/stage"
+    val wh = s"$root/warehouse"
+    val hist = s"$root/history"
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType)))
+    Fixtures.stageJsonWave(s, root, staging, "even.json",
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey")))
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+    Fixtures.stageJsonWave(s, root, staging, "odd.json",
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey")))
+    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
+    val preHead = WarehouseLoad.currentVersion(s, hist)
+    val before = WarehouseLoad.committedBatches(s, hist)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // DATA files only: the carry replicates the manifest's file list,
+    // not writer markers like _SUCCESS
+    def dirState(id: String) = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$wh/b$id"),
+        true)
+      val b = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          b += ((n, st.getLen, st.getModificationTime))
+      }
+      b.result().sortBy(_._1)
+    }
+    val statesBefore = before.map(dirState)
+
+    // a BOUNDED key list (the legal-artifact shape a takedown gets in
+    // practice — and what keeps the vector under graft.dv.maxRows at
+    // any sf); keys hash across both waves
+    val keys = Tables.orders(s, d).filter(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey"))
+    val hidden = WarehouseLoad.takedownVectorized(s, wh, hist, keys,
+      Seq("o_orderkey"))
+    val after = WarehouseLoad.committedBatches(s, hist)
+    // zero rewrites: every HIT batch's files carried byte-identically
+    // (an unhit batch keeps its id untouched)
+    val carried = after != before &&
+      after.zip(before).zip(statesBefore).forall {
+        case ((na, ob), st0) => na == ob || dirState(na) == st0
+      }
+    val rel = WarehouseLoad.readWarehouse(s, wh, hist).get
+    val agg = rel.agg(count(lit(1)).as("n"),
+      sum("o_orderkey").as("sk")).head()
+    val nAtPre = WarehouseLoad.readWarehouseAt(s, wh, hist, preHead)
+      .get.count()
+    val head = WarehouseLoad.currentVersion(s, hist)
+    val feedRefused =
+      try { WarehouseLoad.changes(s, wh, hist, preHead, head); false }
+      catch { case _: WarehouseLoad.RewriteException => true }
+    val reapplyNoop = WarehouseLoad.takedownVectorized(s, wh, hist,
+      keys, Seq("o_orderkey")) == 0L &&
+      WarehouseLoad.currentVersion(s, hist) == head
+    WarehouseLoad.compactCommitted(s, wh, hist)
+    val foldId = WarehouseLoad.committedBatches(s, hist)
+    val materialized = foldId.size == 1 &&
+      WarehouseLoad.batchStats(s, hist, foldId.head)
+        .exists(_.dvRows.isEmpty)
+    val aggAfter = WarehouseLoad.readWarehouse(s, wh, hist).get
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk")).head()
+    val stable = aggAfter.getLong(0) == agg.getLong(0) &&
+      aggAfter.getLong(1) == agg.getLong(1)
+    import s.implicits._
+    Seq((hidden, agg.getLong(0), agg.getLong(1), nAtPre, carried,
+        feedRefused, reapplyNoop, materialized && stable))
+      .toDF("n_hidden", "n_rows", "sum_key", "n_at_pre",
+        "zero_rewrites", "feed_refused", "reapply_noop",
+        "compaction_materializes")
+  }
+
+  val q98Sql: String = """
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 997 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hidden,
+           CAST(SUM(CASE WHEN o_orderkey % 997 <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 997 <> 0 THEN o_orderkey
+                         ELSE 0 END) AS BIGINT) AS sum_key,
+           CAST(COUNT(*) AS BIGINT) AS n_at_pre,
+           TRUE AS zero_rewrites,
+           TRUE AS feed_refused,
+           TRUE AS reapply_noop,
+           TRUE AS compaction_materializes
+    FROM orders"""
+
   // ---------------------------------------------------------------- q89
   // INTEGRAL dictionary zone pruning — q86's probe class on numbers:
   // `shard = 3` / `bucket IN (…)` equality probes on low-cardinality
@@ -1500,7 +1615,8 @@ object Load {
     "q94_restore_version" -> q94,
     "q95_file_prune" -> q95,
     "q96_merge_into" -> q96,
-    "q97_type_widening" -> q97)
+    "q97_type_widening" -> q97,
+    "q98_takedown_dv" -> q98)
 
   val oracle: Map[String, String] = Map(
     "q79_quarantine_load" -> q79Sql,
@@ -1521,5 +1637,6 @@ object Load {
     "q94_restore_version" -> q94Sql,
     "q95_file_prune" -> q95Sql,
     "q96_merge_into" -> q96Sql,
-    "q97_type_widening" -> q97Sql)
+    "q97_type_widening" -> q97Sql,
+    "q98_takedown_dv" -> q98Sql)
 }

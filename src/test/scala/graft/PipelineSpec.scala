@@ -1192,6 +1192,91 @@ class PipelineSpec extends SparkSpec {
     assert(WarehouseLoad.readWarehouse(spark, wh, hist).get.count() == 385)
   }
 
+  test("deletion-vector takedown: zero-rewrite delete, filtered everywhere, compaction materializes") {
+    import graft.load.WarehouseLoad
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import spark.implicits._
+    val wh = tmpDir("graft-dvwh-") + "/t"
+    val hist = tmpDir("graft-dvhist-") + "/h"
+    WarehouseLoad.commitStreamedBatch(spark,
+      spark.range(400).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k").toDF(),
+      wh, hist, "dv0")
+    WarehouseLoad.commitStreamedBatch(spark,
+      spark.range(1000, 1100).select(col("id").as("k"),
+        (col("id") % 7).as("v")).coalesce(1).toDF(), wh, hist, "dv1")
+    val Seq(b1, b2) = WarehouseLoad.committedBatches(spark, hist)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def state(dir: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    val b1State = state(s"$wh/b$b1")
+
+    // keys scattered across EVERY file of b1 (the Z-scatter case a
+    // file-granular rewrite can't help) + one in b2
+    val hidden = WarehouseLoad.takedownVectorized(spark, wh, hist,
+      Seq(50L, 150L, 250L, 350L, 1050L).toDF("k"), Seq("k"))
+    assert(hidden == 5L)
+    def read() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    assert(read().count() == 495L)
+    assert(read().filter(col("k").isin(50L, 150L, 250L, 350L, 1050L))
+      .count() == 0L)
+    // ZERO data rewritten: every file of the hit batch carried
+    // byte-identically under the new id
+    val nb1 = WarehouseLoad.committedBatches(spark, hist).head
+    assert(nb1 != b1 && state(s"$wh/b$nb1") == b1State,
+      "the DV path must not rewrite or re-encode any file")
+    // history intact: the pre-takedown version still shows the rows
+    assert(WarehouseLoad.readWarehouseAt(spark, wh, hist, 2).get
+      .count() == 500L)
+    // rewrite semantics: a feed across the DV commit refuses
+    intercept[WarehouseLoad.RewriteException] {
+      WarehouseLoad.changes(spark, wh, hist, 2, 3)
+    }
+    // idempotent: the probe reads through the vector — zero churn
+    val head = WarehouseLoad.currentVersion(spark, hist)
+    assert(WarehouseLoad.takedownVectorized(spark, wh, hist,
+      Seq(50L).toDF("k"), Seq("k")) == 0L)
+    assert(WarehouseLoad.currentVersion(spark, hist) == head)
+    // vectors CHAIN: a second takedown on the already-DV'd batch
+    assert(WarehouseLoad.takedownVectorized(spark, wh, hist,
+      Seq(51L).toDF("k"), Seq("k")) == 1L)
+    assert(read().count() == 494L)
+    // zone + per-file pruning still compose with the DV filter
+    val band = read().filter(col("k") >= 300 && col("k") <= 399)
+    val scan = band.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case hfs: HadoopFsRelation =>
+          (hfs.location.rootPaths.size, hfs.location.inputFiles.length)
+        case _ => (0, 0)
+      }
+    }.foldLeft((0, 0))((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(scan == ((1, 1)), s"expected 1 root / 1 file, got $scan")
+    assert(band.count() == 99L) // 350 hidden
+    // MERGE does not resurrect: a hidden key is NOT MATCHED — the
+    // source row inserts fresh instead of updating a deleted row
+    val (u, i) = WarehouseLoad.mergeCommitted(spark, wh, hist,
+      Seq((150L, 999L)).toDF("k", "v"), Seq("k"))
+    assert((u, i) == ((0L, 1L)), s"got ($u, $i)")
+    assert(read().filter(col("k") === 150L).select("v")
+      .collect().map(_.getLong(0)).toSeq == Seq(999L))
+    // compaction MATERIALIZES the vectors: the fold reads through the
+    // filter, its manifest carries no DV, content is stable
+    WarehouseLoad.compactCommitted(spark, wh, hist)
+    val fold = WarehouseLoad.committedBatches(spark, hist)
+    assert(fold.size == 1)
+    assert(WarehouseLoad.batchStats(spark, hist, fold.head)
+      .get.dvRows.isEmpty)
+    assert(read().count() == 495L)
+    assert(read().filter(col("k").isin(50L, 51L, 150L)).count() == 1L)
+    WarehouseLoad.vacuum(spark, wh, hist)
+    assert(read().count() == 495L)
+  }
+
   test("committed-warehouse takedown rewrites only hit batches; vacuum completes the deletion") {
     import graft.load.WarehouseLoad
     val staging = tmpDir("graft-tdstage-")
