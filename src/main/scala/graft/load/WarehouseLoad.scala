@@ -928,7 +928,7 @@ object WarehouseLoad {
     * resolve through a Union — so they take this form and union the
     * tagged results (r15 review find #1: the grouped union broke them
     * on layout-mixed tables). */
-  private def manifestGroupRelations(spark: SparkSession,
+  private[graft] def manifestGroupRelations(spark: SparkSession,
       warehouseDir: String, historyDir: String,
       ids: Seq[String]): Option[Option[Seq[DataFrame]]] = {
     import scala.jdk.CollectionConverters._

@@ -325,9 +325,21 @@ class CommitLogSource(spark: SparkSession, declared: StructType,
     val live = WarehouseLoad.liveBatchIds(spark, warehouseDir, ids)
     val base =
       if (live.nonEmpty)
-        live.map(id =>
-            spark.read.parquet(s"$warehouseDir/b$id")
-              .withColumn(BatchCol, lit(id)))
+        live.map { id =>
+            // LOG-BUILT per-batch scan when the commit recorded its
+            // file list (r16): zero listing/footer I/O per admitted
+            // batch, and the relation is a ManifestFileIndex — so the
+            // per-FILE stats tier prunes files inside the micro-batch
+            // plan exactly as it does for batch reads (st26's root
+            // skip, one granularity down). Discovery fallback for
+            // legacy batches.
+            val rel = WarehouseLoad.manifestGroupRelations(spark,
+                warehouseDir, historyDir, Seq(id)) match {
+              case Some(Some(Seq(r))) => r
+              case _ => spark.read.parquet(s"$warehouseDir/b$id")
+            }
+            rel.withColumn(BatchCol, lit(id))
+          }
           .reduce(_.unionByName(_, allowMissingColumns = true))
       else WarehouseLoad.liveBatchIds(spark, warehouseDir,
           WarehouseLoad.committedBatches(spark, historyDir))

@@ -400,6 +400,51 @@ class CommitLogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a consumer filter prunes FILES inside an admitted batch's micro-batch plan (r16 file tier)") {
+    // The per-file stats tier composes with the streaming source for
+    // free: the micro-batch plan is a Filter over a ManifestFileIndex
+    // relation, exactly what ZonePrune's file rewrite matches — a
+    // range-scoped consumer never schedules a scan task for the other
+    // shards' FILES even when they share one commit.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wh = tmpDir("graft-clfzwh-") + "/t"
+    val hist = tmpDir("graft-clfzhist-") + "/h"
+    val ckpt = tmpDir("graft-clfzckpt-") + "/cp"
+    // ONE commit, 4 files with disjoint key ranges
+    WarehouseLoad.commitStreamedBatch(spark,
+      spark.range(400).select(col("id").as("customerid"),
+        (col("id") % 7).cast("string").as("firstname"))
+        .repartitionByRange(4, col("customerid"))
+        .sortWithinPartitions("customerid").toDF(),
+      wh, hist, "clfz")
+    val q = spark.readStream.format(provider)
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("customerid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("firstname",
+          org.apache.spark.sql.types.StringType))))
+      .option("warehouseDir", wh).option("historyDir", hist)
+      .load()
+      .filter(col("customerid") >= 150 && col("customerid") <= 160)
+      .writeStream.format("memory").queryName("cl_fz")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cl_fz").count() == 11L)
+      val plan = org.apache.spark.sql.graftshim.GraftSqlShims
+        .lastExecutedPlan(q)
+      val scannedFiles = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+      assert(scannedFiles == 1,
+        s"3 of the commit's 4 files must leave the micro-batch plan:\n$plan")
+    } finally q.stop()
+  }
+
   test("schema inference requires a first commit; version pruning demands resync") {
     val staging = tmpDir("graft-clstage-")
     val wh = tmpDir("graft-clwh-") + "/t"
