@@ -3127,13 +3127,46 @@ object WarehouseLoad {
                      historyDir: String, source: DataFrame,
                      keyCols: Seq[String],
                      partitionCols: Seq[String] = Nil): (Long, Long) = {
+    val (u, i, _) = mergeCore(spark, warehouseDir, historyDir, source,
+      keyCols, partitionCols, deleteWhere = None)
+    (u, i)
+  }
+
+  /** CDC-shaped MERGE (r16): the source carries tombstones —
+    * `deleteWhere` is a SQL predicate over the SOURCE row (typically
+    * `op = 'D'`), and the clause matrix is Delta's:
+    * `WHEN MATCHED AND deleteWhere THEN DELETE` /
+    * `WHEN MATCHED THEN UPDATE SET *` /
+    * `WHEN NOT MATCHED AND NOT deleteWhere THEN INSERT *` (an
+    * unmatched tombstone is a no-op — the row it deletes is already
+    * gone). Everything else — one probe pass, one atomic commit,
+    * content-derived idempotence, fresh stats, CHECK fusion,
+    * vanished-input re-runs — is [[mergeCommitted]]'s. The predicate
+    * may reference source columns that are NOT table columns (the
+    * usual `op` marker rides the source only; inserts and updates
+    * never carry it into the table). Returns
+    * (updated, inserted, deleted). */
+  def mergeCdc(spark: SparkSession, warehouseDir: String,
+               historyDir: String, source: DataFrame,
+               keyCols: Seq[String], deleteWhere: String,
+               partitionCols: Seq[String] = Nil): (Long, Long, Long) =
+    mergeCore(spark, warehouseDir, historyDir, source, keyCols,
+      partitionCols, Some(deleteWhere))
+
+  private def mergeCore(spark: SparkSession, warehouseDir: String,
+                        historyDir: String, source: DataFrame,
+                        keyCols: Seq[String],
+                        partitionCols: Seq[String],
+                        deleteWhere: Option[String]): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
     require(keyCols.nonEmpty, "keyCols must be non-empty")
+    // fail fast on an unparseable tombstone predicate
+    deleteWhere.foreach(org.apache.spark.sql.functions.expr)
     val src = source.dropDuplicates().localCheckpoint()
     require(keyCols.forall(k =>
         src.columns.exists(_.equalsIgnoreCase(k))),
       s"source must carry the key columns ${keyCols.mkString(", ")}")
-    if (src.isEmpty) return (0L, 0L)
+    if (src.isEmpty) return (0L, 0L, 0L)
     val dup = src.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
     if (!dup.isEmpty)
@@ -3150,15 +3183,16 @@ object WarehouseLoad {
       .head()
     val tag = f"mg${hrow.getAs[Long]("h1")}%016x${hrow.getAs[Long]("h2")}%016x"
     if (committedBatches(spark, historyDir).exists(_.contains(tag)))
-      return (0L, 0L) // this exact merge already applied: no-op
+      return (0L, 0L, 0L) // this exact merge already applied: no-op
     var updated = 0L
     var inserted = 0L
+    var deleted = 0L
     var attempt = 0
     while (attempt < 20) {
-      val (u, i, converged) = mergeOnce(spark, warehouseDir, historyDir,
-        src, keyCols, partitionCols, tag)
-      updated += u; inserted += i
-      if (converged) return (updated, inserted)
+      val (u, i, dd, converged) = mergeOnce(spark, warehouseDir,
+        historyDir, src, keyCols, partitionCols, tag, deleteWhere)
+      updated += u; inserted += i; deleted += dd
+      if (converged) return (updated, inserted, deleted)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -3167,13 +3201,15 @@ object WarehouseLoad {
       s"(rows updated so far: $updated, inserted: $inserted)")
   }
 
-  /** One merge pass; `(updated, inserted, converged)` — see
+  /** One merge pass; `(updated, inserted, deleted, converged)` — see
     * [[takedownOnce]] for the vanished-input re-run contract. */
   private def mergeOnce(spark: SparkSession, warehouseDir: String,
       historyDir: String, src: DataFrame, keyCols: Seq[String],
-      partitionCols: Seq[String], tag: String): (Long, Long, Boolean) = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit,
-      regexp_extract, sum, when}
+      partitionCols: Seq[String], tag: String,
+      deleteWhere: Option[String]): (Long, Long, Long, Boolean) = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col,
+      count, expr, lit, not, regexp_extract, sum, when}
+    val DelFlag = "_graft_del"
     val committed = committedBatches(spark, historyDir)
     val BatchCol = "_graft_batch"
     // the committed union, batch-tagged (takedown's probe shape: one
@@ -3203,10 +3239,19 @@ object WarehouseLoad {
       }
     val tableSchema = probeOpt.map(p => StructType(
       p.schema.fields.filterNot(_.name == BatchCol)))
+    // the tombstone flag evaluates on the RAW source row (it may
+    // reference marker columns — `op` — that are not table columns),
+    // BEFORE alignment drops them
+    val flagged = src.withColumn(DelFlag,
+      deleteWhere.map(w => coalesce(expr(w), lit(false)))
+        .getOrElse(lit(false)))
     // coerce the source to the table's own schema once (CI resolution
     // + cast — the COPY alignment semantics); an empty table takes the
     // source's schema as the table's
-    val s2 = tableSchema.map(SchemaAlign(src, _)).getOrElse(src)
+    val s2 = tableSchema.map(ts => SchemaAlign(flagged,
+        StructType(ts.fields :+ StructField(DelFlag,
+          org.apache.spark.sql.types.BooleanType))))
+      .getOrElse(flagged)
       .localCheckpoint()
     val srcKeys = s2.select(keyCols.map(col): _*)
     // ONE table pass: per-(batch, key) hit counts, source-bounded
@@ -3216,18 +3261,28 @@ object WarehouseLoad {
         .agg(count(lit(1)).as("n"))
         .localCheckpoint())
     // this merge's own prior-pass batches (tag in the id) already hold
-    // the source values for their matched keys — never re-rewritten
-    val hitsByBatch: Map[String, Long] = hitKeys
-      .map(_.groupBy(BatchCol).agg(sum("n").as("n")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-        .filter { case (id, _) => !id.contains(tag) })
+    // the source values for their matched keys — never re-rewritten.
+    // Per-batch hit counts SPLIT by tombstone flag (update vs delete).
+    val hitSplit: Map[(String, Boolean), Long] = hitKeys
+      .map(_.join(broadcast(s2.select(
+            (keyCols.map(col) :+ col(DelFlag)): _*)), keyCols)
+        .groupBy(col(BatchCol), col(DelFlag)).agg(sum("n").as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2))
+        .toMap
+        .filter { case ((id, _), _) => !id.contains(tag) })
       .getOrElse(Map.empty)
+    val hitsByBatch: Map[String, Long] = hitSplit.toSeq
+      .groupBy(_._1._1).map { case (b, m) => b -> m.map(_._2).sum }
     val matchedKeys = hitKeys.map(_.select(keyCols.map(col): _*).distinct())
+    // unmatched TOMBSTONES are a no-op (their target row is already
+    // gone); only non-tombstone unmatched rows insert
     val inserts = matchedKeys
       .map(mk => s2.join(broadcast(mk), keyCols, "left_anti"))
-      .getOrElse(s2).localCheckpoint()
+      .getOrElse(s2)
+      .filter(not(col(DelFlag))).drop(DelFlag).localCheckpoint()
     val nInserts = inserts.count()
-    if (hitsByBatch.isEmpty && nInserts == 0) return (0L, 0L, true)
+    if (hitsByBatch.isEmpty && nInserts == 0) return (0L, 0L, 0L, true)
 
     // rewrite each hit batch: matched rows take the source's non-key
     // values (cast to the batch's own types), unmatched pass through
@@ -3244,10 +3299,14 @@ object WarehouseLoad {
           Seq(id)).map(batchRaw.filter).getOrElse(batchRaw)
         val valCols = batchDf.columns.filterNot(c =>
           keyCols.exists(_.equalsIgnoreCase(c)))
-        val srcR = s2.select(keyCols.map(col) ++ valCols.map(c =>
+        val srcR = s2.select((keyCols.map(col) :+
+            col(DelFlag).as("__src_del")) ++ valCols.map(c =>
             col(c).as(s"__src_$c")): _*)
           .withColumn(Marker, lit(true))
         val updatedDf = batchDf.join(broadcast(srcR), keyCols, "left_outer")
+          // WHEN MATCHED AND deleteWhere THEN DELETE
+          .filter(not(coalesce(col(Marker), lit(false)) &&
+            coalesce(col("__src_del"), lit(false))))
           .select(batchDf.schema.fields.map { f =>
             if (keyCols.exists(_.equalsIgnoreCase(f.name))) col(f.name)
             else when(col(Marker), col(s"__src_${f.name}")
@@ -3317,8 +3376,11 @@ object WarehouseLoad {
     })
     remap.values.foreach(clearIntent(spark, historyDir, _))
     if (nInserts > 0) clearIntent(spark, historyDir, insId)
-    (hitsByBatch.filterNot { case (b, _) => vanished(b) }.values.sum,
-      if (insLanded) nInserts else 0L, vanished.isEmpty)
+    val surv = hitSplit.filterNot { case ((b, _), _) => vanished(b) }
+    (surv.collect { case ((_, false), n) => n }.sum,
+      if (insLanded) nInserts else 0L,
+      surv.collect { case ((_, true), n) => n }.sum,
+      vanished.isEmpty)
   }
 
   /** How many fresh files the idempotent leg samples to pin the staged

@@ -1192,6 +1192,38 @@ class PipelineSpec extends SparkSpec {
     assert(WarehouseLoad.readWarehouse(spark, wh, hist).get.count() == 385)
   }
 
+  test("MERGE CDC: tombstones delete matched rows, unmatched tombstones no-op, marker column stays out") {
+    import graft.load.WarehouseLoad
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wh = tmpDir("graft-cdcwh-") + "/t"
+    val hist = tmpDir("graft-cdchist-") + "/h"
+    WarehouseLoad.mergeCommitted(spark, wh, hist,
+      Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("customerid", "firstname"),
+      Seq("customerid"))
+    // the CDC wave: update 2, delete 3, insert 9, delete-unmatched 10
+    val cdc = Seq(
+      (2L, "B", "U"), (3L, "c", "D"), (9L, "i", "U"), (10L, "x", "D"))
+      .toDF("customerid", "firstname", "op")
+    val (u, i, d) = WarehouseLoad.mergeCdc(spark, wh, hist, cdc,
+      Seq("customerid"), deleteWhere = "op = 'D'")
+    assert((u, i, d) == ((1L, 1L, 1L)), s"got ($u, $i, $d)")
+    val rel = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    assert(rel.columns.toSeq == Seq("customerid", "firstname"),
+      "the op marker must never become a table column")
+    assert(rel.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a", 2L -> "B", 9L -> "i"))
+    // idempotent re-apply: zero churn (content-derived id)
+    val head = WarehouseLoad.currentVersion(spark, hist)
+    assert(WarehouseLoad.mergeCdc(spark, wh, hist, cdc,
+      Seq("customerid"), "op = 'D'") == ((0L, 0L, 0L)))
+    assert(WarehouseLoad.currentVersion(spark, hist) == head)
+    // a CDC wave is a rewrite (deletes + updates): feed refuses across it
+    intercept[WarehouseLoad.RewriteException] {
+      WarehouseLoad.changes(spark, wh, hist, 1, head)
+    }
+  }
+
   test("deletion-vector takedown: zero-rewrite delete, filtered everywhere, compaction materializes") {
     import graft.load.WarehouseLoad
     import org.apache.spark.sql.functions.col
