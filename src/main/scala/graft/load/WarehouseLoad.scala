@@ -1020,10 +1020,12 @@ object WarehouseLoad {
         // schema generation — each read AT ITS OWN recorded type —
         // cast exactly to the widened union schema and unioned:
         // bounded by distinct-schema count (1–2 in practice), never
-        // batch count, still zero listing/footer I/O. (The cast
-        // projection sits between scan and filter, so batch-level
-        // zone pruning does not fire across a widening window —
-        // conservative, and compaction restores it.)
+        // batch count, still zero listing/footer I/O. Zone pruning
+        // still fires across the window: Catalyst pushes the user
+        // filter through this cast projection (substituting and then
+        // unwrapping the cast against the literal), so each
+        // generation's branch reaches ZonePrune as a plain Filter
+        // over its ManifestFileIndex (PlanSpec-asserted).
         val widened = mergeRecordedSchemas(distinctJsons,
           widening = true).getOrElse(return None)
         import org.apache.spark.sql.functions.{col, lit}

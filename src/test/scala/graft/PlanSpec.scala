@@ -1111,6 +1111,21 @@ class PlanSpec extends SparkSpec {
     assert(df.filter(col("id") >= 10L).agg(
         org.apache.spark.sql.functions.sum("score")).head().getDouble(0)
       == 66.0)
+    // zone pruning FIRES ACROSS the widening window: the user filter
+    // pushes through the conform projection (Catalyst substitutes the
+    // cast and unwraps it against the literal), so each generation's
+    // branch is a plain Filter over its ManifestFileIndex and the
+    // gen-1 root leaves the plan entirely
+    val hi = df.filter(col("id") >= 10L)
+    val hiScans = hi.queryExecution.optimizedPlan.collect {
+      case lr2: LogicalRelation => lr2.relation match {
+        case fs: HadoopFsRelation => fs.location
+      }
+    }
+    assert(hiScans.size == 1,
+      s"gen-1's root must prune across the widening window:\n${hi.queryExecution.optimizedPlan}")
+    assert(hi.count() == 3L)
+
     // an UNWIDENABLE retype (string vs long) is NOT conformable by any
     // exact cast: the table falls to discovery, where Spark's own
     // footer merge refuses loudly — an incompatible retype is an
