@@ -221,13 +221,29 @@ object WarehouseLoad {
   /** Snapshot cadence of the version log — every `k`-th version is a
     * full batch list even when the commit is a pure append. Hadoop-conf
     * knob (`graft.commit.snapshotEvery`) so specs can cross snapshot
-    * boundaries cheaply and operators can trade walk-back length
-    * against snapshot bytes; the default keeps reconstruction under
-    * 64 manifest reads while snapshots stay <2% of an all-snapshot
-    * log's volume. */
-  private def snapshotEvery(spark: SparkSession): Long =
-    math.max(1L, spark.sparkContext.hadoopConfiguration
-      .getLong("graft.commit.snapshotEvery", 64L))
+    * boundaries cheaply and operators can pin a fixed trade; the
+    * DEFAULT is ADAPTIVE (r16 — the CommitScale-100k find): a fixed
+    * cadence k makes total snapshot bytes O(N²/k), and at N = 100,000
+    * commits the measured log was 597 MB — the quadratic tail
+    * dominating the O(N) deltas a hundredfold. The adaptive cadence
+    * doubles as the head grows (max(64, next-pow2(v/64))), so the
+    * snapshot total stays O(N·64·line) — linear — while walk-back
+    * length stays ≤ cadence tiny delta reads, amortized by the
+    * reconstruction cache. Power-of-two growth keeps every new
+    * cadence's boundaries a subset of old multiples, and the
+    * walk-back needs no cadence knowledge at all — it just walks to
+    * whatever snapshot exists. (Operationally `vacuum` also prunes
+    * version files below retention — this bound is for tables that
+    * keep deep history.) */
+  private[graft] def snapshotEvery(spark: SparkSession, v: Long): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+      .getLong("graft.commit.snapshotEvery", 0L)
+    if (conf > 0) conf
+    else {
+      val t = math.max(1L, v / 64)
+      math.max(64L, java.lang.Long.highestOneBit(t) * 2)
+    }
+  }
 
   /** Reconstructed version lists, keyed by the requested version
     * FILE's (mtime, length) like [[zoneMapCache]]: version files are
@@ -351,7 +367,7 @@ object WarehouseLoad {
       // — publish a DELTA manifest; rewrites and every snapshotEvery-th
       // version publish the full list (see [[DeltaHeader]]).
       val content =
-        if (v % snapshotEvery(spark) == 0 ||
+        if (v % snapshotEvery(spark, v) == 0 ||
             !(batches.sizeIs > committed.size) ||
             !batches.startsWith(committed))
           batches.mkString("\n")

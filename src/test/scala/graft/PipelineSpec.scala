@@ -1192,6 +1192,27 @@ class PipelineSpec extends SparkSpec {
     assert(WarehouseLoad.readWarehouse(spark, wh, hist).get.count() == 385)
   }
 
+  test("adaptive snapshot cadence keeps the version log linear (CommitScale-100k find)") {
+    import graft.load.WarehouseLoad
+    // fixed cadence 64 made total snapshot bytes O(N²/64): 6.1 MB at
+    // 10k commits but 597 MB at 100k (measured r16). The adaptive
+    // default doubles with the head, keeping the total O(N).
+    def c(v: Long) = WarehouseLoad.snapshotEvery(spark, v)
+    assert(c(1) == 64 && c(100) == 64 && c(4095) == 64)
+    assert(c(8192) == 256)
+    assert(c(100000) == 2048)
+    assert(c(1000000) == 16384)
+    // power-of-two growth: every later cadence's boundaries are a
+    // subset of earlier multiples, so a mid-life cadence change never
+    // strands a walk-back (any snapshot below remains reachable)
+    assert((1 to 20).forall(i => c(1L << i) % 64 == 0))
+    // conf still pins a fixed cadence for specs/operators
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setLong("graft.commit.snapshotEvery", 4L)
+    try assert(c(100000) == 4)
+    finally conf.unset("graft.commit.snapshotEvery")
+  }
+
   test("MERGE CDC: tombstones delete matched rows, unmatched tombstones no-op, marker column stays out") {
     import graft.load.WarehouseLoad
     import org.apache.spark.sql.functions.col
