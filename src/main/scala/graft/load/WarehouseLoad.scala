@@ -898,11 +898,17 @@ object WarehouseLoad {
     * `_metadata.row_index` positions — stable because batch files are
     * immutable (a rewrite commits new files and drops the DV). */
   private def dvCondition(spark: SparkSession, warehouseDir: String,
-      historyDir: String, ids: Seq[String]): Option[Column] = {
+      historyDir: String, ids: Seq[String]): Option[Column] =
+    dvConditionFromStats(spark, warehouseDir, ids.flatMap(id =>
+      batchStats(spark, historyDir, id).map(id -> _)))
+
+  /** [[dvCondition]] over stats the caller already holds — no
+    * manifest I/O. */
+  private def dvConditionFromStats(spark: SparkSession,
+      warehouseDir: String,
+      pairs: Seq[(String, BatchStats)]): Option[Column] = {
     import org.apache.spark.sql.functions.{col, lit, not}
-    val withDv = ids.flatMap(id =>
-      batchStats(spark, historyDir, id)
-        .filter(_.dvRows.exists(_._2.nonEmpty)).map(id -> _))
+    val withDv = pairs.filter(_._2.dvRows.exists(_._2.nonEmpty))
     if (withDv.isEmpty) return None
     val base = new org.apache.hadoop.fs.Path(warehouseDir)
     val qBase = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -985,9 +991,10 @@ object WarehouseLoad {
     // deletion vectors apply HERE, per generation relation (r16):
     // every consumer of the tier — readWarehouse, time travel, the
     // change feed, compaction folds, the takedown/merge probes —
-    // inherits the filter, so a hidden row cannot resurrect
-    val filtered = dvCondition(spark, warehouseDir, historyDir,
-        live.map(_._1)) match {
+    // inherits the filter, so a hidden row cannot resurrect. Built
+    // from the stats THIS pass already fetched — a re-fetch was one
+    // of the redundant 100k-manifest walks CommitScale r16 measured.
+    val filtered = dvConditionFromStats(spark, warehouseDir, live) match {
       case Some(c) => rels.map(_.filter(c))
       case None => rels
     }
@@ -1763,12 +1770,17 @@ object WarehouseLoad {
     * LRU-bounded so a long-lived driver over a many-load table never
     * grows without bound (VERDICT r12 #4). Absence is NOT cached — a
     * mapless answer may be the read racing the commit. */
-  // Sized past the batch count the protocol is measured at (10k
-  // commits, CommitScale r14): an LRU smaller than the table's batch
-  // count thrashes on every pruning decision — each entry is a few
-  // hundred bytes, so 32k entries is ~10 MB of driver heap, bought
-  // against re-opening every manifest once per QUERY.
-  private val ZoneCacheMax = 32768
+  // Sized past the batch count the protocol is measured at (100k
+  // commits, CommitScale r16): an LRU smaller than the table's batch
+  // count thrashes on every pruning decision — the r16 100k run
+  // measured readWarehouse construction at ~2.5x over linear mostly
+  // from repeated manifest re-parses under a 32k cache. Entries are
+  // up to ~1 KB (per-file stats included), so 128k entries is
+  // ~100 MB of driver heap worst case, bought against re-opening
+  // every manifest several times per QUERY. (Operationally a 100k-
+  // root table is past due for compaction anyway — the measured fold
+  // brings it back to 3 roots and millisecond plans.)
+  private val ZoneCacheMax = 131072
   private val zoneMapCache = new java.util.LinkedHashMap[
       (String, String, Long, Long), BatchStats](
       64, 0.75f, true) {
