@@ -29,17 +29,13 @@ trait ConditionalPut {
     * (a plain PUT is atomic per key), so the default would be a
     * one-liner — but it is NOT defaulted to putIfAbsent-or-ignore,
     * because silently skipping an overwrite corrupts vacuum's cutoff
-    * rewrite. A backend that implements only the CAS throws here with
-    * the operation named (ADVICE r15: registering a backend must not
-    * silently leave vacuum/addCheck on the rename path the backend
-    * exists to avoid). */
-  def put(uri: java.net.URI, content: Array[Byte]): Unit =
-    throw new UnsupportedOperationException(
-      s"ConditionalPut backend for $uri implements only putIfAbsent " +
-      "(the commit CAS); manifest overwrites (the _COMMITTED hint, " +
-      "vacuum's cutoff snapshot-ify, CHECK declarations) need the " +
-      "unconditional put(uri, content) — implement it (object stores: " +
-      "a plain PUT) to run vacuum/addCheck on this scheme")
+    * rewrite. ABSTRACT since r17 (ADVICE r16 #2): the r16 default
+    * threw UnsupportedOperationException, so a CAS-only backend
+    * registered fine and then died MID-COMMIT at the first manifest
+    * overwrite (batchIdempotent's zone-map write, vacuum's cutoff,
+    * addCheck) — a half-implemented backend is now a COMPILE error,
+    * the earliest possible refusal. */
+  def put(uri: java.net.URI, content: Array[Byte]): Unit
 }
 
 /** Write-temp + atomic-rename manifest — the single commit primitive

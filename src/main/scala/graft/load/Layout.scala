@@ -34,14 +34,23 @@ object Layout {
     case _ => true
   }
 
-  /** A `slices`-way salt expression over `df`'s rows — distribution is
-    * all a salt needs, not determinism: hash the hash-safe columns
-    * when any exist (spreads even constant-row data by value), else
-    * round-robin on the partition-local row id. */
-  private[load] def saltKey(df: DataFrame, slices: Int): Column = {
+  /** A `slices`-way salt expression over `df`'s rows: hash the
+    * hash-safe columns when any exist (spreads even constant-row data
+    * by value); when EVERY column contains a MapType, hash the maps
+    * through `to_json` instead. The salt must be DETERMINISTIC per
+    * row, not merely well-distributed (r17, ADVICE r16 #4): it is
+    * used as a repartition key, and a nondeterministic key —
+    * `monotonically_increasing_id`, the old fallback — re-deals rows
+    * differently when a task retries after a partial shuffle fetch,
+    * duplicating or losing rows (the round-robin-repartition hazard
+    * Spark itself fixed with a local sort). `to_json` on a map is
+    * deterministic within a run for identical upstream row content —
+    * which is exactly the retry case. */
+  private[graft] def saltKey(df: DataFrame, slices: Int): Column = {
     val safe = df.schema.fields.filter(f => hashSafe(f.dataType))
     if (safe.nonEmpty) pmod(hash(safe.map(f => col(f.name)): _*), lit(slices))
-    else pmod(monotonically_increasing_id(), lit(slices.toLong)).cast("int")
+    else pmod(hash(df.schema.fields.map(f => to_json(col(f.name))): _*),
+      lit(slices))
   }
 
   /** Morton (Z-order) interleave of the low `bits` bits of two

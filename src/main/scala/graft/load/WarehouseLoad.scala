@@ -908,21 +908,27 @@ object WarehouseLoad {
       warehouseDir: String,
       pairs: Seq[(String, BatchStats)]): Option[Column] = {
     import org.apache.spark.sql.functions.{col, lit, not}
-    val withDv = pairs.filter(_._2.dvRows.exists(_._2.nonEmpty))
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val withDv = pairs.filter(_._2.dv.exists(_._2.nonEmpty))
     if (withDv.isEmpty) return None
     val base = new org.apache.hadoop.fs.Path(warehouseDir)
     val qBase = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(base)
     val conds = for {
       (id, st) <- withDv
-      (rel, rows) <- st.dvRows.toSeq.sortBy(_._1)
-      if rows.nonEmpty
+      (rel, vec) <- st.dv.toSeq.sortBy(_._1)
+      if vec.nonEmpty
     } yield {
       val abs = norm(new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(qBase, s"b$id"), rel)
         .toUri.toString)
+      // membership over the RUNS, not the rows (r17): plan size and
+      // eval cost are O(runs) via a codegen'd binary search — the
+      // InSet form capped vectors at plan-sized row counts
+      val (starts, ends) = vec.startsEnds
       not(normCol(col("_metadata.file_path")) === lit(abs) &&
-        col("_metadata.row_index").isInCollection(rows))
+        column(graft.functions.InLongRuns(
+          expression(col("_metadata.row_index")), starts, ends)))
     }
     conds.reduceOption(_ && _)
   }
@@ -984,7 +990,7 @@ object WarehouseLoad {
       }
       m.toSeq
     }
-    val rels = grouped.map { case (partNames, batches) =>
+    val rels = grouped.flatMap { case (partNames, batches) =>
       layoutRelation(spark, warehouseDir, partNames, batches)
         .getOrElse(return None)
     }
@@ -1016,17 +1022,25 @@ object WarehouseLoad {
     if (seqs.sizeIs == 1) Some(seqs.head) else None
   }
 
-  /** The log-built scan relation for ONE layout group of live batches
-    * (shared partition-column sequence; `Nil` = flat). Schema is the
-    * group's own merged record ([[mergeRecordedSchemas]] — additive
-    * drift conforms, r15); partition values parse from the recorded
-    * paths and the index evaluates pushed partition filters itself
-    * (r14). `None` = something in the group resists (type-changing
-    * drift, unparseable partition value, a partition column missing
-    * from the recorded schema) — callers fall back to discovery. */
+  /** The log-built scan relation(s) for ONE layout group of live
+    * batches (shared partition-column sequence; `Nil` = flat). Schema
+    * is the group's own merged record ([[mergeRecordedSchemas]] —
+    * additive drift conforms, r15); partition values parse from the
+    * recorded paths and the index evaluates pushed partition filters
+    * itself (r14). Returns ONE relation per SCHEMA GENERATION
+    * (r17, ADVICE r16 #1): the exact path yields a single element,
+    * the type-widening path one per recorded schema — each a
+    * projection over a SINGLE scan, never a Union, because every
+    * downstream consumer (the DV filter, the `_graft_batch` taggers)
+    * resolves `_metadata` against these and metadata columns do not
+    * resolve through a Union. The caller unions AFTER filtering /
+    * tagging. `None` = something in the group resists (irreconcilable
+    * type drift, unparseable partition value, a partition column
+    * missing from the recorded schema) — callers fall back to
+    * discovery. */
   private def layoutRelation(spark: SparkSession, warehouseDir: String,
       partNames: Seq[String],
-      batches: Seq[(String, BatchStats)]): Option[DataFrame] = {
+      batches: Seq[(String, BatchStats)]): Option[Seq[DataFrame]] = {
     val distinctJsons = batches.map(_._2.schemaJson.get).distinct
     mergeRecordedSchemas(distinctJsons) match {
       case Some(exact) =>
@@ -1034,6 +1048,7 @@ object WarehouseLoad {
         // relation with the union schema — parquet fills absent
         // nullable columns with null (the r15 drift-window path)
         layoutScan(spark, warehouseDir, partNames, batches, exact)
+          .map(Seq(_))
       case None =>
         // TYPE-WIDENING window (r16, VERDICT r15 #3): an int→long or
         // float→double retype wave used to drop the whole table to
@@ -1041,7 +1056,7 @@ object WarehouseLoad {
         // 1,001 commits) until a compaction unified it. Parquet-safe
         // promotions instead plan one log-built relation PER recorded
         // schema generation — each read AT ITS OWN recorded type —
-        // cast exactly to the widened union schema and unioned:
+        // cast exactly to the widened union schema:
         // bounded by distinct-schema count (1–2 in practice), never
         // batch count, still zero listing/footer I/O. Zone pruning
         // still fires across the window: Catalyst pushes the user
@@ -1069,7 +1084,12 @@ object WarehouseLoad {
           layoutScan(spark, warehouseDir, partNames, g, own)
             .getOrElse(return None)
         }
-        val conformed = rels.map { rel =>
+        // each generation stays a SEPARATE relation (Project over one
+        // scan) so `_metadata` still resolves on it — the caller
+        // unions after its DV filter / batch tagging (ADVICE r16 #1:
+        // unioning here made merge/takedown throw and a DV'd widened
+        // table unreadable)
+        Some(rels.map { rel =>
           val have = rel.columns.map(c => c.toLowerCase -> c).toMap
           rel.select(widened.fields.toSeq.map { f =>
             have.get(f.name.toLowerCase) match {
@@ -1077,8 +1097,7 @@ object WarehouseLoad {
               case None => lit(null).cast(f.dataType).as(f.name)
             }
           }: _*)
-        }
-        Some(conformed.reduce(_.unionByName(_)))
+        })
     }
   }
 
@@ -1424,13 +1443,14 @@ object WarehouseLoad {
                               // is "must scan"
                               fileStats: Map[String, FileStats] =
                                 Map.empty,
-                              // DELETION VECTORS (r16): rel path →
-                              // hidden row indexes (`_metadata
-                              // .row_index` positions). Every
-                              // committed read of this batch filters
-                              // them out; compaction materializes the
-                              // removal physically.
-                              dvRows: Map[String, Seq[Long]] =
+                              // DELETION VECTORS (r16; run-length
+                              // encoded r17): rel path → hidden
+                              // `_metadata.row_index` runs
+                              // ([[DvVector]]). Every committed read
+                              // of this batch filters them out;
+                              // compaction materializes the removal
+                              // physically.
+                              dv: Map[String, DvVector] =
                                 Map.empty) {
     /** Interval-only view of [[fileStats]] (spec/report convenience). */
     def fileZones: Map[String, Map[String, Zone]] =
@@ -1544,7 +1564,7 @@ object WarehouseLoad {
                             histFiles: Option[Seq[(String, Long)]] = None,
                             fileStats: Map[String, FileStats] =
                               Map.empty,
-                            dvRows: Map[String, Seq[Long]] = Map.empty)
+                            dv: Map[String, DvVector] = Map.empty)
       : String = {
     def fileLines(tag: String, fs: Option[Seq[(String, Long)]]) =
       fs.toSeq.flatMap(l => s"#${tag}c ${l.size}" +:
@@ -1553,11 +1573,14 @@ object WarehouseLoad {
     // (one-ulp-widened like the batch lines), `#zS` string interval,
     // `#zc <rel> <rows>` row count, `#zn <rel> <col> <nulls>` null
     // count — the file-level pruning tier ([[FileZones]])
-    // deletion vectors: `#dv <rel> <i1,i2,...>` — chunked so no line
-    // grows unbounded; readers accumulate per rel
-    val dvLines = dvRows.toSeq.sortBy(_._1).flatMap { case (rel, rows) =>
-      rows.sorted.grouped(1000).map(g =>
-        s"#dv ${enc(rel)} ${g.mkString(",")}")
+    // deletion vectors (r17): `#dvr <rel> <delta-RLE runs>`
+    // ([[DvVector.encode]]) — chunked at 512 runs/line so no line
+    // grows unbounded; a rel's lines are written (and must be read)
+    // in order, each chunk's first gap relative to the previous
+    // chunk's end. Legacy `#dv <rel> <i1,i2,…>` raw-index lines are
+    // still READ (r16 manifests), never written.
+    val dvLines = dv.toSeq.sortBy(_._1).flatMap { case (rel, vec) =>
+      vec.encodeChunks(512).map(c => s"#dvr ${enc(rel)} $c")
     }
     val fzLines = fileStats.toSeq.sortBy(_._1).flatMap { case (rel, fst) =>
       fst.rows.map(r => s"#zc ${enc(rel)} $r").toSeq ++
@@ -1774,20 +1797,43 @@ object WarehouseLoad {
   // commits, CommitScale r16): an LRU smaller than the table's batch
   // count thrashes on every pruning decision — the r16 100k run
   // measured readWarehouse construction at ~2.5x over linear mostly
-  // from repeated manifest re-parses under a 32k cache. Entries are
-  // up to ~1 KB (per-file stats included), so 128k entries is
-  // ~100 MB of driver heap worst case, bought against re-opening
-  // every manifest several times per QUERY. (Operationally a 100k-
-  // root table is past due for compaction anyway — the measured fold
-  // brings it back to 3 roots and millisecond plans.)
-  private val ZoneCacheMax = 131072
+  // from repeated manifest re-parses under a 32k cache. Bounded BY
+  // APPROXIMATE BYTES, not entry count (r17, ADVICE r16 #3): a plain
+  // manifest entry is ~1 KB but a DV'd or file-rich batch retains
+  // far more, and a count bound let the stated ~128 MB ceiling blow
+  // out by orders of magnitude on a driver touching many DV'd
+  // batches. 128 MB ≈ 128k plain entries — the same 100k-commit
+  // working set as before — while a handful of heavy entries now
+  // evict proportionally sooner. (Operationally a 100k-root table is
+  // past due for compaction anyway — the measured fold brings it
+  // back to 3 roots and millisecond plans.)
+  private val ZoneCacheMaxBytes = 134217728L // 128 MB
+  private var zoneCacheBytes = 0L
+  /** Approximate retained heap of one cached [[BatchStats]]: a ~1 KB
+    * base (column stats, schema JSON, file list lines) plus the parts
+    * that actually scale — per-file stats entries and DV runs. */
+  private def statsWeight(st: BatchStats): Long =
+    1024L +
+      st.files.map(_.size.toLong * 96L).getOrElse(0L) +
+      st.fileStats.valuesIterator
+        .map(f => 128L + f.cols.size.toLong * 128L).sum +
+      st.dv.valuesIterator.map(v => 64L + v.runCount.toLong * 48L).sum
   private val zoneMapCache = new java.util.LinkedHashMap[
-      (String, String, Long, Long), BatchStats](
-      64, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(String, String, Long, Long),
-                               BatchStats]): Boolean =
-      size() > ZoneCacheMax
+      (String, String, Long, Long), BatchStats](64, 0.75f, true)
+  /** Insert under the byte bound; call holding the cache monitor. */
+  private def zoneCachePut(key: (String, String, Long, Long),
+                           st: BatchStats): Unit = {
+    val prev = zoneMapCache.put(key, st)
+    zoneCacheBytes += statsWeight(st)
+    if (prev != null) zoneCacheBytes -= statsWeight(prev)
+    val it = zoneMapCache.entrySet().iterator()
+    while (zoneCacheBytes > ZoneCacheMaxBytes && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != key) { // never evict what we just inserted
+        zoneCacheBytes -= statsWeight(e.getValue)
+        it.remove()
+      }
+    }
   }
 
   /** The batch's full recorded stats — intervals, dictionaries, null
@@ -1804,7 +1850,7 @@ object WarehouseLoad {
       val key = (historyDir, id, stat.getModificationTime, stat.getLen)
       zoneMapCache.synchronized(Option(zoneMapCache.get(key))).orElse {
         val m = readZoneMap(spark, historyDir, id)
-        m.foreach(v => zoneMapCache.synchronized(zoneMapCache.put(key, v)))
+        m.foreach(v => zoneMapCache.synchronized(zoneCachePut(key, v)))
         m
       }
     }
@@ -1836,7 +1882,12 @@ object WarehouseLoad {
         .empty[(String, String), Long]
       val fzRows = scala.collection.mutable.LinkedHashMap
         .empty[String, Long]
+      // rel → (runs so far, running exclusive end for the delta-RLE
+      // chunks); legacy raw-index `#dv` lines accumulate rows apart
+      // and merge at the end
       val dvs = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Vector[(Long, Long)], Long)]
+      val dvLegacy = scala.collection.mutable.LinkedHashMap
         .empty[String, Vector[Long]]
       txt.linesIterator.foreach { line =>
         line.split(" ") match {
@@ -1858,9 +1909,15 @@ object WarehouseLoad {
             fzZones((dec(rel), dec(c))) = StrZone(dec(lo), dec(hi))
           case Array("#zc", rel, r) =>
             r.toLongOption.foreach(v => fzRows(dec(rel)) = v)
-          case Array("#dv", rel, csv) =>
+          case Array("#dvr", rel, chunk) =>
             val r = dec(rel)
-            dvs(r) = dvs.getOrElse(r, Vector.empty) ++
+            val (have, prevEnd) = dvs.getOrElse(r, (Vector.empty, 0L))
+            val (runs, newEnd) =
+              DvVector.decodeInto(chunk, prevEnd, first = have.isEmpty)
+            dvs(r) = (have ++ runs, newEnd)
+          case Array("#dv", rel, csv) => // legacy r16 raw indexes
+            val r = dec(rel)
+            dvLegacy(r) = dvLegacy.getOrElse(r, Vector.empty) ++
               csv.split(",").iterator.flatMap(_.toLongOption)
           case Array("#zn", rel, c, n) =>
             n.toLongOption.foreach(v => fzNulls((dec(rel), dec(c))) = v)
@@ -1896,11 +1953,20 @@ object WarehouseLoad {
         }.toMap
         rel -> FileStats(fzRows.get(rel), fcols)
       }.toMap
+      val dvMap = (dvs.keysIterator ++ dvLegacy.keysIterator)
+        .toSeq.distinct.map { r =>
+          val fromRuns = dvs.get(r).map { case (runs, _) =>
+            DvVector.fromRuns(runs)
+          }.getOrElse(DvVector.empty)
+          val fromLegacy = dvLegacy.get(r).map(DvVector.fromRows)
+            .getOrElse(DvVector.empty)
+          r -> fromRuns.merge(fromLegacy)
+        }.toMap
       BatchStats(cols, rows, schema,
         if (filesRec) Some(files.result()) else None,
         if (histRec) Some(hist.result()) else None,
         fileStats,
-        dvs.view.mapValues(_.toSeq).toMap)
+        dvMap)
     }
 
   /** Committed batch ids whose zone interval for `column` overlaps the
@@ -2711,8 +2777,12 @@ object WarehouseLoad {
     * file of a Z-ordered fold. Falls back to the physical rewrite per
     * batch when the manifest records no file list, a hit path fails
     * to match a recorded file, or the accumulated vector would exceed
-    * `graft.dv.maxRows` (default 100k rows/batch — the vector lives
-    * in the plan as an InSet, so it must stay plan-sized). Same
+    * `graft.dv.maxRows` (default 10M rows/batch) or `graft.dv.maxRuns`
+    * (default 64k runs/batch — r17: vectors are RUN-LENGTH encoded
+    * ([[DvVector]]) and the plan carries O(runs) via a binary-search
+    * predicate ([[graft.functions.InLongRuns]]), so a clustered
+    * million-row GDPR sweep stays metadata-only; only a pathological
+    * every-other-row scatter falls back). Same
     * REWRITE commit semantics as takedown (feed refuses, idempotent
     * re-apply is a zero-churn no-op because the probe itself reads
     * through the vector). Returns rows hidden. */
@@ -2786,7 +2856,9 @@ object WarehouseLoad {
       .head().getLong(0)
     val suffix = f"-dv$keyHash%016x"
     val maxDv = spark.sparkContext.hadoopConfiguration
-      .getLong("graft.dv.maxRows", 100000L)
+      .getLong("graft.dv.maxRows", 10000000L)
+    val maxDvRuns = spark.sparkContext.hadoopConfiguration
+      .getLong("graft.dv.maxRuns", 65536L)
     val conf = spark.sparkContext.hadoopConfiguration
     var hidden = 0L
     val newIds = committed.map { id =>
@@ -2813,12 +2885,25 @@ object WarehouseLoad {
                 absToRel.get(fp).map(_ -> ris)
               }
           }.filter(_.size == fileHits.size)
-          val existingDv = st.map(_.dvRows).getOrElse(
-            Map.empty[String, Seq[Long]])
-          val total = relHits.map(m => m.valuesIterator.map(_.size).sum
-            + existingDv.valuesIterator.map(_.size).sum)
-          relHits match {
-            case Some(m) if total.exists(_ <= maxDv) =>
+          val existingDv = st.map(_.dv).getOrElse(
+            Map.empty[String, DvVector])
+          // run-length merge (r17): caps are row count AND run count
+          // — memory/manifest/plan are all O(runs), so a clustered
+          // million-row sweep stays on the metadata path while a
+          // pathological every-other-row scatter still falls back
+          val mergedOpt = relHits.map { m =>
+            (existingDv.keySet ++ m.keySet).iterator.map(rel =>
+              rel -> existingDv.getOrElse(rel, DvVector.empty)
+                .merge(m.get(rel).map(DvVector.fromRows)
+                  .getOrElse(DvVector.empty)))
+              .toMap
+          }
+          val fits = mergedOpt.exists { mg =>
+            mg.valuesIterator.map(_.cardinality).sum <= maxDv &&
+              mg.valuesIterator.map(_.runCount.toLong).sum <= maxDvRuns
+          }
+          mergedOpt match {
+            case Some(merged) if fits =>
               // METADATA path: carry every file, merge the vector
               filesOpt.get.foreach { case (rel, _) =>
                 carryFile(bfs, new org.apache.hadoop.fs.Path(qRoot, rel),
@@ -2827,10 +2912,6 @@ object WarehouseLoad {
               }
               spark.read.parquet(s"$historyDir/b$id")
                 .write.mode("overwrite").parquet(s"$historyDir/b$nid")
-              val merged = (existingDv.keySet ++ m.keySet).iterator
-                .map(rel => rel -> (existingDv.getOrElse(rel, Nil) ++
-                  m.getOrElse(rel, Nil)).distinct.sorted)
-                .toMap
               st.foreach { s0 =>
                 val newFiles =
                   listBatchFiles(spark, s"$warehouseDir/b$nid")
@@ -3066,7 +3147,7 @@ object WarehouseLoad {
               // CARRIED files keep their deletion vectors (same
               // bytes, same row indexes, rel-keyed); rewritten files
               // had theirs applied during the read
-              st.dvRows.filter { case (rel, _) => carriedRels(rel) }))
+              st.dv.filter { case (rel, _) => carriedRels(rel) }))
         }
         nid
       }
@@ -3220,7 +3301,8 @@ object WarehouseLoad {
     var attempt = 0
     while (attempt < 20) {
       val (u, i, dd, converged) = mergeOnce(spark, warehouseDir,
-        historyDir, src, keyCols, partitionCols, tag, deleteWhere)
+        historyDir, src, keyCols, partitionCols, tag, attempt,
+        deleteWhere)
       updated += u; inserted += i; deleted += dd
       if (converged) return (updated, inserted, deleted)
       attempt += 1
@@ -3235,15 +3317,20 @@ object WarehouseLoad {
     * [[takedownOnce]] for the vanished-input re-run contract. */
   private def mergeOnce(spark: SparkSession, warehouseDir: String,
       historyDir: String, src: DataFrame, keyCols: Seq[String],
-      partitionCols: Seq[String], tag: String,
+      partitionCols: Seq[String], tag: String, pass: Int,
       deleteWhere: Option[String]): (Long, Long, Long, Boolean) = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col,
-      count, expr, lit, not, regexp_extract, sum, when}
+    import org.apache.spark.sql.functions.{array_repeat, broadcast,
+      coalesce, col, collect_list, count, explode, expr, lit, not,
+      regexp_extract, sum, when}
     val DelFlag = "_graft_del"
     val committed = committedBatches(spark, historyDir)
     val BatchCol = "_graft_batch"
+    val FpCol = "_graft_fp"
+    val RiCol = "_graft_ri"
     // the committed union, batch-tagged (takedown's probe shape: one
     // log-built relation per layout generation, else per-batch legacy)
+    // plus the (file, row-index) identity of every row — what the
+    // DV-merge path (r17) hides matched rows by
     val probeOpt: Option[DataFrame] =
       manifestGroupRelations(spark, warehouseDir, historyDir,
           committed) match {
@@ -3254,7 +3341,9 @@ object WarehouseLoad {
             .makeQualified(p).toString
           Some(rels.map(_.withColumn(BatchCol,
               regexp_extract(col("_metadata.file_path"),
-                java.util.regex.Pattern.quote(qWh) + "/b([^/]+)/", 1)))
+                java.util.regex.Pattern.quote(qWh) + "/b([^/]+)/", 1))
+              .withColumn(FpCol, normCol(col("_metadata.file_path")))
+              .withColumn(RiCol, col("_metadata.row_index")))
             .reduce(_.unionByName(_, allowMissingColumns = true)))
         case None =>
           val live = liveBatchIds(spark, warehouseDir, committed)
@@ -3264,11 +3353,14 @@ object WarehouseLoad {
               dvCondition(spark, warehouseDir, historyDir, Seq(id))
                 .map(raw.filter).getOrElse(raw)
                 .withColumn(BatchCol, lit(id))
+                .withColumn(FpCol, normCol(col("_metadata.file_path")))
+                .withColumn(RiCol, col("_metadata.row_index"))
             }
             .reduce(_.unionByName(_, allowMissingColumns = true)))
       }
     val tableSchema = probeOpt.map(p => StructType(
-      p.schema.fields.filterNot(_.name == BatchCol)))
+      p.schema.fields.filterNot(f =>
+        f.name == BatchCol || f.name == FpCol || f.name == RiCol)))
     // the tombstone flag evaluates on the RAW source row (it may
     // reference marker columns — `op` — that are not table columns),
     // BEFORE alignment drops them
@@ -3283,20 +3375,22 @@ object WarehouseLoad {
           org.apache.spark.sql.types.BooleanType))))
       .getOrElse(flagged)
       .localCheckpoint()
-    val srcKeys = s2.select(keyCols.map(col): _*)
-    // ONE table pass: per-(batch, key) hit counts, source-bounded
-    val hitKeys = probeOpt.map(_
-        .join(broadcast(srcKeys), keyCols, "left_semi")
-        .groupBy((BatchCol +: keyCols).map(col): _*)
-        .agg(count(lit(1)).as("n"))
+    // ONE table pass, materialized NARROW (keys + row identity +
+    // tombstone flag, never the value columns): feeds the per-batch
+    // hit split, the insert anti-join, the DV row lists and the
+    // update-append multiplicities without re-scanning the table
+    val hits = probeOpt.map(p =>
+      p.select((Seq(BatchCol, FpCol, RiCol).map(col) ++
+          keyCols.map(col)): _*)
+        .join(broadcast(s2.select(
+          (keyCols.map(col) :+ col(DelFlag)): _*)), keyCols)
         .localCheckpoint())
     // this merge's own prior-pass batches (tag in the id) already hold
-    // the source values for their matched keys — never re-rewritten.
+    // the source values for their matched keys — never re-touched.
     // Per-batch hit counts SPLIT by tombstone flag (update vs delete).
-    val hitSplit: Map[(String, Boolean), Long] = hitKeys
-      .map(_.join(broadcast(s2.select(
-            (keyCols.map(col) :+ col(DelFlag)): _*)), keyCols)
-        .groupBy(col(BatchCol), col(DelFlag)).agg(sum("n").as("n"))
+    val hitSplit: Map[(String, Boolean), Long] = hits
+      .map(_.groupBy(col(BatchCol), col(DelFlag))
+        .agg(count(lit(1)).as("n"))
         .collect()
         .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2))
         .toMap
@@ -3304,7 +3398,7 @@ object WarehouseLoad {
       .getOrElse(Map.empty)
     val hitsByBatch: Map[String, Long] = hitSplit.toSeq
       .groupBy(_._1._1).map { case (b, m) => b -> m.map(_._2).sum }
-    val matchedKeys = hitKeys.map(_.select(keyCols.map(col): _*).distinct())
+    val matchedKeys = hits.map(_.select(keyCols.map(col): _*).distinct())
     // unmatched TOMBSTONES are a no-op (their target row is already
     // gone); only non-tombstone unmatched rows insert
     val inserts = matchedKeys
@@ -3314,83 +3408,209 @@ object WarehouseLoad {
     val nInserts = inserts.count()
     if (hitsByBatch.isEmpty && nInserts == 0) return (0L, 0L, 0L, true)
 
+    // DV-MERGE (r17, VERDICT r16 #1 — the zero-rewrite upsert): a hit
+    // batch whose manifest records its file list and whose merged
+    // vector fits the caps commits as files CARRIED byte-identically
+    // with the matched rows DV-hidden, and the source's values for
+    // those rows APPEND as a sibling batch — a CDC trickle against a
+    // compacted multi-GB root stops rewriting it per merge, the
+    // dominant write-amplification term r16 left. Ineligible batches
+    // (legacy manifest, path mismatch, over-cap vector, or
+    // graft.merge.dv=false) take the rewrite path below, per batch.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val useDv = conf.getBoolean("graft.merge.dv", true)
+    val maxDv = conf.getLong("graft.dv.maxRows", 10000000L)
+    val maxDvRuns = conf.getLong("graft.dv.maxRuns", 65536L)
+    val whP = new org.apache.hadoop.fs.Path(warehouseDir)
+    val whFs = whP.getFileSystem(conf)
+    val qWhBase = whFs.makeQualified(whP)
+    // (batch → file → hit row indexes) for every non-tag hit batch
+    val dvByBatch: Map[String, Map[String, Seq[Long]]] =
+      if (!useDv) Map.empty
+      else hits.map(_.groupBy(col(BatchCol), col(FpCol))
+          .agg(collect_list(col(RiCol)).as("ris"))
+          .collect()
+          .filter(r => !r.getString(0).contains(tag))
+          .groupBy(_.getString(0))
+          .map { case (b, rs) =>
+            b -> rs.map(r => r.getString(1) -> r.getSeq[Long](2)).toMap
+          })
+        .getOrElse(Map.empty)
+    // DV-eligibility per hit batch: recorded file list, every hit
+    // path maps to a recorded file, merged vector within caps — the
+    // takedownVectorized contract
+    val eligible: Map[String, Map[String, DvVector]] =
+      dvByBatch.flatMap { case (id, fileHits) =>
+        val st = batchStats(spark, historyDir, id)
+        val filesOpt = st.flatMap(_.files)
+        val qRoot = new org.apache.hadoop.fs.Path(qWhBase, s"b$id")
+        val relHits: Option[Map[String, Seq[Long]]] = filesOpt.map {
+          files =>
+            val absToRel = files.map { case (rel, _) =>
+              norm(new org.apache.hadoop.fs.Path(qRoot, rel)
+                .toUri.toString) -> rel
+            }.toMap
+            fileHits.flatMap { case (fp, ris) =>
+              absToRel.get(fp).map(_ -> ris)
+            }
+        }.filter(_.size == fileHits.size)
+        val existingDv = st.map(_.dv).getOrElse(Map.empty[String, DvVector])
+        relHits.map { m =>
+          (existingDv.keySet ++ m.keySet).iterator.map(rel =>
+            rel -> existingDv.getOrElse(rel, DvVector.empty)
+              .merge(m.get(rel).map(DvVector.fromRows)
+                .getOrElse(DvVector.empty)))
+            .toMap
+        }.filter(mg =>
+          mg.valuesIterator.map(_.cardinality).sum <= maxDv &&
+            mg.valuesIterator.map(_.runCount.toLong).sum <= maxDvRuns)
+          .map(id -> _)
+      }
+
     // rewrite each hit batch: matched rows take the source's non-key
     // values (cast to the batch's own types), unmatched pass through
     val Marker = "_graft_matched"
-    val newIds = committed.map { id =>
-      if (!hitsByBatch.contains(id)) id
-      else {
-        val nid = id + "-" + tag
-        publishIntent(spark, historyDir, nid)
-        // a DV'd batch rewrites through its own deletion vector —
-        // raw files would resurrect hidden rows
-        val batchRaw = spark.read.parquet(s"$warehouseDir/b$id")
-        val batchDf = dvCondition(spark, warehouseDir, historyDir,
-          Seq(id)).map(batchRaw.filter).getOrElse(batchRaw)
-        val valCols = batchDf.columns.filterNot(c =>
-          keyCols.exists(_.equalsIgnoreCase(c)))
-        val srcR = s2.select((keyCols.map(col) :+
-            col(DelFlag).as("__src_del")) ++ valCols.map(c =>
-            col(c).as(s"__src_$c")): _*)
-          .withColumn(Marker, lit(true))
-        val updatedDf = batchDf.join(broadcast(srcR), keyCols, "left_outer")
-          // WHEN MATCHED AND deleteWhere THEN DELETE
-          .filter(not(coalesce(col(Marker), lit(false)) &&
-            coalesce(col("__src_del"), lit(false))))
-          .select(batchDf.schema.fields.map { f =>
-            if (keyCols.exists(_.equalsIgnoreCase(f.name))) col(f.name)
-            else when(col(Marker), col(s"__src_${f.name}")
-                .cast(f.dataType))
-              .otherwise(col(f.name)).as(f.name)
-          }.toSeq: _*)
-        // FRESH stats (zone map, dictionaries, per-file intervals):
-        // updates can expand a column's range — the carried-forward
-        // map takedown uses would understate it, a pruning
-        // correctness bug
-        val (toWrite, zobs, zcols) =
-          observeZones(applyChecks(spark, historyDir, updatedDf))
-        rethrowCheck {
-          toWrite.write.mode("overwrite").partitionBy(partitionCols: _*)
-            .parquet(s"$warehouseDir/b$nid")
-        }
-        // source files stay loaded: carry the per-file history forward
-        spark.read.parquet(s"$historyDir/b$id")
-          .write.mode("overwrite").parquet(s"$historyDir/b$nid")
-        val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$nid")
-        writeZoneMap(spark, historyDir, nid, zobs, zcols,
-          Some(toWrite.schema), Some(dataFiles),
-          Some(listBatchFiles(spark, s"$historyDir/b$nid")),
-          FileZones.read(spark, s"$warehouseDir/b$nid", dataFiles,
-            toWrite.schema))
-        nid
-      }
-    }
-    // the insert batch (streamed-epoch shape: no source files)
-    val insId = s"merge-$tag"
-    if (nInserts > 0) {
-      publishIntent(spark, historyDir, insId)
-      val (toW, zo, zc) = observeZones(applyChecks(spark, historyDir,
-        inserts))
+    // helper: write `df` as batch `bid` with fresh stats + an empty
+    // (streamed-epoch) history — the shape of every batch this merge
+    // APPENDS (the insert batch, the per-batch update appends)
+    def writeAppendBatch(bid: String, df: DataFrame): Unit = {
+      publishIntent(spark, historyDir, bid)
+      val (toW, zo, zc) = observeZones(applyChecks(spark, historyDir, df))
       rethrowCheck {
         toW.write.mode("overwrite").partitionBy(partitionCols: _*)
-          .parquet(s"$warehouseDir/b$insId")
+          .parquet(s"$warehouseDir/b$bid")
       }
       spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           StructType(Seq(StructField("file", StringType))))
         .repartition(1)
-        .write.mode("overwrite").parquet(s"$historyDir/b$insId")
-      val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$insId")
-      writeZoneMap(spark, historyDir, insId, zo, zc, Some(toW.schema),
+        .write.mode("overwrite").parquet(s"$historyDir/b$bid")
+      val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$bid")
+      writeZoneMap(spark, historyDir, bid, zo, zc, Some(toW.schema),
         Some(dataFiles),
-        Some(listBatchFiles(spark, s"$historyDir/b$insId")),
-        FileZones.read(spark, s"$warehouseDir/b$insId", dataFiles,
+        Some(listBatchFiles(spark, s"$historyDir/b$bid")),
+        FileZones.read(spark, s"$warehouseDir/b$bid", dataFiles,
           toW.schema))
     }
-    // ONE atomic commit: still-valid remaps + the insert batch. A
-    // probed batch absent from the commit-time head vanished under a
-    // concurrent rewrite — its replacing batch may still hold the OLD
-    // rows, so the caller re-runs (its keys re-match and re-update).
+    // per-batch UPDATE-APPEND sibling for DV-eligible batches: the
+    // source's values, one copy per row the batch's vector hides
+    // (multiplicity-preserving — a key hitting k rows updates k rows,
+    // the SQL MERGE contract). Rides the SAME commit as its batch's
+    // remap and lands IFF the remap lands: pairing them is what keeps
+    // a vanished-batch pass from leaving appended values without
+    // their hides (duplicates) or hides without their values (loss).
+    val updIds: Map[String, String] = eligible.keys.flatMap { id =>
+      val mult = hits.get
+        .filter(col(BatchCol) === id && not(col(DelFlag)))
+        .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      val updDf = s2.filter(not(col(DelFlag))).drop(DelFlag)
+        .join(broadcast(mult), keyCols)
+        .withColumn("__c",
+          explode(array_repeat(lit(1), col("__n").cast("int"))))
+        .drop("__n", "__c")
+      if (updDf.isEmpty) None // all matched rows tombstoned
+      else {
+        val uid = id + "-" + tag + "-u"
+        writeAppendBatch(uid, updDf)
+        Some(id -> uid)
+      }
+    }.toMap
+    val newIds = committed.map { id =>
+      if (!hitsByBatch.contains(id)) id
+      else {
+        val nid = id + "-" + tag
+        publishIntent(spark, historyDir, nid)
+        eligible.get(id) match {
+          case Some(mergedDv) =>
+            // DV path: carry every file byte-identically, write the
+            // merged vector; the batch's own (carried) stats stay a
+            // conservative SUPERSET (hiding rows only shrinks true
+            // ranges), and the updated VALUES get fresh stats in the
+            // sibling append batch — no range-understatement hazard
+            val qRoot = new org.apache.hadoop.fs.Path(qWhBase, s"b$id")
+            val st = batchStats(spark, historyDir, id)
+            st.flatMap(_.files).get.foreach { case (rel, _) =>
+              carryFile(whFs, new org.apache.hadoop.fs.Path(qRoot, rel),
+                new org.apache.hadoop.fs.Path(
+                  s"$warehouseDir/b$nid", rel), conf)
+            }
+            spark.read.parquet(s"$historyDir/b$id")
+              .write.mode("overwrite").parquet(s"$historyDir/b$nid")
+            st.foreach { s0 =>
+              val newFiles = listBatchFiles(spark, s"$warehouseDir/b$nid")
+              val fz = s0.schemaJson.flatMap { j =>
+                try Some(org.apache.spark.sql.types.DataType.fromJson(j)
+                  .asInstanceOf[StructType])
+                catch { case scala.util.control.NonFatal(_) => None }
+              }.map(sc => FileZones.read(spark, s"$warehouseDir/b$nid",
+                newFiles, sc)).getOrElse(Map.empty)
+              AtomicManifest.write(spark, s"$historyDir/b$nid",
+                ZoneMapFile,
+                encodeZoneMap(s0.cols.toSeq.sortBy(_._1), s0.rows,
+                  s0.schemaJson, Some(newFiles),
+                  Some(listBatchFiles(spark, s"$historyDir/b$nid")),
+                  fz, mergedDv))
+            }
+          case None =>
+            // REWRITE path: matched rows take the source's non-key
+            // values in place. A DV'd batch rewrites through its own
+            // deletion vector — raw files would resurrect hidden rows
+            val batchRaw = spark.read.parquet(s"$warehouseDir/b$id")
+            val batchDf = dvCondition(spark, warehouseDir, historyDir,
+              Seq(id)).map(batchRaw.filter).getOrElse(batchRaw)
+            val valCols = batchDf.columns.filterNot(c =>
+              keyCols.exists(_.equalsIgnoreCase(c)))
+            val srcR = s2.select((keyCols.map(col) :+
+                col(DelFlag).as("__src_del")) ++ valCols.map(c =>
+                col(c).as(s"__src_$c")): _*)
+              .withColumn(Marker, lit(true))
+            val updatedDf = batchDf
+              .join(broadcast(srcR), keyCols, "left_outer")
+              // WHEN MATCHED AND deleteWhere THEN DELETE
+              .filter(not(coalesce(col(Marker), lit(false)) &&
+                coalesce(col("__src_del"), lit(false))))
+              .select(batchDf.schema.fields.map { f =>
+                if (keyCols.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+                else when(col(Marker), col(s"__src_${f.name}")
+                    .cast(f.dataType))
+                  .otherwise(col(f.name)).as(f.name)
+              }.toSeq: _*)
+            // FRESH stats (zone map, dictionaries, per-file
+            // intervals): updates can expand a column's range — the
+            // carried-forward map takedown uses would understate it,
+            // a pruning correctness bug
+            val (toWrite, zobs, zcols) =
+              observeZones(applyChecks(spark, historyDir, updatedDf))
+            rethrowCheck {
+              toWrite.write.mode("overwrite")
+                .partitionBy(partitionCols: _*)
+                .parquet(s"$warehouseDir/b$nid")
+            }
+            // source files stay loaded: carry the history forward
+            spark.read.parquet(s"$historyDir/b$id")
+              .write.mode("overwrite").parquet(s"$historyDir/b$nid")
+            val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$nid")
+            writeZoneMap(spark, historyDir, nid, zobs, zcols,
+              Some(toWrite.schema), Some(dataFiles),
+              Some(listBatchFiles(spark, s"$historyDir/b$nid")),
+              FileZones.read(spark, s"$warehouseDir/b$nid", dataFiles,
+                toWrite.schema))
+        }
+        nid
+      }
+    }
+    // the insert batch (streamed-epoch shape: no source files) — id
+    // is per-PASS: a re-run pass appends fresh update copies for the
+    // batches that vanished last pass, and reusing the landed pass-0
+    // id would overwrite a COMMITTED batch's data
+    val insId = if (pass == 0) s"merge-$tag" else s"merge-$tag-p$pass"
+    if (nInserts > 0) writeAppendBatch(insId, inserts)
+    // ONE atomic commit: still-valid remaps (each with its paired
+    // update-append) + the insert batch. A probed batch absent from
+    // the commit-time head vanished under a concurrent rewrite — its
+    // replacing batch may still hold the OLD rows, so the caller
+    // re-runs (its keys re-match and re-update); the vanished batch's
+    // update-append is dropped WITH its remap, so nothing lands twice.
     // (a RACING IDENTICAL merge needs no special arbitration: its
     // deterministic ids equal ours, so whichever commit wins, the
     // loser's next pass probes its twin's batches as tag-marked — no
@@ -3400,11 +3620,17 @@ object WarehouseLoad {
     var insLanded = false
     commitBatches(spark, historyDir, { cur =>
       vanished = remap.keySet -- cur.toSet
-      val remapped = cur.map(i => remap.getOrElse(i, i))
+      val curSet = cur.toSet
+      val remapped = cur.flatMap { i =>
+        val m = remap.getOrElse(i, i)
+        if (m != i) m +: updIds.get(i).filterNot(curSet).toSeq
+        else Seq(m)
+      }
       insLanded = nInserts > 0 && !cur.contains(insId)
       if (insLanded) remapped :+ insId else remapped
     })
     remap.values.foreach(clearIntent(spark, historyDir, _))
+    updIds.values.foreach(clearIntent(spark, historyDir, _))
     if (nInserts > 0) clearIntent(spark, historyDir, insId)
     val surv = hitSplit.filterNot { case ((b, _), _) => vanished(b) }
     (surv.collect { case ((_, false), n) => n }.sum,

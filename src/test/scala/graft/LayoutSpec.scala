@@ -88,4 +88,25 @@ class LayoutSpec extends SparkSpec {
     // the ANALYSIS failure, which would have thrown above)
     assert(back.groupBy("p").count().count() == 2L)
   }
+
+  test("all-map salt fallback is deterministic per row (no monotonic id)") {
+    // ADVICE r16 #4: when NO column is hash-safe the old fallback
+    // salted on monotonically_increasing_id — a nondeterministic
+    // repartition key, so a task retry after a partial shuffle fetch
+    // could duplicate or lose rows. The fallback now hashes the map
+    // columns through to_json: same row content → same salt, always.
+    import spark.implicits._
+    val df = spark.range(100)
+      .select(expr("map('k', cast(id as string))").as("props"))
+    val s = Layout.saltKey(df.toDF(), 4)
+    // deterministic: evaluating the salt twice over the same rows
+    // yields identical assignments (a monotonic id would differ when
+    // partitioning/order shifts — force a different layout for run 2)
+    val once = df.select(expr("props['k']").as("k"), s.as("s"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val twice = df.repartition(7).select(expr("props['k']").as("k"), s.as("s"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(once == twice, "salt must depend on row content only")
+    assert(once.values.toSet.size > 1, "salt must still distribute")
+  }
 }

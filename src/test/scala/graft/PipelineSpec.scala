@@ -1077,6 +1077,23 @@ class PipelineSpec extends SparkSpec {
     } finally AtomicManifest.unregisterConditionalPut("file")
   }
 
+  test("a CAS-only ConditionalPut backend cannot exist (put is required at compile time)") {
+    // ADVICE r16 #2: a backend implementing only putIfAbsent used to
+    // register fine and then throw UnsupportedOperationException in
+    // the middle of the first commit's zone-map write. `put` is now
+    // ABSTRACT — a half-implemented backend is a compile error, the
+    // earliest possible refusal. This pins the trait shape: if
+    // someone re-defaults `put`, the JVM method gains a body and the
+    // abstract-modifier check below fails. (assertTypeError can't
+    // express this — "object creation impossible" is raised after the
+    // typer phase the macro inspects.)
+    val m = classOf[graft.load.ConditionalPut].getMethod("put",
+      classOf[java.net.URI], classOf[Array[Byte]])
+    assert(java.lang.reflect.Modifier.isAbstract(m.getModifiers),
+      "ConditionalPut.put must stay abstract: a default turns a " +
+      "half-implemented backend into a mid-commit runtime failure")
+  }
+
   test("committed-warehouse MERGE: upsert edges — cardinality, empty table, checks, multi-match") {
     import graft.load.WarehouseLoad
     import org.apache.spark.sql.functions.col
@@ -1323,11 +1340,68 @@ class PipelineSpec extends SparkSpec {
     val fold = WarehouseLoad.committedBatches(spark, hist)
     assert(fold.size == 1)
     assert(WarehouseLoad.batchStats(spark, hist, fold.head)
-      .get.dvRows.isEmpty)
+      .get.dv.isEmpty)
     assert(read().count() == 495L)
     assert(read().filter(col("k").isin(50L, 51L, 150L)).count() == 1L)
     WarehouseLoad.vacuum(spark, wh, hist)
     assert(read().count() == 495L)
+  }
+
+  test("type-widening window composes with deletion vectors and _metadata consumers") {
+    // ADVICE r16 #1: the widened layout group used to union its
+    // schema generations BEFORE the DV filter / `_graft_batch`
+    // tagging — `_metadata` does not resolve through a Union, so a
+    // DV'd table that received a widened batch threw AnalysisException
+    // from readWarehouse, and merge/takedown broke on any widening
+    // window. The generations now stay separate relations until after
+    // the per-relation filter/tag.
+    import graft.load.WarehouseLoad
+    import graft.plans.ManifestFileIndex
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import spark.implicits._
+    val wh = tmpDir("graft-widdv-") + "/t"
+    val hist = tmpDir("graft-widdvh-") + "/h"
+    // generation 1: id INT — then hide a row via DV
+    WarehouseLoad.commitStreamedBatch(spark,
+      spark.range(10).select(col("id").cast("int").as("id"),
+        (col("id") * 10).as("v")).coalesce(1).toDF(), wh, hist, "g1")
+    assert(WarehouseLoad.takedownVectorized(spark, wh, hist,
+      Seq(3).toDF("id"), Seq("id")) == 1L)
+    // generation 2 widens id to LONG: the DV'd table must stay
+    // readable, still filtered, still log-built
+    WarehouseLoad.commitStreamedBatch(spark,
+      spark.range(100, 105).select(col("id"),
+        (col("id") * 10).as("v")).coalesce(1).toDF(), wh, hist, "g2")
+    def read() = WarehouseLoad.readWarehouse(spark, wh, hist).get
+    assert(read().schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(read().count() == 14L)
+    assert(read().filter(col("id") === 3L).count() == 0L)
+    val locs = read().queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location
+      }
+    }
+    assert(locs.size == 2 && locs.forall(_.isInstanceOf[ManifestFileIndex]),
+      s"widened + DV'd table must stay on the log plan, got $locs")
+    // DV takedown ACROSS the window (hits in both generations)
+    assert(WarehouseLoad.takedownVectorized(spark, wh, hist,
+      Seq(4L, 101L).toDF("id"), Seq("id")) == 2L)
+    assert(read().count() == 12L)
+    // physical takedown and MERGE probe through the widened window
+    assert(WarehouseLoad.takedownCommitted(spark, wh, hist,
+      Seq(5L).toDF("id"), Seq("id")) == 1L)
+    val (u, i) = WarehouseLoad.mergeCommitted(spark, wh, hist,
+      Seq((6L, 999L), (200L, 1L)).toDF("id", "v"), Seq("id"))
+    assert((u, i) == ((1L, 1L)), s"got ($u, $i)")
+    assert(read().filter(col("id") === 6L).select("v")
+      .collect().map(_.getLong(0)).toSeq == Seq(999L))
+    // the change feed's tagger also resolves on a widened table
+    // (append window: the g2 commit landed at version 3)
+    val feed = WarehouseLoad.changes(spark, wh, hist, 2, 3).get
+    assert(feed.columns.contains("_graft_batch"))
+    assert(feed.count() == 5L)
   }
 
   test("committed-warehouse takedown rewrites only hit batches; vacuum completes the deletion") {
