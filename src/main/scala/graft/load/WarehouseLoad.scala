@@ -1159,6 +1159,52 @@ object WarehouseLoad {
         regexp_extract(col("_metadata.file_path"), "/b([^/]+)/[^/]*$", 1)))
   }
 
+  /** Per-(historyDir, batch) memo of each batch's loaded-file list —
+    * batch history dirs are IMMUTABLE once committed (the commit
+    * protocol's core invariant), so the list can be read once per
+    * batch and reused for every later freshness anti-join (r17: the
+    * per-commit `loadedFiles` collect job + its history-relation plan
+    * construction was ~180 ms of driver wall per commit; a steady
+    * committer now pays one bounded read per batch it did NOT itself
+    * write, and zero for its own — [[loadAtomic]] seeds the memo at
+    * commit time). Bounded by the same listing-sized budget as the
+    * fresh set itself. */
+  private val loadedFilesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
+
+  private[graft] def seedLoadedFiles(historyDir: String, id: String,
+      files: Seq[String]): Unit =
+    loadedFilesMemo.put((historyDir, id), files)
+
+  /** The loaded-file SET at the current head — the freshness filter of
+    * [[idempotentBatch]], assembled from the per-batch memo with one
+    * collect over ONLY the not-yet-memoized batches. */
+  private def loadedFileSet(spark: SparkSession, historyDir: String):
+      Set[String] = {
+    val ids = committedBatches(spark, historyDir)
+    val missing = ids.filter(id =>
+      !loadedFilesMemo.containsKey((historyDir, id)))
+    if (missing.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      historyFileRelation(spark, historyDir, missing).foreach { rel =>
+        rel.withColumn("batch",
+            regexp_extract(col("_metadata.file_path"), "/b([^/]+)/[^/]*$", 1))
+          .select("batch", "file").collect()
+          .groupBy(_.getString(0))
+          .foreach { case (id, rows) =>
+            loadedFilesMemo.put((historyDir, id),
+              rows.map(_.getString(1)).toSeq)
+          }
+        // a batch with an EMPTY history list (streamed epochs) yields
+        // no rows above — memo it as empty so it is not re-fetched
+        missing.foreach(id =>
+          loadedFilesMemo.putIfAbsent((historyDir, id), Nil))
+      }
+    }
+    ids.iterator.flatMap(id =>
+      loadedFilesMemo.getOrDefault((historyDir, id), Nil)).toSet
+  }
+
   /** One relation over the per-file history dirs of `ids`. TIER 1
     * (r14): every commit records its history dir's file list (`#hf`
     * lines) — and the history schema is the protocol's own constant
@@ -1265,21 +1311,28 @@ object WarehouseLoad {
       partitionCols: Seq[String] = Nil): Unit =
     idempotentBatch(spark, stagingDir, historyDir).foreach {
       case (freshFiles, data) =>
-        import org.apache.spark.sql.functions.{bit_xor, col, collect_set, count, lit, when, xxhash64}
-        // ONE listing-sized job yields the deterministic batch id (an
-        // order-independent combine of the fresh set's path hashes
-        // under two independent seeds — stable across retries of the
-        // same logical batch; xor not sum, so ANSI mode can't overflow)
-        // and the guard's expected-hash set (empty files legitimately
-        // contribute no rows and are exempt).
-        val parts = freshFiles.agg(
-          bit_xor(xxhash64(col("file"))).as("x1"),
-          bit_xor(xxhash64(col("file"), lit(1))).as("x2"),
-          count(lit(1)).as("n"),
-          collect_set(when(col("len") > 0, xxhash64(col("file"))))
-            .as("expect")).head()
+        import org.apache.spark.sql.functions.{col, collect_set, xxhash64}
+        // Deterministic batch id: an order-independent combine of the
+        // fresh set's path hashes under two independent seeds — stable
+        // across retries of the same logical batch; xor not sum, so
+        // overflow can't bite. Computed DRIVER-SIDE (r17) over the
+        // already-driver-resident fresh listing via the SAME
+        // interpreted function the xxhash64 expression uses
+        // (XxHash64Function), so the guard's expected-hash set matches
+        // the write job's observed `seen` hashes bit-for-bit — this
+        // replaces a per-commit Spark agg job over a one-row-per-file
+        // LocalRelation (the expression and the interpreter are the
+        // same code path in Spark itself).
+        import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        import org.apache.spark.unsafe.types.UTF8String
+        def h1(f: String): Long =
+          XxHash64Function.hash(UTF8String.fromString(f), StringType, 42L)
+        def h2(f: String): Long =
+          XxHash64Function.hash(1, IntegerType, h1(f))
+        val x1 = freshFiles.map(f => h1(f._1)).reduce(_ ^ _)
+        val x2 = freshFiles.map(f => h2(f._1)).reduce(_ ^ _)
         val committed = committedBatches(spark, historyDir)
-        var id = f"${parts.getAs[Long]("x1")}%016x-${parts.getAs[Long]("x2")}%016x-${parts.getAs[Long]("n")}"
+        var id = f"$x1%016x-$x2%016x-${freshFiles.size}"
         // Bump past ids that would CLOBBER history (r15 review #1): a
         // path-derived id can regenerate after [[restoreWarehouse]]
         // rolled its batch out of the head — the staged files are
@@ -1301,7 +1354,9 @@ object WarehouseLoad {
         }
         while (committed.contains(id) || clobbersHistory(id))
           id += "x" // hash-collision / history-clobber backstop
-        val expect = parts.getAs[Seq[Long]]("expect").toSet
+        // empty files legitimately contribute no rows and are exempt
+        val expect = freshFiles.collect { case (f, len) if len > 0 => h1(f) }
+          .toSet
         // in-flight marker BEFORE any dir write: a concurrent vacuum
         // must not reclaim this batch's dirs between here and the
         // commit (a retry of the same logical batch refreshes it)
@@ -1354,8 +1409,9 @@ object WarehouseLoad {
               "normalization and re-run")
         }
         failpoint("data-written")
-        freshFiles.select("file").write.mode("overwrite")
-          .parquet(s"$historyDir/b$id")
+        locally { import spark.implicits._
+          freshFiles.map(_._1).toDF("file").coalesce(1)
+            .write.mode("overwrite").parquet(s"$historyDir/b$id") }
         val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$id")
         writeZoneMap(spark, historyDir, id, zobs, zcols,
           Some(toWrite.schema),
@@ -1372,6 +1428,7 @@ object WarehouseLoad {
         // means this very batch committed (idempotent replay) — no-op
         commitBatches(spark, historyDir,
           cur => if (cur.contains(id)) cur else cur :+ id, failpoint)
+        seedLoadedFiles(historyDir, id, freshFiles.map(_._1))
         clearIntent(spark, historyDir, id)
     }
 
@@ -3644,6 +3701,14 @@ object WarehouseLoad {
     * one would do; a handful tolerates a stray short file. */
   private val SchemaSampleFiles = 8
 
+  /** Fresh sets at or below this size plan as a direct path-list read;
+    * above it, the constant-size single-root + broadcast-semi-join
+    * shape (see [[idempotentBatch]]). Conf-overridable so a deployment
+    * can pick its own listing-vs-plan-size tradeoff. */
+  private def freshPathPlanMax(spark: SparkSession): Int =
+    spark.conf.getOption("graft.load.freshPathPlanMax")
+      .map(_.toInt).getOrElse(64)
+
   /** The staged key-set schema for an idempotent load, inferred from a
     * BOUNDED sample of the FRESH files (VERDICT r12 #6) instead of a
     * full-root inference pass — previously the default load paid a
@@ -3657,10 +3722,9 @@ object WarehouseLoad {
     * sample cannot be read (no non-empty fresh file, or a path
     * spelling the sample read rejects). */
   private def freshSchema(spark: SparkSession, stagingDir: String,
-      freshFiles: DataFrame): StructType = {
-    import org.apache.spark.sql.functions.col
-    val sample = freshFiles.filter(col("len") > 0)
-      .select("file").head(SchemaSampleFiles).map(_.getString(0)).toSeq
+      freshFiles: Seq[(String, Long)]): StructType = {
+    val sample = freshFiles.filter(_._2 > 0)
+      .take(SchemaSampleFiles).map(_._1)
     if (sample.isEmpty) stagedSchema(spark, stagingDir)
     else {
       val inferred =
@@ -3679,47 +3743,73 @@ object WarehouseLoad {
     * column) — or None when nothing new is staged. Package-visible so
     * PlanSpec can assert the constant-size-plan contract directly. */
   private[graft] def idempotentBatch(spark: SparkSession, stagingDir: String,
-      historyDir: String): Option[(DataFrame, DataFrame)] = {
+      historyDir: String): Option[(Seq[(String, Long)], DataFrame)] = {
     val staged = listStaged(spark, stagingDir)
     if (staged.isEmpty) return None
     import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast, col}
-    val stagedDf = staged.toDF("file", "len")
-    val fresh = loadedFiles(spark, historyDir) match {
-      case Some(hist) =>
-        // History stores the ALREADY-normalized spelling (freshFiles
-        // is written from this very listing) — do NOT re-normalize it:
-        // percent-decoding is not idempotent, so a second decode of a
-        // name whose decoded form still contains %HH would diverge
-        // from the staged side and silently reload the file (duplicate
-        // rows) on every run.
-        stagedDf.join(hist.select(col("file")), Seq("file"), "left_anti")
-      case None => stagedDf
-    }
-    // Materialize the fresh set once (it is listing-sized, not
-    // data-sized): it feeds the batch id, the data filter, and the
-    // history snapshot, so they can never disagree, and the anti-join
-    // runs exactly once.
-    val freshFiles = fresh.localCheckpoint()
-    if (freshFiles.isEmpty) None
+    // The anti-join against history runs as ONE collect-to-driver job
+    // over the manifest-planned history relation (r17): the staged
+    // listing is ALREADY a driver-resident Seq (fs.listStatus above),
+    // so the fresh set is driver-bounded by construction — collecting
+    // the loaded-file set adds no asymptotic driver memory, and it
+    // replaces the former four metadata jobs per commit
+    // (localCheckpoint + isEmpty + agg-head + sample-head: measured
+    // ~250 ms of job+gap wall per commit at local[32]) with one.
+    // The DATA scan below keeps the constant-size-plan contract
+    // unchanged: single-root scan + broadcast semi-join, no path list.
+    // History stores the ALREADY-normalized spelling (freshFiles is
+    // written from this very listing) — do NOT re-normalize it:
+    // percent-decoding is not idempotent, so a second decode of a name
+    // whose decoded form still contains %HH would diverge from the
+    // staged side and silently reload the file (duplicate rows) on
+    // every run.
+    val loaded = loadedFileSet(spark, historyDir)
+    val fresh = staged.filterNot { case (f, _) => loaded(f) }
+    if (fresh.isEmpty) None
     else {
       // The corrupt-record column rides along so STRICT loads abort on
       // malformed lines (COPY's default ON_ERROR aborts on parse
       // errors, and a permissive read would load the line as an
       // all-null row that passes the cast check vacuously); permissive
       // loads keep the null-through contract. [[align]] drops it.
-      val schema = freshSchema(spark, stagingDir, freshFiles)
+      val schema = freshSchema(spark, stagingDir, fresh)
       require(!schema.fieldNames.contains(CorruptCol),
         s"staged data may not carry a '$CorruptCol' column")
-      val raw = spark.read
+      val reader = spark.read
         .schema(schema.add(CorruptCol, StringType))
         .option("columnNameOfCorruptRecord", CorruptCol)
-        .json(stagingDir)
-        .withColumn(FileCol, normCol(col("_metadata.file_path")))
-      val data = raw
-        .join(broadcast(freshFiles.select(col("file").as(FileCol))),
-          Seq(FileCol), "left_semi")
-      Some((freshFiles, data))
+      // Scale-adaptive scan shape (r17): a SMALL fresh set reads its
+      // paths directly — no staging-root listing, no broadcast-build
+      // job for the semi-join (~130 ms of fixed wall per commit, and
+      // at warehouse scale it skips re-scanning already-loaded files
+      // sharing the root). A WIDE wave keeps the constant-size-plan
+      // contract: ONE single-root scan + broadcast semi-join on
+      // `_metadata.file_path`, no path list in the plan (the
+      // million-file wave plans like a two-file one — PlanSpec pins
+      // it). Both shapes observe the same FileCol, so the coverage
+      // guard is unchanged.
+      // a decoded URI goes back through path-pattern resolution on a
+      // direct read, so glob metacharacters or a literal %HH in a name
+      // would mis-resolve — those (rare) names take the semi-join form,
+      // which matches _metadata paths and never re-resolves
+      def pathSafe = fresh.forall(f =>
+        !f._1.exists(c => "*?[]{}%".indexOf(c.toInt) >= 0))
+      val data =
+        if (fresh.sizeIs <= freshPathPlanMax(spark) && pathSafe) {
+          // rename-in-flight safety: paths were just listed; a file
+          // vanishing between listing and read fails the job loudly
+          // (ignoreMissingFiles stays false), same as the semi-join
+          // form observing a missing hash and aborting.
+          reader.json(fresh.map(_._1): _*)
+            .withColumn(FileCol, normCol(col("_metadata.file_path")))
+        } else {
+          reader.json(stagingDir)
+            .withColumn(FileCol, normCol(col("_metadata.file_path")))
+            .join(broadcast(fresh.map(_._1).toDF(FileCol)),
+              Seq(FileCol), "left_semi")
+        }
+      Some((fresh, data))
     }
   }
 

@@ -32,6 +32,45 @@ object Fixtures {
       s"staging rename for wave '$name' failed (destination exists?)")
   }
 
+  /** Pre-render EVERY wave of a multi-wave fixture in ONE Spark job,
+    * then deliver them into the staging dir one rename at a time —
+    * the staged bytes, file names and per-load batch composition are
+    * IDENTICAL to calling [[stageJsonWave]] once per wave; only the
+    * job count changes (r17, guide §1.2: N scan+coalesce(1)-write jobs
+    * with their per-job planning gaps — measured ~0.3–0.4 s each at
+    * local[32] — collapse into one job whose N filter branches scan in
+    * parallel). Returns `deliver(i)`: move wave i into the staging dir
+    * (a driver-side rename, the same arrival semantics as before).
+    *
+    * Each wave lands as exactly ONE staged file (`repartition` on the
+    * wave tag, then `partitionBy` — a hash collision only co-locates
+    * two waves in one task, which still writes one file per wave dir),
+    * preserving the single-file-per-wave contract of stageJsonWave. */
+  def prepareJsonWaves(s: SparkSession, root: String, stagingDir: String,
+      waves: Seq[(String, DataFrame)]): Int => Unit = {
+    import org.apache.spark.sql.functions.lit
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scratch = s"$root/.waves"
+    val tagged = waves.zipWithIndex.map { case ((_, rows), i) =>
+      rows.select(to_json(struct(rows.columns.map(col): _*)).as("value"))
+        .withColumn("w", lit(i))
+    }.reduce(_ unionByName _)
+    tagged.repartition(waves.size, col("w"))
+      .write.partitionBy("w").mode("overwrite").text(scratch)
+    (i: Int) => {
+      val (name, _) = waves(i)
+      val parts = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$scratch/w=$i/part-*"))
+      require(parts != null && parts.nonEmpty,
+        s"wave '$name' wrote no part file")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(stagingDir))
+      require(fs.rename(parts.head.getPath,
+          new org.apache.hadoop.fs.Path(s"$stagingDir/$name")),
+        s"staging rename for wave '$name' failed (destination exists?)")
+    }
+  }
+
   // Scratch roots registered for end-of-JVM cleanup. Plain java.nio in
   // the hook (never Spark/Hadoop — their own shutdown hooks may already
   // have run): these roots are always under the local tmpdir.

@@ -210,17 +210,18 @@ object Load {
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
 
-    def stage(name: String, parity: Int): Unit =
-      Fixtures.stageJsonWave(s, root, staging, name,
-        Tables.orders(s, d).filter(col("o_orderkey") % 2 === parity)
-          .select(col("o_orderkey"), col("o_custkey")))
+    def wave(name: String, parity: Int) = name ->
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === parity)
+        .select(col("o_orderkey"), col("o_custkey"))
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
 
-    stage("even.json", 0)
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      Seq(wave("even.json", 0), wave("odd.json", 1)))
+    deliver(0)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist) // v1
-    stage("odd.json", 1)
+    deliver(1)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist) // v2
     WarehouseLoad.compactCommitted(s, wh, hist)                 // v3 rewrite
 
@@ -280,16 +281,17 @@ object Load {
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
 
-    def stage(name: String, parity: Int): Unit =
-      Fixtures.stageJsonWave(s, root, staging, name,
-        Tables.orders(s, d).filter(col("o_orderkey") % 2 === parity)
-          .select(col("o_orderkey"), col("o_custkey")))
+    def wave(name: String, parity: Int) = name ->
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === parity)
+        .select(col("o_orderkey"), col("o_custkey"))
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
-    stage("even.json", 0)
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      Seq(wave("even.json", 0), wave("odd.json", 1)))
+    deliver(0)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist) // v1
-    stage("odd.json", 1)
+    deliver(1)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist) // v2
 
     val keys = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
@@ -353,10 +355,11 @@ object Load {
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
 
-    def stage(name: String, wave: Int): Unit =
-      Fixtures.stageJsonWave(s, root, staging, name,
-        Tables.orders(s, d).filter(col("o_orderkey") % 3 === wave)
-          .select(col("o_orderkey"), col("o_orderstatus")))
+    val deliverWaves = Fixtures.prepareJsonWaves(s, root, staging,
+      (0 to 2).map(k => s"w$k.json" ->
+        Tables.orders(s, d).filter(col("o_orderkey") % 3 === k)
+          .select(col("o_orderkey"), col("o_orderstatus"))))
+    def stage(name: String, wave: Int): Unit = deliverWaves(wave)
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_orderstatus", StringType)))
@@ -460,14 +463,16 @@ object Load {
 
     val mx = Tables.orders(s, d).agg(max("o_orderkey")).head().getLong(0)
     val q = (mx + 3) / 4 // quartile width (ceil), keys start at 1
-    (0 to 3).foreach { k =>
-      // wave 0 is open-bottomed: the testdata carries an
-      // o_orderkey=0 edge row that a (0, q] band would drop
-      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+    // wave 0 is open-bottomed: the testdata carries an
+    // o_orderkey=0 edge row that a (0, q] band would drop
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      (0 to 3).map(k => s"w$k.json" ->
         Tables.orders(s, d)
           .filter((if (k == 0) lit(true) else col("o_orderkey") > k * q) &&
             col("o_orderkey") <= (k + 1) * q)
-          .select(col("o_orderkey"), col("o_custkey")))
+          .select(col("o_orderkey"), col("o_custkey"))))
+    (0 to 3).foreach { k =>
+      deliver(k)
       WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     }
 
@@ -529,11 +534,14 @@ object Load {
       StructField("o_orderpriority", StringType)))
 
     val bands = Seq(Seq("1", "2"), Seq("3"), Seq("4", "5"))
-    bands.zipWithIndex.foreach { case (prefixes, k) =>
-      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      bands.zipWithIndex.map { case (prefixes, k) => s"w$k.json" ->
         Tables.orders(s, d)
           .filter(substring(col("o_orderpriority"), 1, 1).isin(prefixes: _*))
-          .select(col("o_orderkey"), col("o_orderpriority")))
+          .select(col("o_orderkey"), col("o_orderpriority"))
+      })
+    bands.indices.foreach { k =>
+      deliver(k)
       WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     }
 
@@ -586,11 +594,14 @@ object Load {
       StructField("o_orderpriority", StringType)))
 
     val bands = Seq(Seq("1", "5"), Seq("3"), Seq("2", "4"))
-    bands.zipWithIndex.foreach { case (prefixes, k) =>
-      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      bands.zipWithIndex.map { case (prefixes, k) => s"w$k.json" ->
         Tables.orders(s, d)
           .filter(substring(col("o_orderpriority"), 1, 1).isin(prefixes: _*))
-          .select(col("o_orderkey"), col("o_orderpriority")))
+          .select(col("o_orderkey"), col("o_orderpriority"))
+      })
+    bands.indices.foreach { k =>
+      deliver(k)
       WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     }
 
@@ -644,13 +655,15 @@ object Load {
       StructField("o_orderkey", LongType),
       StructField("note", StringType)))
 
-    (0 to 2).foreach { k =>
-      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      (0 to 2).map(k => s"w$k.json" ->
         Tables.orders(s, d)
           .filter(col("o_orderkey") % 3 === k)
           .select(col("o_orderkey"),
             (if (k == 1) col("o_orderstatus") else lit(null).cast(StringType))
-              .as("note")))
+              .as("note"))))
+    (0 to 2).foreach { k =>
+      deliver(k)
       WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     }
 
@@ -707,16 +720,17 @@ object Load {
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
 
-    (0 to 2).foreach { k =>
-      Fixtures.stageJsonWave(s, root, staging, s"small$k.json",
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      (0 to 2).map(k => s"small$k.json" ->
         Tables.orders(s, d).filter(col("o_orderkey") % 100 === k)
-          .select(col("o_orderkey"), col("o_custkey")))
+          .select(col("o_orderkey"), col("o_custkey"))) :+
+      ("bulk.json" ->
+        Tables.orders(s, d).filter(col("o_orderkey") % 100 >= 3)
+          .select(col("o_orderkey"), col("o_custkey"))))
+    (0 to 3).foreach { k =>
+      deliver(k)
       WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     }
-    Fixtures.stageJsonWave(s, root, staging, "bulk.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 100 >= 3)
-        .select(col("o_orderkey"), col("o_custkey")))
-    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
 
     val before = WarehouseLoad.committedBatches(s, hist)
     val sizes = before.map(id =>
@@ -788,20 +802,20 @@ object Load {
       StructField("o_orderpriority", StringType)))
     val parts = Seq("o_orderpriority")
 
-    (0 to 2).foreach { k =>
-      Fixtures.stageJsonWave(s, root, staging, s"small$k.json",
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      (0 to 2).map(k => s"small$k.json" ->
         Tables.orders(s, d).filter(col("o_orderkey") % 100 === k)
           .select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderpriority")))
+            col("o_orderpriority"))) :+
+      ("bulk.json" ->
+        Tables.orders(s, d).filter(col("o_orderkey") % 100 >= 3)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"))))
+    (0 to 3).foreach { k =>
+      deliver(k)
       WarehouseLoad.batchIdempotent(s, staging, target, wh, hist,
         partitionCols = parts)
     }
-    Fixtures.stageJsonWave(s, root, staging, "bulk.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 100 >= 3)
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_orderpriority")))
-    WarehouseLoad.batchIdempotent(s, staging, target, wh, hist,
-      partitionCols = parts)
 
     val before = WarehouseLoad.committedBatches(s, hist)
     val sizes = before.map(id =>
@@ -897,13 +911,14 @@ object Load {
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
-    Fixtures.stageJsonWave(s, root, staging, "even.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_custkey")))
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging, Seq(
+      "even.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey")),
+      "odd.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"))))
+    deliver(0)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
-    Fixtures.stageJsonWave(s, root, staging, "odd.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), col("o_custkey")))
+    deliver(1)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
 
     val newHead = WarehouseLoad.restoreWarehouse(s, wh, hist, 1)
@@ -972,10 +987,12 @@ object Load {
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
-    (0 to 2).foreach { k =>
-      Fixtures.stageJsonWave(s, root, staging, s"wave$k.json",
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      (0 to 2).map(k => s"wave$k.json" ->
         Tables.orders(s, d).filter(col("o_orderkey") % 3 === k)
-          .select(col("o_orderkey"), col("o_custkey")))
+          .select(col("o_orderkey"), col("o_custkey"))))
+    (0 to 2).foreach { k =>
+      deliver(k)
       WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     }
     WarehouseLoad.compactZOrdered(s, wh, hist,
@@ -1061,13 +1078,14 @@ object Load {
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
-    Fixtures.stageJsonWave(s, root, staging, "even.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_custkey")))
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging, Seq(
+      "even.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey")),
+      "odd.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"))))
+    deliver(0)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
-    Fixtures.stageJsonWave(s, root, staging, "odd.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), col("o_custkey")))
+    deliver(1)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     val preHead = WarehouseLoad.currentVersion(s, hist)
     val before = WarehouseLoad.committedBatches(s, hist)
@@ -1184,13 +1202,14 @@ object Load {
     val tLong = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
-    Fixtures.stageJsonWave(s, root, staging, "gen1.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_custkey")))
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging, Seq(
+      "gen1.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey")),
+      "gen2.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"))))
+    deliver(0)
     WarehouseLoad.batchIdempotent(s, staging, tInt, wh, hist)
-    Fixtures.stageJsonWave(s, root, staging, "gen2.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), col("o_custkey")))
+    deliver(1)
     WarehouseLoad.batchIdempotent(s, staging, tLong, wh, hist)
 
     val rel = WarehouseLoad.readWarehouse(s, wh, hist).get
@@ -1250,13 +1269,14 @@ object Load {
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
-    Fixtures.stageJsonWave(s, root, staging, "even.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_custkey")))
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging, Seq(
+      "even.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey")),
+      "odd.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"))))
+    deliver(0)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
-    Fixtures.stageJsonWave(s, root, staging, "odd.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), col("o_custkey")))
+    deliver(1)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     val preHead = WarehouseLoad.currentVersion(s, hist)
     val before = WarehouseLoad.committedBatches(s, hist)
@@ -1370,13 +1390,14 @@ object Load {
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
-    Fixtures.stageJsonWave(s, root, staging, "even.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_custkey")))
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging, Seq(
+      "even.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey")),
+      "odd.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"))))
+    deliver(0)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
-    Fixtures.stageJsonWave(s, root, staging, "odd.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), col("o_custkey")))
+    deliver(1)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     val preHead = WarehouseLoad.currentVersion(s, hist)
     val before = WarehouseLoad.committedBatches(s, hist)
@@ -1498,11 +1519,13 @@ object Load {
       StructField("o_orderkey", LongType),
       StructField("shard", LongType)))
 
-    (0 to 1).foreach { k =>
-      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      (0 to 1).map(k => s"w$k.json" ->
         Tables.orders(s, d).filter(col("o_orderkey") % 2 === k)
           .select(col("o_orderkey"),
-            (col("o_orderkey") % 10).as("shard")))
+            (col("o_orderkey") % 10).as("shard"))))
+    (0 to 1).foreach { k =>
+      deliver(k)
       WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     }
 
@@ -1558,10 +1581,12 @@ object Load {
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
 
-    (0 to 1).foreach { k =>
-      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      (0 to 1).map(k => s"w$k.json" ->
         Tables.orders(s, d).filter(col("o_orderkey") % 2 === k)
-          .select(col("o_orderkey"), col("o_custkey")))
+          .select(col("o_orderkey"), col("o_custkey"))))
+    (0 to 1).foreach { k =>
+      deliver(k)
       WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     }
     WarehouseLoad.compactCommitted(s, wh, hist)               // v3
@@ -1626,16 +1651,19 @@ object Load {
       "o_orderkey IS NOT NULL")
     WarehouseLoad.addCheck(s, hist, "key_positive", "o_orderkey >= 0")
 
-    Fixtures.stageJsonWave(s, root, staging, "w0.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_custkey")))
+    // wave 1 is a corrupted feed: the same odd wave with NEGATED keys —
+    // every row violates key_positive, and the whole batch must refuse
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging, Seq(
+      "w0.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey")),
+      "bad.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey")),
+      "w1.json" -> Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"))))
+    deliver(0)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)   // v1
 
-    // a corrupted feed: the same odd wave with NEGATED keys — every
-    // row violates key_positive, and the whole batch must refuse
-    Fixtures.stageJsonWave(s, root, staging, "bad.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
-        .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey")))
+    deliver(1)
     val violated =
       try { WarehouseLoad.batchIdempotent(s, staging, target, wh, hist); "" }
       catch { case v: WarehouseLoad.CheckViolation => v.constraint }
@@ -1647,9 +1675,7 @@ object Load {
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$staging/bad.json"), false)
-    Fixtures.stageJsonWave(s, root, staging, "w1.json",
-      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), col("o_custkey")))
+    deliver(2)
     WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)   // v2
 
     val agg = WarehouseLoad.readWarehouse(s, wh, hist).get
@@ -1698,10 +1724,12 @@ object Load {
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType)))
 
-    (0 to 1).foreach { k =>
-      Fixtures.stageJsonWave(s, root, staging, s"w$k.json",
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      (0 to 1).map(k => s"w$k.json" ->
         Tables.orders(s, d).filter(col("o_orderkey") % 2 === k)
-          .select(col("o_orderkey"), col("o_custkey")))
+          .select(col("o_orderkey"), col("o_custkey"))))
+    (0 to 1).foreach { k =>
+      deliver(k)
       WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
       if (k == 0) Thread.sleep(60) // separate the publishes' mtimes
     }

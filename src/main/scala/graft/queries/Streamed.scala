@@ -1446,11 +1446,12 @@ object Streamed {
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
 
-    def stage(name: String, wave: Int): Unit =
-      Fixtures.stageJsonWave(s, root, staging, name,
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      (0 to 2).map(k => s"w$k.json" ->
         graft.sources.Tables.orders(s, d)
-          .filter(col("o_orderkey") % 3 === wave)
-          .select(col("o_orderkey"), col("o_orderstatus")))
+          .filter(col("o_orderkey") % 3 === k)
+          .select(col("o_orderkey"), col("o_orderstatus"))))
+    def stage(name: String, wave: Int): Unit = deliver(wave)
     val target = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_orderstatus", StringType)))
@@ -1524,11 +1525,12 @@ object Streamed {
     val wh = s"$root/warehouse"
     val hist = s"$root/history"
 
-    def arrive(name: String, parity: Int): Unit =
-      Fixtures.stageJsonWave(s, root, inDir, name,
+    val deliver = Fixtures.prepareJsonWaves(s, root, inDir,
+      (0 to 1).map(k => s"w$k.json" ->
         graft.sources.Tables.orders(s, d)
-          .filter(col("o_orderkey") % 2 === parity)
-          .select(col("o_orderkey"), col("o_orderstatus")))
+          .filter(col("o_orderkey") % 2 === k)
+          .select(col("o_orderkey"), col("o_orderstatus"))))
+    def arrive(name: String, parity: Int): Unit = deliver(parity)
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_orderstatus", StringType)))
@@ -1597,11 +1599,14 @@ object Streamed {
     val mx = graft.sources.Tables.orders(s, d)
       .agg(max("o_orderkey")).head().getLong(0)
     val m = (mx + 1) / 2
-    Seq(("lo.json", col("o_orderkey") <= m),
-        ("hi.json", col("o_orderkey") > m)).foreach { case (name, pred) =>
-      Fixtures.stageJsonWave(s, root, staging, name,
-        graft.sources.Tables.orders(s, d).filter(pred)
-          .select(col("o_orderkey"), col("o_orderstatus")))
+    val deliver = Fixtures.prepareJsonWaves(s, root, staging,
+      Seq(("lo.json", col("o_orderkey") <= m),
+          ("hi.json", col("o_orderkey") > m)).map { case (name, pred) =>
+        name -> graft.sources.Tables.orders(s, d).filter(pred)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+      })
+    (0 to 1).foreach { k =>
+      deliver(k)
       WarehouseLoad.batchIdempotent(s, staging, target, wh, hist)
     }
     val nCommitted = WarehouseLoad.committedBatches(s, hist).size

@@ -17,8 +17,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Analyzed base relation per (session, path) — metadata reuse only,
+    * never data or results: `spark.read.parquet(path)` runs a footer
+    * schema-inference job and builds a fresh file index EVERY call, so
+    * a suite run re-reads the same static footers hundreds of times
+    * (measured r17: ~35 ms job + ~100 ms planning gap per call inside
+    * the lifecycle fixtures). The testdata files are immutable for a
+    * session (the bench/verify contract), so the resolved relation —
+    * schema + file listing, both metadata — is computed once. The
+    * DataFrame stays lazy: every consumer still plans and scans its
+    * own query from the parquet input. */
+  private val relCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relCache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
