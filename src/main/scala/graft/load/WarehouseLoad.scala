@@ -3326,7 +3326,7 @@ object WarehouseLoad {
                         keyCols: Seq[String],
                         partitionCols: Seq[String],
                         deleteWhere: Option[String]): (Long, Long, Long) = {
-    import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+    import org.apache.spark.sql.functions.{bit_xor, col, count, lit, max, xxhash64}
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     // fail fast on an unparseable tombstone predicate
     deleteWhere.foreach(org.apache.spark.sql.functions.expr)
@@ -3334,10 +3334,21 @@ object WarehouseLoad {
     require(keyCols.forall(k =>
         src.columns.exists(_.equalsIgnoreCase(k))),
       s"source must carry the key columns ${keyCols.mkString(", ")}")
-    if (src.isEmpty) return (0L, 0L, 0L)
-    val dup = src.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
-    if (!dup.isEmpty)
+    // ONE preamble job (r17; was four: isEmpty + duplicate-key probe +
+    // tag-hash agg): group by the merge keys, xor the row hashes per
+    // group, then reduce groups — bit_xor is associative, so the
+    // per-group combine preserves the exact whole-source tag hashes,
+    // and (group count, max group size) answer emptiness and the
+    // cardinality check from the same pass.
+    val pre = src.groupBy(keyCols.map(col): _*).agg(
+        count(lit(1)).as("n"),
+        bit_xor(xxhash64(src.columns.map(col): _*)).as("x1"),
+        bit_xor(xxhash64(lit(1) +: src.columns.map(col): _*)).as("x2"))
+      .agg(count(lit(1)).as("groups"), max(col("n")).as("maxn"),
+        bit_xor(col("x1")).as("h1"), bit_xor(col("x2")).as("h2"))
+      .head()
+    if (pre.getAs[Long]("groups") == 0L) return (0L, 0L, 0L)
+    if (pre.getAs[Long]("maxn") > 1L)
       throw new MergeCardinalityException(
         "MERGE source has duplicate keys: a target row matched by more " +
         "than one source row is non-deterministic — deduplicate the " +
@@ -3345,11 +3356,7 @@ object WarehouseLoad {
     // content-derived tag: order-independent combine of the full source
     // rows under two seeds — the idempotence marker every batch this
     // merge writes carries in its id
-    val hrow = src.agg(
-      bit_xor(xxhash64(src.columns.map(col): _*)).as("h1"),
-      bit_xor(xxhash64(lit(1) +: src.columns.map(col): _*)).as("h2"))
-      .head()
-    val tag = f"mg${hrow.getAs[Long]("h1")}%016x${hrow.getAs[Long]("h2")}%016x"
+    val tag = f"mg${pre.getAs[Long]("h1")}%016x${pre.getAs[Long]("h2")}%016x"
     if (committedBatches(spark, historyDir).exists(_.contains(tag)))
       return (0L, 0L, 0L) // this exact merge already applied: no-op
     var updated = 0L
@@ -3857,8 +3864,20 @@ object WarehouseLoad {
   def batchQuarantine(spark: SparkSession, stagingDir: String,
                       target: StructType, warehouseDir: String,
                       quarantineDir: String): Unit =
-    quarantineRelation(spark, stagingDir).foreach { case (raw, fields) =>
+    quarantineRelation(spark, stagingDir).foreach { case (raw0, fields) =>
       import org.apache.spark.sql.functions.{array, col, lit, not, struct, to_json, when}
+      // Parse the batch ONCE when it fits the cache budget (r17): the
+      // diagnose and load passes below are both projections of the
+      // same parsed rows, and JSON parsing dominates both scans —
+      // materializing the parse (spill-safe localCheckpoint) halves
+      // the batch's CPU. Over-budget batches keep the two-scan shape:
+      // the cache would thrash storage for a parse it can stream.
+      val cacheBudget = spark.sparkContext.hadoopConfiguration
+        .getLong("graft.quarantine.cacheBytes", 1L << 30)
+      val raw =
+        if (listStaged(spark, stagingDir).map(_._2).sum <= cacheBudget)
+          raw0.localCheckpoint()
+        else raw0
       val malformed = col(CorruptCol).isNotNull
       val fail = SchemaAlign.castFailure(raw, target)
       raw.filter(malformed || fail)
@@ -3886,7 +3905,14 @@ object WarehouseLoad {
     import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast, col}
     val snapshot = staged.toDF("file", "len").localCheckpoint()
-    val schema = stagedSchema(spark, stagingDir)
+    // Bounded-sample inference (r17): the quarantine leg held the last
+    // full-root `stagedSchema` pass on a load path — one whole extra
+    // JSON parse of the batch per load just to learn key spellings the
+    // homogeneity contract (see [[stagedSchema]]) already pins from
+    // any file. Same [[freshSchema]] policy the idempotent leg adopted
+    // in r12: ≤ SchemaSampleFiles files read for inference, the
+    // diagnose and load passes unchanged.
+    val schema = freshSchema(spark, stagingDir, staged)
     require(!schema.fieldNames.contains(CorruptCol),
       s"staged data may not carry a '$CorruptCol' column")
     val raw = spark.read

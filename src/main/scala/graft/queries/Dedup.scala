@@ -501,10 +501,27 @@ object Dedup {
     // Seed with the one-hop minimum (min of self and direct neighbors)
     // rather than the identity labeling — the first propagation round is
     // folded into the same aggregation that enumerates the node set.
-    var lab = sym.select(col("a").as("id"), col("b").as("cand"))
-      .groupBy(col("id"))
-      .agg(least(min(col("cand")), first(col("id"))).as("comp"))
-      .localCheckpoint()
+    // Convergence via a LABEL-MASS observation riding each round's own
+    // materialization job (r17): labels are monotone non-increasing
+    // per node under min-propagation and the node set is fixed, so
+    // Σ comp strictly decreases iff ANY node changed — the former
+    // separate changed-count join (one extra shuffle join + count job
+    // per round) is free as a CollectMetrics on the checkpoint job.
+    // DECIMAL(38,0) keeps the sum exact at any node-count × id-range
+    // (BIGINT would overflow near 1e19).
+    def mass(df: DataFrame): (DataFrame, () => java.math.BigDecimal) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val observed = df.observe(obs,
+        coalesce(sum(col("comp").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("m"))
+      (observed, () => obs.get("m").asInstanceOf[java.math.BigDecimal])
+    }
+    val (seedObserved, seedMass) = mass(
+      sym.select(col("a").as("id"), col("b").as("cand"))
+        .groupBy(col("id"))
+        .agg(least(min(col("cand")), first(col("id"))).as("comp")))
+    var lab = seedObserved.localCheckpoint()
+    var prevMass: java.math.BigDecimal = seedMass()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -515,15 +532,14 @@ object Dedup {
         .join(lab.select(col("id").as("nid"), col("comp").as("ncomp")),
           col("b") === col("nid"))
         .select(col("a").as("id"), col("ncomp").as("cand"))
-      val next = viaNeighbors
+      val (observed, massOf) = mass(viaNeighbors
         .union(lab.select(col("id"), col("comp").as("cand")))
-        .groupBy(col("id")).agg(min(col("cand")).as("comp"))
-        .localCheckpoint()
-      val changed = next.select(col("id"), col("comp").as("nc"))
-        .join(lab, Seq("id"))
-        .filter(col("nc") =!= col("comp")).count()
+        .groupBy(col("id")).agg(min(col("cand")).as("comp")))
+      val next = observed.localCheckpoint()
+      val m = massOf()
       lab = next.select(col("id"), col("comp"))
-      converged = changed == 0
+      converged = m.compareTo(prevMass) == 0
+      prevMass = m
       iter += 1
     }
     lab

@@ -399,8 +399,18 @@ object Multimodal {
   // it, and the decode stage is unchanged.
   val m10: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"))
+    // Codec work is CPU-bound per ROW, so parallelism must not be
+    // file-split-bound (r17, guide §2.5 input skew): a compact corpus
+    // arriving as one parquet file plans ~2 scan tasks and serializes
+    // the encode+decode on 2 of 32 cores. The key column is 8 bytes/row
+    // — repartitioning it up to the session's parallelism costs ~nothing
+    // and only fires when the scan is narrower than the cores (at real
+    // corpus scale the split count already exceeds it, so this no-ops).
+    val keys0 = Tables.documents(s, d).select(col("doc_id"))
+    val par = s.sparkContext.defaultParallelism
+    val keys = if (keys0.rdd.getNumPartitions < par)
+      keys0.repartition(par) else keys0
+    keys
       .as[Long]
       .mapPartitions(_.map(id =>
         (id, graft.multimodal.FakeCodec.encodeTestPng(id))))

@@ -1621,13 +1621,19 @@ $union
   val t25: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"))
+    // the two quantile relations are GROUP-sized (one row per source);
+    // materializing them (r17) keeps the MAD pass and the final join
+    // from re-deriving the whole histogram/rank-resolve subtree —
+    // the lazy form re-ran the median plan inside both consumers and
+    // its AQE stages dominated the query's wall (18 jobs, ~1.9 s of
+    // inter-job planning gaps measured; data work was 0.9 s)
     val med = Num.bucketQuantiles(docs, "source", "n_chars",
-      Seq(0.5 -> "med"), bucketWidth = 64.0)
+      Seq(0.5 -> "med"), bucketWidth = 64.0).localCheckpoint()
     val dev = docs.join(broadcast(med), Seq("source"))
       .withColumn("dev", abs(col("n_chars") - col("med")))
     val mad = Num.bucketQuantiles(
       dev.select(col("source"), col("dev")), "source", "dev",
-      Seq(0.5 -> "mad"), bucketWidth = 64.0)
+      Seq(0.5 -> "mad"), bucketWidth = 64.0).localCheckpoint()
     dev.join(broadcast(mad), Seq("source"))
       .filter(col("dev") > lit(3) * col("mad"))
       .select(col("doc_id"), col("source"), col("n_chars"),
