@@ -1378,9 +1378,18 @@ object WarehouseLoad {
           // every batch root before a byte is read — at warehouse
           // scale the difference between 1/n-th of the table and all
           // of it. Compaction/takedown preserve the layout.
-          toWrite
-            .write.mode("overwrite").partitionBy(partitionCols: _*)
-            .parquet(s"$warehouseDir/b$id")
+          withLoadSplitTuning(spark, freshFiles.map(_._2).sum) { tuned =>
+            // when the scan was split below one-task-per-file for
+            // parse parallelism, fold the parsed rows back through ONE
+            // exchange so the batch still lands as one data file —
+            // otherwise every downstream per-file cost (manifest
+            // entries, footer stats, DV carries) multiplies by the
+            // split count (measured: q96's merge leg +60% from ~20
+            // part files per batch)
+            (if (tuned) toWrite.repartition(1) else toWrite)
+              .write.mode("overwrite").partitionBy(partitionCols: _*)
+              .parquet(s"$warehouseDir/b$id")
+          }
         } }
         val seen = obs.get("seen").asInstanceOf[Seq[Long]].toSet
         val missing = expect -- seen
@@ -3707,6 +3716,47 @@ object WarehouseLoad {
     * key set. Under the homogeneity contract (see [[stagedSchema]])
     * one would do; a handful tolerates a stray short file. */
   private val SchemaSampleFiles = 8
+
+  /** Split-size tuning for a SMALL batch's load job (r17, guide §2.5
+    * input parallelism): Spark's split planner floors each split at
+    * `spark.sql.files.openCostInBytes` (4 MB default), so a trickle
+    * batch (one or a few small JSON files) parses on a SINGLE task
+    * while the rest of the session's cores idle — measured 250–480 ms
+    * of the ~1 s per-commit wall at local[32]. When the batch is small
+    * enough that the default split would underfill the session's
+    * parallelism, lower the split floor to ~bytes/cores (≥ 64 KB) FOR
+    * THE LOAD JOB ONLY and restore the session values after; batches
+    * that already fill the cores (the at-scale case) are untouched.
+    * The committer owns its session for the duration of a commit (the
+    * same assumption the commit protocol's conf reads make); the
+    * values are restored in a finally. */
+  private def withLoadSplitTuning[T](spark: SparkSession,
+      batchBytes: Long)(body: Boolean => T): T = {
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val MaxKey = "spark.sql.files.maxPartitionBytes"
+    val OpenKey = "spark.sql.files.openCostInBytes"
+    val curMax =
+      try org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(spark.conf.get(MaxKey))
+      catch { case _: Throwable => 128L * 1024 * 1024 }
+    // only worth it when the parse itself is the wall: sub-megabyte
+    // batches split into per-core slivers cost more in task+exchange
+    // overhead than the single-task parse they replace
+    if (batchBytes < 2L * 1024 * 1024 || batchBytes >= cores * curMax)
+      body(false)
+    else {
+      val target = math.max(batchBytes / cores, 64L * 1024)
+      val oldMax = spark.conf.getOption(MaxKey)
+      val oldOpen = spark.conf.getOption(OpenKey)
+      spark.conf.set(MaxKey, target.toString)
+      spark.conf.set(OpenKey, math.min(target, 4L * 1024 * 1024).toString)
+      try body(true) finally {
+        oldMax.fold(spark.conf.unset(MaxKey))(v => spark.conf.set(MaxKey, v))
+        oldOpen.fold(spark.conf.unset(OpenKey))(v =>
+          spark.conf.set(OpenKey, v))
+      }
+    }
+  }
 
   /** Fresh sets at or below this size plan as a direct path-list read;
     * above it, the constant-size single-root + broadcast-semi-join
