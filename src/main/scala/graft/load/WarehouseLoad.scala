@@ -1179,9 +1179,12 @@ object WarehouseLoad {
   /** The loaded-file SET at the current head — the freshness filter of
     * [[idempotentBatch]], assembled from the per-batch memo with one
     * collect over ONLY the not-yet-memoized batches. */
-  private def loadedFileSet(spark: SparkSession, historyDir: String):
-      Set[String] = {
-    val ids = committedBatches(spark, historyDir)
+  /** Ensure the per-batch memo covers `ids` (ONE bounded collect over
+    * only the not-yet-memoized batches), then return their loaded-file
+    * lists concatenated in batch order — the relation
+    * [[historyFileRelation]] would read, already driver-resident. */
+  private def loadedFileLists(spark: SparkSession, historyDir: String,
+      ids: Seq[String]): Seq[String] = {
     val missing = ids.filter(id =>
       !loadedFilesMemo.containsKey((historyDir, id)))
     if (missing.nonEmpty) {
@@ -1201,9 +1204,14 @@ object WarehouseLoad {
           loadedFilesMemo.putIfAbsent((historyDir, id), Nil))
       }
     }
-    ids.iterator.flatMap(id =>
-      loadedFilesMemo.getOrDefault((historyDir, id), Nil)).toSet
+    ids.flatMap(id =>
+      loadedFilesMemo.getOrDefault((historyDir, id), Nil))
   }
+
+  private def loadedFileSet(spark: SparkSession, historyDir: String):
+      Set[String] =
+    loadedFileLists(spark, historyDir,
+      committedBatches(spark, historyDir)).toSet
 
   /** One relation over the per-file history dirs of `ids`. TIER 1
     * (r14): every commit records its history dir's file list (`#hf`
@@ -1418,9 +1426,7 @@ object WarehouseLoad {
               "normalization and re-run")
         }
         failpoint("data-written")
-        locally { import spark.implicits._
-          freshFiles.map(_._1).toDF("file").coalesce(1)
-            .write.mode("overwrite").parquet(s"$historyDir/b$id") }
+        writeHistoryList(spark, s"$historyDir/b$id", freshFiles.map(_._1))
         val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$id")
         writeZoneMap(spark, historyDir, id, zobs, zcols,
           Some(toWrite.schema),
@@ -1745,6 +1751,81 @@ object WarehouseLoad {
     out.result()
   }
 
+  /** Write a batch's history snapshot — its one `file` string column —
+    * DIRECTLY from the driver as a single parquet file, replacing a
+    * Spark write job + its plan construction per commit (r18, guide
+    * §1.2(1): the list is already driver-resident at every call site,
+    * and the job it replaces was measured at ~60–90 ms plus ~50–75 ms
+    * of planning gap per commit — pure fixed cost at any scale, since
+    * the snapshot is listing-sized metadata, never data). The file is
+    * bit-compatible with the write it replaces: same dir layout, same
+    * parquet schema (`optional binary file (STRING)` = the nullable
+    * `file` StringType column Spark's own writer produced), snappy
+    * codec, so every reader — `spark.read.parquet` fallback, the
+    * manifest-planned [[historyManifestRelation]], [[loadedFiles]]'
+    * `_metadata.file_path` batch extraction — sees exactly what it saw
+    * before. An EMPTY list writes a zero-row file with the schema in
+    * the footer (the streamed-epoch shape), which Spark reads as the
+    * same empty one-column relation the old empty write produced. */
+  private def writeHistoryList(spark: SparkSession, dir: String,
+      files: Seq[String]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    // mode("overwrite") semantics: a retry of the same logical batch
+    // replaces its own orphaned snapshot
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    val schema = Types.buildMessage()
+      .addField(Types.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("file"))
+      .named("spark_schema")
+    val part = new org.apache.hadoop.fs.Path(p,
+      s"part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(part, conf))
+      .withConf(conf)
+      .withType(schema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val gf =
+        new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+      files.foreach { name =>
+        val g = gf.newGroup(); g.add("file", name); writer.write(g)
+      }
+    } finally writer.close()
+  }
+
+  /** Carry a batch's IMMUTABLE history dir to a rewrite's new id from
+    * the driver — hard-link/copy each data file (the [[carryFile]]
+    * mechanism), replacing the `spark.read.parquet(old).write(new)`
+    * pair of Spark jobs per hit batch (r18; measured ~90–250 ms of
+    * job + planning gap per carried batch). Content is byte-identical
+    * by construction — strictly stronger than the row-copy it
+    * replaces. */
+  private def copyHistoryDir(spark: SparkSession, historyDir: String,
+      id: String, nid: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$historyDir/b$id")
+    val fs = src.getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(s"$historyDir/b$nid")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.mkdirs(dst)
+    listBatchFiles(spark, s"$historyDir/b$id").foreach { case (rel, _) =>
+      carryFile(fs, new org.apache.hadoop.fs.Path(src, rel),
+        new org.apache.hadoop.fs.Path(dst, rel), conf)
+    }
+    // the carried dir's loaded-file list is its source's — seed the
+    // memo so the NEXT load's freshness check never re-collects it
+    Option(loadedFilesMemo.get((historyDir, id)))
+      .foreach(seedLoadedFiles(historyDir, nid, _))
+  }
+
   private def writeZoneMap(spark: SparkSession, historyDir: String,
       id: String, zobs: Option[Observation],
       zcols: Seq[StructField], schema: Option[StructType] = None,
@@ -1823,10 +1904,8 @@ object WarehouseLoad {
       toWrite.write.mode("overwrite").partitionBy(partitionCols: _*)
         .parquet(s"$warehouseDir/b$id")
     }
-    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        StructType(Seq(StructField("file", StringType))))
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$historyDir/b$id")
+    writeHistoryList(spark, s"$historyDir/b$id", Nil)
+    seedLoadedFiles(historyDir, id, Nil)
     val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$id")
     writeZoneMap(spark, historyDir, id, zobs, zcols,
       if (df.isStreaming) None else Some(toWrite.schema),
@@ -2649,8 +2728,14 @@ object WarehouseLoad {
             .parquet(s"$warehouseDir/b$id")
       }
     }
-    historyFileRelation(spark, historyDir, selected).foreach(
-      _.select("file").write.mode("overwrite").parquet(s"$historyDir/b$id"))
+    // the fold's history = the concatenation of its inputs' loaded-file
+    // lists — already driver-resident via the per-batch memo (seeded at
+    // commit time, or one bounded collect for batches another JVM
+    // wrote), so the snapshot writes without the former read+write
+    // Spark job pair
+    val foldHist = loadedFileLists(spark, historyDir, selected)
+    writeHistoryList(spark, s"$historyDir/b$id", foldHist)
+    seedLoadedFiles(historyDir, id, foldHist)
     // the folded batch's zone map is the interval union of its inputs
     // (a column only survives if EVERY input recorded it — a missing
     // interval means an unknown range, and a merged map must never
@@ -2976,8 +3061,7 @@ object WarehouseLoad {
                   new org.apache.hadoop.fs.Path(
                     s"$warehouseDir/b$nid", rel), conf)
               }
-              spark.read.parquet(s"$historyDir/b$id")
-                .write.mode("overwrite").parquet(s"$historyDir/b$nid")
+              copyHistoryDir(spark, historyDir, id, nid)
               st.foreach { s0 =>
                 val newFiles =
                   listBatchFiles(spark, s"$warehouseDir/b$nid")
@@ -3002,8 +3086,7 @@ object WarehouseLoad {
                 .join(k, keyCols, "left_anti")
                 .write.mode("overwrite").partitionBy(partitionCols: _*)
                 .parquet(s"$warehouseDir/b$nid")
-              spark.read.parquet(s"$historyDir/b$id")
-                .write.mode("overwrite").parquet(s"$historyDir/b$nid")
+              copyHistoryDir(spark, historyDir, id, nid)
               st.foreach { s0 =>
                 val newFiles =
                   listBatchFiles(spark, s"$warehouseDir/b$nid")
@@ -3186,8 +3269,7 @@ object WarehouseLoad {
               .parquet(s"$warehouseDir/b$nid")
         }
         // carry the file history forward: the source files stay loaded
-        spark.read.parquet(s"$historyDir/b$id")
-          .write.mode("overwrite").parquet(s"$historyDir/b$nid")
+        copyHistoryDir(spark, historyDir, id, nid)
         // and the zone map: removing rows only SHRINKS the true range,
         // value set, and null count, so every carried stat remains a
         // conservative superset (the prune triggers — interval/dict
@@ -3460,15 +3542,25 @@ object WarehouseLoad {
         .localCheckpoint())
     // this merge's own prior-pass batches (tag in the id) already hold
     // the source values for their matched keys — never re-touched.
-    // Per-batch hit counts SPLIT by tombstone flag (update vs delete).
-    val hitSplit: Map[(String, Boolean), Long] = hits
-      .map(_.groupBy(col(BatchCol), col(DelFlag))
-        .agg(count(lit(1)).as("n"))
+    // ONE aggregation job (r18; was two — the (batch, flag) count agg
+    // plus the (batch, file) row-index agg): group by (batch, file,
+    // tombstone-flag) collecting the row-index lists, and derive BOTH
+    // the per-batch hit counts split by flag AND the DV row lists
+    // driver-side from the same collected rows. The collected size is
+    // identical to the old second collect (the row indexes dominate).
+    val hitAgg: Seq[(String, String, Boolean, Seq[Long])] = hits
+      .map(_.groupBy(col(BatchCol), col(FpCol), col(DelFlag))
+        .agg(collect_list(col(RiCol)).as("ris"))
         .collect()
-        .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2))
-        .toMap
-        .filter { case ((id, _), _) => !id.contains(tag) })
-      .getOrElse(Map.empty)
+        .toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+          r.getSeq[Long](3)))
+        .filter { case (id, _, _, _) => !id.contains(tag) })
+      .getOrElse(Nil)
+    // Per-batch hit counts SPLIT by tombstone flag (update vs delete).
+    val hitSplit: Map[(String, Boolean), Long] = hitAgg
+      .groupBy { case (id, _, del, _) => (id, del) }
+      .map { case (k, rs) => k -> rs.map(_._4.size.toLong).sum }
     val hitsByBatch: Map[String, Long] = hitSplit.toSeq
       .groupBy(_._1._1).map { case (b, m) => b -> m.map(_._2).sum }
     val matchedKeys = hits.map(_.select(keyCols.map(col): _*).distinct())
@@ -3497,18 +3589,18 @@ object WarehouseLoad {
     val whP = new org.apache.hadoop.fs.Path(warehouseDir)
     val whFs = whP.getFileSystem(conf)
     val qWhBase = whFs.makeQualified(whP)
-    // (batch → file → hit row indexes) for every non-tag hit batch
+    // (batch → file → hit row indexes) for every non-tag hit batch —
+    // derived from the SAME fused collect as hitSplit (r18): the two
+    // tombstone-flag variants of a (batch, file) merge their lists,
+    // exactly the rows the old (batch, file)-keyed collect returned
+    // (DvVector.fromRows sorts, so list order is immaterial).
     val dvByBatch: Map[String, Map[String, Seq[Long]]] =
       if (!useDv) Map.empty
-      else hits.map(_.groupBy(col(BatchCol), col(FpCol))
-          .agg(collect_list(col(RiCol)).as("ris"))
-          .collect()
-          .filter(r => !r.getString(0).contains(tag))
-          .groupBy(_.getString(0))
-          .map { case (b, rs) =>
-            b -> rs.map(r => r.getString(1) -> r.getSeq[Long](2)).toMap
-          })
-        .getOrElse(Map.empty)
+      else hitAgg.groupBy(_._1).map { case (b, rs) =>
+        b -> rs.groupBy(_._2).map { case (f, fr) =>
+          f -> fr.flatMap(_._4)
+        }
+      }
     // DV-eligibility per hit batch: recorded file list, every hit
     // path maps to a recorded file, merged vector within caps — the
     // takedownVectorized contract
@@ -3553,11 +3645,8 @@ object WarehouseLoad {
         toW.write.mode("overwrite").partitionBy(partitionCols: _*)
           .parquet(s"$warehouseDir/b$bid")
       }
-      spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          StructType(Seq(StructField("file", StringType))))
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$historyDir/b$bid")
+      writeHistoryList(spark, s"$historyDir/b$bid", Nil)
+      seedLoadedFiles(historyDir, bid, Nil)
       val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$bid")
       writeZoneMap(spark, historyDir, bid, zo, zc, Some(toW.schema),
         Some(dataFiles),
@@ -3573,16 +3662,19 @@ object WarehouseLoad {
     // a vanished-batch pass from leaving appended values without
     // their hides (duplicates) or hides without their values (loss).
     val updIds: Map[String, String] = eligible.keys.flatMap { id =>
-      val mult = hits.get
-        .filter(col(BatchCol) === id && not(col(DelFlag)))
-        .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
-      val updDf = s2.filter(not(col(DelFlag))).drop(DelFlag)
-        .join(broadcast(mult), keyCols)
-        .withColumn("__c",
-          explode(array_repeat(lit(1), col("__n").cast("int"))))
-        .drop("__n", "__c")
-      if (updDf.isEmpty) None // all matched rows tombstoned
+      // all matched rows tombstoned ⟺ this batch has zero
+      // non-tombstone hits — already known driver-side from the fused
+      // hit aggregation (r18; was an isEmpty job per eligible batch)
+      if (hitSplit.getOrElse((id, false), 0L) == 0L) None
       else {
+        val mult = hits.get
+          .filter(col(BatchCol) === id && not(col(DelFlag)))
+          .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+        val updDf = s2.filter(not(col(DelFlag))).drop(DelFlag)
+          .join(broadcast(mult), keyCols)
+          .withColumn("__c",
+            explode(array_repeat(lit(1), col("__n").cast("int"))))
+          .drop("__n", "__c")
         val uid = id + "-" + tag + "-u"
         writeAppendBatch(uid, updDf)
         Some(id -> uid)
@@ -3607,8 +3699,7 @@ object WarehouseLoad {
                 new org.apache.hadoop.fs.Path(
                   s"$warehouseDir/b$nid", rel), conf)
             }
-            spark.read.parquet(s"$historyDir/b$id")
-              .write.mode("overwrite").parquet(s"$historyDir/b$nid")
+            copyHistoryDir(spark, historyDir, id, nid)
             st.foreach { s0 =>
               val newFiles = listBatchFiles(spark, s"$warehouseDir/b$nid")
               val fz = s0.schemaJson.flatMap { j =>
@@ -3660,8 +3751,7 @@ object WarehouseLoad {
                 .parquet(s"$warehouseDir/b$nid")
             }
             // source files stay loaded: carry the history forward
-            spark.read.parquet(s"$historyDir/b$id")
-              .write.mode("overwrite").parquet(s"$historyDir/b$nid")
+            copyHistoryDir(spark, historyDir, id, nid)
             val dataFiles = listBatchFiles(spark, s"$warehouseDir/b$nid")
             writeZoneMap(spark, historyDir, nid, zobs, zcols,
               Some(toWrite.schema), Some(dataFiles),
@@ -3784,15 +3874,91 @@ object WarehouseLoad {
       .take(SchemaSampleFiles).map(_._1)
     if (sample.isEmpty) stagedSchema(spark, stagingDir)
     else {
-      val inferred =
+      val inferred = inferFlatSchema(spark, sample).getOrElse {
         try spark.read.option("primitivesAsString", "true")
           .json(sample: _*).schema
         catch { // e.g. a normalized spelling the reader won't resolve
           case _: org.apache.spark.sql.AnalysisException => StructType(Nil)
         }
+      }
       // all-blank sample (keyless) is as useless as an empty one
       if (inferred.isEmpty) stagedSchema(spark, stagingDir) else inferred
     }
+  }
+
+  /** Driver-side schema inference for the COMMON staged shape — one
+    * flat JSON object of primitive values per line — replicating
+    * EXACTLY what `spark.read.option("primitivesAsString",
+    * "true").json(sample)` infers for that shape: the union of the
+    * field names across lines, every field nullable StringType
+    * (primitives-as-string maps string/number/boolean/null alike to
+    * string), sorted by name (Spark's inference canonicalizes struct
+    * fields alphabetically). Removes the per-commit inference JOB +
+    * its plan construction (r18, guide §1.2(1) — measured ~50–160 ms
+    * of job time plus ~50–100 ms of gap per commit; the sample is ≤
+    * [[SchemaSampleFiles]] small files, driver-metadata-sized by the
+    * same argument as the fresh listing itself).
+    *
+    * Returns None — fall back to the distributed inference job — the
+    * moment ANYTHING outside that shape appears: a nested object or
+    * array value, a top-level non-object, a malformed line (Spark
+    * would add the corrupt-record column), a duplicate key inside one
+    * object, trailing content after the object, an oversized sample
+    * (> 8 MB total — past that the distributed job is the right tool),
+    * or any read/parse error. Absent is never wrong, only slower —
+    * the fallback is the exact code path this replaces.
+    * [[SchemaAlignSpec]] pins equality against Spark's own inference
+    * for the covered shapes and the fallback triggers. */
+  private[graft] def inferFlatSchema(spark: SparkSession,
+      sample: Seq[String]): Option[StructType] = {
+    import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+    val MaxSampleBytes = 8L * 1024 * 1024
+    val conf = spark.sparkContext.hadoopConfiguration
+    val names = scala.collection.mutable.TreeSet.empty[String]
+    var bytes = 0L
+    val factory = new JsonFactory()
+    try {
+      sample.foreach { file =>
+        val p = new org.apache.hadoop.fs.Path(file)
+        val fs = p.getFileSystem(conf)
+        val len = fs.getFileStatus(p).getLen
+        if (bytes + len > MaxSampleBytes) return None
+        bytes += len
+        val buf = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0L, buf) finally in.close()
+        val text =
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        text.linesIterator.foreach { line =>
+          // whitespace-only lines are skipped by Spark's reader (not
+          // even corrupt records)
+          if (line.exists(!_.isWhitespace)) {
+            val parser = factory.createParser(line)
+            try {
+              if (parser.nextToken() != JsonToken.START_OBJECT) return None
+              val seen = scala.collection.mutable.HashSet.empty[String]
+              var tok = parser.nextToken()
+              while (tok == JsonToken.FIELD_NAME) {
+                val name = parser.currentName()
+                if (!seen.add(name)) return None // duplicate key
+                parser.nextToken() match {
+                  case JsonToken.VALUE_STRING | JsonToken.VALUE_NUMBER_INT |
+                       JsonToken.VALUE_NUMBER_FLOAT | JsonToken.VALUE_TRUE |
+                       JsonToken.VALUE_FALSE | JsonToken.VALUE_NULL =>
+                    names += name
+                  case _ => return None // nested / non-primitive
+                }
+                tok = parser.nextToken()
+              }
+              if (tok != JsonToken.END_OBJECT) return None
+              if (parser.nextToken() != null) return None // trailing junk
+            } finally parser.close()
+          }
+        }
+      }
+      Some(StructType(names.toSeq.map(n =>
+        StructField(n, StringType, nullable = true))))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** The idempotent load's two relations — (fresh-file set
