@@ -56,7 +56,7 @@ object FileZones {
     import scala.jdk.CollectionConverters._
     val out =
       new java.util.concurrent.ConcurrentHashMap[String, FileStats]()
-    files.asJava.parallelStream().forEach { case (rel, _) =>
+    MetaPool.forEach(files) { case (rel, _) =>
       val st =
         try Some(fileStats(conf, new Path(dir, rel), wanted))
         catch { case scala.util.control.NonFatal(_) => None }

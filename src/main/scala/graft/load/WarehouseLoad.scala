@@ -696,7 +696,7 @@ object WarehouseLoad {
     val conf = spark.sparkContext.hadoopConfiguration
     val live =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-    ids.asJava.parallelStream().forEach { id =>
+    MetaPool.forEach(ids) { id =>
       val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/b$id")
       val fs = p.getFileSystem(conf)
       val sts =
@@ -788,7 +788,7 @@ object WarehouseLoad {
     val jsons =
       new java.util.concurrent.ConcurrentHashMap[String, String]()
     val missing = new java.util.concurrent.atomic.AtomicBoolean(false)
-    info.asJava.parallelStream().forEach { case (id, _) =>
+    MetaPool.forEach(info) { case (id, _) =>
       batchStats(spark, historyDir, id).flatMap(_.schemaJson) match {
         case Some(j) => jsons.put(id, j)
         case None => missing.set(true)
@@ -962,7 +962,7 @@ object WarehouseLoad {
     import scala.jdk.CollectionConverters._
     val fetched =
       new java.util.concurrent.ConcurrentHashMap[String, BatchStats]()
-    ids.asJava.parallelStream().forEach(id =>
+    MetaPool.forEach(ids)(id =>
       batchStats(spark, historyDir, id).foreach(st => fetched.put(id, st)))
     val stats = ids.map(id => Option(fetched.get(id)))
     if (stats.exists(s =>
@@ -1231,7 +1231,7 @@ object WarehouseLoad {
     import scala.jdk.CollectionConverters._
     val fetched =
       new java.util.concurrent.ConcurrentHashMap[String, BatchStats]()
-    ids.asJava.parallelStream().forEach(id =>
+    MetaPool.forEach(ids)(id =>
       batchStats(spark, historyDir, id).foreach(st => fetched.put(id, st)))
     val lists = ids.map(id => Option(fetched.get(id)).flatMap(_.histFiles))
     if (lists.exists(_.isEmpty)) return None
@@ -2330,7 +2330,7 @@ object WarehouseLoad {
     import scala.jdk.CollectionConverters._
     val fetched =
       new java.util.concurrent.ConcurrentHashMap[String, BatchStats]()
-    ids.asJava.parallelStream().forEach(id =>
+    MetaPool.forEach(ids)(id =>
       batchStats(spark, historyDir, id).foreach(st => fetched.put(id, st)))
     ids.zipWithIndex.map { case (id, i) =>
       val st = Option(fetched.get(id))
@@ -2508,7 +2508,7 @@ object WarehouseLoad {
       val doomed = sts.filter(st => !inflight(st.getPath.getName)
         && !keep2(st.getPath.getName))
       val n = new java.util.concurrent.atomic.AtomicInteger()
-      doomed.asJava.parallelStream().forEach(st =>
+      MetaPool.forEach(doomed)(st =>
         if (!inflightNow(st.getPath.getName) &&
             fs.delete(st.getPath, true)) n.incrementAndGet())
       n.get
@@ -2597,7 +2597,7 @@ object WarehouseLoad {
         import scala.jdk.CollectionConverters._
         val sizes =
           new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-        ids.asJava.parallelStream().forEach(id =>
+        MetaPool.forEach(ids)(id =>
           batchBytes(spark, historyDir, id).foreach(b => sizes.put(id, b)))
         ids.filter(id => Option(sizes.get(id)).exists(_ <= smallBytes))
       })
@@ -2806,7 +2806,7 @@ object WarehouseLoad {
     val fetched = {
       import scala.jdk.CollectionConverters._
       val m = new java.util.concurrent.ConcurrentHashMap[String, BatchStats]()
-      inputs.asJava.parallelStream().forEach(in =>
+      MetaPool.forEach(inputs)(in =>
         batchStats(spark, historyDir, in).foreach(st => m.put(in, st)))
       m
     }

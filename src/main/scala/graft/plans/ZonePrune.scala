@@ -116,7 +116,7 @@ object ZonePrune extends Rule[LogicalPlan] {
           val verdicts =
             new java.util.concurrent.ConcurrentHashMap[
               org.apache.hadoop.fs.Path, java.lang.Boolean]()
-          roots.asJava.parallelStream().forEach { r =>
+          graft.load.MetaPool.forEach(roots) { r =>
             val keep = WarehouseLoad.batchStats(spark, h,
                 r.getName.stripPrefix("b")) match {
               case None => true // no stats: must scan
@@ -179,7 +179,7 @@ object ZonePrune extends Rule[LogicalPlan] {
     import scala.jdk.CollectionConverters._
     val doomed = java.util.concurrent.ConcurrentHashMap
       .newKeySet[org.apache.hadoop.fs.Path]()
-    keep.asJava.parallelStream().forEach { r =>
+    graft.load.MetaPool.forEach(keep) { r =>
       WarehouseLoad.batchStats(spark, hist, r.getName.stripPrefix("b"))
         .filter(_.fileStats.nonEmpty).foreach { st =>
           val rootStr = r.toString

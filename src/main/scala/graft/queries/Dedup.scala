@@ -105,14 +105,34 @@ object Dedup {
     // the correct plan at that scale.
     val counts = Hints.broadcastIfSmall(
       sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
-    val inv0 = sh0.groupBy(col("s"))
+    // The posting-list build's exchange is PINNED at the session's
+    // shuffle width (r18, guide §2.5): AQE sizes reduce partitions by
+    // an exchange's BYTES, which for a bench-scale (shingle, doc_id)
+    // stream coalesces to one or two partitions — and then the final
+    // collect_list merge AND the docPairs Generate (whose output is
+    // Σ_shingle df², quadratic in list size and invisible to AQE's
+    // byte model) ran near-single-threaded, the serial stage that
+    // kept the whole d03 family's wall flat from 8 to 32 cores. An
+    // explicit-width repartition on the grouping key is REUSED by the
+    // aggregation (same hash partitioning — no extra exchange), runs
+    // the aggregation complete-mode at full width, and keeps the
+    // emission stage at the configured parallelism at every scale
+    // (the width is the deployment's own spark.sql.shuffle.partitions
+    // — exactly what the exchange used pre-AQE, not a local tune).
+    // Measured (probe medians, sf0.1): d03 2.0→1.3 s at 32 cores AND
+    // 2.2→1.2 s at 8; the alternative pin AFTER the aggregation
+    // (which preserves map-side partial collect_list) left the final
+    // merge serial and measured WORSE than baseline at both widths.
+    val invParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val inv0 = sh0.repartition(invParts, col("s")).groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) >= 2)
     val inv = maxDocFreq.fold(inv0)(cap =>
       inv0.filter(size(col("docs")) <= cap))
     // Native one-pass pair emission (graft.functions.DocPairs): the
     // HOF-chain equivalent runs interpreted, once per distinct shingle —
-    // squarely on the hot path.
+    // squarely on the hot path. The pinned-width repartition (see the
+    // inv0 comment) feeds it from every core.
     val pairs = inv.select(
         explode(graft.functions.TextExprs.docPairs(col("docs"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))

@@ -289,13 +289,25 @@ object Graph {
   // localCheckpoint pattern — the per-round shape is identical.
   val g04: Q = (s, d) => {
     val sym0 = symEdges(s, d)
-    val all = sym0.select(col("src").as("id")).distinct()
+    // Each round's surviving node set and induced edge set are
+    // MATERIALIZED (localCheckpoint — r18, guide §3.3/§5): the
+    // unrolled form re-derived round r-1's two semi joins inside every
+    // consumer of round r, compounding to a 11k-line physical plan
+    // with 654 Exchanges whose repeated subtrees re-executed every
+    // round's joins up to three times (measured 13.9 executor-seconds
+    // on a pair-bounded edge list). Checkpointing each round keeps the
+    // peel's per-round shape (one degree aggregate + two semi joins)
+    // computed exactly ONCE — same rows, same output, plan tree now
+    // round-sized. The materialized relations are node/edge-sized,
+    // the same scale class as the d08 CC rounds' checkpoints.
+    val all = sym0.select(col("src").as("id")).distinct().localCheckpoint()
     var sym = sym0
     var active = all            // nodes not yet peeled
     var removed = all.limit(0).withColumn("rround", lit(0))
     for (r <- 1 to 3) {
       val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       val keep = deg.where(col("deg") >= 2).select(col("id"))
+        .localCheckpoint()
       // anti vs keep (not deg<2): a node isolated by the previous peel
       // has NO surviving edges, so it is absent from deg entirely —
       // it must still leave this round (induced degree 0 < 2)
@@ -306,6 +318,7 @@ object Graph {
       sym = sym.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
+        .localCheckpoint()
     }
     val finalDeg = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("core_deg"))
@@ -396,7 +409,17 @@ object Graph {
     // (measured 9 of g05's 21 executor-seconds); pairs, counts and
     // the HubCap semantics are identical — DocPairs on the sorted
     // list emits exactly the (e1.dst < e2.dst) wedge set.
-    val wedges = sym.groupBy(col("src"))
+    // neighbor-list exchange pinned at the session's shuffle width
+    // (r18, same rationale and placement as the d03 posting-list
+    // build): the weak edge list is byte-small, so AQE coalesced this
+    // exchange to ONE partition and the list merge + wedge Generate —
+    // quadratic in list size, invisible to AQE's byte model — ran
+    // single-threaded (measured 1.4 s of g05's wall on one task; wall
+    // flat from 8 to 32 cores). The explicit-width repartition on the
+    // grouping key is reused by the aggregation — no extra exchange.
+    // Measured: g05 4.1→2.0 s at 32 cores, 3.5→1.9 s at 8.
+    val wedgeParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val wedges = sym.repartition(wedgeParts, col("src")).groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("docs"))
       .filter(size(col("docs")).between(2, HubCap))
       .select(explode(graft.functions.TextExprs.docPairs(col("docs"))).as("p"))
